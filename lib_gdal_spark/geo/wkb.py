@@ -1,0 +1,95 @@
+"""Minimal WKB codec (little-endian) for Point / LineString / Polygon /
+MultiPolygon.
+
+The reference's wire format for geometry is WKB (ogr/ogr_wkb.cpp; type codes
+ogr/ogr_core.h:408-444). Spark has no geometry type, so geometry columns in
+this engine are ``binary`` WKB + materialized envelope doubles
+(xmin/ymin/xmax/ymax) for Catalyst-side bbox predicates and parquet min/max
+row-group skipping.
+
+Only the 2-D little-endian subset needed by the fixtures is implemented.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WKB_POINT = 1
+WKB_LINESTRING = 2
+WKB_POLYGON = 3
+WKB_MULTIPOLYGON = 6
+_LE = 1
+
+
+def encode_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", _LE, WKB_POINT, x, y)
+
+
+def _encode_ring(ring) -> bytes:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) == 0 or (r[0] != r[-1]).any():  # close the ring
+        r = np.vstack([r, r[:1]])
+    return struct.pack("<I", len(r)) + r.astype("<f8").tobytes()
+
+
+def encode_polygon(rings: list) -> bytes:
+    out = struct.pack("<BII", _LE, WKB_POLYGON, len(rings))
+    for ring in rings:
+        out += _encode_ring(ring)
+    return out
+
+
+def encode_multipolygon(polys: list) -> bytes:
+    out = struct.pack("<BII", _LE, WKB_MULTIPOLYGON, len(polys))
+    for rings in polys:
+        out += encode_polygon(rings)
+    return out
+
+
+def _decode_ring(buf: bytes, off: int):
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    pts = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+    return pts.copy(), off + 16 * n
+
+
+def decode(buf: bytes):
+    """Decode WKB -> ("point", (x, y)) | ("polygon", [rings]) |
+    ("multipolygon", [[rings], ...]) | ("linestring", pts)."""
+    byte_order, gtype = struct.unpack_from("<BI", buf, 0)
+    if byte_order != _LE:
+        raise NotImplementedError("big-endian WKB not supported")
+    off = 5
+    if gtype == WKB_POINT:
+        x, y = struct.unpack_from("<dd", buf, off)
+        return "point", (x, y)
+    if gtype == WKB_LINESTRING:
+        pts, _ = _decode_ring(buf, off)
+        return "linestring", pts
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            ring, off = _decode_ring(buf, off)
+            rings.append(ring)
+        return "polygon", rings
+    if gtype == WKB_MULTIPOLYGON:
+        (npolys,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        polys = []
+        for _ in range(npolys):
+            sub_order, sub_type = struct.unpack_from("<BI", buf, off)
+            assert sub_order == _LE and sub_type == WKB_POLYGON
+            off += 5
+            (nrings,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            rings = []
+            for _ in range(nrings):
+                ring, off = _decode_ring(buf, off)
+                rings.append(ring)
+            polys.append(rings)
+        return "multipolygon", polys
+    raise NotImplementedError(f"wkb geometry type {gtype}")

@@ -1,0 +1,202 @@
+"""Unit tests for the pure NumPy geo kernels (no Spark)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from lib_gdal_spark.geo import cells, mercator, pip, rtree, wkb
+
+
+class TestMercator:
+    def test_constants_match_reference(self):
+        # gdal2tiles.py:417-420 published constants
+        assert mercator.ORIGIN_SHIFT == pytest.approx(20037508.342789244, abs=1e-6)
+        assert mercator.INITIAL_RESOLUTION == pytest.approx(156543.03392804062, abs=1e-8)
+
+    def test_roundtrip_lonlat_meters(self):
+        lon = np.array([-180.0, -77.0365, 0.0, 2.3522, 139.6917])
+        lat = np.array([-85.0, 38.8977, 0.0, 48.8566, 35.6895])
+        mx, my = mercator.lonlat_to_meters_np(lon, lat)
+        lon2, lat2 = mercator.meters_to_lonlat_np(mx, my)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_known_points(self):
+        # (0,0) -> meters (0,0) -> at z=1, XYZ tile (0,0) via ceil-1 rule:
+        # px = origin_shift/res = 256 exactly -> ceil(256/256)-1 = 0
+        mx, my = mercator.lonlat_to_meters_np(np.array([0.0]), np.array([0.0]))
+        assert mx[0] == 0.0 and abs(my[0]) < 1e-9
+        tx, ty = mercator.lonlat_to_tile_np([0.0], [0.0], 1)
+        assert (tx[0], ty[0]) == (0, 1)  # ceil-1: lands on LEFT/BOTTOM tile; XYZ flip
+
+    def test_ceil_minus_one_rule(self):
+        # A point strictly inside the right half at z=1 is tile x=1
+        tx, _ = mercator.lonlat_to_tile_np([1e-9], [0.0], 1)
+        assert tx[0] == 1
+        tx, _ = mercator.lonlat_to_tile_np([-1e-9], [0.0], 1)
+        assert tx[0] == 0
+
+    def test_zoom0_single_tile(self):
+        rng = np.random.default_rng(42)
+        lon = rng.uniform(-179.9, 179.9, 100)
+        lat = rng.uniform(-84.9, 84.9, 100)
+        tx, ty = mercator.lonlat_to_tile_np(lon, lat, 0)
+        assert (tx == 0).all() and (ty == 0).all()
+
+    def test_resolution_halving(self):
+        for z in range(14):
+            assert mercator.resolution(z + 1) == pytest.approx(mercator.resolution(z) / 2)
+
+    def test_tile_bounds(self):
+        minx, miny, maxx, maxy = mercator.tile_bounds_meters_np([0], [0], 0)
+        assert minx[0] == pytest.approx(-mercator.ORIGIN_SHIFT)
+        assert maxx[0] == pytest.approx(mercator.ORIGIN_SHIFT)
+
+    def test_slippy_consistency(self):
+        # away from tile edges, ceil-1 agrees with the floor-based slippy formula
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-179.9, 179.9, 500)
+        lat = rng.uniform(-84.9, 84.9, 500)
+        z = 12
+        tx, ty = mercator.lonlat_to_tile_np(lon, lat, z)
+        n = 2 ** z
+        sx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        lat_r = np.radians(lat)
+        sy = np.floor((1.0 - np.log(np.tan(lat_r) + 1 / np.cos(lat_r)) / math.pi) / 2.0 * n).astype(np.int64)
+        np.testing.assert_array_equal(tx, sx)
+        np.testing.assert_array_equal(ty, sy)
+
+
+class TestCells:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(42)
+        z = 14
+        x = rng.integers(0, 2 ** z, 1000)
+        y = rng.integers(0, 2 ** z, 1000)
+        c = cells.cell_encode_np(x, y, z)
+        x2, y2, z2 = cells.cell_decode_np(c)
+        np.testing.assert_array_equal(x2, x)
+        np.testing.assert_array_equal(y2, y)
+        assert (z2 == z).all()
+        assert (c >= 0).all()
+
+    def test_parent(self):
+        c = cells.cell_encode_np(np.array([10]), np.array([13]), 4)
+        p = cells.cell_parent_np(c, 1)
+        x, y, z = cells.cell_decode_np(p)
+        assert (x[0], y[0], z[0]) == (5, 6, 3)
+
+    def test_morton_locality(self):
+        # adjacent cells' ids differ less on average than random pairs
+        a = cells.cell_encode_np(np.array([100]), np.array([100]), 14)[0]
+        b = cells.cell_encode_np(np.array([101]), np.array([100]), 14)[0]
+        far = cells.cell_encode_np(np.array([8000]), np.array([8000]), 14)[0]
+        assert abs(a - b) < abs(a - far)
+
+    def test_k_ring(self):
+        c = int(cells.cell_encode_np(np.array([5]), np.array([5]), 4)[0])
+        ring1 = cells.k_ring_np(c, 1)
+        assert len(ring1) == 9
+        assert c in set(ring1.tolist())
+        shell = cells.ring_shell_np(c, 1)
+        assert len(shell) == 8
+        assert c not in set(shell.tolist())
+
+    def test_k_ring_wraps_x_clamps_y(self):
+        c = int(cells.cell_encode_np(np.array([0]), np.array([0]), 4)[0])
+        ring1 = cells.k_ring_np(c, 1)
+        # y=-1 clipped: 2 rows x 3 cols = 6
+        assert len(ring1) == 6
+        xs = {int(x) for x in cells.cell_decode_np(ring1)[0]}
+        assert 15 in xs  # x wrapped around the antimeridian
+
+
+class TestPIP:
+    UNIT = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+
+    def test_basic(self):
+        inside = pip.point_in_ring_np([0.5, 1.5, -0.5], [0.5, 0.5, 0.5], self.UNIT)
+        np.testing.assert_array_equal(inside, [True, False, False])
+
+    def test_concave(self):
+        # L-shape: notch cut out of unit square's top right
+        ring = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2], [0, 0]], float)
+        inside = pip.point_in_ring_np([1.5, 1.5, 0.5], [0.5, 1.5, 1.5], ring)
+        np.testing.assert_array_equal(inside, [True, False, True])
+
+    def test_hole(self):
+        outer = self.UNIT * 4
+        hole = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)
+        inside = pip.point_in_polygon_np([0.5, 2.0, 3.5], [0.5, 2.0, 3.5], [outer, hole])
+        np.testing.assert_array_equal(inside, [True, False, True])
+
+    def test_outside_bbox_shortcut(self):
+        inside = pip.point_in_polygon_np([100.0], [100.0], [self.UNIT])
+        assert not inside[0]
+
+    def test_parity_reference_cases(self):
+        # point exactly on a horizontal upper edge: (y1 > y) != (y0 > y) with
+        # strict > means top edge excluded, bottom edge included (half-open) —
+        # matches the reference comparator's strict-> semantics.
+        on_bottom = pip.point_in_ring_np([0.5], [0.0], self.UNIT)[0]
+        on_top = pip.point_in_ring_np([0.5], [1.0], self.UNIT)[0]
+        assert bool(on_bottom) is True
+        assert bool(on_top) is False
+
+    def test_area(self):
+        assert pip.ring_area_np(self.UNIT) == pytest.approx(1.0)
+        hole = self.UNIT * 0.5
+        assert pip.polygon_area_np([self.UNIT, hole]) == pytest.approx(0.75)
+
+    def test_polygons_intersect(self):
+        a = [self.UNIT]
+        b = [self.UNIT + 0.5]
+        c = [self.UNIT + 5.0]
+        d = [self.UNIT * 10 - 2.0]  # contains a entirely
+        assert pip.polygons_intersect_np(a, b)
+        assert not pip.polygons_intersect_np(a, c)
+        assert pip.polygons_intersect_np(a, d)
+
+
+class TestWKB:
+    def test_point_roundtrip(self):
+        kind, (x, y) = wkb.decode(wkb.encode_point(2.5, -3.5))
+        assert kind == "point" and (x, y) == (2.5, -3.5)
+
+    def test_polygon_roundtrip(self):
+        rings = [TestPIP.UNIT, TestPIP.UNIT * 0.5]
+        kind, out = wkb.decode(wkb.encode_polygon(rings))
+        assert kind == "polygon" and len(out) == 2
+        np.testing.assert_allclose(out[0], TestPIP.UNIT)
+
+    def test_multipolygon_roundtrip(self):
+        polys = [[TestPIP.UNIT], [TestPIP.UNIT + 10]]
+        kind, out = wkb.decode(wkb.encode_multipolygon(polys))
+        assert kind == "multipolygon" and len(out) == 2
+
+
+class TestRTree:
+    def test_query_matches_bruteforce(self):
+        rng = np.random.default_rng(42)
+        lo = rng.uniform(0, 100, (500, 2))
+        hi = lo + rng.uniform(0.1, 5, (500, 2))
+        boxes = np.hstack([lo, hi])
+        t = rtree.PackedRTree(boxes)
+        for _ in range(50):
+            q = rng.uniform(0, 100, 2)
+            qbox = (q[0], q[1], q[0] + rng.uniform(0.5, 10), q[1] + rng.uniform(0.5, 10))
+            got = t.query(*qbox)
+            exp = np.where(
+                ~(
+                    (boxes[:, 2] < qbox[0])
+                    | (qbox[2] < boxes[:, 0])
+                    | (boxes[:, 3] < qbox[1])
+                    | (qbox[3] < boxes[:, 1])
+                )
+            )[0]
+            np.testing.assert_array_equal(got, exp)
+
+    def test_empty(self):
+        t = rtree.PackedRTree(np.empty((0, 4)))
+        assert len(t.query(0, 0, 1, 1)) == 0
