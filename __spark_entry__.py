@@ -1,38 +1,930 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke query, queries() per operator, oracle_sql().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 (plus the training-data-pipeline
+ops) gets a `queries()` entry running the engine's real machinery over the
+driver-provided parquet tables, and — where ANSI-SQL-expressible — an
+`oracle_sql()` duckdb twin producing identical column names, types and
+values. Geo inputs are derived DETERMINISTICALLY from `documents`
+(lat/lon from integer arithmetic on doc_id) so both engines see identical
+doubles; money sums go through DECIMAL so they are order-independent and
+engine-exact; hex hashes use md5 (identical in Spark/duckdb/python).
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from lib_gdal_spark.geo import mercator
+from lib_gdal_spark.operators import (
+    dedup, knn, multimodal, ogrsql, polygonize, raster, similarity, sjoin,
+    textops, tiles,
+)
+from lib_gdal_spark.streaming import events as ev
+
+# ----------------------------------------------------------------- shared
+
+# derived geo view over documents: identical integer->double math in both
+# engines (lat in [-85, 85), lon in [-180, 180))
+_PAGES_CTE = """
+pages AS (
+  SELECT doc_id, text, lang, n_chars,
+         (doc_id * 9973 % 170000) / 1000.0 - 85.0 AS lat,
+         (doc_id * 7919 % 360000) / 1000.0 - 180.0 AS lon
+  FROM documents
+)
+"""
+
+# the four rectangles + one triangle used by the PIP queries. Ray-cast
+# semantics on an axis-aligned rect are half-open: [xmin,xmax) x [ymin,ymax)
+_RECTS = [
+    (1, -10.0, -10.0, 20.0, 20.0),
+    (2, 30.0, 0.0, 60.0, 30.0),
+    (3, -80.0, 30.0, -40.0, 60.0),
+    (4, 100.0, -50.0, 160.0, 10.0),
+]
+_TRI = [(0.15, 0.13), (60.07, 0.19), (29.83, 50.11)]  # CCW
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _rect_rings(x0, y0, x1, y1):
+    return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+
+
+def _rect_polyset():
+    return sjoin.PolygonSet([(pid, _rect_rings(x0, y0, x1, y1))
+                             for pid, x0, y0, x1, y1 in _RECTS])
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _tbl(spark, sf_dir, "documents")
+    return d.withColumn(
+        "lat", (F.col("doc_id") * 9973 % 170000) / 1000.0 - 85.0
+    ).withColumn("lon", (F.col("doc_id") * 7919 % 360000) / 1000.0 - 180.0)
+
+
+def _dd_tile_x(lon: str, z: int) -> str:
+    return (
+        f"CAST(greatest(0, least(ceil((({lon}) * (20037508.342789244/180.0) + 20037508.342789244)"
+        f" / (156543.03392804062/pow(2.0,{z})) / 256.0) - 1, pow(2.0,{z}) - 1)) AS BIGINT)"
+    )
+
+
+def _dd_tile_y(lat: str, z: int) -> str:
+    tms = (
+        f"greatest(0, least(ceil(((ln(tan((90.0+({lat}))*pi()/360.0))/(pi()/180.0)"
+        f"*(20037508.342789244/180.0)) + 20037508.342789244)"
+        f" / (156543.03392804062/pow(2.0,{z})) / 256.0) - 1, pow(2.0,{z}) - 1))"
+    )
+    return f"CAST(pow(2.0,{z}) - 1 - {tms} AS BIGINT)"
+
+
+_STOPWORDS_ALL = sorted({w for ws in textops.STOPWORDS.values() for w in ws})
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+sh0 AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE length(shingle) > 0)
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_tile_assign(spark, sf_dir):
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=8)
+    return p.select("doc_id", F.col("tile_x").alias("x"), F.col("tile_y").alias("y"))
+
+
+def _q_tile_pyramid(spark, sf_dir):
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=8)
+    return tiles.tile_pyramid(p, max_zoom=8, min_zoom=0).select(
+        F.col("z").cast("int").alias("z"), "x", "y", "n_pages"
+    )
+
+
+def _q_pip_rect_join(spark, sf_dir):
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=6)
+    j = sjoin.spatial_join(p, _rect_polyset(), zoom=6, how="inner")
+    return j.select("doc_id", "poly_id")
+
+
+def _q_pip_triangle(spark, sf_dir):
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=6)
+    tri = sjoin.PolygonSet([(1, [np.array(_TRI + [_TRI[0]])])])
+    return sjoin.spatial_join(p, tri, zoom=6, how="inner").select("doc_id")
+
+
+def _knn_inputs(spark, sf_dir):
+    q = _tbl(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("qid"),
+        ((F.col("s_suppkey") * 7919 % 2000) / 10.0).alias("qx"),
+        ((F.col("s_suppkey") * 104729 % 2000) / 10.0).alias("qy"),
+    )
+    t = _tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("tid"),
+        ((F.col("p_partkey") * 9973 % 2000) / 10.0).alias("tx"),
+        ((F.col("p_partkey") * 6151 % 2000) / 10.0).alias("ty"),
+    )
+    return q, t
+
+
+def _q_knn_ring(spark, sf_dir):
+    q, t = _knn_inputs(spark, sf_dir)
+    out = knn.knn_ring(q, t, k=3, cell_size=8.0)
+    return out.select("qid", "tid", "dist", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_zonal_stats(spark, sf_dir):
+    p = _pages(spark, sf_dir).select(
+        F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
+        F.col("n_chars").alias("value"),
+    )
+    out = raster.zonal_stats(p, zone_col="zone",
+                             stats=("count", "sum", "mean", "min", "max"))
+    return out.select(
+        "zone", F.col("count").alias("n"), F.col("sum").cast("long").alias("total"),
+        F.col("mean").alias("mean"), F.col("min").cast("long").alias("vmin"),
+        F.col("max").cast("long").alias("vmax"),
+    )
+
+
+def _q_overview_avg(spark, sf_dir):
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=8)
+    base = tiles.base_tiles(p, 8).select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("n_pages").cast("double").alias("value"),
+    )
+    return raster.overview(base, "average")
+
+
+def _q_rasterize(spark, sf_dir):
+    polys = [(1, _rect_rings(0, 0, 6, 6)), (2, _rect_rings(4, 4, 10, 10))]
+    return raster.rasterize(spark, polys, {1: 10.0, 2: 20.0}, cell_size=1.0)
+
+
+def _q_histogram(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    return (
+        d.withColumn("bucket", F.least(F.floor(F.col("n_chars") / 50.0), F.lit(19)).cast("long"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_filter_like(spark, sf_dir):
+    p = _tbl(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%widget%") & F.col("p_brand").ilike("brand#1%")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+def _q_filter_in_between(spark, sf_dir):
+    l = _tbl(spark, sf_dir, "lineitem")
+    return l.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= "1996-01-01")
+    ).select("l_orderkey", F.col("l_linenumber").cast("long").alias("l_linenumber"))
+
+
+def _q_order_limit_offset(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(5).limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _q_distinct(spark, sf_dir):
+    return ogrsql.distinct_list(_tbl(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+def _q_summary_agg(spark, sf_dir):
+    return ogrsql.summary_record(_tbl(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+def _q_count_distinct(spark, sf_dir):
+    l = _tbl(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def _q_first_match_join(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders").select("o_orderkey")
+    l = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_linenumber").cast("long").alias("l_linenumber"), "l_partkey"
+    )
+    j = ogrsql.first_match_left_join(
+        o, l, o.o_orderkey == l.l_orderkey, "o_orderkey",
+        ["l_linenumber", "l_partkey"],
+    )
+    return j.select("o_orderkey", "l_linenumber", "l_partkey")
+
+
+def _q_union_all(spark, sf_dir):
+    c = _tbl(spark, sf_dir, "customer").filter("c_custkey < 50").select(
+        F.col("c_custkey").alias("key"), F.lit("cust").alias("src")
+    )
+    s = _tbl(spark, sf_dir, "supplier").filter("s_suppkey < 50").select(
+        F.col("s_suppkey").alias("key"), F.lit("supp").alias("src")
+    )
+    return c.unionByName(s)
+
+
+def _q_cast_concat_substr(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias("tag"),
+        F.substring("o_orderpriority", 1, 1).alias("pri1"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+    )
+
+
+def _q_hstore_get(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    e = ogrsql.hstore_get(e, "props", "k", "kval")
+    return (
+        e.withColumn("k", F.col("kval").cast("long"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    l = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1999-01-01")
+    dec = "decimal(30,6)"
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec))
+        .cast("double").alias("sum_rev"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return g.withColumn("avg_qty", F.col("sum_qty") / F.col("n_rows"))
+
+
+def _q_window_topk(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def _q_window_running(spark, sf_dir):
+    l = _tbl(spark, sf_dir, "lineitem").filter("l_suppkey < 10")
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    run = F.sum(F.col("l_quantity").cast("decimal(30,6)")).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    return l.select(
+        "l_suppkey", "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        run.cast("double").alias("running_qty"),
+    )
+
+
+def _q_set_intersect(spark, sf_dir):
+    c = _tbl(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = _tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.intersect(o)
+
+
+def _q_set_except(spark, sf_dir):
+    c = _tbl(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = _tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+def _q_pivot(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+    )
+
+
+def _q_events_tumbling(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    out = ev.windowed_counts_batch(e, minutes=5)
+    return out.select(
+        # parquet timestamps are NTZ; via LTZ (session TZ pinned to UTC)
+        # the long cast is epoch seconds, matching duckdb epoch()
+        F.col("w_start").cast("timestamp_ltz").cast("long").alias("w_start"),
+        "event_type", "n", "v",
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    out = ev.sessionize_batch(e, gap_minutes=30)
+    return out.select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        F.unix_micros(F.col("t0").cast("timestamp_ltz")).alias("t0"),
+        F.unix_micros(F.col("t1").cast("timestamp_ltz")).alias("t1"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id", "text").select("doc_id")
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    return dedup.minhash_signature(d, "doc_id", "text", n_hashes=4, shingle_n=3)
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(_tbl(spark, sf_dir, "documents"), "doc_id", "text", n_bits=16)
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_tbl(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+def _q_token_quality(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    out = textops.quality_score(d)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "alpha_ratio", "stopword_ratio", "quality",
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    return textops.lang_id(_tbl(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    pairs = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return dedup.ngram_jaccard(d, pairs, "doc_id", "text")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
+    out = similarity.cosine_topk(e, q, k=3)
+    return out.select(
+        "qid", "vec_id", F.round("cos", 6).alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
+    out = similarity.ann_lsh(e, q, k=3, n_tables=4, n_bits=6)
+    return out.select("qid", "vec_id", F.round("cos", 6).alias("cos"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(d, "doc_id", "text", threshold=0.8).select("doc_id")
+
+
+def _q_polygonize(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 40).alias("bx"),
+        ((F.col("doc_id") / 40).cast("long") % 40).alias("by"),
+        (F.col("n_chars") % 3).cast("double").alias("value"),
+    )
+    return polygonize.polygonize(d, block_bits=4)
+
+
+def _q_multimodal(spark, sf_dir):
+    media = multimodal.synth_media(spark, 200)
+    out = multimodal.extract_features(media, dim=8)
+    return out.select("id", "kind", "n_bytes", "ok")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # spatial / tiling core (SURVEY §2.9, §2.3, §2.4, §2.10)
+        "tile_assign": _q_tile_assign,
+        "tile_pyramid": _q_tile_pyramid,
+        "pip_rect_join": _q_pip_rect_join,
+        "pip_triangle_join": _q_pip_triangle,
+        "knn_ring": _q_knn_ring,
+        "zonal_stats": _q_zonal_stats,
+        "overview_avg": _q_overview_avg,
+        "rasterize_rects": _q_rasterize,
+        "histogram": _q_histogram,
+        # OGR SQL parity corpus (SURVEY §2.2, §2.4, §2.6, §2.7, §2.8, §5)
+        "ogr_filter_like": _q_filter_like,
+        "ogr_filter_in_between": _q_filter_in_between,
+        "ogr_order_limit_offset": _q_order_limit_offset,
+        "ogr_distinct": _q_distinct,
+        "ogr_summary_agg": _q_summary_agg,
+        "ogr_count_distinct": _q_count_distinct,
+        "ogr_first_match_join": _q_first_match_join,
+        "ogr_union_all": _q_union_all,
+        "ogr_cast_concat_substr": _q_cast_concat_substr,
+        "ogr_hstore_get": _q_hstore_get,
+        # full-SQL dialect (SQLite-dialect analog: aggregation/windows/sets)
+        "tpch_q1_groupby": _q_tpch_q1,
+        "window_topk": _q_window_topk,
+        "window_running_sum": _q_window_running,
+        "set_intersect": _q_set_intersect,
+        "set_except": _q_set_except,
+        "pivot_status": _q_pivot,
+        # streaming-shaped analytics (batch twins; §2.11)
+        "events_tumbling": _q_events_tumbling,
+        "events_sessionize": _q_events_sessionize,
+        # training-data pipeline ops
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_sigs,
+        "simhash": _q_simhash,
+        "text_fingerprint": _q_fingerprint,
+        "token_quality": _q_token_quality,
+        "lang_id": _q_lang_id,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "cosine_topk": _q_cosine_topk,
+        # non-SQL-expressible (rows-only checks)
+        "ann_lsh": _q_ann_lsh,
+        "minhash_dedup": _q_minhash_dedup,
+        "polygonize_regions": _q_polygonize,
+        "multimodal_features": _q_multimodal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------- oracles
+
+def _o_tile_assign() -> str:
+    return f"""
+WITH {_PAGES_CTE}
+SELECT doc_id, {_dd_tile_x('lon', 8)} AS x, {_dd_tile_y('lat', 8)} AS y FROM pages
+"""
+
+
+def _o_tile_pyramid() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+zs AS (SELECT CAST(unnest(generate_series(0, 8)) AS INTEGER) AS z)
+SELECT z, x, y, count(*) AS n_pages FROM (
+  SELECT zs.z,
+         {_dd_tile_x('pages.lon', 'zs.z')} AS x,
+         {_dd_tile_y('pages.lat', 'zs.z')} AS y
+  FROM pages, zs
+) GROUP BY z, x, y
+"""
+
+
+def _o_pip_rect_join() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({pid} AS BIGINT) AS poly_id FROM pages "
+        f"WHERE lon >= {x0} AND lon < {x1} AND lat >= {y0} AND lat < {y1}"
+        for pid, x0, y0, x1, y1 in _RECTS
+    )
+    return f"WITH {_PAGES_CTE} {arms}"
+
+
+def _o_pip_triangle() -> str:
+    (ax, ay), (bx, by), (cx, cy) = _TRI
+    def half(x0, y0, x1, y1):
+        return (f"(({x1}-{x0})*(lat-{y0}) - ({y1}-{y0})*(lon-{x0})) > 0")
+    cond = " AND ".join([half(ax, ay, bx, by), half(bx, by, cx, cy), half(cx, cy, ax, ay)])
+    return f"WITH {_PAGES_CTE} SELECT doc_id FROM pages WHERE {cond}"
+
+
+def _o_knn_ring() -> str:
+    return """
+WITH q AS (SELECT s_suppkey AS qid, (s_suppkey*7919 % 2000)/10.0 AS qx,
+                  (s_suppkey*104729 % 2000)/10.0 AS qy FROM supplier),
+t AS (SELECT p_partkey AS tid, (p_partkey*9973 % 2000)/10.0 AS tx,
+             (p_partkey*6151 % 2000)/10.0 AS ty FROM part),
+j AS (SELECT qid, tid, sqrt((qx-tx)*(qx-tx) + (qy-ty)*(qy-ty)) AS dist FROM q, t),
+r AS (SELECT qid, tid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist ASC, tid ASC) AS rnk FROM j)
+SELECT qid, tid, dist, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
+"""
+
+
+def _o_zonal_stats() -> str:
+    return f"""
+WITH {_PAGES_CTE}
+SELECT CAST(floor(lon/30.0) AS BIGINT) AS zone,
+       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total,
+       avg(n_chars) AS mean, CAST(min(n_chars) AS BIGINT) AS vmin,
+       CAST(max(n_chars) AS BIGINT) AS vmax
+FROM pages GROUP BY 1
+"""
+
+
+def _o_overview_avg() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+base AS (
+  SELECT {_dd_tile_x('lon', 8)} AS x, {_dd_tile_y('lat', 8)} AS y,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM pages GROUP BY 1, 2
+)
+SELECT x >> 1 AS bx, y >> 1 AS "by", avg(v) AS value FROM base GROUP BY 1, 2
+"""
+
+
+def _o_rasterize() -> str:
+    return """
+WITH g AS (
+  SELECT CAST(a.i AS BIGINT) AS bx, CAST(b.i AS BIGINT) AS "by"
+  FROM (SELECT unnest(generate_series(0, 9)) AS i) a,
+       (SELECT unnest(generate_series(0, 9)) AS i) b
+)
+SELECT bx, "by",
+       CASE WHEN bx BETWEEN 4 AND 9 AND "by" BETWEEN 4 AND 9 THEN 20.0 ELSE 10.0 END AS value
+FROM g
+WHERE (bx <= 5 AND "by" <= 5) OR (bx BETWEEN 4 AND 9 AND "by" BETWEEN 4 AND 9)
+"""
+
+
+def _o_histogram() -> str:
+    return """
+SELECT CAST(least(floor(n_chars/50.0), 19) AS BIGINT) AS bucket, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def _o_filter_like() -> str:
+    return """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE p_name LIKE '%widget%' AND p_brand ILIKE 'brand#1%'
+"""
+
+
+def _o_filter_in_between() -> str:
+    return """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+"""
+
+
+def _o_order_limit_offset() -> str:
+    return """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 5
+"""
+
+
+def _o_distinct() -> str:
+    return "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def _o_summary_agg() -> str:
+    return """
+WITH m AS (
+  SELECT min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+         count(l_quantity) AS count_v,
+         CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s,
+         CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM lineitem
+)
+SELECT min_v, max_v, count_v, s AS sum_v, s / count_v AS avg_v,
+       sqrt((s2 - s*s/count_v) / count_v) AS stddev_pop_v,
+       sqrt((s2 - s*s/count_v) / (count_v - 1)) AS stddev_samp_v
+FROM m
+"""
+
+
+def _o_count_distinct() -> str:
+    return """
+SELECT count(*) AS n_all, count(DISTINCT l_returnflag) AS n_flags,
+       count(DISTINCT l_partkey) AS n_parts FROM lineitem
+"""
+
+
+def _o_first_match_join() -> str:
+    return """
+WITH j AS (
+  SELECT o.o_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_partkey,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY l.l_linenumber ASC NULLS LAST,
+                                     l.l_partkey ASC NULLS LAST) AS rn
+  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderkey, l_linenumber, l_partkey FROM j WHERE rn = 1
+"""
+
+
+def _o_union_all() -> str:
+    return """
+SELECT c_custkey AS key, 'cust' AS src FROM customer WHERE c_custkey < 50
+UNION ALL
+SELECT s_suppkey AS key, 'supp' AS src FROM supplier WHERE s_suppkey < 50
+"""
+
+
+def _o_cast_concat_substr() -> str:
+    return """
+SELECT o_orderkey, concat(o_orderstatus, '-', o_orderpriority) AS tag,
+       substring(o_orderpriority, 1, 1) AS pri1,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_int
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def _o_hstore_get() -> str:
+    return """
+SELECT event_type, count(*) AS n FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+"""
+
+
+def _o_tpch_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_rev,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _o_window_topk() -> str:
+    return """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+def _o_window_running() -> str:
+    return """
+SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6)))
+            OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+FROM lineitem WHERE l_suppkey < 10
+"""
+
+
+def _o_set_intersect() -> str:
+    return """
+SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey FROM orders
+"""
+
+
+def _o_set_except() -> str:
+    return """
+SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey FROM orders
+"""
+
+
+def _o_pivot() -> str:
+    return """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _o_events_tumbling() -> str:
+    return """
+SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS w_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+FROM events GROUP BY 1, 2
+"""
+
+
+def _o_events_sessionize() -> str:
+    return """
+WITH e AS (SELECT user_id, ts, epoch_us(ts) AS es FROM events),
+l AS (SELECT user_id, ts, es,
+             lag(es) OVER (PARTITION BY user_id ORDER BY ts) AS pes FROM e),
+b AS (SELECT user_id, ts, es,
+             CASE WHEN pes IS NULL OR es - pes > 1800000000 THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT user_id, ts, es,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM b)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(es) AS t0, max(es) AS t1
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def _o_dedup_exact() -> str:
+    return """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def _o_minhash_sigs() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(4)
+    )
+    return f"WITH {_SHINGLE_CTE} SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+
+
+def _o_simhash() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN ((hv >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    )
+    bitexpr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bitexpr} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def _o_fingerprint() -> str:
+    return """
+SELECT doc_id,
+       ('0x' || substr(md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')), 1, 15))::BIGINT AS fp
+FROM documents
+"""
+
+
+def _o_token_quality() -> str:
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS_ALL)
+    return f"""
+WITH q AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alpha
+  FROM documents
+),
+f AS (
+  SELECT doc_id, len(t) AS n_tokens, nc, alpha,
+         len(list_filter(t, x -> x IN ({stops}))) AS stop_hits
+  FROM q
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN nc > 0 THEN alpha / CAST(nc AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+       (least(nc / 500.0, 1.0)
+        + CASE WHEN nc > 0 THEN alpha / CAST(nc AS DOUBLE) ELSE 0.0 END
+        + CASE WHEN n_tokens > 0 AND alpha / CAST(n_tokens AS DOUBLE) >= 3
+                    AND alpha / CAST(n_tokens AS DOUBLE) <= 10 THEN 1.0 ELSE 0.5 END
+        + least(CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 4, 1.0)
+       ) / 4.0 AS quality
+FROM f
+"""
+
+
+def _o_lang_id() -> str:
+    hits = {
+        lang: "len(list_filter(t, x -> x IN ({})))".format(
+            ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
+        )
+        for lang in textops.STOPWORDS
+    }
+    return f"""
+WITH q AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+h AS (SELECT doc_id, {hits['en']} AS h_en, {hits['de']} AS h_de,
+             {hits['fr']} AS h_fr, {hits['es']} AS h_es FROM q)
+SELECT doc_id,
+  CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
+       WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
+       WHEN h_en >= h_de AND h_en > 0 THEN 'en'
+       WHEN h_de > 0 THEN 'de'
+       ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+def _o_jaccard_pairs() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id % 7 = 0),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       COALESCE(i.i, 0) / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+"""
+
+
+def _o_cosine_topk() -> str:
+    return """
+WITH cn AS (
+  SELECT vec_id, embedding AS e,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+qn AS (SELECT vec_id AS qid, e AS qe, nrm AS qnrm FROM cn WHERE vec_id < 5),
+j AS (
+  SELECT qn.qid, cn.vec_id,
+         list_sum(list_transform(generate_series(1, len(cn.e)),
+                  i -> (CAST(cn.e[i] AS DOUBLE)/cn.nrm) * (CAST(qn.qe[i] AS DOUBLE)/qn.qnrm))) AS cos
+  FROM cn, qn
+),
+r AS (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk FROM j)
+SELECT qid, vec_id, round(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_assign": _o_tile_assign(),
+        "tile_pyramid": _o_tile_pyramid(),
+        "pip_rect_join": _o_pip_rect_join(),
+        "pip_triangle_join": _o_pip_triangle(),
+        "knn_ring": _o_knn_ring(),
+        "zonal_stats": _o_zonal_stats(),
+        "overview_avg": _o_overview_avg(),
+        "rasterize_rects": _o_rasterize(),
+        "histogram": _o_histogram(),
+        "ogr_filter_like": _o_filter_like(),
+        "ogr_filter_in_between": _o_filter_in_between(),
+        "ogr_order_limit_offset": _o_order_limit_offset(),
+        "ogr_distinct": _o_distinct(),
+        "ogr_summary_agg": _o_summary_agg(),
+        "ogr_count_distinct": _o_count_distinct(),
+        "ogr_first_match_join": _o_first_match_join(),
+        "ogr_union_all": _o_union_all(),
+        "ogr_cast_concat_substr": _o_cast_concat_substr(),
+        "ogr_hstore_get": _o_hstore_get(),
+        "tpch_q1_groupby": _o_tpch_q1(),
+        "window_topk": _o_window_topk(),
+        "window_running_sum": _o_window_running(),
+        "set_intersect": _o_set_intersect(),
+        "set_except": _o_set_except(),
+        "pivot_status": _o_pivot(),
+        "events_tumbling": _o_events_tumbling(),
+        "events_sessionize": _o_events_sessionize(),
+        "dedup_exact": _o_dedup_exact(),
+        "minhash_signatures": _o_minhash_sigs(),
+        "simhash": _o_simhash(),
+        "text_fingerprint": _o_fingerprint(),
+        "token_quality": _o_token_quality(),
+        "lang_id": _o_lang_id(),
+        "jaccard_pairs": _o_jaccard_pairs(),
+        "cosine_topk": _o_cosine_topk(),
+        # ann_lsh / minhash_dedup / polygonize_regions / multimodal_features:
+        # intentionally no oracle (approximate or non-SQL-expressible) ->
+        # driver records rows-only checks.
+    }
+
+
+# ------------------------------------------------------------------- entry
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship pipeline on sf0.001: pages -> cell index -> exact-PIP
+    spatial join to polygons -> zoom 0-8 tile pyramid of join rows."""
+    sf_dir = "/root/testdata/sf0.001"
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=8)
+    joined = sjoin.spatial_join(p, _rect_polyset(), zoom=8, how="inner")
+    pyr = tiles.tile_pyramid(joined, max_zoom=8, min_zoom=0)
+    return pyr

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+The flagship workload (the north-star metric's shape) is the synthetic
+pages pipeline: generate deterministic pages -> geocode from text (JVM
+regex) -> cell index -> broadcast exact-PIP spatial join -> zoom 0-12 tile
+pyramid; its throughput (pages+join rows+tiles per second) is also
+reported. scripts/bench_scaling.py runs this same job at two parallelism
+levels for the N-vs-4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+
+HEADLINE = [
+    "tile_pyramid",
+    "pip_rect_join",
+    "knn_ring",
+    "tpch_q1_groupby",
+    "window_running_sum",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "cosine_topk",
+    "events_sessionize",
+    "zonal_stats",
+]
+
+
+def flagship_pipeline(spark, n_pages: int):
+    """The north-star job over the synthetic pages table. Returns
+    (n_pages, join_rows, tiles) after materializing the pyramid."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+    from lib_gdal_spark.operators import sjoin, tiles
+    from lib_gdal_spark.pages.synth import pages_df
+
+    pages = pages_df(spark, n_pages)
+    pts = sjoin.with_tile(sjoin.geocode(pages.select("url", "text")), zoom=12)
+    joined = sjoin.spatial_join(pts, em._rect_polyset(), zoom=7, how="inner")
+    join_rows = joined.count()
+    pyr = tiles.tile_pyramid(pts.select("url", "tile_x", "tile_y"),
+                             max_zoom=12, min_zoom=0)
+    n_tiles = pyr.count()
+    return n_pages, join_rows, n_tiles
+
+
+def main():
+    from lib_gdal_spark.session import get_spark
+    import __spark_entry__ as em
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    qs = em.queries()
+    times: dict[str, float] = {}
+
+    # warm the JVM/session with a trivial action
+    spark.range(1000).count()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_pages, join_rows, n_tiles = flagship_pipeline(spark, PAGES_N)
+    flagship_sec = round(time.time() - t0, 3)
+    times["flagship_pipeline"] = flagship_sec
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "flagship": {
+            "n_pages": n_pages,
+            "join_rows": join_rows,
+            "tiles": n_tiles,
+            "sec": flagship_sec,
+            "rows_per_sec": round((n_pages + join_rows + n_tiles) / flagship_sec, 1),
+        },
+        "cores": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

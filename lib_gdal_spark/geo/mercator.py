@@ -113,6 +113,16 @@ def tile_bounds_meters_np(tx, ty_tms, zoom: int):
     return minx, miny, maxx, maxy
 
 
+def tile_bounds_lonlat_np(tx, ty_xyz, zoom: int):
+    """XYZ tile -> (lon_min, lat_min, lon_max, lat_max) in EPSG:4326."""
+    n = 2 ** zoom
+    ty_tms = n - 1 - np.asarray(ty_xyz, dtype=np.int64)
+    minx, miny, maxx, maxy = tile_bounds_meters_np(tx, ty_tms, zoom)
+    lon0, lat0 = meters_to_lonlat_np(minx, miny)
+    lon1, lat1 = meters_to_lonlat_np(maxx, maxy)
+    return lon0, lat0, lon1, lat1
+
+
 def zoom_for_pixel_size(pixel_size: float) -> int:
     """Max zoom whose resolution >= pixel_size (gdal2tiles.py:503-510)."""
     for i in range(30):

@@ -108,7 +108,7 @@ def segments_intersect_np(p0, p1, q0, q1) -> bool:
 
     def orient(a, b, c):
         v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-        return (v > 0) - (v < 0)
+        return int(v > 0) - int(v < 0)
 
     def on_seg(a, b, c):
         return (

@@ -1,0 +1,200 @@
+"""Deduplication operators for web-scale text corpora.
+
+Not present in the reference (GDAL dedups nothing); required first-class ops
+for a training-data pipeline over the pages/documents tables. All hashing is
+md5-hex (identical in Spark, DuckDB, and Python — keeps every operator
+oracle-checkable) and every step is JVM-side column math: tokenize with
+regexp_extract_all, explode, min-hash as MIN over string hashes. No Python
+in the hot path.
+
+Scale notes:
+- exact_dedup is one hash-aggregate (map-side partial min) — the cheapest
+  possible full-corpus dedup; the digest groupBy key is uniform by
+  construction (no skew).
+- minhash/LSH: signatures are b*r MIN aggregations over the exploded
+  shingle table; the band self-join joins on (band_idx, band_key) — a
+  uniformly-hashed key, so the classic skew trap (empty-text hot key) is
+  removed by filtering null/short docs first.
+- the candidate pair set is verified with exact n-gram Jaccard BEFORE being
+  declared duplicates (two-phase discipline again: cheap banding pre-filter,
+  exact verify on survivors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens_col(text_col: str):
+    """Lowercased word tokens — JVM regex."""
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per exact text (min id wins — deterministic)."""
+    digest = F.md5(F.col(text_col)).alias("_digest")
+    keep = (
+        df.select(F.col(id_col), digest)
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows: n-gram word shingles joined by single spaces."""
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    # windowed n-grams via transform over token indices (JVM-side)
+    ng = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+    )
+    return toks.select(id_col, F.explode(ng).alias("shingle")).filter(
+        F.length("shingle") > 0
+    ).distinct()
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: mh_i = MIN(md5(i || shingle)).
+
+    The lexicographic min of a uniform hex hash is a valid min-hash; using
+    md5 with a seed prefix gives n_hashes independent permutations, portable
+    across engines (oracle-checkable).
+    """
+    sh = shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str,
+                        bands: int = 4, rows_per_band: int = 2) -> DataFrame:
+    """Banded LSH: docs sharing any band key become a candidate pair (a<b)."""
+    n = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
+                  shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify phase).
+
+    J = |A n B| / |A u B| over distinct shingle sets.
+    """
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sha, on="id_a").join(shb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    # keep zero-overlap pairs (jaccard = 0) — the verify phase must score
+    # every candidate, not only those sharing a shingle
+    inter = pairs.join(inter, on=["id_a", "id_b"], how="left").withColumn(
+        "_inter", F.coalesce("_inter", F.lit(0))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sz", "_sza"), on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sz", "_szb"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float = 0.8, n_hashes: int = 8,
+                  bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Full near-dup pipeline: signatures -> banded candidates -> exact
+    Jaccard verify -> drop the larger id of each duplicate pair (greedy,
+    deterministic)."""
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
+    dup = ngram_jaccard(df, pairs, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    losers = dup.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+    """SimHash over word tokens: bit i = sign of sum over tokens of
+    (bit_i(md5(token)) ? +1 : -1). n_bits<=32, taken from the first 8 hex
+    chars of the token hash. Portable (md5 + integer math only).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_tok"))
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("_h", h)
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(n_bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_aggs)
+    sim = None
+    for i in range(n_bits):
+        term = F.when(F.col(f"_b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(sh: DataFrame, id_col: str, max_hamming: int = 2,
+                      n_bits: int = 16, blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: block the n_bits into `blocks` chunks
+    (pigeonhole: hamming<=blocks-1 implies an identical chunk), join on any
+    identical chunk, verify exact Hamming distance."""
+    per = n_bits // blocks
+    chunk_cols = [
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftright(F.col("simhash"), b * per).bitwiseAND(F.lit((1 << per) - 1)).alias("key"),
+        )
+        for b in range(blocks)
+    ]
+    blocked = sh.select(id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("c")).select(
+        id_col, "simhash", F.col("c.blk").alias("blk"), F.col("c.key").alias("key")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(b, on=["blk", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine analog of the reference's nearest-neighbor machinery
+(alg/gdalgrid.cpp quadtree NN, alg/gdal_interpolateatpoint.cpp) lifted to
+high-dimensional vectors — a first-class op for training-data pipelines.
+
+Two paths:
+- brute-force cosine top-k: exact baseline. Dot products run JVM-side via
+  higher-order functions (zip_with + aggregate) — no Python, no shuffle of
+  the big side when the query set is broadcast.
+- LSH-bucketed ANN (random hyperplanes): the 100 TB path. Hyperplanes are
+  derived deterministically from a seed (splitmix64 -> uniform in [-1,1]),
+  sign bits form a bucket key; candidates share a bucket (multi-probe via
+  several independent tables); exact cosine re-ranks survivors. Recall is
+  tunable with (n_tables, n_bits); candidates-per-query is bounded by bucket
+  occupancy, so the join is an equi-join on (table, bucket) — shuffle scales
+  with candidates, never |queries| x |corpus|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def _norm(a):
+    # cast BEFORE multiplying: float*float then widen loses bits and would
+    # diverge from any double-side oracle computation
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize vectors (cosine -> plain dot product downstream)."""
+    n = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    return df.withColumn("_unit", unit)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "qid") -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, cos, rank). Query set broadcast."""
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col), F.col("_unit").alias("_cu")
+    )
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(qid_col), F.col("_unit").alias("_qu")
+    )
+    j = c.crossJoin(F.broadcast(q)).withColumn("cos", _dot(F.col("_cu"), F.col("_qu")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, table: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via splitmix64 mixing."""
+    idx = np.arange(dim * n_bits, dtype=np.uint64) + np.uint64(
+        (seed * 1_000_003 + table) * 0x9E3779B9
+    )
+    v = idx
+    v = (v + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    v ^= v >> np.uint64(30)
+    v = (v * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    v ^= v >> np.uint64(27)
+    v = (v * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    v ^= v >> np.uint64(31)
+    u = v.astype(np.float64) / 2.0 ** 64
+    return (u.reshape(n_bits, dim) * 2.0 - 1.0)
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id of a vector against `planes` — JVM-side: the dot
+    product per plane is an aggregate over the array column."""
+    bits = None
+    for i, p in enumerate(planes):
+        terms = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(terms >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("int")
+
+
+def ann_lsh(corpus: DataFrame, queries: DataFrame, k: int,
+            n_tables: int = 4, n_bits: int = 8, seed: int = 42,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            qid_col: str = "qid") -> DataFrame:
+    """Approximate NN: multi-table hyperplane LSH + exact cosine re-rank.
+
+    Output (qid, vec_id, cos, rank) for up to k hits per query (recall<1 by
+    design; tests measure recall against cosine_topk).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    c = with_unit_norm(corpus, vec_col)
+    q = with_unit_norm(queries, vec_col)
+    c_buckets, q_buckets = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, t, seed)
+        c_buckets.append(
+            c.select(
+                F.col(id_col), F.col("_unit").alias("_cu"),
+                F.lit(t).alias("_tbl"), lsh_bucket_col(F.col("_unit"), planes).alias("_bkt"),
+            )
+        )
+        q_buckets.append(
+            q.select(
+                F.col(qid_col), F.col("_unit").alias("_qu"),
+                F.lit(t).alias("_tbl"), lsh_bucket_col(F.col("_unit"), planes).alias("_bkt"),
+            )
+        )
+    cb = c_buckets[0]
+    for x in c_buckets[1:]:
+        cb = cb.unionByName(x)
+    qb = q_buckets[0]
+    for x in q_buckets[1:]:
+        qb = qb.unionByName(x)
+    cand = (
+        cb.join(F.broadcast(qb), on=["_tbl", "_bkt"], how="inner")
+        .dropDuplicates([qid_col, id_col])
+        .withColumn("cos", _dot(F.col("_cu"), F.col("_qu")))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )

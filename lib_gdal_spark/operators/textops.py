@@ -1,0 +1,82 @@
+"""Text analysis operators: language-id, quality scoring, token counting,
+document fingerprinting. All JVM-side column math (regex + aggregates) so
+they run at corpus scale with zero Python in the hot path; every one is
+oracle-checkable SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import TOKEN_RE, tokens_col
+
+# tiny built-in stopword lists — an n-gram/stopword-hit language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "que"],
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace/alnum token count (the BPE-ish pre-tokenizer count)."""
+    return df.withColumn(out_col, F.size(tokens_col(text_col)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + score in [0,1]:
+    - length score: saturating n_chars/500
+    - alpha ratio: alnum chars / all chars
+    - mean word length sanity (penalize <3 or >10)
+    - stopword ratio (any language)
+    """
+    n_chars = F.length(F.col(text_col))
+    toks = tokens_col(text_col)
+    n_toks = F.size(toks)
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(all_stop)))
+    mean_wl = F.when(n_toks > 0, alpha / n_toks).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ratio = F.when(n_toks > 0, stop_hits / n_toks).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_toks)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(
+            "quality",
+            (len_score + alpha_ratio + wl_score + F.least(stop_ratio * 4, F.lit(1.0))) / 4.0,
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language id: argmax language by per-language stopword
+    hits; 'und' (undetermined) when no hits. Deterministic tie-break by
+    language code order."""
+    toks = tokens_col(text_col)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # struct sort is fieldwise: hits desc, then lang desc (deterministic
+    # tie-break: later language code wins on equal hit counts)
+    arr = F.sort_array(F.array(*scores), asc=False)
+    pred = F.when(arr[0]["hits"] > 0, arr[0]["lang"]).otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fp") -> DataFrame:
+    """Document fingerprint: 64-bit from md5 of the token-normalized text
+    (whitespace/punctuation-insensitive). Rolling-hash shingle fingerprints
+    live in dedup.minhash_signature; this is the per-doc identity hash."""
+    norm = F.concat_ws(" ", tokens_col(text_col))
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    return df.withColumn(out_col, fp)

@@ -8,8 +8,42 @@ count which scales with cores (on a real cluster: ~2-3x total cores).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `lib_gdal_spark` importable on executors.
+
+    Python workers are separate processes: driver-side sys.path edits don't
+    reach them, so any pandas UDF / mapInPandas closure that references this
+    package would fail to unpickle there. This zips the package and
+    sc.addPyFile()s it — the programmatic twin of `spark-submit --py-files`
+    (which production runs use; see scripts/bench_scaling.py). Idempotent
+    per SparkContext."""
+    sc = spark.sparkContext
+    key = (id(sc), sc.applicationId)
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"lib_gdal_spark_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, repo))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already registered under this name
+    _SHIPPED.add(key)
 
 
 def get_spark(

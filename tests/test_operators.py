@@ -1,0 +1,334 @@
+"""Operator tests: kNN, raster ops, dedup, similarity, textops, polygonize,
+multimodal plumbing, metrics, streaming — each against an independent oracle
+(brute force, pandas, or an invariant).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators import (
+    dedup, knn, multimodal, ogrsql, polygonize, raster, similarity, textops,
+)
+from lib_gdal_spark import metrics
+from lib_gdal_spark.streaming import events as ev
+
+
+# ------------------------------------------------------------------- kNN
+class TestKNN:
+    @pytest.fixture(scope="class")
+    def pts(self, spark):
+        rng = np.random.default_rng(42)
+        # clustered + sparse so ring expansion needs >1 round (FIXTURES §4)
+        dense = rng.normal(0, 1, (400, 2))
+        sparse = rng.uniform(-50, 50, (40, 2))
+        t = np.vstack([dense, sparse])
+        targets = spark.createDataFrame(
+            pd.DataFrame({"tid": np.arange(len(t)), "tx": t[:, 0], "ty": t[:, 1]})
+        )
+        q = rng.uniform(-40, 40, (30, 2))
+        queries = spark.createDataFrame(
+            pd.DataFrame({"qid": np.arange(len(q)), "qx": q[:, 0], "qy": q[:, 1]})
+        )
+        return queries.cache(), targets.cache()
+
+    def test_ring_matches_bruteforce(self, pts):
+        queries, targets = pts
+        bf = knn.knn_bruteforce(queries, targets, k=3).toPandas()
+        rg = knn.knn_ring(queries, targets, k=3, cell_size=1.0).toPandas()
+        bf = bf.sort_values(["qid", "rank"]).reset_index(drop=True)
+        rg = rg.sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert len(bf) == len(rg) == 90
+        pd.testing.assert_frame_equal(
+            bf[["qid", "tid", "rank"]], rg[["qid", "tid", "rank"]]
+        )
+        np.testing.assert_allclose(bf.dist.to_numpy(), rg.dist.to_numpy(), rtol=1e-12)
+
+
+# ---------------------------------------------------------------- raster
+SQUARE = lambda x0, y0, s: np.array(
+    [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]], float
+)
+
+
+class TestRaster:
+    def test_rasterize_replace_and_add(self, spark):
+        polys = [(1, [SQUARE(0, 0, 4)]), (2, [SQUARE(2, 2, 4)])]  # overlap 2x2
+        rep = raster.rasterize(spark, polys, {1: 10.0, 2: 20.0}, cell_size=1.0).toPandas()
+        add = raster.rasterize(spark, polys, {1: 10.0, 2: 20.0}, cell_size=1.0,
+                               merge_alg="ADD").toPandas()
+        assert len(rep) == len(add) == 16 + 16 - 4
+        # overlap cells: REPLACE keeps later feature (poly 2), ADD sums
+        ov = rep[(rep.bx >= 2) & (rep.bx < 4) & (rep.by >= 2) & (rep.by < 4)]
+        assert (ov.value == 20.0).all()
+        ov2 = add[(add.bx >= 2) & (add.bx < 4) & (add.by >= 2) & (add.by < 4)]
+        assert (ov2.value == 30.0).all()
+
+    def test_rasterize_all_touched_superset(self, spark):
+        tri = [(1, [np.array([[0.2, 0.2], [3.8, 0.6], [1.0, 3.5], [0.2, 0.2]])])]
+        center = raster.rasterize(spark, tri, {1: 1.0}, cell_size=1.0).count()
+        touched = raster.rasterize(spark, tri, {1: 1.0}, cell_size=1.0,
+                                   all_touched=True).count()
+        assert touched > center  # ALL_TOUCHED burns strictly more cells here
+
+    def test_zonal_stats(self, spark):
+        pdf = pd.DataFrame({
+            "zone": [1, 1, 1, 2, 2, 2, 2],
+            "value": [1.0, 2.0, 2.0, 5.0, 5.0, 5.0, 7.0],
+        })
+        cells = spark.createDataFrame(pdf)
+        out = raster.zonal_stats(
+            cells, stats=("count", "sum", "mean", "min", "max", "stdev",
+                          "variance", "unique", "mode", "minority")
+        ).toPandas().set_index("zone").sort_index()
+        assert out.loc[1, "count"] == 3 and out.loc[2, "count"] == 4
+        assert out.loc[1, "mode"] == 2.0 and out.loc[1, "minority"] == 1.0
+        assert out.loc[2, "mode"] == 5.0 and out.loc[2, "minority"] == 7.0
+        assert out.loc[1, "mean"] == pytest.approx(5.0 / 3)
+        assert out.loc[1, "variance"] == pytest.approx(np.var([1, 2, 2]))
+
+    def test_overview_kernels(self, spark):
+        # 4x4 grid, values = bx
+        g = [(bx, by, float(bx)) for bx in range(4) for by in range(4)]
+        cells = spark.createDataFrame(pd.DataFrame(g, columns=["bx", "by", "value"]))
+        avg = raster.overview(cells, "average").toPandas().set_index(["bx", "by"]).sort_index()
+        assert avg.loc[(0, 0), "value"] == pytest.approx(0.5)  # mean(0,0,1,1)
+        assert avg.loc[(1, 1), "value"] == pytest.approx(2.5)
+        near = raster.overview(cells, "near").toPandas()
+        assert len(near) == 4
+        s = raster.overview(cells, "sum").toPandas().set_index(["bx", "by"]).sort_index()
+        assert s.loc[(0, 0), "value"] == pytest.approx(2.0)
+
+    def test_histogram(self, spark):
+        cells = spark.createDataFrame(
+            pd.DataFrame({"value": [0.5, 0.5, 100.2, 255.9]})
+        )
+        h = raster.histogram(cells).toPandas().set_index("bucket")
+        assert h.loc[1, "n"] == 2 and h.loc[101, "n"] == 1 and h.loc[256, "n"] == 1
+
+
+# ----------------------------------------------------------------- dedup
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+            (2, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup
+            (3, "completely different text about spark distributed query engines"),
+            (4, "another unrelated document mentioning tile pyramids and mercator math"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def test_exact_dedup(self, docs):
+        out = dedup.exact_dedup(docs, "doc_id", "text")
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {0, 2, 3, 4}
+
+    def test_minhash_near_dup(self, docs):
+        out = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5,
+                                  n_hashes=8, bands=4)
+        ids = {r.doc_id for r in out.collect()}
+        assert 0 in ids and 1 not in ids  # exact dup caught
+        assert 2 not in ids  # near dup caught at 0.5 threshold
+        assert {3, 4} <= ids
+
+    def test_jaccard_exactness(self, spark, docs):
+        pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+        j = dedup.ngram_jaccard(docs, pairs, "doc_id", "text").toPandas()
+        j = j.set_index(["id_a", "id_b"]).jaccard
+        assert j.loc[(0, 1)] == pytest.approx(1.0)
+        assert j.loc[(0, 3)] == pytest.approx(0.0)
+
+    def test_simhash_near_dup(self, docs):
+        sh = dedup.simhash(docs, "doc_id", "text")
+        pairs = dedup.simhash_dup_pairs(sh, "doc_id", max_hamming=3).toPandas()
+        got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+        assert (0, 1) in got  # identical text -> identical simhash
+
+
+# ------------------------------------------------------------ similarity
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.default_rng(42)
+        v = rng.normal(0, 1, (300, 16)).astype(np.float32)
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"vec_id": np.arange(300), "embedding": list(map(list, v))}),
+            schema="vec_id long, embedding array<float>",
+        )
+        q = v[:5] + rng.normal(0, 0.05, (5, 16)).astype(np.float32)
+        queries = spark.createDataFrame(
+            pd.DataFrame({"qid": np.arange(5), "embedding": list(map(list, q))}),
+            schema="qid long, embedding array<float>",
+        )
+        return corpus.cache(), queries.cache()
+
+    def test_bruteforce_topk(self, vecs):
+        corpus, queries = vecs
+        out = similarity.cosine_topk(corpus, queries, k=1).toPandas()
+        # each query is a noisy copy of corpus vec i -> top1 must be i
+        assert (out.sort_values("qid").vec_id.to_numpy() == np.arange(5)).all()
+        assert (out.cos > 0.95).all()
+
+    def test_ann_lsh_recall(self, vecs):
+        corpus, queries = vecs
+        exact = similarity.cosine_topk(corpus, queries, k=5).toPandas()
+        approx = similarity.ann_lsh(corpus, queries, k=5, n_tables=6, n_bits=6).toPandas()
+        e = exact.groupby("qid").vec_id.apply(set)
+        a = approx.groupby("qid").vec_id.apply(set)
+        recall = np.mean([len(e[q] & a.get(q, set())) / 5 for q in e.index])
+        assert recall >= 0.6  # approximate, but must be useful
+
+
+# --------------------------------------------------------------- textops
+class TestTextops:
+    def test_token_count_and_quality(self, spark):
+        df = spark.createDataFrame(
+            [(0, "The quick brown fox."), (1, ""), (2, "a b c d e f g h")],
+            "id long, text string",
+        )
+        out = textops.quality_score(textops.token_count(df)).toPandas().set_index("id")
+        assert out.loc[0, "n_tokens"] == 4
+        assert out.loc[1, "n_tokens"] == 0
+        assert 0 <= out.loc[0, "quality"] <= 1
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "the cat and the dog walked to the house in the morning"),
+                (1, "der hund und die katze sind nicht in das haus mit zu"),
+                (2, "xyzzy plugh qwfp"),
+            ],
+            "id long, text string",
+        )
+        out = textops.lang_id(df).toPandas().set_index("id")
+        assert out.loc[0, "lang_pred"] == "en"
+        assert out.loc[1, "lang_pred"] == "de"
+        assert out.loc[2, "lang_pred"] == "und"
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello,   World!"), (1, "hello world"), (2, "other text")],
+            "id long, text string",
+        )
+        fp = textops.fingerprint(df).toPandas().set_index("id").fp
+        assert fp[0] == fp[1] != fp[2]
+
+
+# -------------------------------------------------------------- ogr sql
+class TestOgrSql:
+    def test_first_match_left_join(self, spark):
+        left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        right = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)], "k int, fid int"
+        )
+        out = ogrsql.first_match_left_join(left, right, "k", "k", "fid").toPandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        assert len(out) == 3  # exactly one row per left row
+        assert out.fid.tolist()[:2] == [10, 20]
+        assert pd.isna(out.fid.iloc[2])  # unmatched keeps NULL
+
+    def test_summary_record_exact_moments(self, spark):
+        vals = [1.1, 2.2, 3.3, 4.4, 100.001]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = ogrsql.summary_record(df, "v").toPandas().iloc[0]
+        assert out["count_v"] == 5
+        assert out["sum_v"] == pytest.approx(sum(vals), abs=1e-9)
+        assert out["stddev_pop_v"] == pytest.approx(np.std(vals), rel=1e-12)
+        assert out["stddev_samp_v"] == pytest.approx(np.std(vals, ddof=1), rel=1e-12)
+
+
+# ----------------------------------------------------------- polygonize
+class TestPolygonize:
+    def test_components_across_blocks(self, spark):
+        # two L-shaped regions of value 1 spanning the 32-cell block border,
+        # plus a separate region of value 2
+        cells = []
+        for bx in range(28, 40):  # crosses block boundary at 32 (block_bits=5)
+            cells.append((bx, 10, 1.0))
+        for by in range(10, 20):
+            cells.append((50, by, 1.0))  # disjoint vertical strip, same value
+        for bx in range(5, 8):
+            cells.append((bx, 5, 2.0))
+        df = spark.createDataFrame(pd.DataFrame(cells, columns=["bx", "by", "value"]))
+        out = polygonize.polygonize(df, block_bits=5).toPandas()
+        horiz = out[(out.by == 10) & (out.value == 1.0) & (out.bx < 45)]
+        assert horiz.region_id.nunique() == 1  # stitched across the block edge
+        assert out[out.value == 1.0].region_id.nunique() == 2  # strip is separate
+        assert out[out.value == 2.0].region_id.nunique() == 1
+        # 4-connectedness: diagonal-only contact must NOT merge
+        diag = spark.createDataFrame(
+            pd.DataFrame([(0, 0, 1.0), (1, 1, 1.0)], columns=["bx", "by", "value"])
+        )
+        dout = polygonize.polygonize(diag, block_bits=5).toPandas()
+        assert dout.region_id.nunique() == 2
+
+
+# ----------------------------------------------------------- multimodal
+class TestMultimodal:
+    def test_plumbing(self, spark):
+        media = multimodal.synth_media(spark, 50)
+        feats = multimodal.extract_features(media, dim=8).toPandas()
+        assert len(feats) == 50
+        assert feats.ok.all()
+        assert all(len(f) == 8 for f in feats.feat)
+        # deterministic: same payload -> same features
+        again = multimodal.extract_features(multimodal.synth_media(spark, 50), dim=8).toPandas()
+        a = feats.sort_values("id").reset_index(drop=True)
+        b = again.sort_values("id").reset_index(drop=True)
+        assert all(np.allclose(x, y) for x, y in zip(a.feat, b.feat))
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_real(b"bytes", "image")
+
+
+# -------------------------------------------------------------- metrics
+class TestMetrics:
+    def test_instrument_counts_rows(self, spark, tmp_path):
+        df = spark.range(1000).withColumn("v", F.col("id") * 2)
+        wrapped = metrics.instrument(df, "stage_a")
+        assert wrapped.count() == 1000
+        m = metrics.flush_metrics(spark, str(tmp_path / "m")).toPandas()
+        assert m.input_rows.sum() == 1000
+        assert (m.stage == "stage_a").all()
+        # appended to the metadata table
+        back = spark.read.parquet(str(tmp_path / "m")).toPandas()
+        assert back.input_rows.sum() == 1000
+
+
+# ------------------------------------------------------------ streaming
+class TestStreaming:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        # the file-stream source needs a directory; stage the parquet into one
+        import shutil
+
+        src_dir = tmp_path / "events_src"
+        src_dir.mkdir()
+        shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "part-0.parquet")
+        src = str(src_dir)
+        batch = ev.windowed_counts_batch(spark.read.parquet(src)).toPandas()
+        q = ev.windowed_counts_stream(spark, src, query_name="t_windows")
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM t_windows").toPandas()
+        finally:
+            q.stop()
+        b = batch.sort_values(["w_start", "event_type"]).reset_index(drop=True)
+        g = got.sort_values(["w_start", "event_type"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(b, g, check_like=True)
+
+    def test_sessionize(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 02:00:00"),  # gap > 30min -> new session
+            (2, "2024-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = ev.sessionize_batch(df).toPandas()
+        assert len(out) == 3
+        assert out[out.user_id == 1].n_events.sort_values().tolist() == [1, 2]

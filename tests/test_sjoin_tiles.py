@@ -1,0 +1,131 @@
+"""Spatial join + tile pyramid: Spark result vs pure-pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lib_gdal_spark.geo import mercator
+from lib_gdal_spark.geo.pip import point_in_polygon_np
+from lib_gdal_spark.operators import sjoin, tiles
+from lib_gdal_spark.pages.synth import synth_pages_pdf, extract_text_bytes
+
+# three polygons: a box, a concave L, a box with a hole
+POLYS = [
+    (1, [np.array([[-10.0, -10.0], [20.0, -10.0], [20.0, 20.0], [-10.0, 20.0], [-10.0, -10.0]])]),
+    (2, [np.array([[30.0, 0.0], [60.0, 0.0], [60.0, 15.0], [45.0, 15.0], [45.0, 30.0], [30.0, 30.0], [30.0, 0.0]])]),
+    (3, [
+        np.array([[-80.0, 30.0], [-40.0, 30.0], [-40.0, 60.0], [-80.0, 60.0], [-80.0, 30.0]]),
+        np.array([[-70.0, 40.0], [-50.0, 40.0], [-50.0, 50.0], [-70.0, 50.0], [-70.0, 40.0]]),
+    ]),
+]
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return synth_pages_pdf(np.arange(N), seed=42)
+
+
+@pytest.fixture(scope="module")
+def points(spark, pages_pdf):
+    df = spark.createDataFrame(pages_pdf[["url", "text", "lang"]])
+    return sjoin.with_tile(sjoin.geocode(df), zoom=7).cache()
+
+
+def oracle_join(pages_pdf):
+    lat = pages_pdf.text.str.extract(r"@(-?\d+\.\d+),(-?\d+\.\d+)")[0].astype(float).to_numpy()
+    lon = pages_pdf.text.str.extract(r"@(-?\d+\.\d+),(-?\d+\.\d+)")[1].astype(float).to_numpy()
+    out = []
+    for pid, rings in POLYS:
+        m = point_in_polygon_np(lon, lat, rings)
+        for u in pages_pdf.url.to_numpy()[m]:
+            out.append((u, pid))
+    return sorted(out)
+
+
+class TestGeocode:
+    def test_geocode_matches_synth(self, points, pages_pdf):
+        got = points.select("url", "lat", "lon").toPandas().sort_values("url")
+        exp = pages_pdf.copy()
+        exp["lat"] = exp.text.str.extract(r"@(-?\d+\.\d+)")[0].astype(float)
+        exp = exp.sort_values("url")
+        np.testing.assert_allclose(got.lat.to_numpy(), exp.lat.to_numpy(), atol=1e-9)
+
+    def test_extract_text_invariant(self, pages_pdf):
+        # byte-identical per url (the north-rule per-row invariant)
+        for _, row in pages_pdf.head(200).iterrows():
+            assert extract_text_bytes(row.html) == row.text
+
+    def test_cell_column_matches_numpy(self, points):
+        pdf = points.select("lon", "lat", "tile_x", "tile_y").limit(500).toPandas()
+        tx, ty = mercator.lonlat_to_tile_np(pdf.lon.to_numpy(), pdf.lat.to_numpy(), 7)
+        np.testing.assert_array_equal(pdf.tile_x.to_numpy(), tx)
+        np.testing.assert_array_equal(pdf.tile_y.to_numpy(), ty)
+
+
+class TestSpatialJoin:
+    def test_inner_matches_oracle(self, points, pages_pdf):
+        ps = sjoin.PolygonSet(POLYS)
+        got = sjoin.spatial_join(points, ps, zoom=7, how="inner")
+        got_pairs = sorted(
+            (r.url, r.poly_id) for r in got.select("url", "poly_id").collect()
+        )
+        assert got_pairs == oracle_join(pages_pdf)
+        assert len(got_pairs) > 50  # data actually lands in the polygons
+
+    def test_left_keeps_all_points(self, points):
+        ps = sjoin.PolygonSet(POLYS)
+        left = sjoin.spatial_join(points, ps, zoom=7, how="left")
+        # every url appears; unmatched have null poly_id
+        assert left.select("url").distinct().count() == N
+        assert left.filter("poly_id IS NULL").count() > 0
+
+    def test_salted_shuffle_path_same_result(self, points, pages_pdf):
+        ps = sjoin.PolygonSet(POLYS)
+        got = sjoin.spatial_join(points, ps, zoom=7, how="inner",
+                                 broadcast_cover=False, salt=4)
+        got_pairs = sorted(
+            (r.url, r.poly_id) for r in got.select("url", "poly_id").collect()
+        )
+        assert got_pairs == oracle_join(pages_pdf)
+
+    def test_no_exact_is_superset(self, points):
+        ps = sjoin.PolygonSet(POLYS)
+        exact = sjoin.spatial_join(points, ps, zoom=7, how="inner").count()
+        loose = sjoin.spatial_join(points, ps, zoom=7, how="inner", exact=False).count()
+        assert loose >= exact
+
+
+class TestPyramid:
+    def test_level_sums_invariant(self, points):
+        pyr = tiles.tile_pyramid(points, max_zoom=8, min_zoom=0).toPandas()
+        sums = pyr.groupby("z").n_pages.sum()
+        assert (sums == N).all()  # every level partitions all pages
+        z0 = pyr[pyr.z == 0]
+        assert len(z0) == 1 and z0.n_pages.iloc[0] == N
+
+    def test_base_matches_direct_tile_assignment(self, points):
+        base = tiles.base_tiles(sjoin.with_tile(points.drop("tile_x", "tile_y", "cell"), 8), 8)
+        pdf = base.toPandas()
+        raw = points.select("lon", "lat").toPandas()
+        tx, ty = mercator.lonlat_to_tile_np(raw.lon.to_numpy(), raw.lat.to_numpy(), 8)
+        exp = pd.DataFrame({"x": tx, "y": ty}).groupby(["x", "y"]).size()
+        got = pdf.set_index(["x", "y"]).n_pages.sort_index()
+        assert (got == exp.sort_index()).all()
+
+    def test_parent_child_consistency(self, points):
+        pyr = tiles.tile_pyramid(points, max_zoom=8, min_zoom=7).toPandas()
+        z8 = pyr[pyr.z == 8].copy()
+        z8["px"], z8["py"] = z8.x // 2, z8.y // 2
+        rolled = z8.groupby(["px", "py"]).n_pages.sum().sort_index()
+        z7 = pyr[pyr.z == 7].set_index(["x", "y"]).n_pages.sort_index()
+        assert (rolled.to_numpy() == z7.to_numpy()).all()
+
+    def test_resume_filter(self, points, spark, tmp_path):
+        pyr = tiles.tile_pyramid(points, max_zoom=6, min_zoom=4)
+        path = str(tmp_path / "tiles")
+        # commit only z<=5, then resume: only z=6 remains
+        tiles.write_pyramid(pyr.filter("z <= 5"), path)
+        remaining = tiles.resume_filter(pyr, path)
+        zs = {r.z for r in remaining.select("z").distinct().collect()}
+        assert zs == {6}
