@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
-    dedup, knn, multimodal, ogrsql, polygonize, raster, similarity, sjoin,
-    textops, tiles,
+    dedup, focal, grid, knn, multimodal, ogrsql, polygonize, raster,
+    similarity, sjoin, textops, tiles,
 )
 from lib_gdal_spark.streaming import events as ev
 
@@ -180,6 +180,25 @@ def _q_histogram(spark, sf_dir):
         d.withColumn("bucket", F.least(F.floor(F.col("n_chars") / 50.0), F.lit(19)).cast("long"))
         .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _q_focal_mean(spark, sf_dir):
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=8)
+    base = tiles.base_tiles(p, 8).select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("n_pages").cast("double").alias("value"),
+    )
+    return focal.focal(base, "mean", k=1)
+
+
+def _q_grid_idw(spark, sf_dir):
+    pts = _tbl(spark, sf_dir, "part").select(
+        ((F.col("p_partkey") * 9973 % 2000) / 10.0).alias("x"),
+        ((F.col("p_partkey") * 6151 % 2000) / 10.0).alias("y"),
+        F.col("p_retailprice").alias("z"),
+    )
+    out = grid.grid_idw(pts, cell_size=10.0, radius=15.0)
+    return out.select("bx", "by", F.round("value", 4).alias("value"))
 
 
 def _q_filter_like(spark, sf_dir):
@@ -442,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_avg": _q_overview_avg,
         "rasterize_rects": _q_rasterize,
         "histogram": _q_histogram,
+        "focal_mean": _q_focal_mean,
+        "grid_idw": _q_grid_idw,
         # OGR SQL parity corpus (SURVEY §2.2, §2.4, §2.6, §2.7, §2.8, §5)
         "ogr_filter_like": _q_filter_like,
         "ogr_filter_in_between": _q_filter_in_between,
@@ -573,6 +594,54 @@ def _o_histogram() -> str:
     return """
 SELECT CAST(least(floor(n_chars/50.0), 19) AS BIGINT) AS bucket, count(*) AS n
 FROM documents GROUP BY 1
+"""
+
+
+def _o_focal_mean() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+base AS (
+  SELECT {_dd_tile_x('lon', 8)} AS bx, {_dd_tile_y('lat', 8)} AS "by",
+         CAST(count(*) AS DOUBLE) AS value
+  FROM pages GROUP BY 1, 2
+),
+contrib AS (
+  SELECT b.bx + dx.i AS bx, b."by" + dy.i AS "by", b.value AS v
+  FROM base b,
+       (SELECT unnest([-1, 0, 1]) AS i) dx,
+       (SELECT unnest([-1, 0, 1]) AS i) dy
+),
+g AS (SELECT bx, "by", avg(v) AS focal_mean FROM contrib GROUP BY 1, 2)
+SELECT b.bx, b."by", b.value, g.focal_mean
+FROM base b JOIN g ON b.bx = g.bx AND b."by" = g."by"
+"""
+
+
+def _o_grid_idw() -> str:
+    return """
+WITH pts AS (
+  SELECT (p_partkey*9973 % 2000)/10.0 AS x, (p_partkey*6151 % 2000)/10.0 AS y,
+         p_retailprice AS z
+  FROM part
+),
+cand AS (
+  SELECT CAST(floor(x/10.0) AS BIGINT) + dx.i AS bx,
+         CAST(floor(y/10.0) AS BIGINT) + dy.i AS "by", x, y, z
+  FROM pts,
+       (SELECT unnest(generate_series(-3, 3)) AS i) dx,
+       (SELECT unnest(generate_series(-3, 3)) AS i) dy
+),
+d AS (
+  SELECT bx, "by", z,
+         sqrt(((bx+0.5)*10.0 - x)*((bx+0.5)*10.0 - x)
+              + (("by"+0.5)*10.0 - y)*(("by"+0.5)*10.0 - y)) AS dist
+  FROM cand
+),
+f AS (
+  SELECT bx, "by", z, 1.0/(greatest(dist,1e-12)*greatest(dist,1e-12)) AS w
+  FROM d WHERE dist <= 15.0
+)
+SELECT bx, "by", round(sum(w*z)/sum(w), 4) AS value FROM f GROUP BY 1, 2
 """
 
 
@@ -886,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
         "overview_avg": _o_overview_avg(),
         "rasterize_rects": _o_rasterize(),
         "histogram": _o_histogram(),
+        "focal_mean": _o_focal_mean(),
+        "grid_idw": _o_grid_idw(),
         "ogr_filter_like": _o_filter_like(),
         "ogr_filter_in_between": _o_filter_in_between(),
         "ogr_order_limit_offset": _o_order_limit_offset(),

@@ -1,0 +1,93 @@
+"""Gridding / interpolation: scattered points -> regular cell grid.
+
+Reference: /root/reference/alg/gdalgrid.cpp (4,200 LoC) — inverse distance
+weighting (:109), moving average (:629), nearest (:879), data metrics
+(minimum :1033, maximum :1327, range :1484, count, average distance), all
+driven by a per-output-cell neighborhood search (quadtree + radius).
+
+Distributed recast: candidate (point, cell) pairs come from a bounded
+explode — each point contributes to every output cell within `radius`
+(ceil(radius/cell) offsets in each axis, a constant fan-out) — then ONE
+groupBy(cell) computes the kernel. No per-cell search structure at all:
+the equi-join + map-side combine replaces the quadtree, and the fan-out
+constant plays the role of the reference's search radius.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _candidates(points: DataFrame, cell_size: float, radius: float,
+                x: str, y: str):
+    """(cell bx,by, point x,y,z, dist) pairs for cells whose CENTER is
+    within `radius` of the point."""
+    r = int(math.ceil(radius / cell_size)) + 1
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+    ])
+    c = points.select(
+        F.col(x).alias("_px"), F.col(y).alias("_py"), F.col("z").alias("_z"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        (F.floor(F.col("_px") / cell_size) + F.col("_o.dx")).alias("bx"),
+        (F.floor(F.col("_py") / cell_size) + F.col("_o.dy")).alias("by"),
+        "_px", "_py", "_z",
+    )
+    cx = (F.col("bx") + 0.5) * cell_size
+    cy = (F.col("by") + 0.5) * cell_size
+    dist = F.sqrt((cx - F.col("_px")) * (cx - F.col("_px"))
+                  + (cy - F.col("_py")) * (cy - F.col("_py")))
+    return c.withColumn("_d", dist).filter(F.col("_d") <= radius)
+
+
+def grid_idw(points: DataFrame, cell_size: float, radius: float,
+             power: float = 2.0, x: str = "x", y: str = "y") -> DataFrame:
+    """Inverse-distance-weighted interpolation (gdalgrid.cpp:109 semantics:
+    w = 1/d^power; an exact-hit point [d~0] dominates via epsilon clamp).
+    Output: (bx, by, value) for cells with >=1 point in radius."""
+    cand = _candidates(points, cell_size, radius, x, y)
+    d = F.greatest(F.col("_d"), F.lit(1e-12))
+    # power==2 via plain multiply: libm pow() is not ulp-identical across
+    # engines; d*d is (oracle parity)
+    w = F.lit(1.0) / (d * d if power == 2.0 else F.pow(d, F.lit(power)))
+    return (
+        cand.withColumn("_w", w)
+        .groupBy("bx", "by")
+        .agg((F.sum(F.col("_w") * F.col("_z")) / F.sum("_w")).alias("value"))
+    )
+
+
+def grid_metrics(points: DataFrame, cell_size: float, radius: float,
+                 x: str = "x", y: str = "y") -> DataFrame:
+    """Data metrics per cell (gdalgrid.cpp minimum/maximum/range/count/
+    average_distance)."""
+    cand = _candidates(points, cell_size, radius, x, y)
+    return cand.groupBy("bx", "by").agg(
+        F.min("_z").alias("minimum"),
+        F.max("_z").alias("maximum"),
+        (F.max("_z") - F.min("_z")).alias("range"),
+        F.count("_z").alias("count"),
+        F.avg("_d").alias("average_distance"),
+    )
+
+
+def grid_nearest(points: DataFrame, cell_size: float, radius: float,
+                 x: str = "x", y: str = "y") -> DataFrame:
+    """Nearest-neighbor gridding (gdalgrid.cpp:879): cell value = z of the
+    nearest point within radius; deterministic tie-break on z then
+    coordinates."""
+    from pyspark.sql import Window as W
+
+    cand = _candidates(points, cell_size, radius, x, y)
+    w = W.partitionBy("bx", "by").orderBy(
+        F.col("_d").asc(), F.col("_z").asc(), F.col("_px").asc(), F.col("_py").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("bx", "by", F.col("_z").alias("value"))
+    )

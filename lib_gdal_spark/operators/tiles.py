@@ -47,30 +47,49 @@ def base_tiles(points: DataFrame, zoom: int,
 
 
 def rollup_pyramid(base: DataFrame, max_zoom: int, min_zoom: int = 0,
-                   sum_cols: list | None = None) -> DataFrame:
+                   sum_cols: list | None = None, step: int = 4) -> DataFrame:
     """Build zoom levels [min_zoom, max_zoom] from base tiles at max_zoom.
 
     Parent tile (z-1, x>>1, y>>1) aggregates its <=4 children
     (gdal2tiles.py:1484-1486 child-shift semantics). All numeric measure
     columns are summed (counts); pass sum_cols to restrict.
+
+    Shuffle shape: a naive per-level chain is max_zoom sequential shuffles
+    whose union re-evaluates upstream levels per branch (O(L^2) stages). We
+    instead roll up in chunks of `step` zooms: each chunk is ONE
+    explode(x step)+groupBy from the (persisted) chunk base, so the whole
+    0..14 pyramid costs ceil(L/step) shuffles and the exploded volume is
+    bounded by step x (already-aggregated tile count) — NOT by input rows.
     """
     measures = sum_cols or [c for c in base.columns if c not in ("z", "x", "y")]
     levels = [base]
-    cur = base
-    for z in range(max_zoom, min_zoom, -1):
-        cur = (
-            cur.groupBy(
-                (F.col("x") / 2).cast("long").alias("x"),
-                (F.col("y") / 2).cast("long").alias("y"),
-            )
-            .agg(*[F.sum(c).alias(c) for c in measures])
-            .select(F.lit(z - 1).cast("int").alias("z"), "x", "y", *measures)
+    cur, cur_z = base, max_zoom
+    while cur_z > min_zoom:
+        nz = max(cur_z - step, min_zoom)
+        zs = F.array(*[F.lit(z) for z in range(cur_z - 1, nz - 1, -1)])
+        # parent coords at level z: floor(x / 2^(cur_z - z)) — exact double
+        # math for any zoom <= 29
+        scale = F.pow(F.lit(2.0), (F.lit(cur_z) - F.col("z")).cast("double"))
+        expl = cur.select(
+            F.explode(zs).alias("z"), "x", "y",
+            *[F.col(c) for c in measures],
+        ).select(
+            F.col("z").cast("int").alias("z"),
+            F.floor(F.col("x") / scale).cast("long").alias("x"),
+            F.floor(F.col("y") / scale).cast("long").alias("y"),
+            *measures,
         )
-        levels.append(cur)
-    out = levels[0]
+        out = expl.groupBy("z", "x", "y").agg(
+            *[F.sum(c).alias(c) for c in measures]
+        )
+        out.persist()
+        levels.append(out)
+        cur = out.filter(F.col("z") == nz)
+        cur_z = nz
+    result = levels[0]
     for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+        result = result.unionByName(lv)
+    return result
 
 
 def tile_pyramid(points: DataFrame, max_zoom: int = 14, min_zoom: int = 0,
@@ -83,11 +102,17 @@ def tile_pyramid(points: DataFrame, max_zoom: int = 14, min_zoom: int = 0,
 def write_pyramid(pyramid: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Materialize partitioned by z (the Iceberg-partition layout stand-in:
     partition column z, file-level min/max stats on x/y give pruning).
-    Sort within partitions by (x, y) so parquet row-group stats are tight —
-    the engine analog of the reference's Hilbert-packed tile order."""
+
+    repartitionByRange (not repartition("z")): hash-by-z caps write
+    parallelism at the zoom count and skews it onto the max-zoom partition;
+    range partitioning by (z, x, y) spreads tasks evenly AND clusters tiles
+    so row-group min/max stats stay tight — the engine analog of the
+    reference's Hilbert-packed tile order."""
+    spark = pyramid.sparkSession
+    n = spark.sparkContext.defaultParallelism * 2
     (
-        pyramid.repartition("z")
-        .sortWithinPartitions("x", "y")
+        pyramid.repartitionByRange(n, "z", "x", "y")
+        .sortWithinPartitions("z", "x", "y")
         .write.mode(mode)
         .partitionBy("z")
         .parquet(path)

