@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
-    dedup, focal, grid, knn, multimodal, ogrsql, polygonize, raster,
-    similarity, sjoin, textops, tiles,
+    dedup, dem, focal, grid, interp, knn, multimodal, ogrsql, polygonize,
+    raster, similarity, sjoin, textops, tiles,
 )
 from lib_gdal_spark.streaming import events as ev
 
@@ -199,6 +199,50 @@ def _q_grid_idw(spark, sf_dir):
     )
     out = grid.grid_idw(pts, cell_size=10.0, radius=15.0)
     return out.select("bx", "by", F.round("value", 4).alias("value"))
+
+
+def _base_grid8(spark, sf_dir):
+    """Deterministic DENSE 25x20 cell grid (bx, by, value=char sum) shared
+    by the DEM / interpolation queries and their oracles. Built from
+    doc_id row-major (not the geo scatter: documents has only 500 rows at
+    sf<=0.01 and Mercator row compression leaves geo grids too patchy for
+    complete 3x3 stencil windows). Every cell is populated at every sf,
+    so the stencils exercise real windows."""
+    d = _tbl(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (F.col("doc_id") % 25).cast("long").alias("bx"),
+            (F.floor(F.col("doc_id") / 25) % 20).cast("long").alias("by"),
+            F.col("n_chars"),
+        )
+        .groupBy("bx", "by")
+        .agg(F.sum("n_chars").cast("double").alias("value"))
+    )
+
+
+def _q_dem_slope(spark, sf_dir):
+    out = dem.slope(_base_grid8(spark, sf_dir), percent=True)
+    return out.select("bx", "by", "dzdx", "dzdy", "slope_pct")
+
+
+def _q_dem_aspect(spark, sf_dir):
+    return dem.aspect(_base_grid8(spark, sf_dir), sector=True)
+
+
+def _q_dem_hillshade(spark, sf_dir):
+    return dem.hillshade(_base_grid8(spark, sf_dir))
+
+
+def _q_interp_bilinear(spark, sf_dir):
+    cells = _base_grid8(spark, sf_dir)
+    pts = _tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pt_id"),
+        ((F.col("p_partkey") * 7919 % 250) / 10.0).alias("px"),
+        ((F.col("p_partkey") * 6151 % 200) / 10.0).alias("py"),
+    )
+    out = interp.interpolate_at_points(pts, cells, method="bilinear")
+    # round: the 4-term weighted sum's fold order is engine-dependent
+    return out.select("pt_id", "px", "py", F.round("value", 6).alias("value"))
 
 
 def _q_filter_like(spark, sf_dir):
@@ -458,6 +502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_triangle_join": _q_pip_triangle,
         "knn_ring": _q_knn_ring,
         "zonal_stats": _q_zonal_stats,
+        "dem_slope": _q_dem_slope,
+        "dem_aspect": _q_dem_aspect,
+        "dem_hillshade": _q_dem_hillshade,
+        "interp_bilinear": _q_interp_bilinear,
         "overview_avg": _q_overview_avg,
         "rasterize_rects": _q_rasterize,
         "histogram": _q_histogram,
@@ -614,6 +662,101 @@ contrib AS (
 g AS (SELECT bx, "by", avg(v) AS focal_mean FROM contrib GROUP BY 1, 2)
 SELECT b.bx, b."by", b.value, g.focal_mean
 FROM base b JOIN g ON b.bx = g.bx AND b."by" = g."by"
+"""
+
+
+def _dd_w9(base_cte: str) -> str:
+    """SQL 3x3 window pivot over a (bx,"by",value) base CTE — mirrors
+    dem.window3x3: source (sx,sy) at offset (dx,dy) feeds window
+    (sx-dx, sy-dy) in slot z[3*(dy+1)+(dx+1)+1]."""
+    cases = []
+    slots = [("z1", -1, -1), ("z2", 0, -1), ("z3", 1, -1),
+             ("z4", -1, 0), ("z5", 0, 0), ("z6", 1, 0),
+             ("z7", -1, 1), ("z8", 0, 1), ("z9", 1, 1)]
+    for lbl, dx, dy in slots:
+        cases.append(
+            f'max(CASE WHEN dx={dx} AND dy={dy} THEN v END) AS {lbl}'
+        )
+    return f"""{base_cte},
+contrib AS (
+  SELECT b.bx - dx.i AS bx, b."by" - dy.i AS "by",
+         dx.i AS dx, dy.i AS dy, b.value AS v
+  FROM base b,
+       (SELECT unnest([-1, 0, 1]) AS i) dx,
+       (SELECT unnest([-1, 0, 1]) AS i) dy
+),
+w9 AS (
+  SELECT bx, "by", {', '.join(cases)}, count(*) AS n
+  FROM contrib GROUP BY 1, 2
+),
+horn AS (
+  SELECT bx, "by",
+         ((z3 + 2*z6 + z9) - (z1 + 2*z4 + z7)) / 8.0 AS dzdx,
+         ((z7 + 2*z8 + z9) - (z1 + 2*z2 + z3)) / 8.0 AS dzdy
+  FROM w9 WHERE n = 9
+)"""
+
+
+def _dd_base8_cte() -> str:
+    return """base AS (
+  SELECT CAST(doc_id % 25 AS BIGINT) AS bx,
+         CAST(floor(doc_id/25) AS BIGINT) % 20 AS "by",
+         CAST(sum(n_chars) AS DOUBLE) AS value
+  FROM documents GROUP BY 1, 2
+)"""
+
+
+def _o_dem_slope() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+{_dd_w9(_dd_base8_cte())}
+SELECT bx, "by", dzdx, dzdy, 100.0 * sqrt(dzdx*dzdx + dzdy*dzdy) AS slope_pct
+FROM horn
+"""
+
+
+def _o_dem_aspect() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+{_dd_w9(_dd_base8_cte())}
+SELECT bx, "by",
+  CAST(CASE
+    WHEN abs(dzdx) = 0 AND abs(dzdy) = 0 THEN -1
+    WHEN abs(dzdx) >= 2*abs(dzdy) THEN (CASE WHEN dzdx < 0 THEN 2 ELSE 6 END)
+    WHEN abs(dzdy) >= 2*abs(dzdx) THEN (CASE WHEN dzdy < 0 THEN 4 ELSE 0 END)
+    WHEN dzdx < 0 AND dzdy >= 0 THEN 1
+    WHEN dzdx < 0 AND dzdy < 0 THEN 3
+    WHEN dzdx >= 0 AND dzdy < 0 THEN 5
+    ELSE 7 END AS INTEGER) AS aspect_sector
+FROM horn
+"""
+
+
+def _o_interp_bilinear() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+{_dd_base8_cte()},
+pts AS (
+  SELECT p_partkey AS pt_id, (p_partkey*7919 % 250)/10.0 AS px,
+         (p_partkey*6151 % 200)/10.0 AS py
+  FROM part
+),
+expl AS (
+  SELECT pt_id, px, py,
+         CAST(floor(px - 0.5) AS BIGINT) + cx.i AS bx,
+         CAST(floor(py - 0.5) AS BIGINT) + cy.i AS "by",
+         (CASE WHEN cx.i = 0 THEN 1.0 - (px - 0.5 - floor(px - 0.5))
+               ELSE px - 0.5 - floor(px - 0.5) END)
+       * (CASE WHEN cy.i = 0 THEN 1.0 - (py - 0.5 - floor(py - 0.5))
+               ELSE py - 0.5 - floor(py - 0.5) END) AS w
+  FROM pts, (SELECT unnest([0, 1]) AS i) cx, (SELECT unnest([0, 1]) AS i) cy
+),
+hit AS (
+  SELECT e.pt_id, e.px, e.py, e.w, b.value
+  FROM expl e JOIN base b ON e.bx = b.bx AND e."by" = b."by"
+)
+SELECT pt_id, px, py, round(sum(w*value), 6) AS value
+FROM hit GROUP BY 1, 2, 3 HAVING count(*) = 4
 """
 
 
@@ -952,6 +1095,9 @@ def oracle_sql() -> dict[str, str]:
         "pip_triangle_join": _o_pip_triangle(),
         "knn_ring": _o_knn_ring(),
         "zonal_stats": _o_zonal_stats(),
+        "dem_slope": _o_dem_slope(),
+        "dem_aspect": _o_dem_aspect(),
+        "interp_bilinear": _o_interp_bilinear(),
         "overview_avg": _o_overview_avg(),
         "rasterize_rects": _o_rasterize(),
         "histogram": _o_histogram(),

