@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
-    dedup, dem, focal, grid, interp, knn, multimodal, ogrsql, polygonize,
-    raster, similarity, sjoin, textops, tiles,
+    contour, dedup, dem, focal, grid, interp, knn, multimodal, ogrsql,
+    polygonize, proximity, raster, similarity, sjoin, textops, tiles,
 )
 from lib_gdal_spark.streaming import events as ev
 
@@ -243,6 +243,37 @@ def _q_interp_bilinear(spark, sf_dir):
     out = interp.interpolate_at_points(pts, cells, method="bilinear")
     # round: the 4-term weighted sum's fold order is engine-dependent
     return out.select("pt_id", "px", "py", F.round("value", 6).alias("value"))
+
+
+def _q_contour(spark, sf_dir):
+    return contour.contour_segments(_base_grid8(spark, sf_dir), level=300.0)
+
+
+def _prox_grid(spark, sf_dir):
+    d = _tbl(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (F.col("doc_id") % 25).cast("long").alias("bx"),
+            (F.floor(F.col("doc_id") / 25) % 20).cast("long").alias("by"),
+            F.col("doc_id"),
+        )
+        .groupBy("bx", "by")
+        .agg((F.min("doc_id") % 5).cast("double").alias("value"))
+    )
+
+
+def _q_proximity(spark, sf_dir):
+    out = proximity.proximity(_prox_grid(spark, sf_dir), [0.0], maxdist=3.5)
+    return out.select("bx", "by", "dist")
+
+
+def _q_fillnodata(spark, sf_dir):
+    holes = _base_grid8(spark, sf_dir).filter(
+        (F.col("bx") * 31 + F.col("by")) % 7 != 0
+    )
+    out = proximity.fillnodata(holes, radius=2.5)
+    return out.select("bx", "by", F.round("value", 6).alias("value"),
+                      F.col("filled").cast("int").alias("filled"))
 
 
 def _q_filter_like(spark, sf_dir):
@@ -506,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_aspect": _q_dem_aspect,
         "dem_hillshade": _q_dem_hillshade,
         "interp_bilinear": _q_interp_bilinear,
+        "contour_segments": _q_contour,
+        "proximity_dist": _q_proximity,
+        "fillnodata_idw": _q_fillnodata,
         "overview_avg": _q_overview_avg,
         "rasterize_rects": _q_rasterize,
         "histogram": _q_histogram,
@@ -757,6 +791,129 @@ hit AS (
 )
 SELECT pt_id, px, py, round(sum(w*value), 6) AS value
 FROM hit GROUP BY 1, 2, 3 HAVING count(*) = 4
+"""
+
+
+def _o_contour() -> str:
+    # mirrors operators/contour.py: 2x2 square pivot -> 16-case marching
+    # squares -> linear edge interpolation -> normalized segments
+    L = "300.0"
+    return f"""
+WITH {_dd_base8_cte()},
+contrib AS (
+  SELECT b.bx - dx.i AS bx, b."by" - dy.i AS "by",
+         dx.i AS dx, dy.i AS dy, b.value AS v
+  FROM base b,
+       (SELECT unnest([0, 1]) AS i) dx, (SELECT unnest([0, 1]) AS i) dy
+),
+sq AS (
+  SELECT bx, "by",
+         max(CASE WHEN dx=0 AND dy=0 THEN v END) AS tl,
+         max(CASE WHEN dx=1 AND dy=0 THEN v END) AS tr,
+         max(CASE WHEN dx=0 AND dy=1 THEN v END) AS bl,
+         max(CASE WHEN dx=1 AND dy=1 THEN v END) AS br,
+         count(*) AS n
+  FROM contrib GROUP BY 1, 2
+),
+c AS (
+  SELECT CAST(bx AS DOUBLE) AS bxd, CAST("by" AS DOUBLE) AS byd,
+         tl, tr, bl, br,
+         (CASE WHEN tl >= {L} THEN 1 ELSE 0 END)
+       + (CASE WHEN tr >= {L} THEN 2 ELSE 0 END)
+       + (CASE WHEN br >= {L} THEN 4 ELSE 0 END)
+       + (CASE WHEN bl >= {L} THEN 8 ELSE 0 END) AS idx,
+         (tl + tr + bl + br) / 4.0 >= {L} AS cin
+  FROM sq WHERE n = 4
+),
+pts AS (
+  SELECT idx, cin,
+         bxd + ({L} - tl) / (tr - tl) AS tx, byd AS ty,
+         bxd + 1.0 AS rx, byd + ({L} - tr) / (br - tr) AS ry,
+         bxd + ({L} - bl) / (br - bl) AS bx2, byd + 1.0 AS by2,
+         bxd AS lx, byd + ({L} - tl) / (bl - tl) AS ly
+  FROM c WHERE idx NOT IN (0, 15)
+),
+arm1 AS (
+  SELECT
+    CASE WHEN idx IN (3,12,7,8) THEN lx WHEN idx IN (4,11) THEN rx ELSE tx END AS ax,
+    CASE WHEN idx IN (3,12,7,8) THEN ly WHEN idx IN (4,11) THEN ry ELSE ty END AS ay,
+    CASE WHEN idx IN (1,14) THEN lx WHEN idx IN (2,13,3,12) THEN rx
+         WHEN idx IN (4,11,6,9,7,8) THEN bx2
+         WHEN idx = 5 THEN (CASE WHEN cin THEN rx ELSE lx END)
+         ELSE (CASE WHEN cin THEN lx ELSE rx END) END AS bx_,
+    CASE WHEN idx IN (1,14) THEN ly WHEN idx IN (2,13,3,12) THEN ry
+         WHEN idx IN (4,11,6,9,7,8) THEN by2
+         WHEN idx = 5 THEN (CASE WHEN cin THEN ry ELSE ly END)
+         ELSE (CASE WHEN cin THEN ly ELSE ry END) END AS by_
+  FROM pts
+),
+arm2 AS (
+  SELECT
+    CASE WHEN idx = 5 THEN (CASE WHEN cin THEN bx2 ELSE rx END)
+         ELSE (CASE WHEN cin THEN rx ELSE bx2 END) END AS ax,
+    CASE WHEN idx = 5 THEN (CASE WHEN cin THEN by2 ELSE ry END)
+         ELSE (CASE WHEN cin THEN ry ELSE by2 END) END AS ay,
+    CASE WHEN idx = 5 THEN (CASE WHEN cin THEN lx ELSE bx2 END)
+         ELSE (CASE WHEN cin THEN bx2 ELSE lx END) END AS bx_,
+    CASE WHEN idx = 5 THEN (CASE WHEN cin THEN ly ELSE by2 END)
+         ELSE (CASE WHEN cin THEN by2 ELSE ly END) END AS by_
+  FROM pts WHERE idx IN (5, 10)
+),
+allseg AS (SELECT * FROM arm1 UNION ALL SELECT * FROM arm2),
+norm AS (
+  SELECT
+    CASE WHEN (ax > bx_) OR (ax = bx_ AND ay > by_) THEN bx_ ELSE ax END AS x0,
+    CASE WHEN (ax > bx_) OR (ax = bx_ AND ay > by_) THEN by_ ELSE ay END AS y0,
+    CASE WHEN (ax > bx_) OR (ax = bx_ AND ay > by_) THEN ax ELSE bx_ END AS x1,
+    CASE WHEN (ax > bx_) OR (ax = bx_ AND ay > by_) THEN ay ELSE by_ END AS y1
+  FROM allseg
+)
+SELECT x0, y0, x1, y1 FROM norm WHERE NOT (x0 = x1 AND y0 = y1)
+"""
+
+
+_DD_PROX_GRID = """grid AS (
+  SELECT CAST(doc_id % 25 AS BIGINT) AS bx,
+         CAST(floor(doc_id/25) AS BIGINT) % 20 AS "by",
+         CAST(min(doc_id) % 5 AS DOUBLE) AS value
+  FROM documents GROUP BY 1, 2
+)"""
+
+
+def _o_proximity() -> str:
+    return f"""
+WITH {_DD_PROX_GRID},
+t AS (SELECT bx, "by" FROM grid WHERE value = 0.0),
+expl AS (
+  SELECT t.bx + dx.i AS bx, t."by" + dy.i AS "by",
+         sqrt(CAST(dx.i*dx.i + dy.i*dy.i AS DOUBLE)) AS d
+  FROM t,
+       (SELECT unnest(generate_series(-3, 3)) AS i) dx,
+       (SELECT unnest(generate_series(-3, 3)) AS i) dy
+  WHERE dx.i*dx.i + dy.i*dy.i <= 12.25
+)
+SELECT bx, "by", min(d) AS dist FROM expl GROUP BY 1, 2
+"""
+
+
+def _o_fillnodata() -> str:
+    return f"""
+WITH {_dd_base8_cte()},
+holes AS (SELECT * FROM base WHERE (bx*31 + "by") % 7 <> 0),
+expl AS (
+  SELECT h.bx + dx.i AS bx, h."by" + dy.i AS "by", h.value AS v,
+         CAST(dx.i*dx.i + dy.i*dy.i AS DOUBLE) AS d2
+  FROM holes h,
+       (SELECT unnest(generate_series(-2, 2)) AS i) dx,
+       (SELECT unnest(generate_series(-2, 2)) AS i) dy
+  WHERE dx.i*dx.i + dy.i*dy.i <= 6.25 AND dx.i*dx.i + dy.i*dy.i > 0
+),
+idw AS (SELECT bx, "by", sum(v/d2)/sum(1.0/d2) AS fill FROM expl GROUP BY 1, 2)
+SELECT bx, "by", round(value, 6) AS value, 0 AS filled FROM holes
+UNION ALL
+SELECT i.bx, i."by", round(i.fill, 6) AS value, 1 AS filled
+FROM idw i LEFT JOIN holes h ON i.bx = h.bx AND i."by" = h."by"
+WHERE h.bx IS NULL
 """
 
 
@@ -1098,6 +1255,9 @@ def oracle_sql() -> dict[str, str]:
         "dem_slope": _o_dem_slope(),
         "dem_aspect": _o_dem_aspect(),
         "interp_bilinear": _o_interp_bilinear(),
+        "contour_segments": _o_contour(),
+        "proximity_dist": _o_proximity(),
+        "fillnodata_idw": _o_fillnodata(),
         "overview_avg": _o_overview_avg(),
         "rasterize_rects": _o_rasterize(),
         "histogram": _o_histogram(),

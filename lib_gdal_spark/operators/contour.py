@@ -1,0 +1,134 @@
+"""Contour generation: marching squares over the cell grid.
+
+Reference: GDALContourGenerate (/root/reference/alg/contour.cpp:332) with
+the square-walking templates in alg/marching_squares/*.h (square.h holds
+the 16-case table, segment_merger.h stitches segments into polylines).
+
+Distributed recast: every 2x2 square of adjacent cells is assembled by ONE
+explode(x4)+groupBy pivot shuffle (the same halo-exchange shape as
+dem.window3x3), then the 16-case lookup, edge interpolation and segment
+emission are pure Catalyst expressions — whole-stage codegen, no UDF, no
+per-tile seam merging AT ALL: each square is produced exactly once no
+matter how the grid is partitioned, so the segment set is globally
+consistent by construction. (The reference needs segment_merger.h because
+it emits per-strip; partition-independence makes that machinery vanish.)
+
+Geometry convention: corner (bx, by) is the grid point carrying `value`;
+by grows south. A square is keyed by its top-left corner:
+
+    TL=(bx,   by)    TR=(bx+1, by)
+    BL=(bx,   by+1)  BR=(bx+1, by+1)
+
+A corner is "inside" when value >= level; crossing points interpolate
+linearly along edges: t = (level - v0) / (v1 - v0) — IEEE-exact, so the
+duckdb oracle hashes identically. Saddles (cases 5/10) disambiguate on the
+square's center mean (the reference's asymptotic decider). Segment
+endpoints are normalized (lexicographic order) so output is orientation-
+and partition-independent.
+
+Ring/polyline assembly from segments is a driver-side or per-level local
+op over the (small) segment set — out of the distributed hot path, as in
+SURVEY §7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SLOTS = [("tl", 0, 0), ("tr", 1, 0), ("bl", 0, 1), ("br", 1, 1)]
+
+
+def _square_windows(cells: DataFrame, value_col: str = "value") -> DataFrame:
+    """(bx, by, tl, tr, bl, br) for every complete 2x2 square."""
+    offs = F.array(*[
+        F.struct(F.lit(lbl).alias("slot"), F.lit(dx).alias("dx"),
+                 F.lit(dy).alias("dy"))
+        for lbl, dx, dy in _SLOTS
+    ])
+    contrib = cells.select(
+        F.explode(offs).alias("_o"), F.col("bx").alias("_sx"),
+        F.col("by").alias("_sy"), F.col(value_col).alias("_v"),
+    ).select(
+        (F.col("_sx") - F.col("_o.dx")).alias("bx"),
+        (F.col("_sy") - F.col("_o.dy")).alias("by"),
+        F.col("_o.slot").alias("slot"), F.col("_v"),
+    )
+    g = contrib.groupBy("bx", "by").pivot(
+        "slot", [s for s, _, _ in _SLOTS]
+    ).agg(F.first("_v"))
+    return g.filter(
+        F.col("tl").isNotNull() & F.col("tr").isNotNull()
+        & F.col("bl").isNotNull() & F.col("br").isNotNull()
+    )
+
+
+# case index -> list of (edge_a, edge_b) segments; edges: T, R, B, L.
+# corner-inside bits: 1=TL, 2=TR, 4=BR, 8=BL. None marks the saddle cases
+# (5, 10), resolved at runtime on the center mean.
+_CASES = {
+    0: [], 15: [],
+    1: [("T", "L")], 14: [("T", "L")],
+    2: [("T", "R")], 13: [("T", "R")],
+    3: [("L", "R")], 12: [("L", "R")],
+    4: [("R", "B")], 11: [("R", "B")],
+    6: [("T", "B")], 9: [("T", "B")],
+    7: [("L", "B")], 8: [("L", "B")],
+    5: None, 10: None,
+}
+
+
+def contour_segments(cells: DataFrame, level: float,
+                     value_col: str = "value") -> DataFrame:
+    """Line segments of the iso-line at `level`: (x0, y0, x1, y1)."""
+    w = _square_windows(cells, value_col)
+    L = F.lit(float(level))
+    bx, by = F.col("bx").cast("double"), F.col("by").cast("double")
+    tl, tr, bl, br = F.col("tl"), F.col("tr"), F.col("bl"), F.col("br")
+
+    # crossing point per edge (x, y)
+    edge_pts = {
+        "T": (bx + (L - tl) / (tr - tl), by),
+        "R": (bx + 1.0, by + (L - tr) / (br - tr)),
+        "B": (bx + (L - bl) / (br - bl), by + 1.0),
+        "L": (bx, by + (L - tl) / (bl - tl)),
+    }
+
+    def seg(ea, eb):
+        xa, ya = edge_pts[ea]
+        xb, yb = edge_pts[eb]
+        # normalize endpoint order -> orientation-independent output
+        swap = (xa > xb) | ((xa == xb) & (ya > yb))
+        return F.struct(
+            F.when(swap, xb).otherwise(xa).alias("x0"),
+            F.when(swap, yb).otherwise(ya).alias("y0"),
+            F.when(swap, xa).otherwise(xb).alias("x1"),
+            F.when(swap, ya).otherwise(yb).alias("y1"),
+        )
+
+    idx = (
+        (tl >= L).cast("int") + (tr >= L).cast("int") * 2
+        + (br >= L).cast("int") * 4 + (bl >= L).cast("int") * 8
+    )
+    center_in = (tl + tr + bl + br) / 4.0 >= L
+
+    null_seg = F.lit(None).cast(
+        "struct<x0:double,y0:double,x1:double,y1:double>"
+    )
+    s1, s2 = null_seg, null_seg
+    for case, segs in _CASES.items():
+        if segs is None:
+            continue
+        if len(segs) >= 1:
+            s1 = F.when(idx == case, seg(*segs[0])).otherwise(s1)
+    # saddles: center decides which corner pair connects
+    # (marching_squares square.h asymptotic decider semantics)
+    s1 = F.when(idx == 5, F.when(center_in, seg("T", "R")).otherwise(seg("T", "L"))).otherwise(s1)
+    s2 = F.when(idx == 5, F.when(center_in, seg("B", "L")).otherwise(seg("R", "B"))).otherwise(s2)
+    s1 = F.when(idx == 10, F.when(center_in, seg("T", "L")).otherwise(seg("T", "R"))).otherwise(s1)
+    s2 = F.when(idx == 10, F.when(center_in, seg("R", "B")).otherwise(seg("B", "L"))).otherwise(s2)
+
+    segs = w.select(F.explode(F.array_compact(F.array(s1, s2))).alias("s"))
+    return segs.select("s.x0", "s.y0", "s.x1", "s.y1").filter(
+        # degenerate zero-length segments (level exactly on a corner) drop
+        ~((F.col("x0") == F.col("x1")) & (F.col("y0") == F.col("y1")))
+    )

@@ -1,0 +1,132 @@
+"""Golden-value unit tests for the stencil operators (dem / interp /
+contour / proximity) — hand-computed expectations in the reference's
+autotest style (SURVEY §5)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators import contour, dem, interp, proximity
+
+
+def _grid(spark, rows):
+    return spark.createDataFrame(rows, schema="bx long, by long, value double")
+
+
+# a 3x3 tilted plane z = 2*x + 3*y  ->  dzdx = 2, dzdy = 3 exactly
+PLANE = [(x, y, float(2 * x + 3 * y)) for x in range(3) for y in range(3)]
+
+
+class TestDem:
+    def test_slope_plane(self, spark):
+        out = dem.slope(_grid(spark, PLANE), percent=True).collect()
+        assert len(out) == 1  # only (1,1) has a complete window
+        r = out[0]
+        assert (r.bx, r.by) == (1, 1)
+        assert r.dzdx == pytest.approx(2.0, abs=0)
+        assert r.dzdy == pytest.approx(3.0, abs=0)
+        assert r.slope_pct == pytest.approx(100 * math.sqrt(13), rel=1e-12)
+
+    def test_aspect_sector_plane(self, spark):
+        # dzdx=2, dzdy=3 -> downhill is -x,-y; |dzdy| < 2|dzdx| and
+        # |dzdx| < 2|dzdy| -> diagonal; east=False, south=False -> NW (7)
+        out = dem.aspect(_grid(spark, PLANE), sector=True).collect()
+        assert out[0].aspect_sector == 7
+
+    def test_hillshade_flat_is_uniform(self, spark):
+        flat = [(x, y, 5.0) for x in range(3) for y in range(3)]
+        out = dem.hillshade(_grid(spark, flat)).collect()
+        # flat terrain: shade = 255*cos(zenith) = 255*cos(45 deg)
+        assert out[0].hillshade == pytest.approx(
+            round(255 * math.cos(math.radians(45)), 4), abs=1e-4)
+
+    def test_window_requires_completeness(self, spark):
+        out = dem.slope(_grid(spark, PLANE[:-1]), percent=True).collect()
+        assert out == []  # removing one corner breaks the only window
+
+
+class TestInterp:
+    def test_bilinear_exact_on_plane(self, spark):
+        # values at centers (x+0.5, y+0.5): plane v = x + 10*y in grid
+        # coords -> bilinear reproduces the plane exactly
+        cells = _grid(spark, [(x, y, float((x + 0.5) + 10 * (y + 0.5)))
+                              for x in range(2) for y in range(2)])
+        pts = spark.createDataFrame([(1, 1.0, 1.0), (2, 0.75, 1.25)],
+                                    schema="pt_id long, px double, py double")
+        got = {r.pt_id: r.value for r in interp.interpolate_at_points(
+            pts, cells).collect()}
+        assert got[1] == pytest.approx(1.0 + 10 * 1.0, rel=1e-12)
+        assert got[2] == pytest.approx(0.75 + 10 * 1.25, rel=1e-12)
+
+    def test_bilinear_incomplete_window_drops(self, spark):
+        cells = _grid(spark, [(0, 0, 1.0), (1, 0, 2.0), (0, 1, 3.0)])
+        pts = spark.createDataFrame([(1, 1.0, 1.0)],
+                                    schema="pt_id long, px double, py double")
+        assert interp.interpolate_at_points(pts, cells).collect() == []
+
+    def test_nearest(self, spark):
+        cells = _grid(spark, [(0, 0, 7.0), (1, 0, 9.0)])
+        pts = spark.createDataFrame([(1, 0.2, 0.9), (2, 1.9, 0.1)],
+                                    schema="pt_id long, px double, py double")
+        got = {r.pt_id: r.value for r in interp.interpolate_at_points(
+            pts, cells, method="nearest").collect()}
+        assert got == {1: 7.0, 2: 9.0}
+
+
+class TestContour:
+    def test_vertical_isoline(self, spark):
+        # one square: left corners 0, right corners 1; level 0.5 ->
+        # vertical segment x=0.5 spanning the square
+        cells = _grid(spark, [(0, 0, 0.0), (1, 0, 1.0), (0, 1, 0.0), (1, 1, 1.0)])
+        segs = contour.contour_segments(cells, level=0.5).collect()
+        assert len(segs) == 1
+        s = segs[0]
+        assert (s.x0, s.y0, s.x1, s.y1) == (0.5, 0.0, 0.5, 1.0)
+
+    def test_saddle_emits_two_segments(self, spark):
+        # opposite corners high: case 5 (TL, BR inside)
+        cells = _grid(spark, [(0, 0, 1.0), (1, 0, 0.0), (0, 1, 0.0), (1, 1, 1.0)])
+        segs = contour.contour_segments(cells, level=0.5).collect()
+        assert len(segs) == 2
+
+    def test_no_crossing_no_segments(self, spark):
+        cells = _grid(spark, [(0, 0, 1.0), (1, 0, 1.0), (0, 1, 1.0), (1, 1, 1.0)])
+        assert contour.contour_segments(cells, level=0.5).collect() == []
+
+    def test_partition_independence(self, spark):
+        # same grid, different partitioning -> identical segment multiset
+        rows = [(x, y, float((x * 7 + y * 13) % 5)) for x in range(8) for y in range(8)]
+        a = contour.contour_segments(
+            _grid(spark, rows).repartition(1), level=2.0)
+        b = contour.contour_segments(
+            _grid(spark, rows).repartition(16), level=2.0)
+        ka = sorted(map(tuple, a.collect()))
+        kb = sorted(map(tuple, b.collect()))
+        assert ka == kb and len(ka) > 0
+
+
+class TestProximity:
+    def test_single_target_disk(self, spark):
+        cells = _grid(spark, [(0, 0, 0.0), (5, 5, 1.0)])
+        out = {(r.bx, r.by): r.dist
+               for r in proximity.proximity(cells, [0.0], maxdist=1.5).collect()}
+        assert out[(0, 0)] == 0.0
+        assert out[(1, 0)] == 1.0
+        assert out[(1, 1)] == pytest.approx(math.sqrt(2), rel=1e-12)
+        assert len(out) == 9  # 3x3 disk at maxdist 1.5
+        assert (5, 5) not in out
+
+    def test_min_over_targets(self, spark):
+        cells = _grid(spark, [(0, 0, 0.0), (2, 0, 0.0)])
+        out = {(r.bx, r.by): r.dist
+               for r in proximity.proximity(cells, [0.0], maxdist=2.0).collect()}
+        assert out[(1, 0)] == 1.0  # equidistant -> min is still 1
+
+    def test_fillnodata_mean_of_equidistant(self, spark):
+        # hole at (1,0) between values 2 and 4 at distance 1 -> IDW = 3
+        cells = _grid(spark, [(0, 0, 2.0), (2, 0, 4.0)])
+        out = {(r.bx, r.by): (r.value, r.filled)
+               for r in proximity.fillnodata(cells, radius=1.5).collect()}
+        assert out[(1, 0)] == (pytest.approx(3.0, rel=1e-12), 1)
+        assert out[(0, 0)] == (2.0, 0)
