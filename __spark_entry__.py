@@ -72,18 +72,28 @@ def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("lon", (F.col("doc_id") * 7919 % 360000) / 1000.0 - 180.0)
 
 
+# Mercator constants injected via repr() so duckdb parses the EXACT doubles
+# the engine computes (2*pi*6378137/256 = 156543.03392804097 — the rounded
+# literal 156543.03392804062 floating around in gdal2tiles docs is a
+# DIFFERENT double and flips tiles for points exactly on tile edges).
+_OS = repr(mercator.ORIGIN_SHIFT)          # 20037508.342789244
+_IR = repr(mercator.INITIAL_RESOLUTION)    # 156543.03392804097
+_PI360 = repr(__import__("math").pi / 360.0)
+_PI180 = repr(__import__("math").pi / 180.0)
+
+
 def _dd_tile_x(lon: str, z: int) -> str:
     return (
-        f"CAST(greatest(0, least(ceil((({lon}) * (20037508.342789244/180.0) + 20037508.342789244)"
-        f" / (156543.03392804062/pow(2.0,{z})) / 256.0) - 1, pow(2.0,{z}) - 1)) AS BIGINT)"
+        f"CAST(greatest(0, least(ceil((({lon}) * ({_OS}/180.0) + {_OS})"
+        f" / ({_IR}/pow(2.0,{z})) / 256.0) - 1, pow(2.0,{z}) - 1)) AS BIGINT)"
     )
 
 
 def _dd_tile_y(lat: str, z: int) -> str:
     tms = (
-        f"greatest(0, least(ceil(((ln(tan((90.0+({lat}))*pi()/360.0))/(pi()/180.0)"
-        f"*(20037508.342789244/180.0)) + 20037508.342789244)"
-        f" / (156543.03392804062/pow(2.0,{z})) / 256.0) - 1, pow(2.0,{z}) - 1))"
+        f"greatest(0, least(ceil(((ln(tan((90.0+({lat}))*{_PI360}))/({_PI180})"
+        f"*({_OS}/180.0)) + {_OS})"
+        f" / ({_IR}/pow(2.0,{z})) / 256.0) - 1, pow(2.0,{z}) - 1))"
     )
     return f"CAST(pow(2.0,{z}) - 1 - {tms} AS BIGINT)"
 
@@ -243,6 +253,60 @@ def _q_interp_bilinear(spark, sf_dir):
     out = interp.interpolate_at_points(pts, cells, method="bilinear")
     # round: the 4-term weighted sum's fold order is engine-dependent
     return out.select("pt_id", "px", "py", F.round("value", 6).alias("value"))
+
+
+def _sjoin_pts(spark, sf_dir):
+    return _pages(spark, sf_dir).select("doc_id", "lon", "lat")
+
+
+def _q_sjoin_left(spark, sf_dir):
+    # OGR left-join shape (ogr_gensql.cpp:1507-1537): unmatched keep NULL
+    j = sjoin.spatial_join(_sjoin_pts(spark, sf_dir), _rect_polyset(),
+                           zoom=6, how="left")
+    return j.select("doc_id", "poly_id")
+
+
+def _q_sjoin_clip(spark, sf_dir):
+    # Clip (ogrlayer.cpp:7356): keep inputs inside the method layer —
+    # for point inputs, the semi-join face of the spatial join
+    j = sjoin.spatial_join(_sjoin_pts(spark, sf_dir), _rect_polyset(),
+                           zoom=6, how="semi")
+    return j.select("doc_id")
+
+
+def _q_sjoin_erase(spark, sf_dir):
+    # Erase (ogrlayer.cpp:7665): keep inputs NOT covered by the method
+    # layer — the anti-join face
+    j = sjoin.spatial_join(_sjoin_pts(spark, sf_dir), _rect_polyset(),
+                           zoom=6, how="anti")
+    return j.select("doc_id")
+
+
+def _q_warp_avg(spark, sf_dir):
+    # gdalwarp -r average, 4326 -> 3857/z4: source = 5-degree lon/lat grid
+    # of page counts; target cell = Mercator tile of the source-cell
+    # center; kernel = mean of contributing source cells (closed-form
+    # reprojection + groupBy agg — SURVEY §2.10 warp row)
+    src = (
+        _pages(spark, sf_dir)
+        .groupBy(
+            F.floor(F.col("lon") / 5.0).cast("long").alias("gx"),
+            F.floor(F.col("lat") / 5.0).cast("long").alias("gy"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .withColumn("cx", (F.col("gx") + 0.5) * 5.0)
+        .withColumn("cy", (F.col("gy") + 0.5) * 5.0)
+    )
+    out = (
+        src.select(
+            mercator.tile_x_col(F.col("cx"), 4).alias("x"),
+            mercator.tile_y_col(F.col("cy"), 4).alias("y"),
+            "v",
+        )
+        .groupBy("x", "y")
+        .agg(F.avg("v").alias("value"))
+    )
+    return out
 
 
 def _q_contour(spark, sf_dir):
@@ -538,6 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_hillshade": _q_dem_hillshade,
         "interp_bilinear": _q_interp_bilinear,
         "contour_segments": _q_contour,
+        "sjoin_left": _q_sjoin_left,
+        "sjoin_clip": _q_sjoin_clip,
+        "sjoin_erase": _q_sjoin_erase,
+        "warp_avg": _q_warp_avg,
         "proximity_dist": _q_proximity,
         "fillnodata_idw": _q_fillnodata,
         "overview_avg": _q_overview_avg,
@@ -791,6 +859,54 @@ hit AS (
 )
 SELECT pt_id, px, py, round(sum(w*value), 6) AS value
 FROM hit GROUP BY 1, 2, 3 HAVING count(*) = 4
+"""
+
+
+def _dd_rect_arms() -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, CAST({pid} AS BIGINT) AS poly_id FROM pages "
+        f"WHERE lon >= {x0} AND lon < {x1} AND lat >= {y0} AND lat < {y1}"
+        for pid, x0, y0, x1, y1 in _RECTS
+    )
+
+
+def _o_sjoin_left() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+m AS ({_dd_rect_arms()})
+SELECT p.doc_id, m.poly_id FROM pages p LEFT JOIN m ON p.doc_id = m.doc_id
+"""
+
+
+def _o_sjoin_clip() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+m AS ({_dd_rect_arms()})
+SELECT DISTINCT doc_id FROM m
+"""
+
+
+def _o_sjoin_erase() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+m AS ({_dd_rect_arms()})
+SELECT doc_id FROM pages WHERE doc_id NOT IN (SELECT doc_id FROM m)
+"""
+
+
+def _o_warp_avg() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+src AS (
+  SELECT CAST(floor(lon/5.0) AS BIGINT) AS gx,
+         CAST(floor(lat/5.0) AS BIGINT) AS gy,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM pages GROUP BY 1, 2
+),
+ctr AS (SELECT (gx + 0.5) * 5.0 AS cx, (gy + 0.5) * 5.0 AS cy, v FROM src)
+SELECT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y,
+       avg(v) AS value
+FROM ctr GROUP BY 1, 2
 """
 
 
@@ -1256,6 +1372,10 @@ def oracle_sql() -> dict[str, str]:
         "dem_aspect": _o_dem_aspect(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),
+        "sjoin_left": _o_sjoin_left(),
+        "sjoin_clip": _o_sjoin_clip(),
+        "sjoin_erase": _o_sjoin_erase(),
+        "warp_avg": _o_warp_avg(),
         "proximity_dist": _o_proximity(),
         "fillnodata_idw": _o_fillnodata(),
         "overview_avg": _o_overview_avg(),

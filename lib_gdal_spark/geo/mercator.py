@@ -52,12 +52,18 @@ def resolution(zoom: int) -> float:
 # ---------------------------------------------------------------- NumPy side
 
 def lonlat_to_meters_np(lon: np.ndarray, lat: np.ndarray):
-    """EPSG:4326 -> EPSG:3857 (gdal2tiles.py:422-429)."""
-    mx = np.asarray(lon, dtype=np.float64) * ORIGIN_SHIFT / 180.0
-    my = np.log(np.tan((90.0 + np.asarray(lat, dtype=np.float64)) * math.pi / 360.0)) / (
+    """EPSG:4326 -> EPSG:3857 (gdal2tiles.py:422-429).
+
+    Operation ORDER matters at the last ulp: this kernel, the Catalyst
+    column form (meters_x_col) and the duckdb oracle all multiply by the
+    precomputed quotients (ORIGIN_SHIFT/180, pi/360) so a coordinate
+    sitting exactly on a tile edge lands in the same tile everywhere —
+    multiply-then-divide disagreed one tile at exact boundaries."""
+    mx = np.asarray(lon, dtype=np.float64) * (ORIGIN_SHIFT / 180.0)
+    my = np.log(np.tan((90.0 + np.asarray(lat, dtype=np.float64)) * (math.pi / 360.0))) / (
         math.pi / 180.0
     )
-    my = my * ORIGIN_SHIFT / 180.0
+    my = my * (ORIGIN_SHIFT / 180.0)
     return mx, my
 
 
