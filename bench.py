@@ -37,6 +37,10 @@ HEADLINE = [
     "cosine_topk",
     "events_sessionize",
     "zonal_stats",
+    "dem_slope",
+    "contour_segments",
+    "warp_avg",
+    "interp_bilinear",
 ]
 
 
