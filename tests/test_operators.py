@@ -332,3 +332,64 @@ class TestStreaming:
         out = ev.sessionize_batch(df).toPandas()
         assert len(out) == 3
         assert out[out.user_id == 1].n_events.sort_values().tolist() == [1, 2]
+
+
+class TestStatefulStreaming:
+    def test_dedup_stream_equals_batch_twin(self, spark, tmp_path):
+        from lib_gdal_spark.streaming import stateful
+
+        # 1000 docs, texts collide 1000 -> 300 distinct
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), (F.col("id") % 300).cast("string")).alias("text"),
+        )
+        src = tmp_path / "docs_src"
+        src.mkdir()
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+        import shutil, glob, os
+        for f in glob.glob(str(src / "b0" / "*.parquet")):
+            shutil.move(f, str(src / os.path.basename(f)))
+        shutil.rmtree(str(src / "b0"))
+
+        q = stateful.dedup_stream(spark, str(src), query_name="t_dedup")
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM t_dedup").toPandas()
+        finally:
+            q.stop()
+        twin = stateful.dedup_batch_twin(
+            spark.read.schema(stateful.DOCS_SCHEMA).parquet(str(src))
+        ).toPandas()
+        g = got.sort_values("h").reset_index(drop=True).astype("int64")
+        t = twin.sort_values("h").reset_index(drop=True).astype("int64")
+        assert len(g) == 300
+        pd.testing.assert_frame_equal(g, t, check_like=True)
+
+    def test_state_survives_across_batches(self, spark, tmp_path):
+        from lib_gdal_spark.streaming import stateful
+
+        src = tmp_path / "docs_inc"
+        src.mkdir()
+
+        def write_batch(name, rows):
+            pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+            sdf = spark.createDataFrame(pdf, schema=stateful.DOCS_SCHEMA)
+            tmp = tmp_path / f"_stage_{name}"
+            sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+            import glob, shutil
+            f = glob.glob(str(tmp / "*.parquet"))[0]
+            shutil.move(f, str(src / f"{name}.parquet"))
+            shutil.rmtree(str(tmp))
+
+        write_batch("b0", [(1, "aa"), (2, "bb"), (3, "aa")])
+        q = stateful.dedup_stream(spark, str(src), query_name="t_dedup2")
+        try:
+            q.processAllAvailable()
+            # second file arrives later: dupes of batch-0 content must NOT
+            # re-emit (state store remembers across micro-batches)
+            write_batch("b1", [(4, "aa"), (5, "cc"), (6, "bb")])
+            q.processAllAvailable()
+            got = spark.sql("SELECT doc_id FROM t_dedup2 ORDER BY doc_id").toPandas()
+        finally:
+            q.stop()
+        assert got["doc_id"].tolist() == [1, 2, 5]
