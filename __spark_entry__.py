@@ -313,6 +313,17 @@ def _q_contour(spark, sf_dir):
     return contour.contour_segments(_base_grid8(spark, sf_dir), level=300.0)
 
 
+def _q_sieve(spark, sf_dir):
+    # classed raster (3 value classes) -> distributed CC -> sieve: regions
+    # under 3 cells merge into their largest neighbor. Connected
+    # components aren't ANSI-SQL-expressible -> rows-only driver check
+    # (like polygonize_regions); invariants are unit-tested instead.
+    cells = _base_grid8(spark, sf_dir).select(
+        "bx", "by", F.floor(F.col("value") / 200.0).cast("double").alias("value")
+    )
+    return polygonize.sieve(cells, threshold=3)
+
+
 def _prox_grid(spark, sf_dir):
     d = _tbl(spark, sf_dir, "documents")
     return (
@@ -603,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_bilinear": _q_interp_bilinear,
         "contour_segments": _q_contour,
         "sjoin_left": _q_sjoin_left,
+        "sieve_filter": _q_sieve,
         "sjoin_clip": _q_sjoin_clip,
         "sjoin_erase": _q_sjoin_erase,
         "warp_avg": _q_warp_avg,

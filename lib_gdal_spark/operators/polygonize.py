@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _label_block(pdf: pd.DataFrame, connect8: bool = False) -> pd.DataFrame:
@@ -123,3 +123,68 @@ def polygonize(cells: DataFrame, block_bits: int = 5,
     else:
         out = labeled.withColumn("region_id", F.col("label"))
     return out.select("bx", "by", "value", "region_id")
+
+
+def sieve(cells: DataFrame, threshold: int, connect8: bool = False,
+          block_bits: int = 5) -> DataFrame:
+    """Remove raster polygons smaller than `threshold` cells by merging
+    them into their largest neighbor — GDALSieveFilter semantics
+    (/root/reference/alg/gdalsievefilter.cpp:559 entry; "merge with the
+    largest neighbour polygon", per its doc comment).
+
+    Pipeline: polygonize (distributed CC) -> region sizes (groupBy) ->
+    boundary adjacency (the same shifted-key self-join the CC stitcher
+    uses) -> per small region pick the adjacent region with the largest
+    size (tie: smallest region_id — deterministic under any partitioning)
+    -> relabel value+region. One extra shuffle round over the labeled
+    cells; small regions with no neighbor (isolated islands) keep their
+    value, as the reference does when no merge target exists.
+
+    Note: single pass — a merged region could itself still be under
+    threshold after absorbing; the reference iterates until stable, and
+    so can callers (re-run sieve), but one pass is the common case.
+    """
+    labeled = polygonize(cells, block_bits=block_bits, connect8=connect8)
+    labeled = labeled.persist()
+    sizes = labeled.groupBy("region_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    a = labeled.select("bx", "by", F.col("region_id").alias("ra")).alias("a")
+    b = labeled.select("bx", "by", F.col("region_id").alias("rb")).alias("b")
+    neigh = [(1, 0), (0, 1)] + ([(1, 1), (1, -1)] if connect8 else [])
+    pairs = None
+    for dx, dy in neigh:
+        p = a.join(
+            b,
+            (F.col("a.bx") + dx == F.col("b.bx"))
+            & (F.col("a.by") + dy == F.col("b.by"))
+            & (F.col("a.ra") != F.col("b.rb")),
+        ).select("ra", "rb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    adj = pairs.unionByName(pairs.select(F.col("rb").alias("ra"),
+                                         F.col("ra").alias("rb"))).distinct()
+
+    small = sizes.filter(F.col("_n") < threshold).select("region_id")
+    cand = (
+        small.join(adj, small.region_id == adj.ra)
+        .join(sizes.select(F.col("region_id").alias("rb"),
+                           F.col("_n").alias("nb")), on="rb")
+        .select(F.col("ra").alias("region_id"), "rb", "nb")
+    )
+    w = Window.partitionBy("region_id").orderBy(F.col("nb").desc(),
+                                                F.col("rb").asc())
+    target = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select("region_id", F.col("rb").alias("_into"))
+    )
+    vals = labeled.groupBy("region_id").agg(F.first("value").alias("_tv"))
+    out = (
+        labeled.join(F.broadcast(target), on="region_id", how="left")
+        .withColumn("_final", F.coalesce("_into", "region_id"))
+        .drop("region_id", "value")
+        .join(F.broadcast(vals.withColumnRenamed("region_id", "_final")),
+              on="_final")
+        .select("bx", "by", F.col("_tv").alias("value"),
+                F.col("_final").alias("region_id"))
+    )
+    return out

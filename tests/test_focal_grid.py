@@ -101,3 +101,35 @@ class TestGrid:
         cx, cy = r.bx + 0.5, r.by + 0.5
         d = np.hypot(pdf.x - cx, pdf.y - cy)
         assert r.value == pytest.approx(pdf.z[d.idxmin()])
+
+
+class TestSieve:
+    def test_small_region_merges_into_largest_neighbor(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+
+        # strip: [1,1] [2] [1,1,1] -> the size-1 region of value 2 merges
+        # into the size-3 neighbor (largest), taking value 1
+        rows = [(0, 0, 1.0), (1, 0, 1.0), (2, 0, 2.0),
+                (3, 0, 1.0), (4, 0, 1.0), (5, 0, 1.0)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = pz.sieve(cells, threshold=2).orderBy("bx").collect()
+        assert [r.value for r in out] == [1.0] * 6
+        # the merged cell joins the right-hand region's id
+        assert out[2].region_id == out[3].region_id
+
+    def test_large_regions_untouched(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+
+        rows = [(x, y, float(1 if x < 2 else 2))
+                for x in range(4) for y in range(2)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = pz.sieve(cells, threshold=2).collect()
+        vals = {(r.bx, r.by): r.value for r in out}
+        assert vals[(0, 0)] == 1.0 and vals[(3, 1)] == 2.0
+
+    def test_isolated_small_region_keeps_value(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+
+        cells = spark.createDataFrame([(0, 0, 9.0)], "bx long, by long, value double")
+        out = pz.sieve(cells, threshold=5).collect()
+        assert out[0].value == 9.0
