@@ -53,9 +53,11 @@ def _square_windows(cells: DataFrame, value_col: str = "value") -> DataFrame:
         (F.col("_sy") - F.col("_o.dy")).alias("by"),
         F.col("_o.slot").alias("slot"), F.col("_v"),
     )
-    g = contrib.groupBy("bx", "by").pivot(
-        "slot", [s for s, _, _ in _SLOTS]
-    ).agg(F.first("_v"))
+    # single-shuffle conditional agg (see dem.window3x3 for why not pivot)
+    g = contrib.groupBy("bx", "by").agg(*[
+        F.max(F.when(F.col("slot") == lbl, F.col("_v"))).alias(lbl)
+        for lbl, _, _ in _SLOTS
+    ])
     return g.filter(
         F.col("tl").isNotNull() & F.col("tr").isNotNull()
         & F.col("bl").isNotNull() & F.col("br").isNotNull()

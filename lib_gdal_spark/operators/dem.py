@@ -68,9 +68,14 @@ def window3x3(cells: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("_o.slot").alias("slot"),
         F.col("_v"),
     )
-    g = contrib.groupBy("bx", "by").pivot(
-        "slot", [lbl for lbl, _, _ in _OFFSETS]
-    ).agg(F.first("_v"))
+    # conditional aggregation, NOT groupBy().pivot(): pivot plans as TWO
+    # aggregations (groupBy+slot pre-agg, then pivotfirst) = two shuffles
+    # of the exploded volume; max(when(slot=..)) folds in ONE map-side-
+    # combined shuffle (each slot holds at most one value per window)
+    g = contrib.groupBy("bx", "by").agg(*[
+        F.max(F.when(F.col("slot") == lbl, F.col("_v"))).alias(lbl)
+        for lbl, _, _ in _OFFSETS
+    ])
     cond = None
     for lbl, _, _ in _OFFSETS:
         c = F.col(lbl).isNotNull()

@@ -103,3 +103,32 @@ class TestPyramidPlan:
         # every groupBy shows partial-then-final HashAggregate pairs
         assert plan.count("HashAggregate") >= 4
         assert "partial_" in plan
+
+
+class TestStencilPlans:
+    def test_window3x3_is_single_shuffle(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.operators import dem
+
+        g = spark.range(400).select(
+            (F.col("id") % 20).alias("bx"),
+            (F.col("id") / 20).cast("long").alias("by"),
+            (F.col("id") * 7 % 31).cast("double").alias("value"),
+        )
+        plan = dem.slope(g)._jdf.queryExecution().executedPlan().toString()
+        # conditional agg keeps the halo exchange to ONE Exchange;
+        # groupBy().pivot() would plan two
+        assert plan.count("Exchange") == 1, plan
+
+    def test_contour_is_single_shuffle(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.operators import contour
+
+        g = spark.range(400).select(
+            (F.col("id") % 20).alias("bx"),
+            (F.col("id") / 20).cast("long").alias("by"),
+            (F.col("id") * 7 % 31).cast("double").alias("value"),
+        )
+        plan = contour.contour_segments(g, 5.0)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
