@@ -310,7 +310,13 @@ def _q_warp_avg(spark, sf_dir):
 
 
 def _q_contour(spark, sf_dir):
-    return contour.contour_segments(_base_grid8(spark, sf_dir), level=300.0)
+    # level = grid mean: scale-independent (a fixed level sits below every
+    # cell at bigger sf) and cross-engine exact — cell values are
+    # integer-valued doubles, so the sum is exact under ANY fold order and
+    # the mean is one IEEE division in both engines
+    g = _base_grid8(spark, sf_dir)
+    lvl = g.agg(F.avg("value")).collect()[0][0]
+    return contour.contour_segments(g, level=float(lvl))
 
 
 def _q_sieve(spark, sf_dir):
@@ -924,8 +930,9 @@ FROM ctr GROUP BY 1, 2
 
 def _o_contour() -> str:
     # mirrors operators/contour.py: 2x2 square pivot -> 16-case marching
-    # squares -> linear edge interpolation -> normalized segments
-    L = "300.0"
+    # squares -> linear edge interpolation -> normalized segments; the
+    # level is the grid mean (scalar subquery — exact, see _q_contour)
+    L = "(SELECT avg(value) FROM base)"
     return f"""
 WITH {_dd_base8_cte()},
 contrib AS (
