@@ -309,6 +309,22 @@ def _q_warp_avg(spark, sf_dir):
     return out
 
 
+def _q_raster_calc(spark, sf_dir):
+    # two aligned bands from documents: A = char sum, B = doc count; out =
+    # reclassified mean chars-per-doc (pixel-function map algebra, §2.8)
+    d = _tbl(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 25).cast("long").alias("bx"),
+        (F.floor(F.col("doc_id") / 25) % 20).cast("long").alias("by"),
+        "n_chars",
+    )
+    a = d.groupBy("bx", "by").agg(F.sum("n_chars").cast("double").alias("value"))
+    b = d.groupBy("bx", "by").agg(F.count(F.lit(1)).cast("double").alias("value"))
+    mean_chars = raster.calc({"A": a, "B": b}, F.col("A") / F.col("B"))
+    return raster.reclassify(mean_chars, breaks=[200.0, 300.0, 400.0],
+                             classes=[0, 1, 2, 3]).withColumn(
+        "value", F.col("value").cast("int"))
+
+
 def _q_contour(spark, sf_dir):
     # level = grid mean: scale-independent (a fixed level sits below every
     # cell at bigger sf) and cross-engine exact — cell values are
@@ -621,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_segments": _q_contour,
         "sjoin_left": _q_sjoin_left,
         "sieve_filter": _q_sieve,
+        "raster_calc": _q_raster_calc,
         "sjoin_clip": _q_sjoin_clip,
         "sjoin_erase": _q_sjoin_erase,
         "warp_avg": _q_warp_avg,
@@ -925,6 +942,24 @@ ctr AS (SELECT (gx + 0.5) * 5.0 AS cx, (gy + 0.5) * 5.0 AS cy, v FROM src)
 SELECT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y,
        avg(v) AS value
 FROM ctr GROUP BY 1, 2
+"""
+
+
+def _o_raster_calc() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id % 25 AS BIGINT) AS bx,
+         CAST(floor(doc_id/25) AS BIGINT) % 20 AS "by", n_chars
+  FROM documents
+),
+a AS (SELECT bx, "by", CAST(sum(n_chars) AS DOUBLE) AS av FROM d GROUP BY 1, 2),
+b AS (SELECT bx, "by", CAST(count(*) AS DOUBLE) AS bv FROM d GROUP BY 1, 2),
+m AS (SELECT a.bx, a."by", a.av / b.bv AS v
+      FROM a JOIN b ON a.bx = b.bx AND a."by" = b."by")
+SELECT bx, "by",
+       CAST(CASE WHEN v < 200.0 THEN 0 WHEN v < 300.0 THEN 1
+                 WHEN v < 400.0 THEN 2 ELSE 3 END AS INTEGER) AS value
+FROM m
 """
 
 
@@ -1391,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_aspect": _o_dem_aspect(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),
+        "raster_calc": _o_raster_calc(),
         "sjoin_left": _o_sjoin_left(),
         "sjoin_clip": _o_sjoin_clip(),
         "sjoin_erase": _o_sjoin_erase(),

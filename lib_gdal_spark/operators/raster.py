@@ -187,3 +187,33 @@ def histogram(cells: DataFrame, value_col: str = "value",
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+def calc(grids: dict, expr, out_col: str = "value", how: str = "inner") -> DataFrame:
+    """Map algebra over aligned cell grids — gdal_calc.py / VRT pixel
+    functions (frmts/vrt/pixelfunctions.cpp: sum/diff/mul/div/sqrt/...,
+    muParser `expression`; osgeo_utils/gdal_calc.py numpy-eval semantics).
+
+    grids: {band_name: DataFrame(bx, by, value)}; expr: a Column over
+    columns named like the band names. The reference evaluates the numpy
+    expression block-by-block single-node; here bands equi-join on
+    (bx, by) — co-partitioned by the same key, one shuffle per band —
+    and the expression is whole-stage-codegen Catalyst."""
+    out = None
+    for name, df in grids.items():
+        d = df.select("bx", "by", F.col("value").alias(name))
+        out = d if out is None else out.join(d, on=["bx", "by"], how=how)
+    return out.select("bx", "by", expr.alias(out_col))
+
+
+def reclassify(cells: DataFrame, breaks: list, classes: list,
+               value_col: str = "value") -> DataFrame:
+    """gdal raster reclassify (gdalalg_raster_pipeline.cpp:204): map value
+    ranges to class values. breaks: ascending upper bounds (exclusive);
+    classes: len(breaks)+1 outputs; v < breaks[0] -> classes[0], ...,
+    v >= breaks[-1] -> classes[-1]."""
+    v = F.col(value_col)
+    e = F.lit(classes[-1])
+    for b, c in zip(reversed(breaks), reversed(classes[:-1])):
+        e = F.when(v < F.lit(float(b)), F.lit(c)).otherwise(e)
+    return cells.select("bx", "by", e.alias(value_col))
