@@ -156,3 +156,123 @@ class TestJoinCorpus:
         assert j.count() == 10
         hit = j.filter("eas_id = 168").collect()[0]
         assert hit.tag == "first"
+
+
+class TestRfc28Corpus:
+    """Replays of autotest/ogr/ogr_sql_rfc28.py against the same fixture."""
+
+    def _count(self, spark, sql):
+        return spark.sql(sql).count()
+
+    def test_rfc28_1_expr_left_side(self, spark, tables):
+        assert self._count(spark, "select * from poly where 160+7 > eas_id") == 3
+
+    def test_rfc28_2_concat_in_where(self, spark, tables):
+        assert self._count(
+            spark, "select * from poly where CONCAT('x', prfedea) = 'x35043423'") == 1
+
+    def test_rfc28_4_modulo(self, spark, tables):
+        assert self._count(spark, "select * from poly where eas_id % 5 = 1") == 2
+
+    def test_rfc28_6_quoted_field(self, spark, tables):
+        assert self._count(spark, 'select * from poly where `eas_id` = 166') == 1
+
+    def test_rfc28_12_constant_select(self, spark, tables):
+        r = spark.sql(
+            "select 'constant string' as field_1, 'other' as abc, eas_id "
+            "from idlink where eas_id = 165").collect()
+        assert len(r) == 1
+        assert r[0].abc == "other" and r[0].eas_id == 165
+        assert r[0].field_1 == "constant string"
+
+    def test_rfc28_13_substr_in_where(self, spark, tables):
+        assert self._count(
+            spark, "select * from poly where SUBSTR(prfedea, 5, 4) = '3423'") == 1
+
+    def test_rfc28_14_substr_select(self, spark, tables):
+        got = sorted(r.s for r in spark.sql(
+            "select SUBSTR(prfedea, 4, 5) as s from poly "
+            "where eas_id in (168,179)").collect())
+        assert got == ["43411", "43423"]
+
+    def test_rfc28_15_concat_cast(self, spark, tables):
+        got = sorted(r.s for r in spark.sql(
+            "select CONCAT(prfedea, ' ', CAST(eas_id AS STRING)) as s "
+            "from poly where eas_id in (168,179)").collect())
+        assert got == ["35043411 168", "35043423 179"]
+
+    def test_rfc28_16_negative_numbers(self, spark, tables):
+        r = spark.sql(
+            "select -1 as f1, 3 - -1 as f2, 3 * -1 as f3, 2e-1 as f4, "
+            "3-1 as f5 from poly where eas_id = 168").collect()[0]
+        assert (r.f1, r.f2, r.f3, r.f5) == (-1, 4, -3, 2)
+        assert r.f4 == pytest.approx(0.2)
+
+    def test_rfc28_17_division_types(self, spark, tables):
+        # OGR: 5/2 = 2 (integer division); Spark's / is float -> use div
+        r = spark.sql(
+            "select 5 div 2 as f1, 5.0/2.0 as f2, 5/2.0 as f3, 5.0/2 as f4 "
+            "from poly where eas_id = 168").collect()[0]
+        assert r.f1 == 2
+        assert float(r.f2) == float(r.f3) == float(r.f4) == 2.5
+
+    def test_rfc28_19_not_in(self, spark, tables):
+        assert self._count(
+            spark, "select * from poly where eas_id not in (158,165)") == 8
+
+    def test_rfc28_20_precedence_unary_minus(self, spark, tables):
+        # select -intfield + 1 + 2*3 + 5 - 3*2 with intfield=2 -> 4
+        r = spark.sql("select -2 + 1 + 2*3 + 5 - 3*2 as v").collect()[0]
+        assert r.v == 4
+
+    def test_rfc28_21_between_equivalence(self, spark, tables):
+        a = self._count(spark, "select * from poly where eas_id between 165 and 169")
+        b = self._count(
+            spark, "select * from poly where eas_id >= 165 and eas_id <= 169")
+        assert a == b == 4
+
+    def test_rfc28_22_not_between(self, spark, tables):
+        a = self._count(
+            spark, "select * from poly where eas_id not between 165 and 169")
+        b = self._count(
+            spark, "select * from poly where not(eas_id >= 165 and eas_id <= 169)")
+        assert a == b == 6
+
+    def test_rfc28_23_not_like(self, spark, tables):
+        a = self._count(
+            spark, "select * from poly where prfedea NOT LIKE '35043413'")
+        b = self._count(
+            spark, "select * from poly where NOT (prfedea LIKE '35043413')")
+        assert a == b == 9
+
+    def test_rfc28_24_null_fields(self, spark, tables):
+        r = spark.sql(
+            "select *, NULL as f4, NULL as nullstrfield, "
+            "CAST(null as integer) as nullintfield from poly "
+            "where NULL IS NULL").collect()
+        # OGR: "NULL IS NULL" is true -> all rows; null projected fields unset
+        assert len(r) == 10
+        assert r[0].f4 is None and r[0].nullstrfield is None
+        assert r[0].nullintfield is None
+
+    def test_rfc28_25_like_escape(self, spark, tables):
+        # OGR lets ESCAPE precede ANY character ("x35043408" ESCAPE 'x'
+        # -> literal 35043408); ANSI/Spark only permits escaping _, % or
+        # the escape char itself and raises otherwise. Same predicate,
+        # the portable spelling: unescape the pattern up front.
+        import re
+
+        pattern = re.sub("x(.)", r"\1", "x35043408")
+        assert self._count(
+            spark,
+            f"select * from poly where prfedea LIKE '{pattern}'") == 1
+
+    def test_rfc28_26_substr_negative_offset(self, spark, tables):
+        got = sorted(r.s for r in spark.sql(
+            "select SUBSTR(prfedea, -2) as s from poly "
+            "where eas_id in (168,179)").collect())
+        assert got == ["11", "23"]
+
+    def test_rfc28_27_float_literal_comparison(self, spark, tables):
+        assert self._count(
+            spark, "SELECT * FROM poly WHERE 4000000000. > 2000000000.") == 10
