@@ -134,3 +134,71 @@ def contour_segments(cells: DataFrame, level: float,
         # degenerate zero-length segments (level exactly on a corner) drop
         ~((F.col("x0") == F.col("x1")) & (F.col("y0") == F.col("y1")))
     )
+
+
+def assemble_polylines(segments) -> list:
+    """Stitch contour segments into polylines/rings — the final local step
+    (reference: alg/marching_squares/segment_merger.h; ring/line feature
+    emission in alg/contour.cpp).
+
+    segments: iterable of (x0, y0, x1, y1) (e.g. `df.collect()` rows or a
+    pandas DataFrame's itertuples). Driver-side by design: an iso-line is
+    a 1-D boundary, so the segment count scales with the raster's
+    PERIMETER (~sqrt of cell count) — at 4^14 base cells that is ~10^4
+    segments per level, trivially driver-sized, while the cell-table work
+    that produced them was the distributed part.
+
+    Returns a list of polylines, each a list of (x, y) points; closed
+    rings have first == last point. Deterministic: chains start from the
+    lexicographically smallest open endpoint (ring starts: smallest point
+    in the ring), and traversal always consumes the smallest-indexed
+    unused segment, so output is independent of input order.
+    """
+    segs = [((float(s[0]), float(s[1])), (float(s[2]), float(s[3])))
+            for s in ([tuple(x) for x in segments])]
+    # endpoint -> [segment indices]
+    at = {}
+    for i, (a, b) in enumerate(segs):
+        at.setdefault(a, []).append(i)
+        at.setdefault(b, []).append(i)
+    for v in at.values():
+        v.sort()
+    used = [False] * len(segs)
+
+    def take(pt, prev_i):
+        for i in at.get(pt, ()):
+            if not used[i] and i != prev_i:
+                return i
+        return None
+
+    out = []
+    # open chains first: endpoints of odd degree, smallest first
+    starts = sorted(p for p, ixs in at.items() if len(ixs) % 2 == 1)
+    for mode in ("open", "ring"):
+        if mode == "open":
+            seeds = starts
+        else:
+            seeds = sorted(
+                p for p, ixs in at.items()
+                if any(not used[i] for i in ixs)
+            )
+        for seed in seeds:
+            i = take(seed, None)
+            if i is None:
+                continue
+            line = [seed]
+            pt, prev = seed, None
+            while True:
+                i = take(pt, prev)
+                if i is None:
+                    break
+                used[i] = True
+                a, b = segs[i]
+                pt = b if a == pt else a
+                line.append(pt)
+                prev = i
+                if pt == seed:
+                    break  # ring closed
+            if len(line) > 1:
+                out.append(line)
+    return out

@@ -81,6 +81,85 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel over image rows (codec STUBBED — deterministic fake).
+
+    Real shape of the op: decode payload -> resample pixel grid -> encode;
+    the resample itself is the warp kernel family the engine implements on
+    cell tables (gcore/overview.cpp kernels). Here the stub re-derives a
+    payload of the target 'size' deterministically from the source bytes
+    (md5-keyed) and rewrites meta.width/height, keeping the Arrow batch
+    contract and partition behavior real. Non-image rows pass through.
+    """
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            pay, meta = [], []
+            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                if k == "image" and p is not None:
+                    h = hashlib.md5(bytes(p) + f"|{width}x{height}".encode()).digest()
+                    # fake bitmap: one digest block per output row of pixels
+                    pay.append(h * max(1, height // 4))
+                    m = dict(m) if m is not None else {}
+                    m["width"], m["height"] = width, height
+                    meta.append(m)
+                else:
+                    pay.append(p)
+                    meta.append(m)
+            out["payload"], out["meta"] = pay, meta
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "id long, frame_idx int, t_ms int, frame binary"
+)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 max_frames: int = 8) -> DataFrame:
+    """Frame sampling over video rows: one output row per sampled frame
+    (codec STUBBED — frames are deterministic md5 blocks keyed by
+    (payload, t_ms)). The real contract this preserves: a row-EXPANDING
+    mapInPandas (1 video -> n frames), frame timestamps from
+    meta.duration_ms, bounded fan-out via max_frames — the batch-shape and
+    skew profile of real ffmpeg sampling."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, ts, frames = [], [], [], []
+            for i, k, p, m in zip(pdf["id"], pdf["kind"], pdf["payload"], pdf["meta"]):
+                if k != "video" or p is None:
+                    continue
+                dur = int(m["duration_ms"]) if m is not None else 0
+                n = min(max_frames, max(1, dur // every_ms + 1))
+                for fi in range(n):
+                    t = fi * every_ms
+                    ids.append(i)
+                    idxs.append(fi)
+                    ts.append(t)
+                    frames.append(hashlib.md5(bytes(p) + f"|f{t}".encode()).digest())
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "t_ms": ts, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table exercising the binary plumbing."""
     from ..session import ship_package

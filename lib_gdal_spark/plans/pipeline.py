@@ -1,0 +1,174 @@
+"""`gdal vector pipeline` analog: a composable step chain over DataFrames.
+
+Reference: the modern GDAL CLI composes vector processing as a `!`-joined
+step DAG — registry at /root/reference/apps/gdalalg_vector_pipeline.cpp:
+138-186 (read, filter, select, sql, reproject, clip, buffer, simplify,
+segmentize, explode, concat, limit, partition (Hive scheme,
+gdalalg_vector_partition.h:46-47), rasterize, grid, tee, write…); its
+raster twin is gdalalg_raster_pipeline.cpp:168-227. `ogr2ogr` is the
+classic spelling of the same read→transform→write chain
+(apps/ogr2ogr_lib.cpp:2391).
+
+Spark recast: each step is a DataFrame -> DataFrame function; the chain
+IS the logical plan, so Catalyst still sees one tree (filters typed at
+the end still push down to the scan — the pipeline adds zero optimization
+barriers). Steps:
+
+    read <path>                       parquet/csv/json by extension
+    filter <sql-expr>
+    select <expr AS name, ...>
+    sql <SELECT ... FROM input>       prior step registered as `input`
+    reproject                         adds mx/my EPSG:3857 meter columns
+                                      from lon/lat (the engine's fixed
+                                      4326 -> 3857 convention, SURVEY §1.1)
+    clip <xmin> <ymin> <xmax> <ymax>  half-open bbox on lon/lat
+    explode <array-col>
+    concat <path>                     unionByName(allowMissingColumns)
+    limit <n>
+    offset <n>
+    tee <path>                        write a copy, keep flowing
+    partition <col,...>               declare Hive partition cols for write
+    write <path> [overwrite|append]
+
+Example:
+    run_pipeline(spark,
+        "read /data/pages.parquet ! filter lang = 'en' "
+        "! select url, lon, lat ! reproject ! partition lang ! write /out")
+"""
+
+from __future__ import annotations
+
+import shlex
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..geo import mercator
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    if path.endswith(".csv"):
+        return spark.read.option("header", "true").csv(path)
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        return spark.read.json(path)
+    return spark.read.parquet(path)
+
+
+class _Ctx:
+    def __init__(self, spark):
+        self.spark = spark
+        self.partition_cols: list = []
+
+
+def _step_read(ctx, df, args):
+    return _read(ctx.spark, shlex.split(args)[0])
+
+
+def _step_filter(ctx, df, args):
+    return df.filter(args)  # raw SQL expression, quotes intact
+
+
+def _step_select(ctx, df, args):
+    exprs = [e.strip() for e in args.split(",")]
+    return df.selectExpr(*exprs)
+
+
+def _step_sql(ctx, df, args):
+    df.createOrReplaceTempView("input")
+    return ctx.spark.sql(args)
+
+
+def _step_reproject(ctx, df, args):  # args unused
+    # fixed 4326 -> 3857 (closed-form; the vectorized twin of the
+    # reference's per-feature PROJ transform, ogr/ogrct.cpp:1027)
+    return df.withColumn("mx", mercator.meters_x_col(F.col("lon"))).withColumn(
+        "my", mercator.meters_y_col(F.col("lat"))
+    )
+
+
+def _step_clip(ctx, df, args):
+    x0, y0, x1, y1 = map(float, args.split())
+    return df.filter(
+        (F.col("lon") >= x0) & (F.col("lon") < x1)
+        & (F.col("lat") >= y0) & (F.col("lat") < y1)
+    )
+
+
+def _step_explode(ctx, df, args):
+    col = args.strip()
+    others = [c for c in df.columns if c != col]
+    return df.select(*others, F.explode(F.col(col)).alias(col))
+
+
+def _step_concat(ctx, df, args):
+    other = _read(ctx.spark, shlex.split(args)[0])
+    return df.unionByName(other, allowMissingColumns=True)
+
+
+def _step_limit(ctx, df, args):
+    return df.limit(int(args))
+
+
+def _step_offset(ctx, df, args):
+    return df.offset(int(args))
+
+
+def _step_tee(ctx, df, args):
+    path = shlex.split(args)[0]
+    df.write.mode("overwrite").parquet(path)
+    return ctx.spark.read.parquet(path)  # continue from materialized copy
+
+
+def _step_partition(ctx, df, args):
+    ctx.partition_cols = [c.strip() for c in args.split(",")]
+    return df
+
+
+def _step_write(ctx, df, args):
+    parts = shlex.split(args)
+    path = parts[0]
+    mode = parts[1] if len(parts) > 1 else "overwrite"
+    w = df.write.mode(mode)
+    if ctx.partition_cols:
+        w = w.partitionBy(*ctx.partition_cols)
+    w.parquet(path)
+    return df
+
+
+PIPELINE_STEPS = {
+    "read": _step_read,
+    "filter": _step_filter,
+    "select": _step_select,
+    "sql": _step_sql,
+    "reproject": _step_reproject,
+    "clip": _step_clip,
+    "explode": _step_explode,
+    "concat": _step_concat,
+    "limit": _step_limit,
+    "offset": _step_offset,
+    "tee": _step_tee,
+    "partition": _step_partition,
+    "write": _step_write,
+}
+
+
+def run_pipeline(spark: SparkSession, pipeline: str) -> DataFrame:
+    """Parse and run a `!`-joined step chain; returns the final DataFrame
+    (already written if the chain ends in `write`)."""
+    ctx = _Ctx(spark)
+    df = None
+    for raw in pipeline.split("!"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        # split off the step name only: expression-bearing steps (filter,
+        # sql, select) need their argument text VERBATIM — shlex would
+        # strip the SQL string quotes
+        bits = raw.split(None, 1)
+        name, args = bits[0], (bits[1] if len(bits) > 1 else "")
+        if name not in PIPELINE_STEPS:
+            raise ValueError(f"unknown pipeline step '{name}' "
+                             f"(known: {sorted(PIPELINE_STEPS)})")
+        if df is None and name != "read":
+            raise ValueError("pipeline must start with 'read <path>'")
+        df = PIPELINE_STEPS[name](ctx, df, args)
+    return df

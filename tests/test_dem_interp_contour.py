@@ -130,3 +130,29 @@ class TestProximity:
                for r in proximity.fillnodata(cells, radius=1.5).collect()}
         assert out[(1, 0)] == (pytest.approx(3.0, rel=1e-12), 1)
         assert out[(0, 0)] == (2.0, 0)
+
+
+class TestPolylineAssembly:
+    def test_open_chain(self):
+        segs = [(0, 0, 1, 0), (1, 0, 2, 1), (2, 1, 3, 1)]
+        out = contour.assemble_polylines(segs)
+        assert out == [[(0.0, 0.0), (1.0, 0.0), (2.0, 1.0), (3.0, 1.0)]]
+
+    def test_ring_closes(self):
+        segs = [(0, 0, 1, 0), (1, 0, 1, 1), (0, 1, 1, 1), (0, 0, 0, 1)]
+        out = contour.assemble_polylines(segs)
+        assert len(out) == 1
+        ring = out[0]
+        assert ring[0] == ring[-1] and len(ring) == 5
+
+    def test_input_order_independent(self):
+        import itertools
+        segs = [(0, 0, 1, 0), (1, 0, 2, 1), (5, 5, 6, 5)]
+        ref = contour.assemble_polylines(segs)
+        for perm in itertools.permutations(segs):
+            assert contour.assemble_polylines(list(perm)) == ref
+
+    def test_two_components(self):
+        segs = [(0, 0, 1, 1), (10, 0, 11, 1)]
+        out = contour.assemble_polylines(segs)
+        assert len(out) == 2

@@ -393,3 +393,36 @@ class TestStatefulStreaming:
         finally:
             q.stop()
         assert got["doc_id"].tolist() == [1, 2, 5]
+
+
+class TestMultimodalKernels:
+    def test_resize_rewrites_image_meta(self, spark):
+        from lib_gdal_spark.operators import multimodal as mm
+
+        media = mm.synth_media(spark, 30)
+        out = mm.resize_images(media, 64, 48)
+        imgs = out.filter("kind = 'image'").collect()
+        assert imgs and all(
+            r.meta.width == 64 and r.meta.height == 48 for r in imgs)
+        others = out.filter("kind != 'image'").count()
+        assert others == 30 - len(imgs)  # pass-through rows survive
+
+    def test_resize_deterministic(self, spark):
+        from lib_gdal_spark.operators import multimodal as mm
+
+        media = mm.synth_media(spark, 12)
+        a = {r.id: bytes(r.payload) for r in mm.resize_images(media, 32, 32).collect()}
+        b = {r.id: bytes(r.payload) for r in mm.resize_images(media, 32, 32).collect()}
+        assert a == b
+
+    def test_frame_sample_expands_videos(self, spark):
+        from lib_gdal_spark.operators import multimodal as mm
+        from pyspark.sql import functions as F
+
+        media = mm.synth_media(spark, 30)
+        frames = mm.frame_sample(media, every_ms=1000, max_frames=4)
+        per = frames.groupBy("id").agg(F.count(F.lit(1)).alias("n"),
+                                       F.max("t_ms").alias("tmax")).collect()
+        vids = media.filter("kind = 'video'").count()
+        assert len(per) == vids
+        assert all(1 <= r.n <= 4 and r.tmax == (r.n - 1) * 1000 for r in per)

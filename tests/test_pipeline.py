@@ -1,0 +1,76 @@
+"""Tests for the `gdal vector pipeline` analog (plans/pipeline.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.plans import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def src(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pipe") / "pts.parquet")
+    spark.range(100).select(
+        F.col("id"),
+        ((F.col("id") % 36) * 10.0 - 180.0 + 0.5).alias("lon"),
+        ((F.col("id") % 16) * 10.0 - 80.0 + 0.5).alias("lat"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+class TestPipeline:
+    def test_read_filter_select_limit(self, spark, src):
+        out = run_pipeline(
+            spark, f"read {src} ! filter lang = 'en' "
+            "! select id, lon ! limit 10")
+        assert out.columns == ["id", "lon"]
+        assert out.count() == 10
+
+    def test_sql_step(self, spark, src):
+        out = run_pipeline(
+            spark, f"read {src} ! sql SELECT lang, count(*) AS n "
+            "FROM input GROUP BY lang")
+        got = {r.lang: r.n for r in out.collect()}
+        assert got == {"en": 50, "de": 50}
+
+    def test_reproject_adds_meters(self, spark, src):
+        from lib_gdal_spark.geo import mercator
+
+        out = run_pipeline(spark, f"read {src} ! limit 1 ! reproject")
+        r = out.collect()[0]
+        assert r.mx == pytest.approx(r.lon * (mercator.ORIGIN_SHIFT / 180.0))
+
+    def test_clip_halfopen(self, spark, src):
+        out = run_pipeline(spark, f"read {src} ! clip 0 0 90 90")
+        rows = out.collect()
+        assert rows and all(0 <= r.lon < 90 and 0 <= r.lat < 90 for r in rows)
+
+    def test_partitioned_write_and_concat(self, spark, src, tmp_path):
+        dst = str(tmp_path / "out")
+        run_pipeline(
+            spark, f"read {src} ! partition lang ! write {dst}")
+        back = spark.read.parquet(dst)
+        assert back.count() == 100
+        # Hive partition dirs by lang (gdalalg_vector_partition.h scheme)
+        assert back.filter("lang = 'en'").count() == 50
+        doubled = run_pipeline(spark, f"read {dst} ! concat {dst}")
+        assert doubled.count() == 200
+
+    def test_filter_pushdown_survives_chain(self, spark, src):
+        # the pipeline adds no optimization barrier: a filter typed after
+        # select still reaches the parquet scan as a pushed filter
+        out = run_pipeline(
+            spark, f"read {src} ! select id, lon, lang ! filter id = 7")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+
+    def test_unknown_step_raises(self, spark, src):
+        with pytest.raises(ValueError, match="unknown pipeline step"):
+            run_pipeline(spark, f"read {src} ! frobnicate 3")
+
+    def test_tee_materializes_copy(self, spark, src, tmp_path):
+        t = str(tmp_path / "teed")
+        out = run_pipeline(
+            spark, f"read {src} ! filter lang = 'de' ! tee {t} ! limit 5")
+        assert out.count() == 5
+        assert spark.read.parquet(t).count() == 50
