@@ -373,6 +373,27 @@ def _q_fillnodata(spark, sf_dir):
                       F.col("filled").cast("int").alias("filled"))
 
 
+def _grid_pts(spark, sf_dir):
+    return _tbl(spark, sf_dir, "part").select(
+        ((F.col("p_partkey") * 9973 % 2000) / 10.0).alias("x"),
+        ((F.col("p_partkey") * 6151 % 2000) / 10.0).alias("y"),
+        F.col("p_retailprice").cast("double").alias("z"),
+    )
+
+
+def _q_grid_metrics(spark, sf_dir):
+    out = grid.grid_metrics(_grid_pts(spark, sf_dir), cell_size=10.0, radius=15.0)
+    return out.select(
+        "bx", "by", "minimum", "maximum", "range",
+        F.col("count").cast("long").alias("n"),
+        F.round("average_distance", 6).alias("avg_dist"),
+    )
+
+
+def _q_grid_nearest(spark, sf_dir):
+    return grid.grid_nearest(_grid_pts(spark, sf_dir), cell_size=10.0, radius=15.0)
+
+
 def _q_filter_like(spark, sf_dir):
     p = _tbl(spark, sf_dir, "part")
     return p.filter(
@@ -648,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _q_histogram,
         "focal_mean": _q_focal_mean,
         "grid_idw": _q_grid_idw,
+        "grid_metrics": _q_grid_metrics,
+        "grid_nearest": _q_grid_nearest,
         # OGR SQL parity corpus (SURVEY §2.2, §2.4, §2.6, §2.7, §2.8, §5)
         "ogr_filter_like": _q_filter_like,
         "ogr_filter_in_between": _q_filter_in_between,
@@ -1087,6 +1110,67 @@ WHERE h.bx IS NULL
 """
 
 
+def _o_grid_metrics() -> str:
+    return """
+WITH pts AS (
+  SELECT (p_partkey*9973 % 2000)/10.0 AS x, (p_partkey*6151 % 2000)/10.0 AS y,
+         CAST(p_retailprice AS DOUBLE) AS z
+  FROM part
+),
+cand AS (
+  SELECT CAST(floor(x/10.0) AS BIGINT) + dx.i AS bx,
+         CAST(floor(y/10.0) AS BIGINT) + dy.i AS "by", x, y, z
+  FROM pts,
+       (SELECT unnest(generate_series(-3, 3)) AS i) dx,
+       (SELECT unnest(generate_series(-3, 3)) AS i) dy
+),
+d AS (
+  SELECT bx, "by", x, y, z,
+         sqrt(((bx+0.5)*10.0 - x)*((bx+0.5)*10.0 - x)
+              + (("by"+0.5)*10.0 - y)*(("by"+0.5)*10.0 - y)) AS dist
+  FROM cand
+),
+f AS (SELECT * FROM d WHERE dist <= 15.0)
+
+SELECT bx, "by", min(z) AS minimum, max(z) AS maximum,
+       max(z) - min(z) AS range, count(*) AS n,
+       round(avg(dist), 6) AS avg_dist
+FROM f GROUP BY 1, 2
+"""
+
+
+def _o_grid_nearest() -> str:
+    return """
+WITH pts AS (
+  SELECT (p_partkey*9973 % 2000)/10.0 AS x, (p_partkey*6151 % 2000)/10.0 AS y,
+         CAST(p_retailprice AS DOUBLE) AS z
+  FROM part
+),
+cand AS (
+  SELECT CAST(floor(x/10.0) AS BIGINT) + dx.i AS bx,
+         CAST(floor(y/10.0) AS BIGINT) + dy.i AS "by", x, y, z
+  FROM pts,
+       (SELECT unnest(generate_series(-3, 3)) AS i) dx,
+       (SELECT unnest(generate_series(-3, 3)) AS i) dy
+),
+d AS (
+  SELECT bx, "by", x, y, z,
+         sqrt(((bx+0.5)*10.0 - x)*((bx+0.5)*10.0 - x)
+              + (("by"+0.5)*10.0 - y)*(("by"+0.5)*10.0 - y)) AS dist
+  FROM cand
+),
+f AS (SELECT * FROM d WHERE dist <= 15.0)
+,
+rk AS (
+  SELECT bx, "by", z,
+         row_number() OVER (PARTITION BY bx, "by"
+                            ORDER BY dist ASC, z ASC, x ASC, y ASC) AS rn
+  FROM f
+)
+SELECT bx, "by", z AS value FROM rk WHERE rn = 1
+"""
+
+
 def _o_grid_idw() -> str:
     return """
 WITH pts AS (
@@ -1438,6 +1522,8 @@ def oracle_sql() -> dict[str, str]:
         "histogram": _o_histogram(),
         "focal_mean": _o_focal_mean(),
         "grid_idw": _o_grid_idw(),
+        "grid_metrics": _o_grid_metrics(),
+        "grid_nearest": _o_grid_nearest(),
         "ogr_filter_like": _o_filter_like(),
         "ogr_filter_in_between": _o_filter_in_between(),
         "ogr_order_limit_offset": _o_order_limit_offset(),

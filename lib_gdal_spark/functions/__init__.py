@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession, functions as F, types as T
 
 from ..geo import cells as _cells, mercator as _mercator, wkb as _wkb
 from ..geo.pip import point_in_polygon_np, polygon_area_np
+from ..geo.simplify import douglas_peucker_np, segmentize_np
 
 
 def _decode_polys(wkb_series: pd.Series):
@@ -128,6 +129,35 @@ def register_all(spark: SparkSession) -> None:
         c = _cells.cell_parent_np(cell.to_numpy(np.int64).astype(np.uint64), s)
         return pd.Series(c.astype(np.int64))
 
+    def _per_ring(wkb_series, scalar, fn):
+        """Apply a ring kernel to every ring of polygon WKB rows."""
+        out = []
+        for buf in wkb_series:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, coords = _wkb.decode(bytes(buf))
+            if kind == "polygon":
+                out.append(_wkb.encode_polygon([fn(r, scalar) for r in coords]))
+            elif kind == "multipolygon":
+                out.append(_wkb.encode_multipolygon(
+                    [[fn(r, scalar) for r in rings] for rings in coords]))
+            else:
+                out.append(bytes(buf))
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BinaryType())
+    def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+        # OGRGeometry::Simplify (Douglas-Peucker) on every ring
+        return _per_ring(wkb, float(tol.iloc[0]), douglas_peucker_np)
+
+    @F.pandas_udf(T.BinaryType())
+    def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
+        # OGRGeometry::segmentize on every ring
+        return _per_ring(wkb, float(max_len.iloc[0]), segmentize_np)
+
+    spark.udf.register("st_simplify", st_simplify)
+    spark.udf.register("st_segmentize", st_segmentize)
     spark.udf.register("st_area", st_area)
     spark.udf.register("st_contains_point", st_contains_point)
     spark.udf.register("st_xmin", _env(0))

@@ -200,3 +200,56 @@ class TestRTree:
     def test_empty(self):
         t = rtree.PackedRTree(np.empty((0, 4)))
         assert len(t.query(0, 0, 1, 1)) == 0
+
+
+class TestSimplifySegmentize:
+    def test_segmentize_inserts_points(self):
+        import numpy as np
+        from lib_gdal_spark.geo.simplify import segmentize_np
+
+        line = np.array([[0.0, 0.0], [10.0, 0.0]])
+        out = segmentize_np(line, 2.5)
+        assert len(out) == 5  # 4 segments of 2.5
+        assert (out[:, 1] == 0).all()
+        assert out[1][0] == 2.5 and out[-1][0] == 10.0
+
+    def test_segmentize_keeps_short_segments(self):
+        import numpy as np
+        from lib_gdal_spark.geo.simplify import segmentize_np
+
+        line = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+        out = segmentize_np(line, 5.0)
+        assert np.array_equal(out, line)
+
+    def test_douglas_peucker_collinear(self):
+        import numpy as np
+        from lib_gdal_spark.geo.simplify import douglas_peucker_np
+
+        line = np.array([[0.0, 0.0], [1.0, 0.001], [2.0, -0.001], [3.0, 0.0]])
+        out = douglas_peucker_np(line, 0.01)
+        assert np.array_equal(out, line[[0, 3]])
+
+    def test_douglas_peucker_keeps_spike(self):
+        import numpy as np
+        from lib_gdal_spark.geo.simplify import douglas_peucker_np
+
+        line = np.array([[0.0, 0.0], [1.0, 5.0], [2.0, 0.0]])
+        out = douglas_peucker_np(line, 0.5)
+        assert len(out) == 3  # the spike survives
+
+    def test_sql_roundtrip(self, spark):
+        from lib_gdal_spark import functions as fns
+        from lib_gdal_spark.geo import wkb
+
+        fns.register_all(spark)
+        poly = wkb.encode_polygon(
+            [[(0, 0), (5, 0.001), (10, 0), (10, 10), (0, 10), (0, 0)]])
+        df = spark.createDataFrame([(bytearray(poly),)], "geom binary")
+        df.createOrReplaceTempView("g1")
+        r = spark.sql(
+            "SELECT st_simplify(geom, 0.01d) AS s, "
+            "st_segmentize(geom, 2.5d) AS d FROM g1").collect()[0]
+        _, simp = wkb.decode(bytes(r.s))
+        assert len(simp[0]) == 5  # near-collinear midpoint dropped
+        _, dense = wkb.decode(bytes(r.d))
+        assert len(dense[0]) > 6  # points inserted
