@@ -170,6 +170,31 @@ def _q_zonal_stats(spark, sf_dir):
     )
 
 
+def _q_zonal_mode(spark, sf_dir):
+    # mode/minority per zone (alg/zonal.cpp stat names) — deterministic
+    # tie-break to the smaller value in both engines
+    p = _pages(spark, sf_dir).select(
+        F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
+        (F.col("n_chars") % 7).cast("long").alias("value"),
+    )
+    out = raster.zonal_stats(p, zone_col="zone", stats=("mode", "minority"))
+    return out.select("zone", "mode", "minority")
+
+
+def _q_events_sliding(spark, sf_dir):
+    # sliding window (10 min window, 5 min slide): every event lands in 2
+    # windows — the streaming-window shape as its batch twin
+    e = _tbl(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                  "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("w.start").cast("timestamp_ltz")).alias("w_us"),
+                "event_type", "n")
+    )
+    return out
+
+
 def _q_overview_avg(spark, sf_dir):
     p = sjoin.with_tile(_pages(spark, sf_dir), zoom=8)
     base = tiles.base_tiles(p, 8).select(
@@ -651,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_triangle_join": _q_pip_triangle,
         "knn_ring": _q_knn_ring,
         "zonal_stats": _q_zonal_stats,
+        "zonal_mode": _q_zonal_mode,
+        "events_sliding": _q_events_sliding,
         "dem_slope": _q_dem_slope,
         "dem_aspect": _q_dem_aspect,
         "dem_hillshade": _q_dem_hillshade,
@@ -769,6 +796,42 @@ SELECT CAST(floor(lon/30.0) AS BIGINT) AS zone,
        avg(n_chars) AS mean, CAST(min(n_chars) AS BIGINT) AS vmin,
        CAST(max(n_chars) AS BIGINT) AS vmax
 FROM pages GROUP BY 1
+"""
+
+
+def _o_zonal_mode() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+v AS (
+  SELECT CAST(floor(lon/30.0) AS BIGINT) AS zone,
+         CAST(n_chars % 7 AS BIGINT) AS value
+  FROM pages
+),
+freq AS (SELECT zone, value, count(*) AS n FROM v GROUP BY 1, 2),
+m AS (
+  SELECT zone, value,
+         row_number() OVER (PARTITION BY zone ORDER BY n DESC, value ASC) AS r_mode,
+         row_number() OVER (PARTITION BY zone ORDER BY n ASC, value ASC) AS r_min
+  FROM freq
+)
+SELECT a.zone, a.value AS mode, b.value AS minority
+FROM (SELECT zone, value FROM m WHERE r_mode = 1) a
+JOIN (SELECT zone, value FROM m WHERE r_min = 1) b ON a.zone = b.zone
+"""
+
+
+def _o_events_sliding() -> str:
+    # each event belongs to windows starting at floor((t - k*300)/600)*600
+    # ... equivalently the two 300s-aligned slots covering it
+    return """
+WITH ev AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type FROM events
+),
+slots AS (
+  SELECT (us // 300000000 - k.i) * 300000000 AS w_us, event_type
+  FROM ev, (SELECT unnest([0, 1]) AS i) k
+)
+SELECT w_us, event_type, count(*) AS n FROM slots GROUP BY 1, 2
 """
 
 
@@ -1506,6 +1569,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_triangle_join": _o_pip_triangle(),
         "knn_ring": _o_knn_ring(),
         "zonal_stats": _o_zonal_stats(),
+        "zonal_mode": _o_zonal_mode(),
+        "events_sliding": _o_events_sliding(),
         "dem_slope": _o_dem_slope(),
         "dem_aspect": _o_dem_aspect(),
         "interp_bilinear": _o_interp_bilinear(),
