@@ -63,6 +63,44 @@ def flagship_pipeline(spark, n_pages: int):
     return n_pages, join_rows, n_tiles
 
 
+def refshape_benchmarks(spark, tmp_dir: str) -> dict:
+    """The reference's OWN benchmark shapes replayed on this engine
+    (autotest/benchmark) — same data, same predicate, measured here:
+
+    - gpkg_spatial_filter: 50k points at (i,i) with 20 string fields,
+      rect filter [1000,10000]^2 -> must hit exactly 9001 rows
+      (test_ogr_gpkg.py:57-66 incl. its hardcoded expected count);
+    - ogr2ogr_copy: full-table copy of the same 50k x 20-field table
+      (test_ogr2ogr.py:26-58 shape).
+    """
+    import os as _os
+    from pyspark.sql import functions as F
+
+    src = _os.path.join(tmp_dir, "refshape_src")
+    n = 50_000
+    df = spark.range(n).select(
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+        *[F.lit(f"value{i}").alias(f"field{i}") for i in range(20)],
+    )
+    df.write.mode("overwrite").parquet(src)
+    out = {}
+    t0 = time.time()
+    hits = (
+        spark.read.parquet(src)
+        .filter("x >= 1000 AND x <= 10000 AND y >= 1000 AND y <= 10000")
+        .count()
+    )
+    out["gpkg_spatial_filter_sec"] = round(time.time() - t0, 3)
+    assert hits == 9001, f"refshape filter hit {hits}, expected 9001"
+    t0 = time.time()
+    spark.read.parquet(src).write.mode("overwrite").parquet(
+        _os.path.join(tmp_dir, "refshape_copy"))
+    out["ogr2ogr_copy_sec"] = round(time.time() - t0, 3)
+    out["rows"] = n
+    return out
+
+
 def main():
     from lib_gdal_spark.session import get_spark
     import __spark_entry__ as em
@@ -79,6 +117,9 @@ def main():
         df = qs[name](spark, SF_DIR)
         n = df.count()
         times[name] = round(time.time() - t0, 3)
+
+    import tempfile
+    refshapes = refshape_benchmarks(spark, tempfile.mkdtemp(prefix="refshape_"))
 
     t0 = time.time()
     n_pages, join_rows, n_tiles = flagship_pipeline(spark, PAGES_N)
@@ -100,6 +141,7 @@ def main():
             "rows_per_sec": round((n_pages + join_rows + n_tiles) / flagship_sec, 1),
         },
         "cores": CPUS,
+        "refshapes": refshapes,
     }
     print(json.dumps(out))
 
