@@ -204,6 +204,15 @@ def _q_overview_avg(spark, sf_dir):
     return raster.overview(base, "average")
 
 
+def _q_overview_gauss(spark, sf_dir):
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=8)
+    base = tiles.base_tiles(p, 8).select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("n_pages").cast("double").alias("value"),
+    )
+    return raster.overview_gauss(base)
+
+
 def _q_rasterize(spark, sf_dir):
     polys = [(1, _rect_rings(0, 0, 6, 6)), (2, _rect_rings(4, 4, 10, 10))]
     return raster.rasterize(spark, polys, {1: 10.0, 2: 20.0}, cell_size=1.0)
@@ -692,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_dist": _q_proximity,
         "fillnodata_idw": _q_fillnodata,
         "overview_avg": _q_overview_avg,
+        "overview_gauss": _q_overview_gauss,
         "rasterize_rects": _q_rasterize,
         "histogram": _q_histogram,
         "focal_mean": _q_focal_mean,
@@ -844,6 +854,27 @@ base AS (
   FROM pages GROUP BY 1, 2
 )
 SELECT x >> 1 AS bx, y >> 1 AS "by", avg(v) AS value FROM base GROUP BY 1, 2
+"""
+
+
+def _o_overview_gauss() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+base AS (
+  SELECT {_dd_tile_x('lon', 8)} AS bx, {_dd_tile_y('lat', 8)} AS "by",
+         CAST(count(*) AS DOUBLE) AS value
+  FROM pages GROUP BY 1, 2
+),
+c AS (
+  SELECT b.bx - dx.i AS ax, b."by" - dy.i AS ay,
+         CAST((2 - abs(dx.i)) * (2 - abs(dy.i)) AS DOUBLE) AS w, b.value AS v
+  FROM base b,
+       (SELECT unnest([-1, 0, 1]) AS i) dx,
+       (SELECT unnest([-1, 0, 1]) AS i) dy
+)
+SELECT CAST(ax / 2 AS BIGINT) AS bx, CAST(ay / 2 AS BIGINT) AS "by",
+       sum(w * v) / sum(w) AS value
+FROM c WHERE ax % 2 = 0 AND ay % 2 = 0 GROUP BY 1, 2
 """
 
 
@@ -1583,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_dist": _o_proximity(),
         "fillnodata_idw": _o_fillnodata(),
         "overview_avg": _o_overview_avg(),
+        "overview_gauss": _o_overview_gauss(),
         "rasterize_rects": _o_rasterize(),
         "histogram": _o_histogram(),
         "focal_mean": _o_focal_mean(),

@@ -144,7 +144,40 @@ def zonal_stats(cells: DataFrame, zone_col: str = "zone",
     return out
 
 
-OVERVIEW_KERNELS = ("near", "average", "mode", "min", "max", "sum")
+OVERVIEW_KERNELS = ("near", "average", "mode", "min", "max", "sum", "gauss")
+
+
+def overview_gauss(cells: DataFrame, value_col: str = "value") -> DataFrame:
+    """Gaussian 2x downsample (gcore/overview.cpp:2014 GAUSS kernel):
+    parent (px, py) = normalized [1,2,1]x[1,2,1] 3x3 weighted sum of the
+    source cells around anchor (2px, 2py); missing neighbors drop out of
+    the normalization (nodata-aware), matching the reference's
+    partial-window handling at edges.
+
+    Shuffle shape: one explode (x9, filtered to even anchors ~ x2.25
+    effective) + one map-side-combined groupBy. Integer weights keep the
+    weighted sum exact for integer-valued grids (oracle-exact)."""
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    c = cells.select(
+        F.col("bx").alias("_sx"), F.col("by").alias("_sy"),
+        F.col(value_col).alias("_v"), F.explode(offs).alias("_o"),
+    ).select(
+        (F.col("_sx") - F.col("_o.dx")).alias("_ax"),
+        (F.col("_sy") - F.col("_o.dy")).alias("_ay"),
+        ((2 - F.abs(F.col("_o.dx"))) * (2 - F.abs(F.col("_o.dy"))))
+        .cast("double").alias("_w"),
+        "_v",
+    ).filter((F.col("_ax") % 2 == 0) & (F.col("_ay") % 2 == 0))
+    return (
+        c.groupBy(
+            (F.col("_ax") / 2).cast("long").alias("bx"),
+            (F.col("_ay") / 2).cast("long").alias("by"),
+        )
+        .agg((F.sum(F.col("_w") * F.col("_v")) / F.sum("_w")).alias(value_col))
+    )
 
 
 def overview(cells: DataFrame, kernel: str = "average",

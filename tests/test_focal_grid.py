@@ -133,3 +133,27 @@ class TestSieve:
         cells = spark.createDataFrame([(0, 0, 9.0)], "bx long, by long, value double")
         out = pz.sieve(cells, threshold=5).collect()
         assert out[0].value == 9.0
+
+
+class TestOverviewGauss:
+    def test_full_window_weights(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        # 3x3 block of known values around anchor (2,2) -> parent (1,1)
+        rows = [(x, y, float(10 * x + y)) for x in range(1, 4) for y in range(1, 4)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = {(r.bx, r.by): r.value for r in raster.overview_gauss(cells).collect()}
+        # parent (1,1): anchor (2,2), weights [1,2,1]x[1,2,1] over 11..33
+        w = {(dx, dy): (2 - abs(dx)) * (2 - abs(dy))
+             for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+        num = sum(w[(x - 2, y - 2)] * (10 * x + y)
+                  for x in range(1, 4) for y in range(1, 4))
+        assert out[(1, 1)] == num / 16.0
+
+    def test_partial_window_normalizes(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        # single cell at the anchor -> weight 4/4 = its own value
+        cells = spark.createDataFrame([(2, 2, 7.0)], "bx long, by long, value double")
+        out = raster.overview_gauss(cells).collect()
+        assert len(out) == 1 and out[0].value == 7.0 and (out[0].bx, out[0].by) == (1, 1)
