@@ -235,6 +235,18 @@ def _q_focal_mean(spark, sf_dir):
     return focal.focal(base, "mean", k=1)
 
 
+def _q_dem_tpi(spark, sf_dir):
+    # TPI = value - mean(8 neighbors) (gdaldem); sparse-grid semantics:
+    # only neighbors present contribute
+    out = focal.tpi(_base_grid8(spark, sf_dir))
+    return out.select("bx", "by", "value", F.round("tpi", 9).alias("tpi"))
+
+
+def _q_dem_roughness(spark, sf_dir):
+    out = focal.roughness(_base_grid8(spark, sf_dir))
+    return out.select("bx", "by", "value", "roughness")
+
+
 def _q_grid_idw(spark, sf_dir):
     pts = _tbl(spark, sf_dir, "part").select(
         ((F.col("p_partkey") * 9973 % 2000) / 10.0).alias("x"),
@@ -688,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mode": _q_zonal_mode,
         "events_sliding": _q_events_sliding,
         "dem_slope": _q_dem_slope,
+        "dem_tpi": _q_dem_tpi,
+        "dem_roughness": _q_dem_roughness,
         "dem_aspect": _q_dem_aspect,
         "dem_hillshade": _q_dem_hillshade,
         "interp_bilinear": _q_interp_bilinear,
@@ -1204,6 +1218,36 @@ WHERE h.bx IS NULL
 """
 
 
+def _dd_dense_contrib(include_center: bool) -> str:
+    cond = "" if include_center else "WHERE NOT (dx.i = 0 AND dy.i = 0)"
+    return f"""{_dd_base8_cte()},
+contrib AS (
+  SELECT b.bx + dx.i AS bx, b."by" + dy.i AS "by", b.value AS v
+  FROM base b,
+       (SELECT unnest([-1, 0, 1]) AS i) dx,
+       (SELECT unnest([-1, 0, 1]) AS i) dy
+  {cond}
+)"""
+
+
+def _o_dem_tpi() -> str:
+    return f"""
+WITH {_dd_dense_contrib(False)},
+g AS (SELECT bx, "by", avg(v) AS m FROM contrib GROUP BY 1, 2)
+SELECT b.bx, b."by", b.value, round(b.value - g.m, 9) AS tpi
+FROM base b JOIN g ON b.bx = g.bx AND b."by" = g."by"
+"""
+
+
+def _o_dem_roughness() -> str:
+    return f"""
+WITH {_dd_dense_contrib(True)},
+g AS (SELECT bx, "by", max(v) - min(v) AS r FROM contrib GROUP BY 1, 2)
+SELECT b.bx, b."by", b.value, g.r AS roughness
+FROM base b JOIN g ON b.bx = g.bx AND b."by" = g."by"
+"""
+
+
 def _o_grid_metrics() -> str:
     return """
 WITH pts AS (
@@ -1603,6 +1647,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_mode": _o_zonal_mode(),
         "events_sliding": _o_events_sliding(),
         "dem_slope": _o_dem_slope(),
+        "dem_tpi": _o_dem_tpi(),
+        "dem_roughness": _o_dem_roughness(),
         "dem_aspect": _o_dem_aspect(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),
