@@ -235,6 +235,23 @@ def _q_focal_mean(spark, sf_dir):
     return focal.focal(base, "mean", k=1)
 
 
+def _neardup_emb(spark, sf_dir):
+    """embeddings + exact duplicate rows for vec_id < 50 (id + 1000000) —
+    deterministic in both engines; the synthetic vectors have no natural
+    near-dups (max pairwise cos ~0.51), so dedup needs derived ones."""
+    e = _tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return e.unionByName(dup)
+
+
+def _q_embed_neardup(spark, sf_dir):
+    out = similarity.embedding_neardup(_neardup_emb(spark, sf_dir),
+                                       threshold=0.999)
+    return out.select("vec_id")
+
+
 def _q_dem_tpi(spark, sf_dir):
     # TPI = value - mean(8 neighbors) (gdaldem); sparse-grid semantics:
     # only neighbors present contribute
@@ -752,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
+        "embed_neardup": _q_embed_neardup,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh": _q_ann_lsh,
         "minhash_dedup": _q_minhash_dedup,
@@ -1230,6 +1248,25 @@ contrib AS (
 )"""
 
 
+def _o_embed_neardup() -> str:
+    return """
+WITH allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 50
+),
+p AS (
+  SELECT a.vec_id ia, b.vec_id ib,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+),
+losers AS (SELECT DISTINCT ib AS vec_id FROM p WHERE cos >= 0.999)
+SELECT vec_id FROM allv WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+"""
+
+
 def _o_dem_tpi() -> str:
     return f"""
 WITH {_dd_dense_contrib(False)},
@@ -1693,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _o_lang_id(),
         "jaccard_pairs": _o_jaccard_pairs(),
         "cosine_topk": _o_cosine_topk(),
+        "embed_neardup": _o_embed_neardup(),
         # ann_lsh / minhash_dedup / polygonize_regions / multimodal_features:
         # intentionally no oracle (approximate or non-SQL-expressible) ->
         # driver records rows-only checks.

@@ -144,3 +144,43 @@ def ann_lsh(corpus: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cos", "rank")
     )
+
+
+def embedding_neardup(df: DataFrame, threshold: float = 0.999,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      method: str = "exact", k_probe: int = 16,
+                      n_tables: int = 4, n_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: drop the LARGER id of any
+    pair with cosine >= threshold (greedy, deterministic — the
+    dedup-family discipline of dedup.minhash_dedup).
+
+    method='exact': brute-force pair scan (broadcast side = the corpus
+    itself; correct at dimension-table scale and the correctness oracle
+    for the approximate path). method='lsh': hyperplane-LSH candidates
+    (ann_lsh machinery) then exact cosine verify — the 10^9-row path;
+    recall < 1 by construction, measured against 'exact' in tests."""
+    n = with_unit_norm(df, vec_col).select(F.col(id_col), F.col("_unit"))
+    if method == "exact":
+        a = n.select(F.col(id_col).alias("_ia"), F.col("_unit").alias("_ua"))
+        b = n.select(F.col(id_col).alias("_ib"), F.col("_unit").alias("_ub"))
+        pairs = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("_ia") < F.col("_ib"))
+            .withColumn("_cos", _dot(F.col("_ua"), F.col("_ub")))
+        )
+    elif method == "lsh":
+        q = df.select(F.col(id_col).alias("_q_id"), F.col(vec_col))
+        cand = ann_lsh(df, q, k=k_probe, n_tables=n_tables, n_bits=n_bits,
+                       id_col=id_col, vec_col=vec_col, qid_col="_q_id")
+        # self-join candidates (qid, vec_id, cos); orient a<b
+        pairs = cand.filter(F.col("_q_id") != F.col(id_col)).select(
+            F.least(F.col("_q_id"), F.col(id_col)).alias("_ia"),
+            F.greatest(F.col("_q_id"), F.col(id_col)).alias("_ib"),
+            F.col("cos").alias("_cos"),
+        ).dropDuplicates(["_ia", "_ib"])
+    else:
+        raise ValueError(f"unknown method {method}")
+    losers = pairs.filter(F.col("_cos") >= threshold).select(
+        F.col("_ib").alias(id_col)
+    ).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

@@ -426,3 +426,34 @@ class TestMultimodalKernels:
         vids = media.filter("kind = 'video'").count()
         assert len(per) == vids
         assert all(1 <= r.n <= 4 and r.tmax == (r.n - 1) * 1000 for r in per)
+
+
+class TestEmbeddingNeardup:
+    def _emb(self, spark):
+        import numpy as np
+        # non-periodic in i (i*i term) so no accidental duplicate vectors
+        rng = [(i, [float(((i * i * 31 + j * 7 + i * j) % 97) - 48)
+                    for j in range(16)])
+               for i in range(40)]
+        dups = [(i + 1000, v) for i, v in rng[:10]]  # exact copies
+        return spark.createDataFrame(rng + dups,
+                                     "vec_id long, embedding array<double>")
+
+    def test_exact_drops_larger_ids(self, spark):
+        from lib_gdal_spark.operators import similarity
+
+        out = similarity.embedding_neardup(self._emb(spark), threshold=0.999)
+        ids = {r.vec_id for r in out.collect()}
+        assert ids == set(range(40))  # all copies (ids 1000+) dropped
+
+    def test_lsh_path_matches_exact_here(self, spark):
+        from lib_gdal_spark.operators import similarity
+
+        df = self._emb(spark)
+        exact = {r.vec_id for r in similarity.embedding_neardup(
+            df, threshold=0.999, method="exact").collect()}
+        lsh = {r.vec_id for r in similarity.embedding_neardup(
+            df, threshold=0.999, method="lsh", n_tables=6, n_bits=6).collect()}
+        # identical vectors always share every LSH bucket -> exact dups are
+        # guaranteed candidates; the approximate path must find them all
+        assert lsh == exact
