@@ -47,7 +47,8 @@ def base_tiles(points: DataFrame, zoom: int,
 
 
 def rollup_pyramid(base: DataFrame, max_zoom: int, min_zoom: int = 0,
-                   sum_cols: list | None = None, step: int = 4) -> DataFrame:
+                   sum_cols: list | None = None, step: int = 4,
+                   persist: bool = True) -> DataFrame:
     """Build zoom levels [min_zoom, max_zoom] from base tiles at max_zoom.
 
     Parent tile (z-1, x>>1, y>>1) aggregates its <=4 children
@@ -67,7 +68,11 @@ def rollup_pyramid(base: DataFrame, max_zoom: int, min_zoom: int = 0,
     # upstream (source scan + extraction + the wide groupBy), doubling the
     # job's dominant cost (measured 2x at 32M input rows). Base is already
     # aggregated (<= 4^max_zoom rows), so the cache is small.
-    base = base.persist()
+    # persist=False opts out for small repeated invocations (streaming
+    # micro-batches) where cache entries would otherwise accumulate in the
+    # session and recompute is cheap.
+    if persist:
+        base = base.persist()
     levels = [base]
     cur, cur_z = base, max_zoom
     while cur_z > min_zoom:
@@ -88,7 +93,8 @@ def rollup_pyramid(base: DataFrame, max_zoom: int, min_zoom: int = 0,
         out = expl.groupBy("z", "x", "y").agg(
             *[F.sum(c).alias(c) for c in measures]
         )
-        out.persist()
+        if persist:
+            out.persist()
         levels.append(out)
         cur = out.filter(F.col("z") == nz)
         cur_z = nz
@@ -99,10 +105,11 @@ def rollup_pyramid(base: DataFrame, max_zoom: int, min_zoom: int = 0,
 
 
 def tile_pyramid(points: DataFrame, max_zoom: int = 14, min_zoom: int = 0,
-                 extra_aggs: list | None = None) -> DataFrame:
+                 extra_aggs: list | None = None,
+                 persist: bool = True) -> DataFrame:
     """points (with tile_x/tile_y at max_zoom) -> full pyramid DataFrame."""
     return rollup_pyramid(base_tiles(points, max_zoom, extra_aggs),
-                          max_zoom, min_zoom)
+                          max_zoom, min_zoom, persist=persist)
 
 
 def write_pyramid(pyramid: DataFrame, path: str, mode: str = "overwrite",

@@ -457,3 +457,61 @@ class TestEmbeddingNeardup:
         # identical vectors always share every LSH bucket -> exact dups are
         # guaranteed candidates; the approximate path must find them all
         assert lsh == exact
+
+
+class TestIncrementalPyramid:
+    def test_stream_matches_batch_and_resumes(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        from lib_gdal_spark.operators import sjoin, tiles
+        from lib_gdal_spark.pages.synth import pages_df
+        from lib_gdal_spark.streaming import ingest
+
+        src = tmp_path / "pages_src"
+        src.mkdir()
+        out = str(tmp_path / "pyr_deltas")
+        ckpt = str(tmp_path / "ckpt")
+
+        def land(name, lo, hi):
+            stage = tmp_path / f"_s{name}"
+            pages_df(spark, hi - lo, partitions=2).withColumn(
+                "url", F.concat(F.lit(f"{name}:"), F.col("url"))
+            ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+            f = glob.glob(str(stage / "*.parquet"))[0]
+            shutil.move(f, str(src / f"{name}.parquet"))
+            shutil.rmtree(str(stage))
+
+        land("b0", 0, 4000)
+        q = ingest.start_incremental_pyramid(spark, str(src), out, ckpt,
+                                             max_zoom=6)
+        try:
+            q.processAllAvailable()
+            land("b1", 0, 4000)  # second epoch: SAME pages again
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = ingest.read_pyramid(spark, out).orderBy("z", "x", "y").toPandas()
+        # batch twin over BOTH deliveries (8000 pages, counts doubled)
+        allp = spark.read.schema(ingest.PAGES_SCHEMA).parquet(str(src))
+        pts = sjoin.with_tile(sjoin.geocode(allp.select("text"), fast=True), 6)
+        want = (
+            tiles.tile_pyramid(pts.select("tile_x", "tile_y"), 6, 0)
+            .orderBy("z", "x", "y").toPandas()
+        )
+        import pandas as pd
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
+
+        # resume: restart from the same checkpoint; nothing new -> no new
+        # epochs, pyramid unchanged (idempotent)
+        q2 = ingest.start_incremental_pyramid(spark, str(src), out, ckpt,
+                                              max_zoom=6)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        again = ingest.read_pyramid(spark, out).orderBy("z", "x", "y").toPandas()
+        pd.testing.assert_frame_equal(got, again, check_dtype=False)
