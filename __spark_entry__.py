@@ -246,6 +246,16 @@ def _neardup_emb(spark, sf_dir):
     return e.unionByName(dup)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    # IVF coarse-quantizer ANN (rows-only check, like ann_lsh: recall<1 by
+    # design; unit tests measure recall vs cosine_topk)
+    e = _tbl(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    out = similarity.ann_ivf(e, q, k=3, n_lists=8, nprobe=3)
+    return out.select("qid", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_embed_neardup(spark, sf_dir):
     out = similarity.embedding_neardup(_neardup_emb(spark, sf_dir),
                                        threshold=0.999)
@@ -770,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
         "embed_neardup": _q_embed_neardup,
+        "ann_ivf": _q_ann_ivf,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh": _q_ann_lsh,
         "minhash_dedup": _q_minhash_dedup,

@@ -515,3 +515,44 @@ class TestIncrementalPyramid:
             q2.stop()
         again = ingest.read_pyramid(spark, out).orderBy("z", "x", "y").toPandas()
         pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+class TestAnnIvf:
+    def test_recall_against_exact(self, spark):
+        import numpy as np
+        from lib_gdal_spark.operators import similarity
+
+        rng = np.random.default_rng(7)
+        # clustered corpus: 8 centers x 40 points
+        centers = rng.normal(0, 5, (8, 16))
+        v = np.vstack([c + rng.normal(0, 0.4, (40, 16)) for c in centers])
+        corpus = spark.createDataFrame(
+            [(int(i), [float(x) for x in v[i]]) for i in range(len(v))],
+            "vec_id long, embedding array<double>")
+        q = np.vstack([c + rng.normal(0, 0.4, (2, 16)) for c in centers])
+        queries = spark.createDataFrame(
+            [(int(i), [float(x) for x in q[i]]) for i in range(len(q))],
+            "qid long, embedding array<double>")
+        exact = similarity.cosine_topk(corpus, queries, k=5).toPandas()
+        ivf = similarity.ann_ivf(corpus, queries, k=5, n_lists=8,
+                                 nprobe=3).toPandas()
+        e = set(map(tuple, exact[["qid", "vec_id"]].values))
+        g = set(map(tuple, ivf[["qid", "vec_id"]].values))
+        recall = len(e & g) / len(e)
+        assert recall >= 0.9, f"IVF recall {recall}"
+
+    def test_deterministic(self, spark):
+        import numpy as np
+        from lib_gdal_spark.operators import similarity
+
+        rng = np.random.default_rng(3)
+        v = rng.normal(0, 1, (100, 8))
+        corpus = spark.createDataFrame(
+            [(int(i), [float(x) for x in v[i]]) for i in range(100)],
+            "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(
+            [(0, [float(x) for x in v[5]])], "qid long, embedding array<double>")
+        a = similarity.ann_ivf(corpus, queries, k=3).collect()
+        b = similarity.ann_ivf(corpus.repartition(13), queries, k=3).collect()
+        assert [(r.qid, r.vec_id, r.rank) for r in a] == \
+               [(r.qid, r.vec_id, r.rank) for r in b]
