@@ -596,9 +596,16 @@ def _q_set_intersect(spark, sf_dir):
 
 
 def _q_set_except(spark, sf_dir):
-    c = _tbl(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
-    o = _tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
-    return c.exceptAll(o.distinct()).distinct()
+    # residue sets guarantee a non-empty difference at every sf (the raw
+    # custkey-without-orders form collapses to 0 rows at sf0.01, where
+    # every customer has an order — a 0-row gate check proves nothing)
+    c = _tbl(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 97).alias("key"))
+    o = _tbl(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 50).alias("key"))
+    # set semantics: distinct both sides BEFORE exceptAll (a multiset left
+    # would only lose ONE occurrence per right row)
+    return c.distinct().exceptAll(o.distinct())
 
 
 def _q_pivot(spark, sf_dir):
@@ -1516,7 +1523,8 @@ SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey FROM orders
 
 def _o_set_except() -> str:
     return """
-SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey FROM orders
+SELECT c_custkey % 97 AS key FROM customer
+EXCEPT SELECT o_custkey % 50 FROM orders
 """
 
 
