@@ -213,6 +213,10 @@ def _q_overview_gauss(spark, sf_dir):
     return raster.overview_gauss(base)
 
 
+def _q_overview_cubic(spark, sf_dir):
+    return raster.overview_cubic(_base_grid8(spark, sf_dir))
+
+
 def _q_rasterize(spark, sf_dir):
     polys = [(1, _rect_rings(0, 0, 6, 6)), (2, _rect_rings(4, 4, 10, 10))]
     return raster.rasterize(spark, polys, {1: 10.0, 2: 20.0}, cell_size=1.0)
@@ -750,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillnodata_idw": _q_fillnodata,
         "overview_avg": _q_overview_avg,
         "overview_gauss": _q_overview_gauss,
+        "overview_cubic": _q_overview_cubic,
         "rasterize_rects": _q_rasterize,
         "histogram": _q_histogram,
         "focal_mean": _q_focal_mean,
@@ -925,6 +930,27 @@ c AS (
 SELECT CAST(ax / 2 AS BIGINT) AS bx, CAST(ay / 2 AS BIGINT) AS "by",
        sum(w * v) / sum(w) AS value
 FROM c WHERE ax % 2 = 0 AND ay % 2 = 0 GROUP BY 1, 2
+"""
+
+
+def _o_overview_cubic() -> str:
+    # 4-tap separable cubic weights [-1/16, 9/16, 9/16, -1/16] — dyadic,
+    # exact on the integer-valued dense grid
+    return f"""
+WITH {_dd_base8_cte()},
+c AS (
+  SELECT b.bx - dx.i AS ax, b."by" - dy.i AS ay,
+         (CASE WHEN dx.i IN (-1, 2) THEN -0.0625 ELSE 0.5625 END)
+       * (CASE WHEN dy.i IN (-1, 2) THEN -0.0625 ELSE 0.5625 END) AS w,
+         b.value AS v
+  FROM base b,
+       (SELECT unnest([-1, 0, 1, 2]) AS i) dx,
+       (SELECT unnest([-1, 0, 1, 2]) AS i) dy
+)
+SELECT CAST(ax / 2 AS BIGINT) AS bx, CAST(ay / 2 AS BIGINT) AS "by",
+       sum(w * v) AS value
+FROM c WHERE ax % 2 = 0 AND ay % 2 = 0
+GROUP BY 1, 2 HAVING count(*) = 16
 """
 
 
@@ -1717,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "fillnodata_idw": _o_fillnodata(),
         "overview_avg": _o_overview_avg(),
         "overview_gauss": _o_overview_gauss(),
+        "overview_cubic": _o_overview_cubic(),
         "rasterize_rects": _o_rasterize(),
         "histogram": _o_histogram(),
         "focal_mean": _o_focal_mean(),

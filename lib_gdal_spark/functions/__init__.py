@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
 
 from ..geo import cells as _cells, mercator as _mercator, wkb as _wkb
-from ..geo.pip import point_in_polygon_np, polygon_area_np
+from ..geo.pip import point_in_polygon_np, polygon_area_np, polygon_centroid_np
 from ..geo.simplify import douglas_peucker_np, segmentize_np
 
 
@@ -156,6 +156,27 @@ def register_all(spark: SparkSession) -> None:
         # OGRGeometry::segmentize on every ring
         return _per_ring(wkb, float(max_len.iloc[0]), segmentize_np)
 
+    def _centroid(idx):
+        @F.pandas_udf(T.DoubleType())
+        def f(wkb: pd.Series) -> pd.Series:
+            vals = []
+            for polys in _decode_polys(wkb):
+                if polys is None:
+                    vals.append(float("nan"))
+                else:
+                    # area-weighted over parts
+                    acc_a, acc = 0.0, 0.0
+                    for rings in polys:
+                        c = polygon_centroid_np(rings)
+                        a = polygon_area_np(rings)
+                        acc_a += a
+                        acc += a * c[idx]
+                    vals.append(acc / acc_a if acc_a else polygon_centroid_np(polys[0])[idx])
+            return pd.Series(vals)
+        return f
+
+    spark.udf.register("st_centroid_x", _centroid(0))
+    spark.udf.register("st_centroid_y", _centroid(1))
     spark.udf.register("st_simplify", st_simplify)
     spark.udf.register("st_segmentize", st_segmentize)
     spark.udf.register("st_area", st_area)

@@ -146,3 +146,42 @@ def polygons_intersect_np(rings_a: list, rings_b: list) -> bool:
             if segments_intersect_np(ea[i], ea[i + 1], eb[j], eb[j + 1]):
                 return True
     return False
+
+
+def ring_centroid_signed_np(ring: np.ndarray):
+    """(signed_area, cx, cy) of one ring by the shoelace centroid formula —
+    OGRPolygon::Centroid semantics (delegated to GEOS in the reference;
+    native here). Sign follows winding, so holes stored with opposite
+    winding subtract naturally in polygon_centroid_np."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    x, y = r[:, 0], r[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y1 - x1 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return 0.0, float(x.mean()), float(y.mean())
+    cx = ((x + x1) * cross).sum() / (6.0 * a)
+    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    return float(a), float(cx), float(cy)
+
+
+def polygon_centroid_np(rings: list):
+    """(cx, cy) of a polygon: exterior minus holes, area-weighted.
+
+    Holes are rings[1:] BY POSITION (the OGR polygon model: first ring
+    exterior, rest interior — ogr/ogr_geometry.h) regardless of winding;
+    each ring's own centroid is winding-independent (the signed area
+    cancels between numerator and denominator)."""
+    tot_a, sx, sy = 0.0, 0.0, 0.0
+    for i, ring in enumerate(rings):
+        a, cx, cy = ring_centroid_signed_np(ring)
+        w = abs(a) if i == 0 else -abs(a)
+        tot_a += w
+        sx += w * cx
+        sy += w * cy
+    if tot_a == 0.0:
+        ext = np.asarray(rings[0], dtype=np.float64)
+        return float(ext[:, 0].mean()), float(ext[:, 1].mean())
+    return sx / tot_a, sy / tot_a

@@ -144,7 +144,7 @@ def zonal_stats(cells: DataFrame, zone_col: str = "zone",
     return out
 
 
-OVERVIEW_KERNELS = ("near", "average", "mode", "min", "max", "sum", "gauss")
+OVERVIEW_KERNELS = ("near", "average", "mode", "min", "max", "sum", "gauss", "cubic")
 
 
 def overview_gauss(cells: DataFrame, value_col: str = "value") -> DataFrame:
@@ -250,3 +250,38 @@ def reclassify(cells: DataFrame, breaks: list, classes: list,
     for b, c in zip(reversed(breaks), reversed(classes[:-1])):
         e = F.when(v < F.lit(float(b)), F.lit(c)).otherwise(e)
     return cells.select("bx", "by", e.alias(value_col))
+
+
+def overview_cubic(cells: DataFrame, value_col: str = "value") -> DataFrame:
+    """Cubic-convolution 2x downsample (gcore/overview.cpp:2774
+    GDALResampleChunk_Convolution with the cubic kernel, a=-0.5):
+    the parent center sits between its two children, so the separable
+    4-tap weights per axis are exactly [-1/16, 9/16, 9/16, -1/16] —
+    dyadic rationals, so integer-valued grids stay cross-engine exact.
+
+    Complete 4x4 windows only (edge cells drop, the deterministic analog
+    of the reference's edge clamping differing per driver)."""
+    w1d = {-1: -1.0 / 16, 0: 9.0 / 16, 1: 9.0 / 16, 2: -1.0 / 16}
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(w1d[dx] * w1d[dy]).alias("w"))
+        for dx in (-1, 0, 1, 2) for dy in (-1, 0, 1, 2)
+    ])
+    c = cells.select(
+        F.col("bx").alias("_sx"), F.col("by").alias("_sy"),
+        F.col(value_col).alias("_v"), F.explode(offs).alias("_o"),
+    ).select(
+        (F.col("_sx") - F.col("_o.dx")).alias("_ax"),
+        (F.col("_sy") - F.col("_o.dy")).alias("_ay"),
+        F.col("_o.w").alias("_w"), "_v",
+    ).filter((F.col("_ax") % 2 == 0) & (F.col("_ay") % 2 == 0))
+    return (
+        c.groupBy(
+            (F.col("_ax") / 2).cast("long").alias("bx"),
+            (F.col("_ay") / 2).cast("long").alias("by"),
+        )
+        .agg(F.sum(F.col("_w") * F.col("_v")).alias(value_col),
+             F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 16)
+        .drop("_n")
+    )

@@ -157,3 +157,36 @@ class TestOverviewGauss:
         cells = spark.createDataFrame([(2, 2, 7.0)], "bx long, by long, value double")
         out = raster.overview_gauss(cells).collect()
         assert len(out) == 1 and out[0].value == 7.0 and (out[0].bx, out[0].by) == (1, 1)
+
+
+class TestOverviewCubic:
+    def test_constant_grid_preserved(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        rows = [(x, y, 5.0) for x in range(-2, 6) for y in range(-2, 6)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = {(r.bx, r.by): r.value for r in raster.overview_cubic(cells).collect()}
+        # weights sum to 1 -> constants pass through exactly
+        assert out[(1, 1)] == 5.0
+
+    def test_linear_ramp_preserved(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        # cubic interpolation reproduces linear functions exactly:
+        # parent value = ramp at the parent center (2px + 1)
+        rows = [(x, y, float(x)) for x in range(-2, 8) for y in range(-2, 8)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = {(r.bx, r.by): r.value for r in raster.overview_cubic(cells).collect()}
+        assert out[(1, 1)] == pytest.approx(2.5, abs=1e-12)  # centers 2,3
+        assert out[(2, 2)] == pytest.approx(4.5, abs=1e-12)
+
+    def test_incomplete_window_drops(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        rows = [(x, y, 1.0) for x in range(4) for y in range(4)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = raster.overview_cubic(cells).collect()
+        # only parent (1,1) has the full 4x4 source window [0..3]^2... its
+        # window is sx in {1,2,3,4} -> incomplete; parent (0,0)+... none
+        # complete except where sx in {-1..2} subset of 0..3 fails at -1
+        assert out == []

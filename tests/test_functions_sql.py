@@ -84,3 +84,21 @@ class TestTileFunctions:
                    cell_parent(cell_id(3L, 5L, 4), 1) AS p,
                    cell_id(1L, 2L, 3) AS cp FROM range(1)""").collect()[0]
         assert r.p == r.cp  # parent of (3,5)@z4 is (1,2)@z3
+
+
+class TestCentroid:
+    def test_square_and_hole(self, sql):
+        r = sql.sql("""
+            SELECT gid, st_centroid_x(geom) cx, st_centroid_y(geom) cy
+            FROM geoms ORDER BY gid""").collect()
+        by = {x.gid: (x.cx, x.cy) for x in r}
+        assert by[1] == (2.0, 2.0)  # unit square 0..4
+        # holed square: symmetric hole at (1..2)^2 pulls centroid away
+        hx, hy = by[2]
+        assert hx > 2.0 and hy > 2.0
+
+    def test_multipolygon_weighted(self, sql):
+        r = sql.sql(
+            "SELECT st_centroid_x(geom) cx FROM geoms WHERE gid = 3").collect()[0]
+        # parts: unit square at (0.5,0.5) area 1; 2x2 at (11,11) area 4
+        assert r.cx == pytest.approx((0.5 * 1 + 11 * 4) / 5)
