@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
-    contour, dedup, dem, focal, grid, interp, knn, multimodal, ogrsql,
-    polygonize, proximity, raster, similarity, sjoin, textops, tiles,
+    contour, dedup, dem, focal, graph, grid, interp, knn, multimodal,
+    ogrsql, polygonize, proximity, raster, similarity, sjoin, textops,
+    tiles,
 )
 from lib_gdal_spark.streaming import events as ev
 
@@ -264,6 +265,26 @@ def _q_embed_neardup(spark, sf_dir):
     out = similarity.embedding_neardup(_neardup_emb(spark, sf_dir),
                                        threshold=0.999)
     return out.select("vec_id")
+
+
+def _graph_edges(spark, sf_dir):
+    """Bipartite nation<->region graph: nations 0..24, regions 100..104,
+    w derived from keys — deterministic in both engines."""
+    n = _tbl(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+        ((F.col("n_nationkey") % 5) + 1).cast("double").alias("w"),
+    )
+
+
+def _q_graph_sssp(spark, sf_dir):
+    out = graph.sssp(_graph_edges(spark, sf_dir), source=0)
+    return out.select("vertex", "dist")
+
+
+def _q_graph_components(spark, sf_dir):
+    return graph.connected_components(_graph_edges(spark, sf_dir))
 
 
 def _q_dem_tpi(spark, sf_dir):
@@ -739,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_events_sliding,
         "dem_slope": _q_dem_slope,
         "dem_tpi": _q_dem_tpi,
+        "graph_sssp": _q_graph_sssp,
+        "graph_components": _q_graph_components,
         "dem_roughness": _q_dem_roughness,
         "dem_aspect": _q_dem_aspect,
         "dem_hillshade": _q_dem_hillshade,
@@ -1311,6 +1334,45 @@ SELECT vec_id FROM allv WHERE vec_id NOT IN (SELECT vec_id FROM losers)
 """
 
 
+_DD_GRAPH = """
+edges0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST(n_regionkey + 100 AS BIGINT) AS dst,
+         CAST(n_nationkey % 5 + 1 AS DOUBLE) AS w
+  FROM nation
+),
+edges AS (SELECT * FROM edges0 UNION ALL SELECT dst, src, w FROM edges0)
+"""
+
+
+def _o_graph_sssp() -> str:
+    # bounded-hop path enumeration (diameter of the bipartite graph is
+    # tiny) then min per vertex — Bellman-Ford as a recursive CTE
+    return f"""
+WITH RECURSIVE {_DD_GRAPH},
+r(vertex, dist, hops) AS (
+  SELECT CAST(0 AS BIGINT), 0.0, 0
+  UNION ALL
+  SELECT e.dst, r.dist + e.w, r.hops + 1
+  FROM r JOIN edges e ON e.src = r.vertex WHERE r.hops < 6
+)
+SELECT vertex, min(dist) AS dist FROM r GROUP BY 1
+"""
+
+
+def _o_graph_components() -> str:
+    return f"""
+WITH RECURSIVE {_DD_GRAPH},
+verts AS (SELECT DISTINCT src AS v FROM edges),
+reach(vertex, other) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.vertex, e.dst FROM reach r JOIN edges e ON e.src = r.other
+)
+SELECT vertex, min(other) AS component FROM reach GROUP BY 1
+"""
+
+
 def _o_dem_tpi() -> str:
     return f"""
 WITH {_dd_dense_contrib(False)},
@@ -1730,6 +1792,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _o_events_sliding(),
         "dem_slope": _o_dem_slope(),
         "dem_tpi": _o_dem_tpi(),
+        "graph_sssp": _o_graph_sssp(),
+        "graph_components": _o_graph_components(),
         "dem_roughness": _o_dem_roughness(),
         "dem_aspect": _o_dem_aspect(),
         "interp_bilinear": _o_interp_bilinear(),

@@ -1,0 +1,106 @@
+"""Network analysis over edge tables — the reference's GNM capability.
+
+Reference: the Geographic Network Model (/root/reference/gnm/gnmgraph.h:
+162-211) ships Dijkstra shortest path, K shortest paths and connected
+components over vector-layer networks, single-node in-memory.
+
+Distributed recast (no GraphFrames dependency — plain DataFrame loops):
+- single-source shortest paths: iterative edge relaxation
+  (Bellman-Ford shape — the distributed-friendly form of Dijkstra for
+  non-negative weights): each round joins the frontier to the edge table
+  and keeps improved distances; terminates when no distance improves.
+  Rounds <= graph diameter; each round is one equi-join + min-aggregate,
+  both map-side combinable. The frontier (changed vertices only) shrinks
+  the join's left side every round — the same driver-side
+  loop-until-converged discipline as knn.knn_ring.
+- connected components: min-label propagation to a fixed point — the
+  generic-graph generalization of polygonize's grid connected components
+  (which exploits grid structure to finish in one pass + stitch).
+
+Scale notes: both algorithms shuffle O(|frontier| x avg-degree) per
+round, not O(V x E); every round localCheckpoints (eager) — iterative
+DataFrame algorithms MUST truncate lineage or the logical plan doubles
+per round and the driver dies on analysis long before any data limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sym(edges: DataFrame, directed: bool) -> DataFrame:
+    e = edges.select("src", "dst", "w")
+    if directed:
+        return e
+    return e.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+def sssp(edges: DataFrame, source, directed: bool = False,
+         max_rounds: int = 50) -> DataFrame:
+    """Single-source shortest path distances: (vertex, dist).
+
+    edges: (src, dst, w) with non-negative w. Unreachable vertices are
+    absent (the reference returns an empty path for them,
+    gnmgraph.h DijkstraShortestPath semantics)."""
+    spark = edges.sparkSession
+    e = _sym(edges, directed).persist()
+    dist = spark.createDataFrame([(source, 0.0)], "vertex long, dist double")
+    frontier = dist
+    for r in range(max_rounds):
+        # relax all edges out of the frontier
+        cand = (
+            frontier.join(e, frontier.vertex == e.src)
+            .select(F.col("dst").alias("vertex"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        both = dist.unionByName(cand).groupBy("vertex").agg(
+            F.min("dist").alias("dist")
+        )
+        # improved = vertices whose best distance changed this round
+        improved = both.join(
+            dist.withColumnRenamed("dist", "_old"), on="vertex", how="left"
+        ).filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+        # localCheckpoint (eager): truncates lineage — without it the
+        # logical plan doubles per round and analysis/codegen blows up
+        # after ~15 rounds long before any data-size limit
+        improved = improved.select("vertex", "dist").localCheckpoint()
+        if len(improved.take(1)) == 0:
+            break
+        dist = both.localCheckpoint()
+        frontier = improved
+    e.unpersist()
+    return dist
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """(vertex, component) with component = min vertex id in the component
+    (deterministic under any partitioning)."""
+    e = _sym(edges.withColumn("w", F.lit(1.0)), directed=False).persist()
+    verts = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    label = verts.withColumn("component", F.col("vertex"))
+    for r in range(max_rounds):
+        prop = (
+            label.join(e, label.vertex == e.src)
+            .select(F.col("dst").alias("vertex"), "component")
+        )
+        new_label = (
+            label.unionByName(prop)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+        new_label = new_label.localCheckpoint()  # truncate lineage per round
+        changed = new_label.join(
+            label.withColumnRenamed("component", "_old"), on="vertex"
+        ).filter(F.col("component") < F.col("_old"))
+        if len(changed.take(1)) == 0:
+            label = new_label
+            break
+        label = new_label
+    e.unpersist()
+    return label

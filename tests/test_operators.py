@@ -556,3 +556,62 @@ class TestAnnIvf:
         b = similarity.ann_ivf(corpus.repartition(13), queries, k=3).collect()
         assert [(r.qid, r.vec_id, r.rank) for r in a] == \
                [(r.qid, r.vec_id, r.rank) for r in b]
+
+
+class TestGraph:
+    EDGES = [
+        (1, 2, 1.0), (2, 3, 2.0), (1, 3, 5.0), (3, 4, 1.0),
+        (5, 6, 1.0),  # separate component
+    ]
+
+    def _dijkstra_oracle(self, edges, source):
+        import heapq
+        adj = {}
+        for s, d, w in edges:
+            adj.setdefault(s, []).append((d, w))
+            adj.setdefault(d, []).append((s, w))
+        dist = {source: 0.0}
+        pq = [(0.0, source)]
+        while pq:
+            dd, u = heapq.heappop(pq)
+            if dd > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, []):
+                nd = dd + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    def test_sssp_matches_dijkstra(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long, w double")
+        got = {r.vertex: r.dist for r in graph.sssp(e, 1).collect()}
+        want = self._dijkstra_oracle(self.EDGES, 1)
+        assert got == want  # {1:0, 2:1, 3:3, 4:4}; 5,6 absent
+        assert 5 not in got
+
+    def test_sssp_directed(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame([(1, 2, 1.0), (2, 1, 10.0)],
+                                  "src long, dst long, w double")
+        got = {r.vertex: r.dist for r in graph.sssp(e, 2, directed=True).collect()}
+        assert got == {2: 0.0, 1: 10.0}
+
+    def test_connected_components(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long, w double")
+        got = {r.vertex: r.component for r in
+               graph.connected_components(e).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+    def test_long_chain_converges(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        chain = [(i, i + 1, 1.0) for i in range(20)]
+        e = spark.createDataFrame(chain, "src long, dst long, w double")
+        got = {r.vertex: r.dist for r in graph.sssp(e, 0).collect()}
+        assert got[20] == 20.0 and len(got) == 21
