@@ -171,6 +171,20 @@ def _q_zonal_stats(spark, sf_dir):
     )
 
 
+def _q_zonal_weighted(spark, sf_dir):
+    # weighted zonal stats (zonal.cpp weighted_* variants): weight derived
+    # deterministically from doc_id in both engines
+    p = _pages(spark, sf_dir).select(
+        F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
+        F.col("n_chars").cast("double").alias("value"),
+        ((F.col("doc_id") % 4) + 1).cast("double").alias("weight"),
+    )
+    out = raster.zonal_stats(p, zone_col="zone",
+                             stats=("weighted_sum", "weighted_mean"))
+    return out.select("zone", "weighted_sum",
+                      F.round("weighted_mean", 9).alias("weighted_mean"))
+
+
 def _q_zonal_mode(spark, sf_dir):
     # mode/minority per zone (alg/zonal.cpp stat names) — deterministic
     # tie-break to the smaller value in both engines
@@ -757,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring": _q_knn_ring,
         "zonal_stats": _q_zonal_stats,
         "zonal_mode": _q_zonal_mode,
+        "zonal_weighted": _q_zonal_weighted,
         "events_sliding": _q_events_sliding,
         "dem_slope": _q_dem_slope,
         "dem_tpi": _q_dem_tpi,
@@ -884,6 +899,21 @@ SELECT CAST(floor(lon/30.0) AS BIGINT) AS zone,
        avg(n_chars) AS mean, CAST(min(n_chars) AS BIGINT) AS vmin,
        CAST(max(n_chars) AS BIGINT) AS vmax
 FROM pages GROUP BY 1
+"""
+
+
+def _o_zonal_weighted() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+v AS (
+  SELECT CAST(floor(lon/30.0) AS BIGINT) AS zone,
+         CAST(n_chars AS DOUBLE) AS value,
+         CAST(doc_id % 4 + 1 AS DOUBLE) AS weight
+  FROM pages
+)
+SELECT zone, sum(value*weight) AS weighted_sum,
+       round(sum(value*weight)/sum(weight), 9) AS weighted_mean
+FROM v GROUP BY 1
 """
 
 
@@ -1789,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ring": _o_knn_ring(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
+        "zonal_weighted": _o_zonal_weighted(),
         "events_sliding": _o_events_sliding(),
         "dem_slope": _o_dem_slope(),
         "dem_tpi": _o_dem_tpi(),

@@ -100,20 +100,25 @@ def rasterize(spark, polys, burn_values: dict, cell_size: float,
 
 
 ZONAL_STATS = ("count", "sum", "mean", "min", "max", "stdev", "variance",
-               "minority", "mode", "unique")
+               "minority", "mode", "unique", "weighted_sum", "weighted_mean")
 
 
 def zonal_stats(cells: DataFrame, zone_col: str = "zone",
-                value_col: str = "value",
+                value_col: str = "value", weight_col: str = "weight",
                 stats: tuple = ("count", "sum", "mean", "min", "max")) -> DataFrame:
     """Per-zone aggregation of cell values (alg/zonal.cpp:2085-2110 names).
 
     cells must already carry a zone id (from rasterized zones or a spatial
     join). mode/minority use the value-frequency window (exact; ties break
-    to the smaller value, matching a deterministic re-run).
+    to the smaller value, matching a deterministic re-run). weighted_*
+    stats (zonal.cpp weighted variants — coverage-fraction weighting in
+    the reference) read `weight_col`.
     """
     v = F.col(value_col)
+    w = F.col(weight_col) if weight_col in cells.columns else F.lit(1.0)
     simple = {
+        "weighted_sum": F.sum(v * w).alias("weighted_sum"),
+        "weighted_mean": (F.sum(v * w) / F.sum(w)).alias("weighted_mean"),
         "count": F.count(v).alias("count"),
         "sum": F.sum(v).alias("sum"),
         "mean": F.avg(v).alias("mean"),

@@ -615,3 +615,18 @@ class TestGraph:
         e = spark.createDataFrame(chain, "src long, dst long, w double")
         got = {r.vertex: r.dist for r in graph.sssp(e, 0).collect()}
         assert got[20] == 20.0 and len(got) == 21
+
+
+class TestZonalWeighted:
+    def test_weighted_stats(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        rows = [(1, 10.0, 0.5), (1, 20.0, 1.0), (2, 4.0, 2.0)]
+        cells = spark.createDataFrame(rows, "zone long, value double, weight double")
+        out = raster.zonal_stats(
+            cells, stats=("weighted_sum", "weighted_mean", "mean")
+        ).toPandas().set_index("zone")
+        assert out.loc[1, "weighted_sum"] == 25.0      # 10*0.5 + 20*1
+        assert out.loc[1, "weighted_mean"] == 25.0 / 1.5
+        assert out.loc[1, "mean"] == 15.0
+        assert out.loc[2, "weighted_mean"] == 4.0
