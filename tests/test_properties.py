@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis) over the pure NumPy kernels — the
+closest analog of the reference's generic driver-invariant checker
+(apps/test_ogrsf.cpp exercises every driver against invariants rather
+than fixed fixtures). No Spark session needed: these are the kernels the
+Arrow UDFs wrap, so kernel invariants are engine invariants."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from lib_gdal_spark.geo import cells, mercator, wkb
+from lib_gdal_spark.geo.pip import (
+    point_in_polygon_np, polygon_area_np, ring_area_np,
+)
+from lib_gdal_spark.geo.simplify import douglas_peucker_np, segmentize_np
+
+lons = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False)
+lats = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False)
+zooms = st.integers(min_value=0, max_value=14)
+
+
+class TestTileMathProperties:
+    @given(lons, lats, zooms)
+    @settings(max_examples=200, deadline=None)
+    def test_tile_in_range(self, lon, lat, z):
+        tx, ty = mercator.lonlat_to_tile_np([lon], [lat], z)
+        n = 2 ** z
+        assert 0 <= tx[0] < n and 0 <= ty[0] < n
+
+    @given(lons, lats, zooms)
+    @settings(max_examples=200, deadline=None)
+    def test_point_within_its_tile_bounds(self, lon, lat, z):
+        tx, ty = mercator.lonlat_to_tile_np([lon], [lat], z)
+        ln0, lt0, ln1, lt1 = mercator.tile_bounds_lonlat_np(tx, ty, z)
+        # tile bounds contain the point (closed with float slack at edges)
+        assert ln0[0] - 1e-9 <= lon <= ln1[0] + 1e-9
+        assert lt0[0] - 1e-9 <= lat <= lt1[0] + 1e-9
+
+    @given(lons, lats, zooms.filter(lambda z: z >= 1))
+    @settings(max_examples=200, deadline=None)
+    def test_parent_tile_consistency(self, lon, lat, z):
+        # tile at z-1 is the >>1 parent of the tile at z (XYZ pyramid law)
+        tx, ty = mercator.lonlat_to_tile_np([lon], [lat], z)
+        px, py = mercator.lonlat_to_tile_np([lon], [lat], z - 1)
+        assert px[0] == tx[0] >> 1 and py[0] == ty[0] >> 1
+
+
+class TestCellProperties:
+    coords = st.integers(min_value=0, max_value=2**14 - 1)
+
+    @given(coords, coords, zooms)
+    @settings(max_examples=200, deadline=None)
+    def test_encode_decode_roundtrip(self, x, y, z):
+        n = 2 ** z
+        x, y = x % n, y % n
+        c = cells.cell_encode_np(np.array([x], np.uint64),
+                                 np.array([y], np.uint64), z)
+        dx, dy, dz = cells.cell_decode_np(c)
+        assert (dx[0], dy[0], dz[0]) == (x, y, z)
+
+    @given(coords, coords, zooms.filter(lambda z: z >= 1))
+    @settings(max_examples=200, deadline=None)
+    def test_parent_halves_coords(self, x, y, z):
+        n = 2 ** z
+        x, y = x % n, y % n
+        c = cells.cell_encode_np(np.array([x], np.uint64),
+                                 np.array([y], np.uint64), z)
+        p = cells.cell_parent_np(c, 1)
+        px, py, pz = cells.cell_decode_np(p)
+        assert (px[0], py[0], pz[0]) == (x >> 1, y >> 1, z - 1)
+
+
+_pts = st.lists(
+    st.tuples(st.floats(-100, 100, allow_nan=False),
+              st.floats(-100, 100, allow_nan=False)),
+    min_size=3, max_size=12,
+)
+
+
+class TestGeometryProperties:
+    @given(_pts)
+    @settings(max_examples=150, deadline=None)
+    def test_ring_area_winding_invariant(self, pts):
+        # reversal flips the fold order -> last-ulp drift is allowed
+        ring = np.array(pts + [pts[0]])
+        a, b = ring_area_np(ring), ring_area_np(ring[::-1])
+        assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+
+    @given(st.lists(st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+                    min_size=3, max_size=10),
+           st.integers(-50, 50), st.integers(-50, 50))
+    @settings(max_examples=150, deadline=None)
+    def test_pip_winding_invariant(self, pts, qx, qy):
+        # integer ring coords + off-lattice query point: the point never
+        # lies ON an edge, where reversal legitimately flips the float
+        # rounding of the crossing test (inherent boundary behavior, also
+        # present in the reference's ray cast)
+        ring = np.array(pts + [pts[0]], dtype=np.float64)
+        px, py = qx + 1.0 / 3.0, qy + 1.0 / 7.0
+        a = point_in_polygon_np([px], [py], [ring])[0]
+        b = point_in_polygon_np([px], [py], [ring[::-1].copy()])[0]
+        assert a == b
+
+    @given(_pts)
+    @settings(max_examples=150, deadline=None)
+    def test_wkb_roundtrip(self, pts):
+        ring = pts + [pts[0]]
+        buf = wkb.encode_polygon([ring])
+        kind, rings = wkb.decode(buf)
+        assert kind == "polygon"
+        np.testing.assert_array_equal(rings[0], np.array(ring))
+
+    @given(_pts, st.floats(0.01, 50, allow_nan=False))
+    @settings(max_examples=100, deadline=None)
+    def test_simplify_subset_and_idempotent(self, pts, tol):
+        line = np.array(pts)
+        out = douglas_peucker_np(line, tol)
+        # output points are a subsequence of the input
+        as_set = {tuple(p) for p in line}
+        assert all(tuple(p) in as_set for p in out)
+        # endpoints survive
+        assert tuple(out[0]) == tuple(line[0])
+        assert tuple(out[-1]) == tuple(line[-1])
+        # idempotent
+        again = douglas_peucker_np(out, tol)
+        np.testing.assert_array_equal(out, again)
+
+    @given(_pts, st.floats(0.5, 20, allow_nan=False))
+    @settings(max_examples=100, deadline=None)
+    def test_segmentize_bounds_segment_length(self, pts, max_len):
+        line = np.array(pts)
+        out = segmentize_np(line, max_len)
+        seg = np.hypot(*(np.diff(out, axis=0).T))
+        assert (seg <= max_len + 1e-9).all()
+        # every original vertex appears in the output
+        as_set = {tuple(p) for p in out}
+        assert all(tuple(p) in as_set for p in line)
+
+    @given(_pts)
+    @settings(max_examples=100, deadline=None)
+    def test_area_hole_subtraction(self, pts):
+        ring = np.array(pts + [pts[0]])
+        a = ring_area_np(ring)
+        # polygon with itself as a "hole" has zero area
+        assert abs(polygon_area_np([ring, ring.copy()])) < 1e-9 * max(1.0, a)
