@@ -17,7 +17,14 @@ PySpark engine:
                  quality / language-id / fingerprinting, multimodal plumbing.
 - ``pages``      deterministic Common-Crawl-style pages table synthesis and
                  the byte-identical ``extract_text`` invariant.
-- ``streaming``  Structured Streaming jobs over the events table.
+- ``functions``  the SQL-callable catalog (``register_all(spark)``): st_*
+                 geometry functions, tile/cell id functions — the twin of
+                 the SQLite-dialect catalog (ogrsqlitesqlfunctions.cpp).
+- ``plans``      ``run_pipeline``: the `gdal vector pipeline` / ogr2ogr
+                 step-DAG as a zero-barrier DataFrame chain.
+- ``streaming``  Structured Streaming: windowed/sessionized events,
+                 applyInPandasWithState dedup, foreachBatch incremental
+                 tile pyramid with idempotent epoch commits.
 
 Everything here is built on public knowledge only: the Apache Spark API and
 the reference repo's observable semantics.

@@ -108,7 +108,11 @@ def knn_ring(queries: DataFrame, targets: DataFrame, k: int,
             qid, tid, "dist", "rank"
         )
         results = finished if results is None else results.unionByName(finished)
-        remaining = remaining.join(done_ids, on=qid, how="left_anti")
+        # eager localCheckpoint: truncate per-round lineage (the plan
+        # otherwise grows multiplicatively with rounds and kills analysis
+        # on sparse inputs needing many doublings — see operators/graph.py)
+        results = results.localCheckpoint()
+        remaining = remaining.join(done_ids, on=qid, how="left_anti").localCheckpoint()
         if len(remaining.take(1)) == 0:
             break
     return results
