@@ -232,6 +232,15 @@ def _q_overview_cubic(spark, sf_dir):
     return raster.overview_cubic(_base_grid8(spark, sf_dir))
 
 
+def _q_footprint(spark, sf_dir):
+    # boundary cells of the dense doc grid with holes punched
+    holes = _base_grid8(spark, sf_dir).filter(
+        (F.col("bx") * 31 + F.col("by")) % 7 != 0
+    )
+    out = raster.footprint_cells(holes)
+    return out.select("bx", "by")
+
+
 def _q_rasterize(spark, sf_dir):
     polys = [(1, _rect_rings(0, 0, 6, 6)), (2, _rect_rings(4, 4, 10, 10))]
     return raster.rasterize(spark, polys, {1: 10.0, 2: 20.0}, cell_size=1.0)
@@ -794,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": _q_overview_gauss,
         "overview_cubic": _q_overview_cubic,
         "rasterize_rects": _q_rasterize,
+        "footprint_boundary": _q_footprint,
         "histogram": _q_histogram,
         "focal_mean": _q_focal_mean,
         "grid_idw": _q_grid_idw,
@@ -1004,6 +1014,23 @@ SELECT CAST(ax / 2 AS BIGINT) AS bx, CAST(ay / 2 AS BIGINT) AS "by",
        sum(w * v) AS value
 FROM c WHERE ax % 2 = 0 AND ay % 2 = 0
 GROUP BY 1, 2 HAVING count(*) = 16
+"""
+
+
+def _o_footprint() -> str:
+    return f"""
+WITH {_dd_base8_cte()},
+holes AS (SELECT bx, "by" FROM base WHERE (bx*31 + "by") % 7 <> 0),
+n AS (
+  SELECT h.bx + o.dx AS bx, h."by" + o.dy AS "by", count(*) AS c
+  FROM holes h,
+       (SELECT 1 AS dx, 0 AS dy UNION ALL SELECT -1, 0
+        UNION ALL SELECT 0, 1 UNION ALL SELECT 0, -1) o
+  GROUP BY 1, 2
+)
+SELECT h.bx, h."by"
+FROM holes h LEFT JOIN n ON h.bx = n.bx AND h."by" = n."by"
+WHERE coalesce(n.c, 0) < 4
 """
 
 
@@ -1840,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "overview_gauss": _o_overview_gauss(),
         "overview_cubic": _o_overview_cubic(),
         "rasterize_rects": _o_rasterize(),
+        "footprint_boundary": _o_footprint(),
         "histogram": _o_histogram(),
         "focal_mean": _o_focal_mean(),
         "grid_idw": _o_grid_idw(),

@@ -290,3 +290,51 @@ def overview_cubic(cells: DataFrame, value_col: str = "value") -> DataFrame:
         .filter(F.col("_n") == 16)
         .drop("_n")
     )
+
+
+def as_features(cells: DataFrame, cell_size: float = 1.0,
+                origin=(0.0, 0.0), value_col: str = "value") -> DataFrame:
+    """Expose raster cells as vector features — `gdal raster as-features` /
+    gdallocationinfo row form (apps/gdalalg_raster_as_features.cpp).
+
+    Cells ARE rows in this engine (SURVEY §1.2), so this just attaches the
+    georeferenced cell rectangle (x0,y0,x1,y1) and center (cx,cy) via the
+    affine geotransform (gcore/gdal_geotransform.h: origin + index*size).
+    """
+    ox, oy = origin
+    x0 = F.col("bx") * cell_size + ox
+    y0 = F.col("by") * cell_size + oy
+    return cells.select(
+        "bx", "by", F.col(value_col).alias("value"),
+        x0.alias("x0"), y0.alias("y0"),
+        (x0 + cell_size).alias("x1"), (y0 + cell_size).alias("y1"),
+        (x0 + cell_size / 2.0).alias("cx"), (y0 + cell_size / 2.0).alias("cy"),
+    )
+
+
+def footprint_cells(cells: DataFrame) -> DataFrame:
+    """Boundary cells of the data mask — the cell-grid form of
+    gdal_footprint (apps/gdal_footprint_lib.cpp: polygon outline of the
+    valid-data mask). A cell is on the footprint boundary iff it has
+    fewer than 4 of its 4-neighbors present (edge of the mask); the full
+    footprint POLYGON is these cells' outline, which contour/polygonize
+    machinery traces locally.
+
+    One explode(x4)+groupBy shuffle (the focal pattern)."""
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+    ])
+    contrib = cells.select(
+        F.explode(offs).alias("_o"), F.col("bx").alias("_sx"),
+        F.col("by").alias("_sy"),
+    ).select(
+        (F.col("_sx") + F.col("_o.dx")).alias("bx"),
+        (F.col("_sy") + F.col("_o.dy")).alias("by"),
+    )
+    ncount = contrib.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        cells.join(ncount, on=["bx", "by"], how="left")
+        .filter(F.coalesce(F.col("_n"), F.lit(0)) < 4)
+        .drop("_n")
+    )

@@ -190,3 +190,29 @@ class TestOverviewCubic:
         # window is sx in {1,2,3,4} -> incomplete; parent (0,0)+... none
         # complete except where sx in {-1..2} subset of 0..3 fails at -1
         assert out == []
+
+
+class TestFootprintAsFeatures:
+    def test_footprint_of_solid_block(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        rows = [(x, y, 1.0) for x in range(4) for y in range(4)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        fp = {(r.bx, r.by) for r in raster.footprint_cells(cells).collect()}
+        border = {(x, y) for x in range(4) for y in range(4)
+                  if x in (0, 3) or y in (0, 3)}
+        assert fp == border  # interior 2x2 excluded
+
+    def test_footprint_isolated_cell(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        cells = spark.createDataFrame([(5, 5, 1.0)], "bx long, by long, value double")
+        assert len(raster.footprint_cells(cells).collect()) == 1
+
+    def test_as_features_geometry(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        cells = spark.createDataFrame([(2, 3, 7.0)], "bx long, by long, value double")
+        r = raster.as_features(cells, cell_size=10.0, origin=(100.0, 200.0)).collect()[0]
+        assert (r.x0, r.y0, r.x1, r.y1) == (120.0, 230.0, 130.0, 240.0)
+        assert (r.cx, r.cy) == (125.0, 235.0)
