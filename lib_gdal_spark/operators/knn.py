@@ -108,11 +108,15 @@ def knn_ring(queries: DataFrame, targets: DataFrame, k: int,
             qid, tid, "dist", "rank"
         )
         results = finished if results is None else results.unionByName(finished)
-        # eager localCheckpoint: truncate per-round lineage (the plan
-        # otherwise grows multiplicatively with rounds and kills analysis
-        # on sparse inputs needing many doublings — see operators/graph.py)
-        results = results.localCheckpoint()
-        remaining = remaining.join(done_ids, on=qid, how="left_anti").localCheckpoint()
+        remaining = remaining.join(done_ids, on=qid, how="left_anti")
+        # eager localCheckpoint from round 3 on: truncate per-round
+        # lineage (the plan otherwise grows multiplicatively with rounds
+        # and kills analysis on sparse inputs needing many doublings —
+        # see operators/graph.py). Dense inputs retire in 1-2 rounds and
+        # skip the materialization cost entirely.
+        if r >= 2:
+            results = results.localCheckpoint()
+            remaining = remaining.localCheckpoint()
         if len(remaining.take(1)) == 0:
             break
     return results
