@@ -276,3 +276,54 @@ class TestRfc28Corpus:
     def test_rfc28_27_float_literal_comparison(self, spark, tables):
         assert self._count(
             spark, "SELECT * FROM poly WHERE 4000000000. > 2000000000.") == 10
+
+
+class TestSqlCorpusSemantics:
+    """More ogr_sql_test.py replays: case sensitivity, empty-table
+    aggregates, and the OGR_GEOM_AREA special field."""
+
+    def test_ogr_sql_like_ilike_case(self, spark):
+        # test_ogr_sql_like / test_ogr_sql_ilike over the prime_meridian
+        # fixture's 'Greenwich' value: LIKE is case-SENSITIVE (GDAL >= 3.1
+        # behavior the tests pin), ILIKE is not
+        spark.createDataFrame([("Greenwich",), ("Paris",), ("Ferro",)],
+                              "name string").createOrReplaceTempView("pm")
+        cnt = lambda q: spark.sql(q).count()
+        assert cnt("select * from pm where name like 'Green%'") == 1
+        assert cnt("select * from pm where name like '%wich'") == 1
+        assert cnt("select * from pm where name like 'GREEN%'") == 0
+        assert cnt("select * from pm where name ilike 'GREEN%'") == 1
+        assert cnt("select * from pm where name ilike '%WICH'") == 1
+        assert cnt("select * from pm where name ilike 'FOO%'") == 0
+
+    def test_ogr_sql_11_max_on_empty(self, spark):
+        # MAX() over an empty table -> ONE row holding NULL
+        spark.createDataFrame([], "eas_id long").createOrReplaceTempView("empty_t")
+        rows = spark.sql("select max(eas_id) as m from empty_t").collect()
+        assert len(rows) == 1 and rows[0].m is None
+
+    def test_ogr_sql_12_distinct_on_empty(self, spark):
+        # DISTINCT over an empty table -> zero rows
+        spark.createDataFrame([], "eas_id long").createOrReplaceTempView("empty_t2")
+        assert spark.sql("select distinct eas_id from empty_t2").collect() == []
+
+    def test_ogr_sql_25_geom_area_special_field(self, spark):
+        # OGR_GEOM_AREA (#2949): filter + project on computed geometry
+        # area — our analog is st_area over the WKB geometry column
+        from lib_gdal_spark import functions as fns
+        from lib_gdal_spark.geo import wkb
+
+        fns.register_all(spark)
+        rows = [
+            ("0", bytearray(wkb.encode_polygon(
+                [[(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]]))),
+            ("1", bytearray(wkb.encode_polygon(
+                [[(0, 0), (0, 0.5), (0.5, 0.5), (0.5, 0), (0, 0)]]))),
+        ]
+        spark.createDataFrame(rows, "test string, geom binary") \
+             .createOrReplaceTempView("areas")
+        got = spark.sql(
+            "SELECT test, st_area(geom) AS ogr_geom_area FROM areas "
+            "WHERE st_area(geom) > 0.9").collect()
+        assert len(got) == 1
+        assert got[0].ogr_geom_area == 1.0 and got[0].test == "0"
