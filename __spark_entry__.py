@@ -720,6 +720,13 @@ def _q_token_quality(spark, sf_dir):
     )
 
 
+def _q_winnow(spark, sf_dir):
+    # portable md5-derived gram hash so duckdb computes identical values
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    d = _tbl(spark, sf_dir, "documents")
+    return textops.winnow_fingerprints(d, k=3, window=4, hash_fn=h)
+
+
 def _q_lang_id(spark, sf_dir):
     return textops.lang_id(_tbl(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -837,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "token_quality": _q_token_quality,
         "lang_id": _q_lang_id,
+        "winnow_fp": _q_winnow,
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
         "embed_neardup": _q_embed_neardup,
@@ -1774,6 +1782,35 @@ FROM f
 """
 
 
+def _o_winnow() -> str:
+    # k=3 grams, window=4 minima, ties resolved by value equality (mins
+    # of equal values are equal); duckdb list slice l[a:b] is 1-based
+    # inclusive, so a 4-window is h[i:i+3]
+    return """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+         greatest(len(t) - 2, 0) AS ng,
+         list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                        i -> ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15))::BIGINT) AS h
+  FROM toks
+),
+w AS (
+  SELECT doc_id, ng, h, greatest(ng - 3, 0) AS nw FROM g
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN nw > 0 THEN
+           list_distinct(list_transform(generate_series(1, nw),
+                                        i -> list_min(h[i:i+3])))
+         WHEN ng > 0 THEN [list_min(h[1:ng])]
+         ELSE [] END AS fp_list
+  FROM w
+)
+SELECT doc_id, unnest(fp_list) AS fp FROM fps
+"""
+
+
 def _o_lang_id() -> str:
     hits = {
         lang: "len(list_filter(t, x -> x IN ({})))".format(
@@ -1897,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _o_fingerprint(),
         "token_quality": _o_token_quality(),
         "lang_id": _o_lang_id(),
+        "winnow_fp": _o_winnow(),
         "jaccard_pairs": _o_jaccard_pairs(),
         "cosine_topk": _o_cosine_topk(),
         "embed_neardup": _o_embed_neardup(),

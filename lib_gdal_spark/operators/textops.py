@@ -80,3 +80,42 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     norm = F.concat_ws(" ", tokens_col(text_col))
     fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
     return df.withColumn(out_col, fp)
+
+
+def winnow_fingerprints(df: DataFrame, doc_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        window: int = 4, hash_fn=None) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm — the rolling-hash fingerprint family): hash every k-gram of
+    tokens, then keep the MINIMUM hash of each sliding window of `window`
+    consecutive k-gram hashes (ties to the rightmost, the paper's rule).
+    Guarantees: any shared substring of length >= window+k-1 tokens
+    produces at least one shared fingerprint between two documents.
+
+    All JVM: k-gram hashes via transform over the token index sequence
+    (xxhash64 of the joined gram), window minima via transform + slice +
+    array_min, dedup via array_distinct + explode. One narrow map per doc,
+    no shuffle until the caller aggregates.
+
+    Output: (doc_col, fp) — one row per distinct fingerprint per doc.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64  # fast JVM path; pass an md5-based fn for
+        # cross-engine oracle checking (xxhash64 is Spark-specific)
+    toks = tokens_col(text_col)
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    n_windows = F.greatest(n_grams - (window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    fps = F.when(n_windows > 0, F.array_distinct(mins)).when(
+        n_grams > 0, F.array(F.array_min(grams))  # short doc: global min
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.select(F.col(doc_col), F.explode(fps).alias("fp"))
+    )

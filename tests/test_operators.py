@@ -630,3 +630,41 @@ class TestZonalWeighted:
         assert out.loc[1, "weighted_mean"] == 25.0 / 1.5
         assert out.loc[1, "mean"] == 15.0
         assert out.loc[2, "weighted_mean"] == 4.0
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        from lib_gdal_spark.operators import textops
+
+        # docs sharing a run of >= window+k-1 = 6 tokens must share a
+        # fingerprint (the winnowing guarantee)
+        common = "alpha beta gamma delta epsilon zeta"
+        rows = [(1, f"one two {common} three"),
+                (2, f"{common} nine eight seven six"),
+                (3, "totally different words everywhere here now then")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = textops.winnow_fingerprints(df, k=3, window=4)
+        sets = {r[0]: set() for r in rows}
+        for r in fp.collect():
+            sets[r.doc_id].add(r.fp)
+        assert sets[1] & sets[2]          # guarantee holds
+        assert not (sets[1] & sets[3])    # unrelated docs don't collide
+
+    def test_short_doc_gets_global_min(self, spark):
+        from lib_gdal_spark.operators import textops
+
+        df = spark.createDataFrame([(1, "just three tokens")],
+                                   "doc_id long, text string")
+        out = textops.winnow_fingerprints(df, k=3, window=4).collect()
+        assert len(out) == 1  # one k-gram -> its hash is the fingerprint
+
+    def test_deterministic_under_repartition(self, spark):
+        from lib_gdal_spark.operators import textops
+
+        rows = [(i, f"w{i} " * 3 + "alpha beta gamma delta epsilon")
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, textops.winnow_fingerprints(df).collect()))
+        b = sorted(map(tuple, textops.winnow_fingerprints(
+            df.repartition(7)).collect()))
+        assert a == b
