@@ -456,6 +456,17 @@ def _q_contour(spark, sf_dir):
     return contour.contour_segments(g, level=float(lvl))
 
 
+def _q_contour_multi(spark, sf_dir):
+    # level series at the grid's quartile marks, scale-independent; min/max
+    # are exact on the integer-valued grid and the divisions are fixed, so
+    # both engines derive identical level doubles
+    g = _base_grid8(spark, sf_dir)
+    r = g.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    step = (r.hi - r.lo) / 4.0
+    levels = [r.lo + step, r.lo + 2 * step, r.lo + 3 * step]
+    return contour.contour_segments_multi(g, levels)
+
+
 def _q_sieve(spark, sf_dir):
     # classed raster (3 value classes) -> distributed CC -> sieve: regions
     # under 3 cells merge into their largest neighbor. Connected
@@ -800,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_segments": _q_contour,
         "sjoin_left": _q_sjoin_left,
         "sieve_filter": _q_sieve,
+        "contour_multi": _q_contour_multi,
         "raster_calc": _q_raster_calc,
         "sjoin_clip": _q_sjoin_clip,
         "sjoin_erase": _q_sjoin_erase,
@@ -1184,6 +1196,96 @@ def _dd_rect_arms() -> str:
         f"WHERE lon >= {x0} AND lon < {x1} AND lat >= {y0} AND lat < {y1}"
         for pid, x0, y0, x1, y1 in _RECTS
     )
+
+
+def _o_contour_multi() -> str:
+    # reuse the single-level marching-squares SQL three times, one arm per
+    # level; levels derive from the same exact stats in SQL
+    lvl = "SELECT min(value) AS lo, max(value) AS hi FROM base"
+    arms = []
+    for i in (1, 2, 3):
+        L = f"((SELECT lo FROM st) + {i} * ((SELECT hi FROM st) - (SELECT lo FROM st)) / 4.0)"
+        arms.append(f"""
+SELECT {L} AS level, x0, y0, x1, y1 FROM (
+  WITH c AS (
+    SELECT CAST(bx AS DOUBLE) AS bxd, CAST("by" AS DOUBLE) AS byd,
+           tl, tr, bl, br,
+           (CASE WHEN tl >= {L} THEN 1 ELSE 0 END)
+         + (CASE WHEN tr >= {L} THEN 2 ELSE 0 END)
+         + (CASE WHEN br >= {L} THEN 4 ELSE 0 END)
+         + (CASE WHEN bl >= {L} THEN 8 ELSE 0 END) AS idx,
+           (tl + tr + bl + br) / 4.0 >= {L} AS cin
+    FROM sq WHERE n = 4
+  ),
+  pts AS (
+    SELECT idx, cin,
+           bxd + ({L} - tl) / (tr - tl) AS tx, byd AS ty,
+           bxd + 1.0 AS rx, byd + ({L} - tr) / (br - tr) AS ry,
+           bxd + ({L} - bl) / (br - bl) AS bx2, byd + 1.0 AS by2,
+           bxd AS lx, byd + ({L} - tl) / (bl - tl) AS ly
+    FROM c WHERE idx NOT IN (0, 15)
+  ),
+  arm1 AS (
+    SELECT
+      CASE WHEN idx IN (3,12,7,8) THEN lx WHEN idx IN (4,11) THEN rx ELSE tx END AS ax,
+      CASE WHEN idx IN (3,12,7,8) THEN ly WHEN idx IN (4,11) THEN ry ELSE ty END AS ay,
+      CASE WHEN idx IN (1,14) THEN lx WHEN idx IN (2,13,3,12) THEN rx
+           WHEN idx IN (4,11,6,9,7,8) THEN bx2
+           WHEN idx = 5 THEN (CASE WHEN cin THEN rx ELSE lx END)
+           ELSE (CASE WHEN cin THEN lx ELSE rx END) END AS bx_,
+      CASE WHEN idx IN (1,14) THEN ly WHEN idx IN (2,13,3,12) THEN ry
+           WHEN idx IN (4,11,6,9,7,8) THEN by2
+           WHEN idx = 5 THEN (CASE WHEN cin THEN ry ELSE ly END)
+           ELSE (CASE WHEN cin THEN ly ELSE ry END) END AS by_
+    FROM pts
+  ),
+  arm2 AS (
+    SELECT
+      CASE WHEN idx = 5 THEN (CASE WHEN cin THEN bx2 ELSE rx END)
+           ELSE (CASE WHEN cin THEN rx ELSE bx2 END) END AS ax,
+      CASE WHEN idx = 5 THEN (CASE WHEN cin THEN by2 ELSE ry END)
+           ELSE (CASE WHEN cin THEN ry ELSE by2 END) END AS ay,
+      CASE WHEN idx = 5 THEN (CASE WHEN cin THEN lx ELSE bx2 END)
+           ELSE (CASE WHEN cin THEN bx2 ELSE lx END) END AS bx_,
+      CASE WHEN idx = 5 THEN (CASE WHEN cin THEN ly ELSE by2 END)
+           ELSE (CASE WHEN cin THEN by2 ELSE ly END) END AS by_
+    FROM pts WHERE idx IN (5, 10)
+  ),
+  allseg AS (SELECT * FROM arm1 UNION ALL SELECT * FROM arm2),
+  norm AS (
+    SELECT
+      CASE WHEN (ax > bx_) OR (ax = bx_ AND ay > by_) THEN bx_ ELSE ax END AS x0,
+      CASE WHEN (ax > bx_) OR (ax = bx_ AND ay > by_) THEN by_ ELSE ay END AS y0,
+      CASE WHEN (ax > bx_) OR (ax = bx_ AND ay > by_) THEN ax ELSE bx_ END AS x1,
+      CASE WHEN (ax > bx_) OR (ax = bx_ AND ay > by_) THEN ay ELSE by_ END AS y1
+    FROM norm0
+  )
+  SELECT x0, y0, x1, y1 FROM norm WHERE NOT (x0 = x1 AND y0 = y1)
+)""")
+    # fix inner CTE name collision: rename allseg->norm0 chain
+    arms = [a.replace("FROM allseg", "FROM allseg").replace(
+        "norm AS (", "norm AS (").replace("FROM norm0", "FROM allseg") for a in arms]
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH {_dd_base8_cte()},
+contrib AS (
+  SELECT b.bx - dx.i AS bx, b."by" - dy.i AS "by",
+         dx.i AS dx, dy.i AS dy, b.value AS v
+  FROM base b,
+       (SELECT unnest([0, 1]) AS i) dx, (SELECT unnest([0, 1]) AS i) dy
+),
+sq AS (
+  SELECT bx, "by",
+         max(CASE WHEN dx=0 AND dy=0 THEN v END) AS tl,
+         max(CASE WHEN dx=1 AND dy=0 THEN v END) AS tr,
+         max(CASE WHEN dx=0 AND dy=1 THEN v END) AS bl,
+         max(CASE WHEN dx=1 AND dy=1 THEN v END) AS br,
+         count(*) AS n
+  FROM contrib GROUP BY 1, 2
+),
+st AS ({lvl})
+{body}
+"""
 
 
 def _o_sjoin_left() -> str:
@@ -1893,6 +1995,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_aspect": _o_dem_aspect(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),
+        "contour_multi": _o_contour_multi(),
         "raster_calc": _o_raster_calc(),
         "sjoin_left": _o_sjoin_left(),
         "sjoin_clip": _o_sjoin_clip(),

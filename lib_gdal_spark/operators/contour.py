@@ -202,3 +202,60 @@ def assemble_polylines(segments) -> list:
             if len(line) > 1:
                 out.append(line)
     return out
+
+
+def contour_segments_multi(cells: DataFrame, levels: list,
+                           value_col: str = "value") -> DataFrame:
+    """All iso-lines of a level SERIES in one pass — `gdal_contour -i
+    interval` semantics (alg/contour.cpp IntervalLevelIterator): output
+    (level, x0, y0, x1, y1).
+
+    Same single halo shuffle as contour_segments: the window pivot is
+    computed ONCE and each window evaluates every level via one more
+    explode — per-level marching squares without per-level rescans of the
+    cell table (L levels cost L x the tiny per-square math, not L scans).
+    """
+    w = _square_windows(cells, value_col)
+    w = w.withColumn("level", F.explode(F.array(*[F.lit(float(l)) for l in levels])))
+    L = F.col("level")
+    bx, by = F.col("bx").cast("double"), F.col("by").cast("double")
+    tl, tr, bl, br = F.col("tl"), F.col("tr"), F.col("bl"), F.col("br")
+
+    edge_pts = {
+        "T": (bx + (L - tl) / (tr - tl), by),
+        "R": (bx + 1.0, by + (L - tr) / (br - tr)),
+        "B": (bx + (L - bl) / (br - bl), by + 1.0),
+        "L": (bx, by + (L - tl) / (bl - tl)),
+    }
+
+    def seg(ea, eb):
+        xa, ya = edge_pts[ea]
+        xb, yb = edge_pts[eb]
+        swap = (xa > xb) | ((xa == xb) & (ya > yb))
+        return F.struct(
+            F.when(swap, xb).otherwise(xa).alias("x0"),
+            F.when(swap, yb).otherwise(ya).alias("y0"),
+            F.when(swap, xa).otherwise(xb).alias("x1"),
+            F.when(swap, ya).otherwise(yb).alias("y1"),
+        )
+
+    idx = (
+        (tl >= L).cast("int") + (tr >= L).cast("int") * 2
+        + (br >= L).cast("int") * 4 + (bl >= L).cast("int") * 8
+    )
+    center_in = (tl + tr + bl + br) / 4.0 >= L
+    null_seg = F.lit(None).cast("struct<x0:double,y0:double,x1:double,y1:double>")
+    s1, s2 = null_seg, null_seg
+    for case, segs_ in _CASES.items():
+        if segs_ is None or not segs_:
+            continue
+        s1 = F.when(idx == case, seg(*segs_[0])).otherwise(s1)
+    s1 = F.when(idx == 5, F.when(center_in, seg("T", "R")).otherwise(seg("T", "L"))).otherwise(s1)
+    s2 = F.when(idx == 5, F.when(center_in, seg("B", "L")).otherwise(seg("R", "B"))).otherwise(s2)
+    s1 = F.when(idx == 10, F.when(center_in, seg("T", "L")).otherwise(seg("T", "R"))).otherwise(s1)
+    s2 = F.when(idx == 10, F.when(center_in, seg("R", "B")).otherwise(seg("B", "L"))).otherwise(s2)
+
+    out = w.select("level", F.explode(F.array_compact(F.array(s1, s2))).alias("s"))
+    return out.select("level", "s.x0", "s.y0", "s.x1", "s.y1").filter(
+        ~((F.col("x0") == F.col("x1")) & (F.col("y0") == F.col("y1")))
+    )

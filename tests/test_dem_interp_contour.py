@@ -156,3 +156,25 @@ class TestPolylineAssembly:
         segs = [(0, 0, 1, 1), (10, 0, 11, 1)]
         out = contour.assemble_polylines(segs)
         assert len(out) == 2
+
+
+class TestContourMulti:
+    def test_matches_per_level_runs(self, spark):
+        rows = [(x, y, float((x * 7 + y * 13) % 9))
+                for x in range(8) for y in range(8)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        levels = [2.0, 4.5, 7.0]
+        multi = contour.contour_segments_multi(cells, levels)
+        got = sorted(map(tuple, multi.collect()))
+        want = []
+        for lv in levels:
+            for r in contour.contour_segments(cells, lv).collect():
+                want.append((lv, r.x0, r.y0, r.x1, r.y1))
+        assert got == sorted(want) and len(got) > 0
+
+    def test_single_shuffle(self, spark):
+        rows = [(x, y, float(x + y)) for x in range(6) for y in range(6)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        plan = contour.contour_segments_multi(cells, [2.0, 5.0])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
