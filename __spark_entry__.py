@@ -446,6 +446,31 @@ def _q_raster_calc(spark, sf_dir):
         "value", F.col("value").cast("int"))
 
 
+def _q_interp_nearest(spark, sf_dir):
+    cells = _base_grid8(spark, sf_dir)
+    pts = _tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pt_id"),
+        ((F.col("p_partkey") * 7919 % 250) / 10.0).alias("px"),
+        ((F.col("p_partkey") * 6151 % 200) / 10.0).alias("py"),
+    )
+    return interp.interpolate_at_points(pts, cells, method="nearest")
+
+
+def _q_sjoin_update(spark, sf_dir):
+    # Update (ogrlayer.cpp:7007): where the method layer covers an input
+    # feature, method attributes REPLACE input attributes; elsewhere the
+    # input passes through. Point-input recast: lang is overwritten by the
+    # polygon's tag for covered points.
+    pts = _pages(spark, sf_dir).select("doc_id", "lon", "lat", "lang")
+    j = sjoin.spatial_join(pts, _rect_polyset(), zoom=6, how="left")
+    return j.select(
+        "doc_id",
+        F.when(F.col("poly_id").isNotNull(),
+               F.concat(F.lit("zone_"), F.col("poly_id").cast("string")))
+        .otherwise(F.col("lang")).alias("tag"),
+    )
+
+
 def _q_contour(spark, sf_dir):
     # level = grid mean: scale-independent (a fixed level sits below every
     # cell at bigger sf) and cross-engine exact — cell values are
@@ -810,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_bilinear": _q_interp_bilinear,
         "contour_segments": _q_contour,
         "sjoin_left": _q_sjoin_left,
+        "sjoin_update": _q_sjoin_update,
+        "interp_nearest": _q_interp_nearest,
         "sieve_filter": _q_sieve,
         "contour_multi": _q_contour_multi,
         "raster_calc": _q_raster_calc,
@@ -1343,6 +1370,31 @@ SELECT bx, "by",
        CAST(CASE WHEN v < 200.0 THEN 0 WHEN v < 300.0 THEN 1
                  WHEN v < 400.0 THEN 2 ELSE 3 END AS INTEGER) AS value
 FROM m
+"""
+
+
+def _o_interp_nearest() -> str:
+    return f"""
+WITH {_dd_base8_cte()},
+pts AS (
+  SELECT p_partkey AS pt_id, (p_partkey*7919 % 250)/10.0 AS px,
+         (p_partkey*6151 % 200)/10.0 AS py
+  FROM part
+)
+SELECT p.pt_id, p.px, p.py, b.value
+FROM pts p JOIN base b
+  ON CAST(floor(p.px) AS BIGINT) = b.bx AND CAST(floor(p.py) AS BIGINT) = b."by"
+"""
+
+
+def _o_sjoin_update() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+m AS ({_dd_rect_arms()})
+SELECT p.doc_id,
+       CASE WHEN m.poly_id IS NOT NULL THEN 'zone_' || CAST(m.poly_id AS VARCHAR)
+            ELSE p.lang END AS tag
+FROM pages p LEFT JOIN m ON p.doc_id = m.doc_id
 """
 
 
@@ -1998,6 +2050,8 @@ def oracle_sql() -> dict[str, str]:
         "contour_multi": _o_contour_multi(),
         "raster_calc": _o_raster_calc(),
         "sjoin_left": _o_sjoin_left(),
+        "sjoin_update": _o_sjoin_update(),
+        "interp_nearest": _o_interp_nearest(),
         "sjoin_clip": _o_sjoin_clip(),
         "sjoin_erase": _o_sjoin_erase(),
         "warp_avg": _o_warp_avg(),
