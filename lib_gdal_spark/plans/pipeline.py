@@ -26,6 +26,8 @@ barriers). Steps:
     concat <path>                     unionByName(allowMissingColumns)
     limit <n>
     offset <n>
+    tile <zoom>                       add tile_x/tile_y/cell columns
+    pyramid <max_zoom> [min_zoom]     aggregate to the zoom pyramid
     tee <path>                        write a copy, keep flowing
     partition <col,...>               declare Hive partition cols for write
     write <path> [overwrite|append]
@@ -112,6 +114,23 @@ def _step_offset(ctx, df, args):
     return df.offset(int(args))
 
 
+def _step_tile(ctx, df, args):
+    # engine-native: assign tile_x/tile_y/cell at a zoom (the pipeline
+    # registry's rasterize/grid steps generalized to the cell model)
+    from ..operators import sjoin
+
+    return sjoin.with_tile(df, int(args))
+
+
+def _step_pyramid(ctx, df, args):
+    from ..operators import tiles
+
+    parts = args.split()
+    max_zoom = int(parts[0])
+    min_zoom = int(parts[1]) if len(parts) > 1 else 0
+    return tiles.tile_pyramid(df, max_zoom=max_zoom, min_zoom=min_zoom)
+
+
 def _step_tee(ctx, df, args):
     path = shlex.split(args)[0]
     df.write.mode("overwrite").parquet(path)
@@ -145,6 +164,8 @@ PIPELINE_STEPS = {
     "concat": _step_concat,
     "limit": _step_limit,
     "offset": _step_offset,
+    "tile": _step_tile,
+    "pyramid": _step_pyramid,
     "tee": _step_tee,
     "partition": _step_partition,
     "write": _step_write,

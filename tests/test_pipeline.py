@@ -74,3 +74,19 @@ class TestPipeline:
             spark, f"read {src} ! filter lang = 'de' ! tee {t} ! limit 5")
         assert out.count() == 5
         assert spark.read.parquet(t).count() == 50
+
+
+class TestGeoSteps:
+    def test_tile_and_pyramid_end_to_end(self, spark, src, tmp_path):
+        out = str(tmp_path / "pyr_out")
+        res = run_pipeline(
+            spark,
+            f"read {src} ! filter lang = 'en' ! tile 6 "
+            f"! pyramid 6 0 ! partition z ! write {out}")
+        back = spark.read.parquet(out)
+        levels = {r.z for r in back.select("z").distinct().collect()}
+        assert levels == set(range(7))
+        # total count at every level equals the filtered row count
+        per = {r.z: r.s for r in back.groupBy("z")
+               .agg(F.sum("n_pages").alias("s")).collect()}
+        assert all(v == 50 for v in per.values())
