@@ -327,3 +327,57 @@ class TestSqlCorpusSemantics:
             "WHERE st_area(geom) > 0.9").collect()
         assert len(got) == 1
         assert got[0].ogr_geom_area == 1.0 and got[0].test == "0"
+
+
+class TestSqlCorpusNulls:
+    """ogr_sql_test.py 29-36 replays: NULL handling, mixed aggregates,
+    implicit conversions, huge projections."""
+
+    def test_ogr_sql_29_is_null(self, spark):
+        spark.createDataFrame([("a",), ("b",), (None,)], "strfield string") \
+             .createOrReplaceTempView("nulltab")
+        assert spark.sql(
+            "select * from nulltab where strfield is null").count() == 1
+        assert spark.sql(
+            "select * from nulltab where strfield is not null").count() == 2
+
+    def test_ogr_sql_30_mixed_agg(self, spark, tables):
+        r = spark.sql(
+            "select min(eas_id) as m, count(*) as n from poly").collect()[0]
+        assert r.n == 10 and r.m == 158
+
+    def test_ogr_sql_31_min_over_empty_filter(self, spark, tables):
+        # one row with NULL, no error (#4022)
+        r = spark.sql(
+            "select min(eas_id) as m from poly where area = 0").collect()
+        assert len(r) == 1 and r[0].m is None
+
+    def test_ogr_sql_34_implicit_string_to_numeric(self, spark, tables):
+        # eas_id in ('165') -> string literal coerces to the column type
+        assert spark.sql(
+            "select count(*) as n from poly where eas_id in ('165')"
+        ).collect()[0].n == 1
+
+    def test_ogr_sql_35_huge_projection(self, spark, tables):
+        # 1024-fold duplicated column list (#4262) analyzes and runs
+        cols = "area"
+        for _ in range(10):
+            cols = cols + "," + cols
+        df = spark.sql(f"select {cols} from poly")
+        assert len(df.columns) == 1024 and df.count() == 10
+
+    def test_ogr_sql_36_distinct_null_ordering(self, spark):
+        # DISTINCT + ORDER BY over a null: asc -> NULL first,
+        # desc -> NULL last (the reference's observed ordering; Spark's
+        # nulls-first-asc default matches)
+        spark.createDataFrame(
+            [(1, 2.3, "456", 1234567890123), (None, None, None, None)],
+            "intfield int, floatfield double, strfield string, int64field long",
+        ).createOrReplaceTempView("nulls36")
+        for f in ["intfield", "int64field", "floatfield", "strfield"]:
+            asc = spark.sql(
+                f"select distinct {f} from nulls36 order by {f} asc").collect()
+            assert asc[0][0] is None and asc[1][0] is not None, f
+            desc = spark.sql(
+                f"select distinct {f} from nulls36 order by {f} desc").collect()
+            assert desc[0][0] is not None and desc[1][0] is None, f
