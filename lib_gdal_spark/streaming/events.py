@@ -96,3 +96,31 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("t1"),
         )
     )
+
+
+def windowed_counts_stream_append(spark: SparkSession, src_dir: str,
+                                  minutes: int = 5,
+                                  watermark: str = "10 minutes",
+                                  query_name: str = "events_windows_final"):
+    """Append-mode variant: a window row is emitted exactly ONCE, after the
+    watermark passes its end — the mode where the watermark actually
+    FINALIZES state and late events are dropped (complete mode keeps all
+    state and never drops). This is the production shape for the
+    continuously-crawled pages/events stream: finalized windows are safe
+    to commit downstream because they can never be restated."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        src.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

@@ -668,3 +668,56 @@ class TestWinnowing:
         b = sorted(map(tuple, textops.winnow_fingerprints(
             df.repartition(7)).collect()))
         assert a == b
+
+
+class TestWatermarkLateData:
+    def test_late_events_dropped_after_finalization(self, spark, tmp_path):
+        import glob
+        import shutil
+
+        from lib_gdal_spark.streaming import events as ev
+
+        src = tmp_path / "late_src"
+        src.mkdir()
+
+        def land(name, rows):
+            pdf = pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "event_type",
+                               "value", "props"])
+            sdf = spark.createDataFrame(pdf).withColumn(
+                "ts", F.to_timestamp("ts"))
+            stage = tmp_path / f"_w{name}"
+            sdf.coalesce(1).write.mode("overwrite").parquet(str(stage))
+            f = glob.glob(str(stage / "*.parquet"))[0]
+            shutil.move(f, str(src / f"{name}.parquet"))
+            shutil.rmtree(str(stage))
+
+        q = ev.windowed_counts_stream_append(
+            spark, str(src), minutes=5, watermark="10 minutes",
+            query_name="t_late")
+        try:
+            # batch 1: three events in the 00:00 window, plus one at 01:00
+            # that advances the watermark to 00:50 (> window end 00:05)
+            land("b0", [
+                (1, "2024-01-01 00:00:30", 1, "click", 1.0, "{}"),
+                (2, "2024-01-01 00:01:30", 1, "click", 1.0, "{}"),
+                (3, "2024-01-01 00:02:30", 1, "click", 1.0, "{}"),
+                (4, "2024-01-01 01:00:00", 1, "click", 1.0, "{}"),
+            ])
+            q.processAllAvailable()
+            # batch 2: a LATE event for the (finalized) 00:00 window — must
+            # be dropped, not restated
+            land("b1", [
+                (5, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+                (6, "2024-01-01 01:20:00", 1, "click", 1.0, "{}"),
+            ])
+            q.processAllAvailable()
+            got = {str(r.w_start): r.n for r in
+                   spark.sql("SELECT * FROM t_late").collect()}
+        finally:
+            q.stop()
+        # the finalized 00:00 window keeps its original count of 3 — the
+        # late event 5 was dropped by the watermark
+        assert got.get("2024-01-01 00:00:00") == 3
+        # each emitted window appears exactly once (append semantics)
+        assert list(got.values()).count(3) == 1
