@@ -446,6 +446,22 @@ def _q_raster_calc(spark, sf_dir):
         "value", F.col("value").cast("int"))
 
 
+def _q_interp_cubic(spark, sf_dir):
+    cells = _base_grid8(spark, sf_dir)
+    # prime-denominator coordinates: grid-aligned /10 points made ~1.3% of
+    # results land EXACTLY on the 6-dp rounding half-boundary, where
+    # engine fold-order ulps flip the rounded digit; /997 coordinates have
+    # non-terminating decimal results and never sit on the knife edge
+    pts = _tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pt_id"),
+        ((F.col("p_partkey") * 7919 % 24925) / 997.0).alias("px"),
+        ((F.col("p_partkey") * 6151 % 19940) / 997.0).alias("py"),
+    )
+    out = interp.interpolate_cubic(pts, cells)
+    # 16-term weighted fold is order-dependent -> round both engines
+    return out.select("pt_id", "px", "py", F.round("value", 6).alias("value"))
+
+
 def _q_interp_nearest(spark, sf_dir):
     cells = _base_grid8(spark, sf_dir)
     pts = _tbl(spark, sf_dir, "part").select(
@@ -837,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_left": _q_sjoin_left,
         "sjoin_update": _q_sjoin_update,
         "interp_nearest": _q_interp_nearest,
+        "interp_cubic": _q_interp_cubic,
         "sieve_filter": _q_sieve,
         "contour_multi": _q_contour_multi,
         "raster_calc": _q_raster_calc,
@@ -1370,6 +1387,36 @@ SELECT bx, "by",
        CAST(CASE WHEN v < 200.0 THEN 0 WHEN v < 300.0 THEN 1
                  WHEN v < 400.0 THEN 2 ELSE 3 END AS INTEGER) AS value
 FROM m
+"""
+
+
+def _o_interp_cubic() -> str:
+    return f"""
+WITH {_dd_base8_cte()},
+pts AS (
+  SELECT p_partkey AS pt_id, (p_partkey*7919 % 24925)/997.0 AS px,
+         (p_partkey*6151 % 19940)/997.0 AS py
+  FROM part
+),
+taps AS (
+  SELECT mx.i AS mx, my.i AS my
+  FROM (SELECT unnest([-1, 0, 1, 2]) AS i) mx,
+       (SELECT unnest([-1, 0, 1, 2]) AS i) my
+),
+expl AS (
+  SELECT pt_id, px, py,
+         CAST(floor(px - 0.5) AS BIGINT) + m.mx AS bx,
+         CAST(floor(py - 0.5) AS BIGINT) + m.my AS "by",
+         (CASE WHEN abs((CAST(m.mx AS DOUBLE) - (px - 0.5 - floor(px - 0.5)))) <= 1.0 THEN (1.5*abs((CAST(m.mx AS DOUBLE) - (px - 0.5 - floor(px - 0.5)))) - 2.5)*abs((CAST(m.mx AS DOUBLE) - (px - 0.5 - floor(px - 0.5))))*abs((CAST(m.mx AS DOUBLE) - (px - 0.5 - floor(px - 0.5)))) + 1.0 WHEN abs((CAST(m.mx AS DOUBLE) - (px - 0.5 - floor(px - 0.5)))) < 2.0 THEN ((-0.5*abs((CAST(m.mx AS DOUBLE) - (px - 0.5 - floor(px - 0.5)))) + 2.5)*abs((CAST(m.mx AS DOUBLE) - (px - 0.5 - floor(px - 0.5)))) - 4.0)*abs((CAST(m.mx AS DOUBLE) - (px - 0.5 - floor(px - 0.5)))) + 2.0 ELSE 0.0 END)
+       * (CASE WHEN abs((CAST(m.my AS DOUBLE) - (py - 0.5 - floor(py - 0.5)))) <= 1.0 THEN (1.5*abs((CAST(m.my AS DOUBLE) - (py - 0.5 - floor(py - 0.5)))) - 2.5)*abs((CAST(m.my AS DOUBLE) - (py - 0.5 - floor(py - 0.5))))*abs((CAST(m.my AS DOUBLE) - (py - 0.5 - floor(py - 0.5)))) + 1.0 WHEN abs((CAST(m.my AS DOUBLE) - (py - 0.5 - floor(py - 0.5)))) < 2.0 THEN ((-0.5*abs((CAST(m.my AS DOUBLE) - (py - 0.5 - floor(py - 0.5)))) + 2.5)*abs((CAST(m.my AS DOUBLE) - (py - 0.5 - floor(py - 0.5)))) - 4.0)*abs((CAST(m.my AS DOUBLE) - (py - 0.5 - floor(py - 0.5)))) + 2.0 ELSE 0.0 END) AS w
+  FROM pts, taps m
+),
+hit AS (
+  SELECT e.pt_id, e.px, e.py, e.w, b.value
+  FROM expl e JOIN base b ON e.bx = b.bx AND e."by" = b."by"
+)
+SELECT pt_id, px, py, round(sum(w*value)/sum(w), 6) AS value
+FROM hit GROUP BY 1, 2, 3 HAVING count(*) = 16
 """
 
 
@@ -2052,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         "sjoin_left": _o_sjoin_left(),
         "sjoin_update": _o_sjoin_update(),
         "interp_nearest": _o_interp_nearest(),
+        "interp_cubic": _o_interp_cubic(),
         "sjoin_clip": _o_sjoin_clip(),
         "sjoin_erase": _o_sjoin_erase(),
         "warp_avg": _o_warp_avg(),

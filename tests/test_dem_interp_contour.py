@@ -178,3 +178,33 @@ class TestContourMulti:
         plan = contour.contour_segments_multi(cells, [2.0, 5.0])._jdf \
             .queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+class TestInterpCubic:
+    def test_reproduces_linear_ramp(self, spark):
+        # cubic convolution is exact on linear functions
+        cells = _grid(spark, [(x, y, float(2 * (x + 0.5) + 3 * (y + 0.5)))
+                              for x in range(-2, 5) for y in range(-2, 5)])
+        pts = spark.createDataFrame(
+            [(1, 1.25, 1.75), (2, 0.9, 2.1)],
+            "pt_id long, px double, py double")
+        got = {r.pt_id: r.value for r in
+               interp.interpolate_cubic(pts, cells).collect()}
+        assert got[1] == pytest.approx(2 * 1.25 + 3 * 1.75, rel=1e-12)
+        assert got[2] == pytest.approx(2 * 0.9 + 3 * 2.1, rel=1e-12)
+
+    def test_matches_bilinear_at_cell_centers(self, spark):
+        # at an exact cell center all kernels agree with the cell value
+        cells = _grid(spark, [(x, y, float(x * 10 + y))
+                              for x in range(-2, 5) for y in range(-2, 5)])
+        pts = spark.createDataFrame([(1, 1.5, 1.5)],
+                                    "pt_id long, px double, py double")
+        c = interp.interpolate_cubic(pts, cells).collect()[0].value
+        # center of cell (1,1): all off-center taps get weight 0
+        assert c == pytest.approx(float(1 * 10 + 1), rel=1e-12)
+
+    def test_incomplete_window_drops(self, spark):
+        cells = _grid(spark, [(x, y, 1.0) for x in range(3) for y in range(3)])
+        pts = spark.createDataFrame([(1, 1.5, 1.5)],
+                                    "pt_id long, px double, py double")
+        assert interp.interpolate_cubic(pts, cells).collect() == []
