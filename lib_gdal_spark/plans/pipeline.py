@@ -26,6 +26,7 @@ barriers). Steps:
     concat <path>                     unionByName(allowMissingColumns)
     limit <n>
     offset <n>
+    grid <cell_size> <radius>         IDW-grid points (x, y, z)
     tile <zoom>                       add tile_x/tile_y/cell columns
     pyramid <max_zoom> [min_zoom]     aggregate to the zoom pyramid
     tee <path>                        write a copy, keep flowing
@@ -114,6 +115,15 @@ def _step_offset(ctx, df, args):
     return df.offset(int(args))
 
 
+def _step_grid(ctx, df, args):
+    # points (x, y, z) -> IDW cell grid (the registry's `grid` step)
+    from ..operators import grid as _grid
+
+    parts = args.split()
+    cell, radius = float(parts[0]), float(parts[1])
+    return _grid.grid_idw(df, cell_size=cell, radius=radius)
+
+
 def _step_tile(ctx, df, args):
     # engine-native: assign tile_x/tile_y/cell at a zoom (the pipeline
     # registry's rasterize/grid steps generalized to the cell model)
@@ -164,6 +174,7 @@ PIPELINE_STEPS = {
     "concat": _step_concat,
     "limit": _step_limit,
     "offset": _step_offset,
+    "grid": _step_grid,
     "tile": _step_tile,
     "pyramid": _step_pyramid,
     "tee": _step_tee,

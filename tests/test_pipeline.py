@@ -90,3 +90,14 @@ class TestGeoSteps:
         per = {r.z: r.s for r in back.groupBy("z")
                .agg(F.sum("n_pages").alias("s")).collect()}
         assert all(v == 50 for v in per.values())
+
+    def test_grid_step(self, spark, tmp_path):
+        p = str(tmp_path / "ptsz.parquet")
+        spark.range(200).select(
+            ((F.col("id") * 97 % 500) / 10.0).alias("x"),
+            ((F.col("id") * 31 % 500) / 10.0).alias("y"),
+            (F.col("id") % 9).cast("double").alias("z"),
+        ).write.mode("overwrite").parquet(p)
+        out = run_pipeline(spark, f"read {p} ! grid 10 15")
+        assert set(out.columns) == {"bx", "by", "value"}
+        assert out.count() > 0
