@@ -366,10 +366,13 @@ def _q_dem_hillshade(spark, sf_dir):
 
 def _q_interp_bilinear(spark, sf_dir):
     cells = _base_grid8(spark, sf_dir)
+    # prime denominator (/997, like interp_cubic): /10 grid-aligned points
+    # can land the rounded fold EXACTLY on the 6-dp half-boundary where
+    # engine ulps flip the digit; /997 results never terminate there
     pts = _tbl(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("pt_id"),
-        ((F.col("p_partkey") * 7919 % 250) / 10.0).alias("px"),
-        ((F.col("p_partkey") * 6151 % 200) / 10.0).alias("py"),
+        ((F.col("p_partkey") * 7919 % 24925) / 997.0).alias("px"),
+        ((F.col("p_partkey") * 6151 % 19940) / 997.0).alias("py"),
     )
     out = interp.interpolate_at_points(pts, cells, method="bilinear")
     # round: the 4-term weighted sum's fold order is engine-dependent
@@ -555,7 +558,15 @@ def _grid_pts(spark, sf_dir):
 
 
 def _q_grid_metrics(spark, sf_dir):
-    out = grid.grid_metrics(_grid_pts(spark, sf_dir), cell_size=10.0, radius=15.0)
+    # own point derivation with PRIME denominator /997 (not the shared /10
+    # _grid_pts): avg_dist is a rounded order-dependent fold, and
+    # grid-aligned coordinates can park it on the 6-dp rounding knife edge
+    pts = _tbl(spark, sf_dir, "part").select(
+        ((F.col("p_partkey") * 9973 % 199400) / 997.0).alias("x"),
+        ((F.col("p_partkey") * 6151 % 199400) / 997.0).alias("y"),
+        F.col("p_retailprice").cast("double").alias("z"),
+    )
+    out = grid.grid_metrics(pts, cell_size=10.0, radius=15.0)
     return out.select(
         "bx", "by", "minimum", "maximum", "range",
         F.col("count").cast("long").alias("n"),
@@ -1211,8 +1222,8 @@ def _o_interp_bilinear() -> str:
 WITH {_PAGES_CTE},
 {_dd_base8_cte()},
 pts AS (
-  SELECT p_partkey AS pt_id, (p_partkey*7919 % 250)/10.0 AS px,
-         (p_partkey*6151 % 200)/10.0 AS py
+  SELECT p_partkey AS pt_id, (p_partkey*7919 % 24925)/997.0 AS px,
+         (p_partkey*6151 % 19940)/997.0 AS py
   FROM part
 ),
 expl AS (
@@ -1660,7 +1671,7 @@ FROM base b JOIN g ON b.bx = g.bx AND b."by" = g."by"
 def _o_grid_metrics() -> str:
     return """
 WITH pts AS (
-  SELECT (p_partkey*9973 % 2000)/10.0 AS x, (p_partkey*6151 % 2000)/10.0 AS y,
+  SELECT (p_partkey*9973 % 199400)/997.0 AS x, (p_partkey*6151 % 199400)/997.0 AS y,
          CAST(p_retailprice AS DOUBLE) AS z
   FROM part
 ),

@@ -148,17 +148,22 @@ def ann_lsh(corpus: DataFrame, queries: DataFrame, k: int,
 
 def embedding_neardup(df: DataFrame, threshold: float = 0.999,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      method: str = "exact", k_probe: int = 16,
+                      method: str = "lsh", k_probe: int = 16,
                       n_tables: int = 4, n_bits: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate removal: drop the LARGER id of any
     pair with cosine >= threshold (greedy, deterministic — the
     dedup-family discipline of dedup.minhash_dedup).
 
-    method='exact': brute-force pair scan (broadcast side = the corpus
-    itself; correct at dimension-table scale and the correctness oracle
-    for the approximate path). method='lsh': hyperplane-LSH candidates
-    (ann_lsh machinery) then exact cosine verify — the 10^9-row path;
-    recall < 1 by construction, measured against 'exact' in tests."""
+    method='lsh' (DEFAULT — the 10^9-row path): hyperplane-LSH candidates
+    (ann_lsh machinery) then exact cosine verify. Candidate volume is
+    bounded by bucket occupancy (band equi-join), never |corpus|^2.
+    Recall < 1 in general, but EXACT duplicates are guaranteed candidates
+    (identical vectors share every bucket in every table), so duplicate
+    REMOVAL at threshold~1 is exact; near-miss recall is measured against
+    'exact' in tests.
+
+    method='exact': brute-force O(n^2) pair scan — the correctness oracle
+    for the approximate path; only valid at dimension-table scale."""
     n = with_unit_norm(df, vec_col).select(F.col(id_col), F.col("_unit"))
     if method == "exact":
         a = n.select(F.col(id_col).alias("_ia"), F.col("_unit").alias("_ua"))
@@ -209,7 +214,12 @@ def ann_ivf(corpus: DataFrame, queries: DataFrame, k: int,
     The scale shape of FAISS-style IVF recast to DataFrames:
     - coarse centroids: a deterministic stride sample of the corpus itself
       (unit-normalized) — no iterative k-means needed for bucketing to
-      work, and no RNG (reproducible under any partitioning);
+      work, and no RNG (reproducible under any partitioning). The sample
+      is taken DISTRIBUTED: filter `id % stride == 0` prunes the corpus
+      to ~n_lists rows executor-side and only those are collected —
+      never `limit(n_corpus).collect()` (a driver-OOM at 10^9 rows).
+      For dense ids starting at 0 this picks ids {0, stride, 2*stride,
+      ...}, identical to a positional [::stride] slice;
     - every corpus vector is assigned to its nearest centroid (argmax dot,
       pure Catalyst) -> the inverted list id; at 10^9 rows this is one
       narrow map pass and the lists are the shuffle/partition key;
@@ -225,8 +235,14 @@ def ann_ivf(corpus: DataFrame, queries: DataFrame, k: int,
     stride = max(1, n_corpus // n_lists)
     cents = [
         list(r["_unit"]) for r in
-        c.orderBy(id_col).limit(n_lists * stride).collect()[::stride]
-    ][:n_lists]
+        c.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col).limit(n_lists).select("_unit").collect()
+    ]
+    if len(cents) < max(1, n_lists // 2):
+        # sparse/non-dense id space starved the stride filter — fall back
+        # to the first n_lists ids (still a bounded collect, never O(n))
+        cents = [list(r["_unit"]) for r in
+                 c.orderBy(id_col).limit(n_lists).select("_unit").collect()]
     cb = c.withColumn("_list", _centroid_dots(F.col("_unit"), cents)[0]["cid"])
     probes = _centroid_dots(F.col("_unit"), cents)
     qb = q.select(

@@ -155,6 +155,7 @@ def spatial_join(
     broadcast_cover: bool = True,
     salt: int | None = None,
     exact: bool = True,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Join points to the polygons containing them. Output = points columns +
     ``poly_id`` (null for unmatched rows under how='left').
@@ -162,6 +163,12 @@ def spatial_join(
     how: 'inner' | 'left' (left keeps unmatched points with poly_id NULL —
     the OGR left-join shape) | 'semi' (points in >=1 polygon, deduped) |
     'anti' (points in no polygon).
+
+    key_col: a UNIQUE row id column used by the left/anti faces to find
+    unmatched points (defaults to the FIRST column of `points`, which the
+    caller must guarantee unique — url/doc_id in the page tables). The
+    anti-join runs on this single narrow key, so the exchange never
+    hashes or dedups wide payload columns (html at page scale).
     """
     spark = points.sparkSession
     # ALWAYS derive the join cell at THIS zoom — a pre-existing `cell`
@@ -233,16 +240,15 @@ def spatial_join(
         return cand
     if how == "semi":
         return cand.drop("poly_id").distinct()
+    key = key_col or points.columns[0]
     if how == "anti":
         return points.join(
-            cand.select(lon_col, lat_col).distinct(), on=[lon_col, lat_col],
-            how="left_anti",
+            cand.select(key).distinct(), on=key, how="left_anti",
         )
     if how == "left":
         matched = cand
         unmatched = points.join(
-            matched.select(*points.columns).distinct(), on=points.columns,
-            how="left_anti",
+            matched.select(key).distinct(), on=key, how="left_anti",
         ).withColumn("poly_id", F.lit(None).cast("long"))
         return matched.unionByName(unmatched)
     raise ValueError(f"unknown how={how}")

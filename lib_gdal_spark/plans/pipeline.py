@@ -185,10 +185,17 @@ PIPELINE_STEPS = {
 
 def run_pipeline(spark: SparkSession, pipeline: str) -> DataFrame:
     """Parse and run a `!`-joined step chain; returns the final DataFrame
-    (already written if the chain ends in `write`)."""
+    (already written if the chain ends in `write`).
+
+    Steps are separated by a STANDALONE `!` (whitespace on both sides, or
+    at the chain ends) — a `!` embedded in an expression token such as
+    `filter id != 7` is NOT a separator, so SQL `!=` works inside
+    filter/sql/select steps."""
+    import re
+
     ctx = _Ctx(spark)
     df = None
-    for raw in pipeline.split("!"):
+    for raw in re.split(r"(?:^|\s)!(?:\s|$)", pipeline):
         raw = raw.strip()
         if not raw:
             continue

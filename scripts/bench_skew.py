@@ -101,13 +101,41 @@ cluster regime).
 """ + "\n".join(
         f"| {r['profile']} | {r['hot_cell_pct']}% | {r['aqe']} | {r['salt']} | {r['sec']} |"
         for r in rows
-    ) + """
+    )
+    # derive the narrative FROM the measured rows (never a canned verdict
+    # the table can contradict): per profile, does the salted join beat
+    # the unsalted one at the same AQE setting?
+    verdicts = []
+    for profile in ("natural", "extreme"):
+        per_aqe = []
+        for aqe in ("false", "true"):
+            sec = {r["salt"]: r["sec"] for r in rows
+                   if r["profile"] == profile and r["aqe"] == aqe}
+            if 0 in sec and 16 in sec:
+                per_aqe.append((aqe, sec[0], sec[16]))
+        if per_aqe:
+            wins = [a for a, uns, sal in per_aqe if sal < uns]
+            if wins:
+                verdicts.append(
+                    f"- **{profile}**: salting WINS (AQE={'/'.join(wins)}): "
+                    + "; ".join(f"{sal:.2f}s salted vs {uns:.2f}s unsalted (AQE={a})"
+                                for a, uns, sal in per_aqe))
+            else:
+                verdicts.append(
+                    f"- **{profile}**: the UNSALTED join wins at every AQE "
+                    "setting ("
+                    + "; ".join(f"{uns:.2f}s vs {sal:.2f}s salted (AQE={a})"
+                                for a, uns, sal in per_aqe) + ")")
+    md += """
 
-Reading (honest): salting is NOT free — the x-salt cover replication and
-wider join key cost real time, so at the natural 13% hot-cell share the
-unsalted join wins and AQE alone is the right default. The lever pays in
-the extreme regime where one cell dwarfs 1/shuffle-partitions of the
-data. The engine therefore defaults to AQE + broadcast (zero skew
+Reading (derived from the measured rows above):
+
+""" + "\n".join(verdicts) + """
+
+Salting is NOT free — the x-salt cover replication and wider join key
+cost real time, so it only pays where one cell dwarfs
+1/shuffle-partitions of the data AND that cost exceeds the replication
+overhead. The engine therefore defaults to AQE + broadcast (zero skew
 exposure on the default path) and exposes `salt=` as an explicit opt-in
 for measured extreme skew, rather than salting unconditionally.
 """

@@ -439,12 +439,22 @@ class TestEmbeddingNeardup:
         return spark.createDataFrame(rng + dups,
                                      "vec_id long, embedding array<double>")
 
-    def test_exact_drops_larger_ids(self, spark):
+    def test_default_lsh_drops_larger_ids(self, spark):
         from lib_gdal_spark.operators import similarity
 
+        # default method is now 'lsh' (the scale path); exact duplicates
+        # are guaranteed candidates so removal is still complete
         out = similarity.embedding_neardup(self._emb(spark), threshold=0.999)
         ids = {r.vec_id for r in out.collect()}
         assert ids == set(range(40))  # all copies (ids 1000+) dropped
+
+    def test_exact_drops_larger_ids(self, spark):
+        from lib_gdal_spark.operators import similarity
+
+        out = similarity.embedding_neardup(self._emb(spark), threshold=0.999,
+                                           method="exact")
+        ids = {r.vec_id for r in out.collect()}
+        assert ids == set(range(40))
 
     def test_lsh_path_matches_exact_here(self, spark):
         from lib_gdal_spark.operators import similarity

@@ -77,6 +77,26 @@ class TestSpatialJoinPlan:
         assert plan.index("BroadcastHashJoin") > plan.index("ArrowEvalPython") or \
             "ArrowEvalPython" in plan  # udf present, post-join
 
+    def test_left_face_anti_join_on_narrow_key(self, spark):
+        # the left face finds unmatched points by anti-joining on ONE
+        # unique key column — wide payload columns (html at page scale)
+        # must never appear in an exchange hash key or aggregate key
+        pdf = spark.createDataFrame(
+            [(f"u{i}", float(i % 50), float(i % 30), b"x" * 10) for i in range(100)],
+            "url string, lon double, lat double, html binary",
+        )
+        polys = sjoin.PolygonSet(
+            [(1, [np.array([[0.0, 0.0], [40.0, 0.0], [40.0, 25.0], [0.0, 25.0], [0.0, 0.0]])])]
+        )
+        j = sjoin.spatial_join(pdf, polys, zoom=6, how="left")
+        plan = explain_str(j)
+        for line in plan.splitlines():
+            if "hashpartitioning" in line or "HashAggregate" in line:
+                assert "html" not in line.split("ReadSchema")[0], line
+        # and the matched-keys dedup is on the key alone, never full rows
+        assert "html" not in "".join(
+            l for l in plan.splitlines() if "HashAggregate" in l)
+
     def test_no_python_in_prefilter(self, spark):
         # phase 1 (cell assignment + cover join) must be pure JVM
         pdf = spark.createDataFrame(
