@@ -25,7 +25,7 @@ from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
     contour, dedup, dem, focal, graph, grid, interp, knn, multimodal,
     ogrsql, polygonize, proximity, raster, similarity, sjoin, textops,
-    tiles,
+    tiles, warp,
 )
 from lib_gdal_spark.streaming import events as ev
 
@@ -81,6 +81,8 @@ _OS = repr(mercator.ORIGIN_SHIFT)          # 20037508.342789244
 _IR = repr(mercator.INITIAL_RESOLUTION)    # 156543.03392804097
 _PI360 = repr(__import__("math").pi / 360.0)
 _PI180 = repr(__import__("math").pi / 180.0)
+_PIH = repr(__import__("math").pi / 2.0)
+_DPR = repr(180.0 / __import__("math").pi)
 
 
 def _dd_tile_x(lon: str, z: int) -> str:
@@ -406,31 +408,100 @@ def _q_sjoin_erase(spark, sf_dir):
     return j.select("doc_id")
 
 
+# 5th rectangle for the layer-algebra faces: sits strictly BETWEEN the
+# /1000-degree page-coordinate grid lines, so it contains no page at ANY
+# sf — guarantees a non-empty "method feature with no input rows" arm
+_RECT5 = (5, 0.0001, 0.0001, 0.0009, 0.0009)
+
+
+def _rect5_polyset():
+    return sjoin.PolygonSet([(pid, _rect_rings(x0, y0, x1, y1))
+                             for pid, x0, y0, x1, y1 in [*_RECTS, _RECT5]])
+
+
+def _q_sjoin_identity(spark, sf_dir):
+    # Identity (ogrlayer.cpp:6589): every input feature survives; method
+    # attributes (poly_id, poly_area) attach where the method layer covers
+    # it, NULL elsewhere (schema rule :4936 — input + method fields)
+    j = sjoin.spatial_join(_sjoin_pts(spark, sf_dir), _rect5_polyset(),
+                           zoom=6, how="identity")
+    return j.select("doc_id", "poly_id", "poly_area")
+
+
+def _q_sjoin_union(spark, sf_dir):
+    # Union (ogrlayer.cpp:5622): identity rows + method features covering
+    # no input row (input fields NULL)
+    j = sjoin.spatial_join(_sjoin_pts(spark, sf_dir), _rect5_polyset(),
+                           zoom=6, how="union")
+    return j.select("doc_id", "poly_id", "poly_area")
+
+
+def _q_sjoin_symdiff(spark, sf_dir):
+    # SymDifference (ogrlayer.cpp:6159): input rows covered by NO method
+    # feature + method features covering no input row
+    j = sjoin.spatial_join(_sjoin_pts(spark, sf_dir), _rect5_polyset(),
+                           zoom=6, how="symdiff")
+    return j.select("doc_id", "poly_id", "poly_area")
+
+
+def _warp_src(spark, sf_dir, cell: float = 5.0):
+    """Shared warp source: `cell`-degree lon/lat grid of page counts with
+    cell centers (cx, cy) — the input for the whole warp-kernel family."""
+    return (
+        _pages(spark, sf_dir)
+        .groupBy(
+            F.floor(F.col("lon") / cell).cast("long").alias("gx"),
+            F.floor(F.col("lat") / cell).cast("long").alias("gy"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .withColumn("cx", (F.col("gx") + 0.5) * cell)
+        .withColumn("cy", (F.col("gy") + 0.5) * cell)
+    )
+
+
 def _q_warp_avg(spark, sf_dir):
     # gdalwarp -r average, 4326 -> 3857/z4: source = 5-degree lon/lat grid
     # of page counts; target cell = Mercator tile of the source-cell
     # center; kernel = mean of contributing source cells (closed-form
     # reprojection + groupBy agg — SURVEY §2.10 warp row)
-    src = (
-        _pages(spark, sf_dir)
-        .groupBy(
-            F.floor(F.col("lon") / 5.0).cast("long").alias("gx"),
-            F.floor(F.col("lat") / 5.0).cast("long").alias("gy"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("v"))
-        .withColumn("cx", (F.col("gx") + 0.5) * 5.0)
-        .withColumn("cy", (F.col("gy") + 0.5) * 5.0)
-    )
-    out = (
-        src.select(
-            mercator.tile_x_col(F.col("cx"), 4).alias("x"),
-            mercator.tile_y_col(F.col("cy"), 4).alias("y"),
-            "v",
-        )
-        .groupBy("x", "y")
-        .agg(F.avg("v").alias("value"))
-    )
-    return out
+    return warp.warp_agg(_warp_src(spark, sf_dir), zoom=4, kernel="average")
+
+
+def _q_warp_rms(spark, sf_dir):
+    # gdalwarp -r rms (gdalwarper.cpp:1936): sqrt of the mean square —
+    # exact cross-engine because counts are integer-valued
+    return warp.warp_agg(_warp_src(spark, sf_dir), zoom=4, kernel="rms")
+
+
+def _q_warp_mode(spark, sf_dir):
+    # gdalwarp -r mode (gdalwarper.cpp:1937): most frequent value, ties to
+    # the smallest; source value quantized (count % 4) so ties are real
+    src = _warp_src(spark, sf_dir).withColumn(
+        "v", (F.col("v").cast("long") % 4).cast("double"))
+    return warp.warp_agg(src, zoom=4, kernel="mode")
+
+
+def _q_warp_q1q3(spark, sf_dir):
+    # gdalwarp -r med/q1/q3 (gdalwarper.cpp:1940-1943) in one pass;
+    # discrete percentiles (rank = max(1, ceil(p*n))) are engine-exact
+    return warp.warp_quartiles(_warp_src(spark, sf_dir), zoom=4)
+
+
+def _q_warp_near(spark, sf_dir):
+    # gdalwarp -r near: pull-based sampling — each target-tile center
+    # inverse-projects (closed form) and picks the covering source cell
+    return warp.warp_near(_warp_src(spark, sf_dir), zoom=4, cell_size=5.0)
+
+
+def _q_warp_bilinear(spark, sf_dir):
+    # gdalwarp -r bilinear: 4-tap pull sample; the weighted fold's weights
+    # carry transcendental-inverse ulps -> round both engines to 6 dp.
+    # Source grid is 30 degrees: EVERY cell is populated at sf>=0.01
+    # (500 pages over 72 cells), so complete 4-tap windows exist at every
+    # sf — a 5-degree source left 0 rows at sf0.01 (vacuous parity)
+    out = warp.warp_bilinear(_warp_src(spark, sf_dir, cell=30.0),
+                             zoom=4, cell_size=30.0)
+    return out.select("x", "y", F.round("value", 6).alias("value"))
 
 
 def _q_raster_calc(spark, sf_dir):
@@ -870,7 +941,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_calc": _q_raster_calc,
         "sjoin_clip": _q_sjoin_clip,
         "sjoin_erase": _q_sjoin_erase,
+        "sjoin_identity": _q_sjoin_identity,
+        "sjoin_union": _q_sjoin_union,
+        "sjoin_symdiff": _q_sjoin_symdiff,
         "warp_avg": _q_warp_avg,
+        "warp_rms": _q_warp_rms,
+        "warp_mode": _q_warp_mode,
+        "warp_q1q3": _q_warp_q1q3,
+        "warp_near": _q_warp_near,
+        "warp_bilinear": _q_warp_bilinear,
         "proximity_dist": _q_proximity,
         "fillnodata_idw": _q_fillnodata,
         "overview_avg": _q_overview_avg,
@@ -1367,6 +1446,65 @@ SELECT doc_id FROM pages WHERE doc_id NOT IN (SELECT doc_id FROM m)
 """
 
 
+def _dd_rect_arms5() -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, CAST({pid} AS BIGINT) AS poly_id FROM pages "
+        f"WHERE lon >= {x0} AND lon < {x1} AND lat >= {y0} AND lat < {y1}"
+        for pid, x0, y0, x1, y1 in [*_RECTS, _RECT5]
+    )
+
+
+def _dd_area_case(col: str) -> str:
+    # inject repr() of the ENGINE's shoelace doubles — never re-derive
+    # rounded constants in SQL (CLAUDE.md exactness rule)
+    ps = _rect5_polyset()
+    whens = " ".join(f"WHEN {pid} THEN {repr(ps.area(pid))}" for pid in ps.ids)
+    return f"CASE {col} {whens} ELSE NULL END"
+
+
+def _dd_method_only_arm() -> str:
+    ps = _rect5_polyset()
+    vals = ", ".join(f"({pid})" for pid in ps.ids)
+    return f"""
+SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(r.pid AS BIGINT) AS poly_id,
+       {_dd_area_case('r.pid')} AS poly_area
+FROM (VALUES {vals}) r(pid)
+WHERE r.pid NOT IN (SELECT poly_id FROM m)
+"""
+
+
+def _o_sjoin_identity() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+m AS ({_dd_rect_arms5()})
+SELECT p.doc_id, m.poly_id, {_dd_area_case('m.poly_id')} AS poly_area
+FROM pages p LEFT JOIN m ON p.doc_id = m.doc_id
+"""
+
+
+def _o_sjoin_union() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+m AS ({_dd_rect_arms5()})
+SELECT p.doc_id, m.poly_id, {_dd_area_case('m.poly_id')} AS poly_area
+FROM pages p LEFT JOIN m ON p.doc_id = m.doc_id
+UNION ALL
+{_dd_method_only_arm()}
+"""
+
+
+def _o_sjoin_symdiff() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+m AS ({_dd_rect_arms5()})
+SELECT p.doc_id, CAST(NULL AS BIGINT) AS poly_id,
+       CAST(NULL AS DOUBLE) AS poly_area
+FROM pages p WHERE p.doc_id NOT IN (SELECT doc_id FROM m)
+UNION ALL
+{_dd_method_only_arm()}
+"""
+
+
 def _o_warp_avg() -> str:
     return f"""
 WITH {_PAGES_CTE},
@@ -1380,6 +1518,118 @@ ctr AS (SELECT (gx + 0.5) * 5.0 AS cx, (gy + 0.5) * 5.0 AS cy, v FROM src)
 SELECT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y,
        avg(v) AS value
 FROM ctr GROUP BY 1, 2
+"""
+
+
+def _dd_warp_src(cell: float = 5.0) -> str:
+    return f"""
+src AS (
+  SELECT CAST(floor(lon/{cell}) AS BIGINT) AS gx,
+         CAST(floor(lat/{cell}) AS BIGINT) AS gy,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM pages GROUP BY 1, 2
+),
+ctr AS (SELECT gx, gy, (gx + 0.5) * {cell} AS cx, (gy + 0.5) * {cell} AS cy, v FROM src)
+"""
+
+
+_DD_WARP_SRC = _dd_warp_src(5.0)
+
+
+def _dd_tile_center_lon(x: str, z: int) -> str:
+    s = repr(mercator.tile_size_meters(z))
+    return f"((({x}) + 0.5) * {s} - {_OS}) / {_OS} * 180.0"
+
+
+def _dd_tile_center_lat(y: str, z: int) -> str:
+    # mirrors mercator.tile_center_lat_col term by term (XYZ flip folded
+    # into my = OS - (y+0.5)*s); atan/exp are transcendental, so this only
+    # feeds ulp-tolerant consumers (floor into a 5-degree grid, rounded
+    # weighted folds)
+    s = repr(mercator.tile_size_meters(z))
+    inner = f"(({_OS} - (({y}) + 0.5) * {s}) / {_OS} * 180.0)"
+    return f"(2.0 * atan(exp({inner} * {_PI180})) - {_PIH}) * {_DPR}"
+
+
+def _o_warp_rms() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+{_DD_WARP_SRC}
+SELECT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y,
+       sqrt(avg(v*v)) AS value
+FROM ctr GROUP BY 1, 2
+"""
+
+
+def _o_warp_mode() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+{_DD_WARP_SRC},
+q AS (SELECT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y,
+             CAST(CAST(v AS BIGINT) % 4 AS DOUBLE) AS v
+      FROM ctr),
+freq AS (SELECT x, y, v, count(*) AS n FROM q GROUP BY 1, 2, 3),
+r AS (SELECT x, y, v,
+             row_number() OVER (PARTITION BY x, y ORDER BY n DESC, v ASC) AS rn
+      FROM freq)
+SELECT x, y, v AS value FROM r WHERE rn = 1
+"""
+
+
+def _o_warp_q1q3() -> str:
+    return f"""
+WITH {_PAGES_CTE},
+{_DD_WARP_SRC},
+t AS (SELECT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y, v FROM ctr),
+r AS (SELECT x, y, v,
+             row_number() OVER (PARTITION BY x, y ORDER BY v ASC) AS rn,
+             count(*) OVER (PARTITION BY x, y) AS n
+      FROM t)
+SELECT x, y,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) THEN v END) AS q1,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS med,
+       max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT)) THEN v END) AS q3
+FROM r GROUP BY 1, 2
+"""
+
+
+def _o_warp_near() -> str:
+    clon = _dd_tile_center_lon("x", 4)
+    clat = _dd_tile_center_lat("y", 4)
+    return f"""
+WITH {_PAGES_CTE},
+{_DD_WARP_SRC},
+tgt AS (SELECT DISTINCT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y FROM ctr),
+tc AS (SELECT x, y,
+              CAST(floor(({clon})/5.0) AS BIGINT) AS gx,
+              CAST(floor(({clat})/5.0) AS BIGINT) AS gy
+       FROM tgt)
+SELECT tc.x, tc.y, s.v AS value
+FROM tc JOIN src s ON s.gx = tc.gx AND s.gy = tc.gy
+"""
+
+
+def _o_warp_bilinear() -> str:
+    clon = _dd_tile_center_lon("x", 4)
+    clat = _dd_tile_center_lat("y", 4)
+    return f"""
+WITH {_PAGES_CTE},
+{_dd_warp_src(30.0)},
+tgt AS (SELECT DISTINCT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y FROM ctr),
+fr AS (SELECT x, y, ({clon})/30.0 - 0.5 AS fx, ({clat})/30.0 - 0.5 AS fy FROM tgt),
+taps AS (
+  SELECT f.x, f.y,
+         CAST(floor(f.fx) AS BIGINT) + i.i AS gx,
+         CAST(floor(f.fy) AS BIGINT) + j.j AS gy,
+         (CASE WHEN i.i = 0 THEN 1.0 - (f.fx - floor(f.fx))
+               ELSE f.fx - floor(f.fx) END)
+       * (CASE WHEN j.j = 0 THEN 1.0 - (f.fy - floor(f.fy))
+               ELSE f.fy - floor(f.fy) END) AS w
+  FROM fr f, (SELECT unnest([0, 1]) AS i) i, (SELECT unnest([0, 1]) AS j) j
+)
+SELECT t.x, t.y, round(sum(t.w * s.v), 6) AS value
+FROM taps t JOIN src s ON s.gx = t.gx AND s.gy = t.gy
+GROUP BY 1, 2 HAVING count(*) = 4
 """
 
 
@@ -2113,7 +2363,15 @@ def oracle_sql() -> dict[str, str]:
         "interp_cubic": _o_interp_cubic(),
         "sjoin_clip": _o_sjoin_clip(),
         "sjoin_erase": _o_sjoin_erase(),
+        "sjoin_identity": _o_sjoin_identity(),
+        "sjoin_union": _o_sjoin_union(),
+        "sjoin_symdiff": _o_sjoin_symdiff(),
         "warp_avg": _o_warp_avg(),
+        "warp_rms": _o_warp_rms(),
+        "warp_mode": _o_warp_mode(),
+        "warp_q1q3": _o_warp_q1q3(),
+        "warp_near": _o_warp_near(),
+        "warp_bilinear": _o_warp_bilinear(),
         "proximity_dist": _o_proximity(),
         "fillnodata_idw": _o_fillnodata(),
         "overview_avg": _o_overview_avg(),

@@ -161,6 +161,43 @@ def tile_x_col(lon: "Column", zoom) -> "Column":
     return F.greatest(F.lit(0).cast("long"), F.least(tx, n - 1))
 
 
+def tile_size_meters(zoom: int) -> float:
+    """Meters spanned by one tile edge at `zoom`."""
+    return TILE_SIZE * resolution(zoom)
+
+
+def tile_center_lon_col(x: "Column", zoom: int) -> "Column":
+    """Lon of the CENTER of XYZ tile column x — inverse of tile_x_col.
+    Pure +-*/ (exact cross-engine given the same injected constants):
+    lon = ((x + 0.5) * tile_size_m - ORIGIN_SHIFT) / ORIGIN_SHIFT * 180."""
+    s = tile_size_meters(zoom)
+    return (
+        (x.cast("double") + F.lit(0.5)) * F.lit(s) - F.lit(ORIGIN_SHIFT)
+    ) / F.lit(ORIGIN_SHIFT) * F.lit(180.0)
+
+
+def tile_center_lat_col(y: "Column", zoom: int, xyz: bool = True) -> "Column":
+    """Lat of the CENTER of tile row y — inverse Mercator
+    (gdal2tiles.py:431-440 MetersToLatLon). For XYZ y (top-left origin)
+    the TMS flip folds into my = ORIGIN_SHIFT - (y + 0.5) * tile_size_m.
+
+    TRANSCENDENTAL (atan/exp): engines may differ in the last ulp, so
+    downstream use must be ulp-tolerant — index arithmetic (floor into a
+    coarse source grid) or rounded weighted folds, never exact equality.
+    The duckdb twin (_dd_tile_center_lat in __spark_entry__) mirrors this
+    op order term by term."""
+    s = tile_size_meters(zoom)
+    if xyz:
+        my = F.lit(ORIGIN_SHIFT) - (y.cast("double") + F.lit(0.5)) * F.lit(s)
+    else:
+        my = (y.cast("double") + F.lit(0.5)) * F.lit(s) - F.lit(ORIGIN_SHIFT)
+    inner = my / F.lit(ORIGIN_SHIFT) * F.lit(180.0)
+    return (
+        F.lit(2.0) * F.atan(F.exp(inner * F.lit(math.pi / 180.0)))
+        - F.lit(math.pi / 2.0)
+    ) * F.lit(180.0 / math.pi)
+
+
 def tile_y_col(lat: "Column", zoom, xyz: bool = True) -> "Column":
     """Tile y from lat (XYZ by default — gdal2tiles GetYTile flip)."""
     zoom = F.lit(zoom) if isinstance(zoom, int) else zoom

@@ -59,6 +59,24 @@ class PolygonSet:
         self.boxes = boxes.reshape(-1, 4)
         self.rtree = PackedRTree(self.boxes) if len(self.ids) else None
 
+    def area(self, pid: int) -> float:
+        """Shoelace area of the polygon (holes subtract when wound
+        opposite to the outer ring) — the OGR_GEOM_AREA analog
+        (ogr/ogrlinearring.cpp get_Area semantics)."""
+        total = 0.0
+        for r in self.rings[int(pid)]:
+            x, y = r[:, 0], r[:, 1]
+            total += 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        return abs(total)
+
+    def attrs_df(self, spark):
+        """(poly_id, poly_area) method-layer attribute table — the
+        attributes the layer-algebra faces (Identity/Union, schema rule
+        ogrlayer.cpp:4936: result schema = input fields + method fields)
+        carry onto matched rows. Tiny by construction -> broadcast."""
+        rows = [(int(pid), self.area(pid)) for pid in self.ids]
+        return spark.createDataFrame(rows, "poly_id long, poly_area double")
+
     def cover_cells(self, zoom: int, refine: bool = True,
                     with_bbox: bool = False) -> pd.DataFrame:
         """(cell, poly_id[, xmin..ymax]) covering table at `zoom` (XYZ
@@ -162,7 +180,21 @@ def spatial_join(
 
     how: 'inner' | 'left' (left keeps unmatched points with poly_id NULL —
     the OGR left-join shape) | 'semi' (points in >=1 polygon, deduped) |
-    'anti' (points in no polygon).
+    'anti' (points in no polygon) | the three layer-algebra faces below.
+
+    Layer-algebra faces (the reference's Layer.Identity/Union/
+    SymDifference, ogr/ogrsf_frmts/generic/ogrlayer.cpp:6589, :5622,
+    :6159; result schema = input fields + method fields per :4936),
+    recast for point inputs where "intersects" is exact containment and
+    a method polygon's non-intersecting part is the whole polygon iff it
+    contains no input point:
+    - 'identity':  matched points (with poly_id + poly_area) + unmatched
+      points (method fields NULL) — every input row survives, method
+      attributes attach where covered;
+    - 'union':     identity rows + one row per polygon containing NO
+      point (input fields NULL, method fields set);
+    - 'symdiff':   unmatched points + point-free polygons only.
+    All three return points columns + (poly_id, poly_area).
 
     key_col: a UNIQUE row id column used by the left/anti faces to find
     unmatched points (defaults to the FIRST column of `points`, which the
@@ -251,4 +283,30 @@ def spatial_join(
             matched.select(key).distinct(), on=key, how="left_anti",
         ).withColumn("poly_id", F.lit(None).cast("long"))
         return matched.unionByName(unmatched)
+    if how in ("identity", "union", "symdiff"):
+        attrs = F.broadcast(polys.attrs_df(spark))
+        out_cols = [*points.columns, "poly_id", "poly_area"]
+        unmatched = points.join(
+            cand.select(key).distinct(), on=key, how="left_anti",
+        ).withColumn("poly_id", F.lit(None).cast("long")).withColumn(
+            "poly_area", F.lit(None).cast("double"))
+        matched = cand.join(attrs, on="poly_id", how="left").select(*out_cols)
+        # method features intersecting NO input row (the polygon side of
+        # union/symdiff): tiny anti-join of the id dimension against the
+        # distinct matched ids
+        ids_df = spark.createDataFrame([(int(p),) for p in polys.ids],
+                                       "poly_id long")
+        null_pts = [F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in points.schema.fields]
+        method_only = (
+            ids_df.join(cand.select("poly_id").distinct(),
+                        on="poly_id", how="left_anti")
+            .join(attrs, on="poly_id", how="left")
+            .select(*null_pts, "poly_id", "poly_area")
+        )
+        if how == "identity":
+            return matched.unionByName(unmatched)
+        if how == "union":
+            return matched.unionByName(unmatched).unionByName(method_only)
+        return unmatched.unionByName(method_only)  # symdiff
     raise ValueError(f"unknown how={how}")

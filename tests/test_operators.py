@@ -731,3 +731,88 @@ class TestWatermarkLateData:
         assert got.get("2024-01-01 00:00:00") == 3
         # each emitted window appears exactly once (append semantics)
         assert list(got.values()).count(3) == 1
+
+
+class TestWarpKernels:
+    def _src(self, spark):
+        # 8x8 source cells on the 5-degree grid over [-20,20)^2; values
+        # repeat ((gx%7)*10 + gy%5) so mode/quantiles see real ties
+        cells = [(gx, gy, float((gx % 7) * 10 + gy % 5))
+                 for gx in range(-4, 4) for gy in range(-4, 4)]
+        df = spark.createDataFrame(cells, "gx long, gy long, v double")
+        return df.select(((F.col("gx") + 0.5) * 5.0).alias("cx"),
+                         ((F.col("gy") + 0.5) * 5.0).alias("cy"), "v")
+
+    def test_sum_kernel_conserves_total(self, spark):
+        from lib_gdal_spark.operators import warp
+
+        src = self._src(spark)
+        total = src.agg(F.sum("v")).first()[0]
+        out = warp.warp_agg(src, zoom=3, kernel="sum")
+        assert out.agg(F.sum("value")).first()[0] == total
+
+    def test_min_max_bracket_average(self, spark):
+        from lib_gdal_spark.operators import warp
+
+        src = self._src(spark)
+        mn = warp.warp_agg(src, zoom=3, kernel="min").withColumnRenamed("value", "mn")
+        mx = warp.warp_agg(src, zoom=3, kernel="max").withColumnRenamed("value", "mx")
+        av = warp.warp_agg(src, zoom=3, kernel="average").withColumnRenamed("value", "av")
+        j = mn.join(mx, ["x", "y"]).join(av, ["x", "y"])
+        bad = j.filter((F.col("av") < F.col("mn")) | (F.col("av") > F.col("mx")))
+        assert bad.count() == 0
+
+    def test_quartiles_zoom0_hand_golden(self, spark):
+        from lib_gdal_spark.operators import warp
+        import math
+
+        # zoom 0: every source cell lands in tile (0,0) -> quartiles of
+        # the full value list, rank = max(1, ceil(p*n)) in sorted order
+        src = self._src(spark)
+        vals = sorted(r.v for r in src.select("v").collect())
+        n = len(vals)
+        exp = {p: vals[max(1, math.ceil(p * n)) - 1] for p in (0.25, 0.5, 0.75)}
+        row = warp.warp_quartiles(src, zoom=0).collect()[0]
+        assert (row.q1, row.med, row.q3) == (exp[0.25], exp[0.5], exp[0.75])
+
+    def test_mode_is_most_frequent_smallest(self, spark):
+        from lib_gdal_spark.operators import warp
+        from collections import Counter
+
+        src = self._src(spark)
+        c = Counter(r.v for r in src.select("v").collect())
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        row = warp.warp_agg(src, zoom=0, kernel="mode").collect()[0]
+        assert row.value == best
+
+    def test_near_samples_covering_source_cell(self, spark):
+        from lib_gdal_spark.operators import warp
+        from lib_gdal_spark.geo import mercator as M
+
+        src = self._src(spark)
+        src_map = {(int((r.cx - 2.5) / 5), int((r.cy - 2.5) / 5)): r.v
+                   for r in src.collect()}
+        out = warp.warp_near(src, zoom=6, cell_size=5.0).collect()
+        assert len(out) > 0
+        import numpy as np
+        for r in out:
+            # recompute the inverse center in numpy and check the sampled
+            # value is the covering cell's
+            s = M.tile_size_meters(6)
+            lon = ((r.x + 0.5) * s - M.ORIGIN_SHIFT) / M.ORIGIN_SHIFT * 180.0
+            my = M.ORIGIN_SHIFT - (r.y + 0.5) * s
+            lat = float(180.0 / np.pi * (2.0 * np.arctan(
+                np.exp(my / M.ORIGIN_SHIFT * 180.0 * np.pi / 180.0)) - np.pi / 2.0))
+            key = (int(np.floor(lon / 5.0)), int(np.floor(lat / 5.0)))
+            assert r.value == src_map[key]
+
+    def test_bilinear_within_source_range(self, spark):
+        from lib_gdal_spark.operators import warp
+
+        src = self._src(spark)
+        lo = src.agg(F.min("v")).first()[0]
+        hi = src.agg(F.max("v")).first()[0]
+        out = warp.warp_bilinear(src, zoom=6, cell_size=5.0)
+        assert out.count() > 0
+        bad = out.filter((F.col("value") < lo - 1e-9) | (F.col("value") > hi + 1e-9))
+        assert bad.count() == 0

@@ -89,6 +89,35 @@ class TestSpatialJoin:
         )
         assert got_pairs == oracle_join(pages_pdf)
 
+    def test_layer_algebra_faces(self, points, pages_pdf):
+        # Identity/Union/SymDifference (ogrlayer.cpp:6589/:5622/:6159)
+        # recast for point inputs; poly 9 is placed in an empty corner so
+        # the method-only arm is non-degenerate
+        empty_poly = (9, [np.array([[170.0, 80.0], [175.0, 80.0],
+                                    [175.0, 84.0], [170.0, 84.0],
+                                    [170.0, 80.0]])])
+        ps = sjoin.PolygonSet(POLYS + [empty_poly])
+        matched = oracle_join(pages_pdf)  # (url, pid) pairs, polys 1-3
+        matched_urls = {u for u, _ in matched}
+        n_unmatched = N - len(matched_urls)
+
+        ident = sjoin.spatial_join(points, ps, zoom=7, how="identity")
+        assert ident.count() == len(matched) + n_unmatched
+        assert ident.filter("poly_id IS NULL").count() == n_unmatched
+        # method attribute attaches on matched rows: shoelace area of
+        # poly 1 (30x30 box) is exactly 900
+        a1 = ident.filter("poly_id = 1").select("poly_area").first()[0]
+        assert a1 == 900.0
+
+        uni = sjoin.spatial_join(points, ps, zoom=7, how="union")
+        method_only = uni.filter("url IS NULL")
+        assert {r.poly_id for r in method_only.collect()} == {9}
+        assert uni.count() == len(matched) + n_unmatched + 1
+
+        sym = sjoin.spatial_join(points, ps, zoom=7, how="symdiff")
+        assert sym.count() == n_unmatched + 1
+        assert sym.filter("url IS NOT NULL AND poly_id IS NOT NULL").count() == 0
+
     def test_no_exact_is_superset(self, points):
         ps = sjoin.PolygonSet(POLYS)
         exact = sjoin.spatial_join(points, ps, zoom=7, how="inner").count()
