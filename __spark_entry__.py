@@ -628,16 +628,40 @@ def _grid_pts(spark, sf_dir):
     )
 
 
-def _q_grid_metrics(spark, sf_dir):
-    # own point derivation with PRIME denominator /997 (not the shared /10
-    # _grid_pts): avg_dist is a rounded order-dependent fold, and
-    # grid-aligned coordinates can park it on the 6-dp rounding knife edge
-    pts = _tbl(spark, sf_dir, "part").select(
+def _grid_pts997(spark, sf_dir):
+    """Point derivation with PRIME denominator /997 (not the /10 grid of
+    _grid_pts): rounded order-dependent folds (avg_dist) on grid-aligned
+    coordinates can park on the 6-dp rounding knife edge."""
+    return _tbl(spark, sf_dir, "part").select(
         ((F.col("p_partkey") * 9973 % 199400) / 997.0).alias("x"),
         ((F.col("p_partkey") * 6151 % 199400) / 997.0).alias("y"),
         F.col("p_retailprice").cast("double").alias("z"),
     )
-    out = grid.grid_metrics(pts, cell_size=10.0, radius=15.0)
+
+
+def _q_grid_movavg(spark, sf_dir):
+    # moving average (gdalgrid.cpp:629); DECIMAL sum -> one division, so
+    # no rounding needed for cross-engine exactness
+    return grid.grid_movavg(_grid_pts997(spark, sf_dir),
+                            cell_size=10.0, radius=15.0)
+
+
+def _q_grid_quadrant(spark, sf_dir):
+    # per-quadrant metrics (gdalgrid.cpp:1145-1442): cells qualify only
+    # with >=2 points in EVERY quadrant around the center
+    out = grid.grid_metrics_quadrant(_grid_pts997(spark, sf_dir),
+                                     cell_size=10.0, radius=15.0,
+                                     min_points=2)
+    return out.select(
+        "bx", "by", "minimum", "maximum",
+        F.col("count").cast("long").alias("n"),
+        F.round("average_distance", 6).alias("avg_dist"),
+    )
+
+
+def _q_grid_metrics(spark, sf_dir):
+    out = grid.grid_metrics(_grid_pts997(spark, sf_dir),
+                            cell_size=10.0, radius=15.0)
     return out.select(
         "bx", "by", "minimum", "maximum", "range",
         F.col("count").cast("long").alias("n"),
@@ -905,6 +929,20 @@ def _q_polygonize(spark, sf_dir):
     return polygonize.polygonize(d, block_bits=4)
 
 
+def _q_polygonize_rings(spark, sf_dir):
+    # geometry-producing polygonize (alg/polygonize.cpp; autotest shape
+    # asserts geometries): rows-only driver check (CC not SQL); the ring
+    # tracer's area==n_cells invariant is unit-tested with goldens
+    d = _tbl(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 40).alias("bx"),
+        ((F.col("doc_id") / 40).cast("long") % 40).alias("by"),
+        (F.col("n_chars") % 3).cast("double").alias("value"),
+    )
+    out = polygonize.polygonize_rings(d, block_bits=4)
+    return out.select("region_id", "value", "n_cells", "n_rings",
+                      "n_vertices", "area")
+
+
 def _q_multimodal(spark, sf_dir):
     media = multimodal.synth_media(spark, 200)
     out = multimodal.extract_features(media, dim=8)
@@ -962,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idw": _q_grid_idw,
         "grid_metrics": _q_grid_metrics,
         "grid_nearest": _q_grid_nearest,
+        "grid_movavg": _q_grid_movavg,
+        "grid_quadrant": _q_grid_quadrant,
         # OGR SQL parity corpus (SURVEY §2.2, §2.4, §2.6, §2.7, §2.8, §5)
         "ogr_filter_like": _q_filter_like,
         "ogr_filter_in_between": _q_filter_in_between,
@@ -999,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "minhash_dedup": _q_minhash_dedup,
         "polygonize_regions": _q_polygonize,
+        "polygonize_rings": _q_polygonize_rings,
         "multimodal_features": _q_multimodal,
     }
 
@@ -1918,9 +1959,8 @@ FROM base b JOIN g ON b.bx = g.bx AND b."by" = g."by"
 """
 
 
-def _o_grid_metrics() -> str:
-    return """
-WITH pts AS (
+_DD_GRID997 = """
+pts AS (
   SELECT (p_partkey*9973 % 199400)/997.0 AS x, (p_partkey*6151 % 199400)/997.0 AS y,
          CAST(p_retailprice AS DOUBLE) AS z
   FROM part
@@ -1939,11 +1979,44 @@ d AS (
   FROM cand
 ),
 f AS (SELECT * FROM d WHERE dist <= 15.0)
+"""
 
+
+def _o_grid_metrics() -> str:
+    return f"""
+WITH {_DD_GRID997}
 SELECT bx, "by", min(z) AS minimum, max(z) AS maximum,
        max(z) - min(z) AS range, count(*) AS n,
        round(avg(dist), 6) AS avg_dist
 FROM f GROUP BY 1, 2
+"""
+
+
+def _o_grid_movavg() -> str:
+    return f"""
+WITH {_DD_GRID997}
+SELECT bx, "by",
+       CAST(sum(CAST(z AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS value
+FROM f GROUP BY 1, 2
+"""
+
+
+def _o_grid_quadrant() -> str:
+    return f"""
+WITH {_DD_GRID997},
+q AS (
+  SELECT bx, "by", x, y, z, dist,
+         (CASE WHEN x >= (bx+0.5)*10.0 THEN 1 ELSE 0 END)
+       + (CASE WHEN y >= ("by"+0.5)*10.0 THEN 2 ELSE 0 END) AS quad
+  FROM f
+),
+perq AS (SELECT bx, "by", quad, count(*) AS nq FROM q GROUP BY 1, 2, 3),
+ok AS (SELECT bx, "by" FROM perq GROUP BY 1, 2
+       HAVING count(*) = 4 AND min(nq) >= 2)
+SELECT f.bx, f."by", min(f.z) AS minimum, max(f.z) AS maximum,
+       count(*) AS n, round(avg(f.dist), 6) AS avg_dist
+FROM f JOIN ok ON f.bx = ok.bx AND f."by" = ok."by"
+GROUP BY 1, 2
 """
 
 
@@ -2384,6 +2457,8 @@ def oracle_sql() -> dict[str, str]:
         "grid_idw": _o_grid_idw(),
         "grid_metrics": _o_grid_metrics(),
         "grid_nearest": _o_grid_nearest(),
+        "grid_movavg": _o_grid_movavg(),
+        "grid_quadrant": _o_grid_quadrant(),
         "ogr_filter_like": _o_filter_like(),
         "ogr_filter_in_between": _o_filter_in_between(),
         "ogr_order_limit_offset": _o_order_limit_offset(),

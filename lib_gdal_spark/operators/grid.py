@@ -75,6 +75,58 @@ def grid_metrics(points: DataFrame, cell_size: float, radius: float,
     )
 
 
+def grid_movavg(points: DataFrame, cell_size: float, radius: float,
+                x: str = "x", y: str = "y") -> DataFrame:
+    """Moving average (gdalgrid.cpp:629 GDALGridMovingAverage): cell value
+    = mean z of the points within `radius` of the cell center.
+
+    The sum goes through DECIMAL so it is fold-order independent, then one
+    double division — engine-exact without rounding (the money-sum
+    discipline; a plain double avg differs across engines in the last ulp
+    depending on aggregation order)."""
+    cand = _candidates(points, cell_size, radius, x, y)
+    s = F.sum(F.col("_z").cast("decimal(30,6)")).cast("double")
+    return cand.groupBy("bx", "by").agg(
+        (s / F.count("_z")).alias("value")
+    )
+
+
+def grid_metrics_quadrant(points: DataFrame, cell_size: float, radius: float,
+                          min_points: int = 1,
+                          x: str = "x", y: str = "y") -> DataFrame:
+    """Per-quadrant data metrics (gdalgrid.cpp:1145-1442: the
+    nMinPointsPerQuadrant search variant): a cell yields metrics only when
+    EVERY quadrant around its center holds >= `min_points` points within
+    the radius; otherwise it is nodata (absent).
+
+    Quadrant = (dx >= 0) + 2*(dy >= 0) relative to the cell center —
+    exact-double comparisons, identical in the duckdb twin. One extra
+    groupBy over the same (bx, by[, quad]) key; AQE keeps the qualifying-
+    cell semi-join co-partitioned with the final aggregate."""
+    cand = _candidates(points, cell_size, radius, x, y)
+    cx = (F.col("bx") + 0.5) * cell_size
+    cy = (F.col("by") + 0.5) * cell_size
+    c = cand.withColumn(
+        "_q",
+        F.when(F.col("_px") >= cx, 1).otherwise(0)
+        + F.when(F.col("_py") >= cy, 2).otherwise(0),
+    )
+    perq = c.groupBy("bx", "by", "_q").agg(F.count(F.lit(1)).alias("_nq"))
+    ok = (
+        perq.groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("_kq"), F.min("_nq").alias("_mn"))
+        .filter((F.col("_kq") == 4) & (F.col("_mn") >= min_points))
+        .select("bx", "by")
+    )
+    return c.join(ok, on=["bx", "by"], how="left_semi").groupBy("bx", "by").agg(
+        F.min("_z").alias("minimum"),
+        F.max("_z").alias("maximum"),
+        (F.max("_z") - F.min("_z")).alias("range"),
+        F.count("_z").alias("count"),
+        F.avg("_d").alias("average_distance"),
+    )
+
+
 def grid_nearest(points: DataFrame, cell_size: float, radius: float,
                  x: str = "x", y: str = "y") -> DataFrame:
     """Nearest-neighbor gridding (gdalgrid.cpp:879): cell value = z of the

@@ -816,3 +816,61 @@ class TestWarpKernels:
         assert out.count() > 0
         bad = out.filter((F.col("value") < lo - 1e-9) | (F.col("value") > hi + 1e-9))
         assert bad.count() == 0
+
+
+class TestPolygonizeRings:
+    def _df(self, spark, cells, value=1.0):
+        return spark.createDataFrame([(x, y, value) for x, y in cells],
+                                     "bx long, by long, value double")
+
+    def test_square_with_hole_golden(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+        from lib_gdal_spark.geo import wkb as wkbmod
+
+        cells = [(x, y) for x in range(3) for y in range(3) if (x, y) != (1, 1)]
+        out = pz.polygonize_rings(self._df(spark, cells)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_cells, r.n_rings, r.area) == (8, 2, 8.0)
+        kind, rings = wkbmod.decode(bytes(r.wkb))
+        assert kind == "polygon" and len(rings) == 2
+
+        def sarea(rr):
+            x, y = rr[:, 0], rr[:, 1]
+            return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+        # outer CCW (+9) first, hole CW (-1) second — OGR orientation
+        assert sarea(rings[0]) == 9.0
+        assert sarea(rings[1]) == -1.0
+        # outer ring vertex SET is the 3x3 square's corner walk
+        assert {tuple(p) for p in rings[0]} == {
+            (0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0),
+            (3.0, 1.0), (3.0, 2.0), (3.0, 3.0), (2.0, 3.0),
+            (1.0, 3.0), (0.0, 3.0), (0.0, 2.0), (0.0, 1.0)}
+
+    def test_regions_split_and_area_invariant(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+
+        # L-shape + diagonal-touch singleton (4-connectivity keeps them
+        # separate regions) + a second value class
+        rows = [(0, 0, 1.0), (1, 0, 1.0), (0, 1, 1.0), (2, 2, 1.0),
+                (5, 5, 2.0), (5, 6, 2.0)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = pz.polygonize_rings(df).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.area == float(r.n_cells)  # shoelace == cell count
+            assert r.n_rings == 1
+
+    def test_distributed_stitch_matches_driver(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+
+        # grid spanning multiple 2^2 blocks so cross-block stitching is
+        # exercised; both stitchers must produce IDENTICAL labels
+        rows = [(x, y, float((x + y) % 2)) for x in range(12) for y in range(8)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        a = pz.polygonize(df, block_bits=2, stitch="distributed").collect()
+        b = pz.polygonize(df, block_bits=2, stitch="driver").collect()
+        ka = sorted((r.bx, r.by, r.value, r.region_id) for r in a)
+        kb = sorted((r.bx, r.by, r.value, r.region_id) for r in b)
+        assert ka == kb
