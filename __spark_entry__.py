@@ -324,6 +324,13 @@ def _q_dem_roughness(spark, sf_dir):
     return out.select("bx", "by", "value", "roughness")
 
 
+def _q_dem_tri(spark, sf_dir):
+    # TRI Riley (gdaldem_lib.cpp default): sqrt of the sum of squared
+    # center-neighbor diffs — exact on the integer-valued grid
+    out = focal.tri(_base_grid8(spark, sf_dir), alg="riley")
+    return out.select("bx", "by", "value", "tri")
+
+
 def _q_grid_idw(spark, sf_dir):
     pts = _tbl(spark, sf_dir, "part").select(
         ((F.col("p_partkey") * 9973 % 2000) / 10.0).alias("x"),
@@ -967,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_graph_components,
         "dem_roughness": _q_dem_roughness,
         "dem_aspect": _q_dem_aspect,
+        "dem_tri": _q_dem_tri,
         "dem_hillshade": _q_dem_hillshade,
         "interp_bilinear": _q_interp_bilinear,
         "contour_segments": _q_contour,
@@ -1982,6 +1990,19 @@ f AS (SELECT * FROM d WHERE dist <= 15.0)
 """
 
 
+def _o_dem_tri() -> str:
+    return f"""
+WITH {_dd_dense_contrib(False)},
+j AS (
+  SELECT c.bx, c."by", b.value AS cv, c.v
+  FROM contrib c JOIN base b ON c.bx = b.bx AND c."by" = b."by"
+)
+SELECT bx, "by", min(cv) AS value,
+       sqrt(sum((cv - v)*(cv - v))) AS tri
+FROM j GROUP BY 1, 2
+"""
+
+
 def _o_grid_metrics() -> str:
     return f"""
 WITH {_DD_GRID997}
@@ -2426,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": _o_graph_components(),
         "dem_roughness": _o_dem_roughness(),
         "dem_aspect": _o_dem_aspect(),
+        "dem_tri": _o_dem_tri(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),
         "contour_multi": _o_contour_multi(),

@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
 
-from ..geo import cells as _cells, mercator as _mercator, wkb as _wkb
+from ..geo import cells as _cells, mercator as _mercator, wkb as _wkb, wkt as _wkt
+from ..geo.distance import geometry_distance
 from ..geo.pip import point_in_polygon_np, polygon_area_np, polygon_centroid_np
 from ..geo.simplify import douglas_peucker_np, segmentize_np
 
@@ -175,6 +176,49 @@ def register_all(spark: SparkSession) -> None:
             return pd.Series(vals)
         return f
 
+    @F.pandas_udf(T.StringType())
+    def st_astext(wkb: pd.Series) -> pd.Series:
+        # ST_AsText (ogrsqlitesqlfunctions.cpp:723): WKB -> WKT
+        return pd.Series([
+            None if buf is None else _wkt.to_wkt(*_wkb.decode(bytes(buf)))
+            for buf in wkb
+        ])
+
+    @F.pandas_udf(T.BinaryType())
+    def st_geomfromtext(txt: pd.Series) -> pd.Series:
+        # ST_GeomFromText (ogrsqlitesqlfunctions.cpp:760): WKT -> WKB
+        out = []
+        for t in txt:
+            if t is None:
+                out.append(None)
+                continue
+            kind, data = _wkt.from_wkt(str(t))
+            if kind == "point":
+                out.append(_wkb.encode_point(*data))
+            elif kind == "linestring":
+                out.append(_wkb.encode_linestring(data))
+            elif kind == "polygon":
+                out.append(_wkb.encode_polygon(data))
+            else:
+                out.append(_wkb.encode_multipolygon(data))
+        return pd.Series(out)
+
+    @F.pandas_udf(T.DoubleType())
+    def st_distance(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        # ST_Distance (GEOS Distance analog; exact for the 2-D subset)
+        vals = []
+        for a, b in zip(wa, wb):
+            if a is None or b is None:
+                vals.append(float("nan"))
+            else:
+                ka, da = _wkb.decode(bytes(a))
+                kb, db = _wkb.decode(bytes(b))
+                vals.append(geometry_distance(ka, da, kb, db))
+        return pd.Series(vals)
+
+    spark.udf.register("st_astext", st_astext)
+    spark.udf.register("st_geomfromtext", st_geomfromtext)
+    spark.udf.register("st_distance", st_distance)
     spark.udf.register("st_centroid_x", _centroid(0))
     spark.udf.register("st_centroid_y", _centroid(1))
     spark.udf.register("st_simplify", st_simplify)

@@ -34,6 +34,11 @@ def _encode_ring(ring) -> bytes:
     return struct.pack("<I", len(r)) + r.astype("<f8").tobytes()
 
 
+def encode_linestring(pts) -> bytes:
+    r = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BII", _LE, WKB_LINESTRING, len(r)) + r.astype("<f8").tobytes()
+
+
 def encode_polygon(rings: list) -> bytes:
     out = struct.pack("<BII", _LE, WKB_POLYGON, len(rings))
     for ring in rings:

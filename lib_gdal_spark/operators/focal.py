@@ -67,3 +67,46 @@ def roughness(cells: DataFrame, value_col: str = "value") -> DataFrame:
     """Roughness: max - min over the 3x3 window incl. center (gdaldem)."""
     n = focal(cells, "range", k=1, value_col=value_col, include_center=True)
     return n.withColumnRenamed("focal_range", "roughness")
+
+
+def tri(cells: DataFrame, value_col: str = "value",
+        alg: str = "riley") -> DataFrame:
+    """Terrain Ruggedness Index (gdaldem TRI, apps/gdaldem_lib.cpp):
+    - 'riley' (the reference's default): sqrt(sum (center-neighbor)^2)
+      over the 8-neighborhood;
+    - 'wilson': mean |center-neighbor|.
+    Sparse-grid semantics: only present neighbors contribute (nodata-aware
+    window). Needs per-(center, neighbor) pairs, so the halo explode joins
+    the center value back on the (bx, by) key — co-partitioned with the
+    final aggregate, still a single real exchange.
+
+    On integer-valued grids both forms are cross-engine exact: squared
+    diffs / abs diffs and their sums stay integral; sqrt and one division
+    are single IEEE ops."""
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    ])
+    contrib = cells.select(
+        F.explode(offsets).alias("_o"),
+        F.col("bx").alias("_sx"), F.col("by").alias("_sy"),
+        F.col(value_col).alias("_v"),
+    ).select(
+        (F.col("_sx") + F.col("_o.dx")).alias("bx"),
+        (F.col("_sy") + F.col("_o.dy")).alias("by"),
+        F.col("_v"),
+    )
+    j = contrib.join(
+        cells.select("bx", "by", F.col(value_col).alias("_c")),
+        on=["bx", "by"], how="inner",
+    )
+    if alg == "riley":
+        agg = F.sqrt(F.sum((F.col("_c") - F.col("_v"))
+                           * (F.col("_c") - F.col("_v"))))
+    elif alg == "wilson":
+        agg = F.avg(F.abs(F.col("_c") - F.col("_v")))
+    else:
+        raise ValueError(f"unknown TRI alg={alg}")
+    g = j.groupBy("bx", "by").agg(F.min("_c").alias(value_col),
+                                  agg.alias("tri"))
+    return g

@@ -149,7 +149,8 @@ def zonal_stats(cells: DataFrame, zone_col: str = "zone",
     return out
 
 
-OVERVIEW_KERNELS = ("near", "average", "mode", "min", "max", "sum", "gauss", "cubic")
+OVERVIEW_KERNELS = ("near", "average", "mode", "min", "max", "sum", "gauss",
+                    "cubic", "lanczos")
 
 
 def overview_gauss(cells: DataFrame, value_col: str = "value") -> DataFrame:
@@ -288,6 +289,58 @@ def overview_cubic(cells: DataFrame, value_col: str = "value") -> DataFrame:
         .agg(F.sum(F.col("_w") * F.col("_v")).alias(value_col),
              F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") == 16)
+        .drop("_n")
+    )
+
+
+def overview_lanczos(cells: DataFrame, value_col: str = "value") -> DataFrame:
+    """Lanczos-3 2x downsample (gcore/overview.cpp:2774
+    GDALResampleChunk_Convolution with the lanczos kernel).
+
+    The parent center sits between its two children, so the per-axis tap
+    distances are |d| in {0.5, 1.5, 2.5} source pixels over a 6-tap
+    support; weights w(d) = sinc(d)*sinc(d/3), normalized to sum 1.
+    (The reference additionally widens the kernel by the resampling ratio
+    when downsampling; this source-resolution form keeps the explode
+    fan-out at 6x6 with the same kernel shape — a documented narrowing.)
+    Weights are driver-computed literals, so the weighted sum is the only
+    float fold. Complete 6x6 windows only (edges drop, matching
+    overview_cubic's discipline). Symmetric normalized taps preserve
+    constants and linear ramps exactly (unit-tested)."""
+    import math
+
+    def lanczos(d: float, a: float = 3.0) -> float:
+        if d == 0.0:
+            return 1.0
+        pd_, pda = math.pi * d, math.pi * d / a
+        return (math.sin(pd_) / pd_) * (math.sin(pda) / pda)
+
+    taps = list(range(-2, 4))              # source offsets; d = dx - 0.5
+    w1d = {dx: lanczos(dx - 0.5) for dx in taps}
+    norm = sum(w1d.values())
+    w1d = {dx: w / norm for dx, w in w1d.items()}
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(w1d[dx] * w1d[dy]).alias("w"))
+        for dx in taps for dy in taps
+    ])
+    c = cells.select(
+        F.col("bx").alias("_sx"), F.col("by").alias("_sy"),
+        F.col(value_col).alias("_v"), F.explode(offs).alias("_o"),
+    ).select(
+        (F.col("_sx") - F.col("_o.dx")).alias("_ax"),
+        (F.col("_sy") - F.col("_o.dy")).alias("_ay"),
+        F.col("_o.w").alias("_w"), "_v",
+    ).filter((F.col("_ax") % 2 == 0) & (F.col("_ay") % 2 == 0))
+    return (
+        c.groupBy(
+            (F.col("_ax") / 2).cast("long").alias("bx"),
+            (F.col("_ay") / 2).cast("long").alias("by"),
+        )
+        .agg(F.sum(F.col("_w") * F.col("_v")).alias(value_col),
+             F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 36)
         .drop("_n")
     )
 

@@ -216,3 +216,64 @@ class TestFootprintAsFeatures:
         r = raster.as_features(cells, cell_size=10.0, origin=(100.0, 200.0)).collect()[0]
         assert (r.x0, r.y0, r.x1, r.y1) == (120.0, 230.0, 130.0, 240.0)
         assert (r.cx, r.cy) == (125.0, 235.0)
+
+
+class TestTriLanczos:
+    def test_tri_riley_hand_golden(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.operators import focal
+        import numpy as np
+
+        # 3x3 grid with a known center: TRI(center) = sqrt(sum of squared
+        # diffs to all 8 neighbors)
+        vals = {(x, y): float(x * 3 + y) for x in range(3) for y in range(3)}
+        df = spark.createDataFrame([(x, y, v) for (x, y), v in vals.items()],
+                                   "bx long, by long, value double")
+        out = {(r.bx, r.by): r.tri for r in focal.tri(df).collect()}
+        c = vals[(1, 1)]
+        exp = float(np.sqrt(sum((c - vals[(1 + dx, 1 + dy)]) ** 2
+                                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                                if (dx, dy) != (0, 0))))
+        assert out[(1, 1)] == exp
+
+    def test_tri_wilson_mean_abs(self, spark):
+        from lib_gdal_spark.operators import focal
+
+        vals = {(x, y): float((x + 2 * y) % 4) for x in range(3) for y in range(3)}
+        df = spark.createDataFrame([(x, y, v) for (x, y), v in vals.items()],
+                                   "bx long, by long, value double")
+        out = {(r.bx, r.by): r.tri
+               for r in focal.tri(df, alg="wilson").collect()}
+        c = vals[(1, 1)]
+        diffs = [abs(c - vals[(1 + dx, 1 + dy)])
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+        assert out[(1, 1)] == sum(diffs) / len(diffs)
+
+    def test_lanczos_preserves_constant_and_ramp(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.operators import raster
+        import pytest as _pt
+
+        # 12x12 constant grid -> every complete parent is exactly that
+        # constant (weights normalized); a linear ramp in bx is preserved
+        # at the parent center (symmetric taps cancel the odd moments)
+        g = spark.range(144).select(
+            (F.col("id") % 12).alias("bx"),
+            (F.col("id") / 12).cast("long").alias("by"),
+            F.lit(7.5).alias("value"),
+        )
+        out = raster.overview_lanczos(g).collect()
+        assert len(out) > 0
+        for r in out:
+            assert r.value == _pt.approx(7.5, abs=1e-12)
+
+        ramp = spark.range(144).select(
+            (F.col("id") % 12).alias("bx"),
+            (F.col("id") / 12).cast("long").alias("by"),
+            (F.col("id") % 12).cast("double").alias("value"),
+        )
+        out = raster.overview_lanczos(ramp).collect()
+        for r in out:
+            # parent center sits at source coordinate 2*bx + 1, whose ramp
+            # value is (2*bx + 0.5) in child units
+            assert r.value == _pt.approx(2 * r.bx + 0.5, abs=1e-9)

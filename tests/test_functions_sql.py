@@ -102,3 +102,82 @@ class TestCentroid:
             "SELECT st_centroid_x(geom) cx FROM geoms WHERE gid = 3").collect()[0]
         # parts: unit square at (0.5,0.5) area 1; 2x2 at (11,11) area 4
         assert r.cx == pytest.approx((0.5 * 1 + 11 * 4) / 5)
+
+
+class TestWktCodec:
+    def test_roundtrip_pure_python(self):
+        import numpy as np
+        from lib_gdal_spark.geo import wkt as wktmod
+
+        cases = [
+            ("point", (1.5, -2.0)),
+            ("linestring", np.array([[0.0, 0.0], [1.25, 3.5]])),
+            ("polygon", [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0],
+                                   [0.0, 0.0]])]),
+            ("multipolygon", [
+                [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])],
+                [np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]])],
+            ]),
+        ]
+        for kind, data in cases:
+            k2, d2 = wktmod.from_wkt(wktmod.to_wkt(kind, data))
+            assert k2 == kind
+            if kind == "point":
+                assert d2 == data
+            elif kind == "linestring":
+                assert np.array_equal(d2, data)
+            elif kind == "polygon":
+                assert all(np.array_equal(a, b) for a, b in zip(d2, data))
+            else:
+                assert all(np.array_equal(a, b)
+                           for pa, pb in zip(d2, data)
+                           for a, b in zip(pa, pb))
+
+    def test_astext_geomfromtext_sql(self, sql):
+        r = sql.sql("SELECT st_astext(st_point(1.0D, 2.5D)) AS t "
+                    "FROM range(1)").collect()[0]
+        assert r.t == "POINT (1 2.5)"
+        # text -> geom -> area closes the loop through BOTH codecs
+        r = sql.sql("""
+            SELECT st_area(st_geomfromtext(
+              'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS a
+            FROM range(1)""").collect()[0]
+        assert r.a == 16.0
+        # and WKB -> text on the fixture table round-trips through area
+        r = sql.sql("""
+            SELECT st_area(st_geomfromtext(st_astext(geom))) AS a,
+                   st_area(geom) AS b
+            FROM geoms""").collect()
+        for row in r:
+            assert row.a == row.b
+
+
+class TestStDistance:
+    def test_point_point(self, sql):
+        r = sql.sql("""
+            SELECT st_distance(st_point(0.0D, 0.0D),
+                               st_point(3.0D, 4.0D)) AS d
+            FROM range(1)""").collect()[0]
+        assert r.d == 5.0
+
+    def test_point_polygon_inside_and_out(self, sql):
+        # inside the 0..4 unit square -> 0; 3 to the right of x=4 edge -> 3
+        r = sql.sql("""
+            SELECT st_distance(geom, st_point(2.0D, 2.0D)) AS din,
+                   st_distance(geom, st_point(7.0D, 2.0D)) AS dout
+            FROM geoms WHERE gid = 1""").collect()[0]
+        assert r.din == 0.0 and r.dout == 3.0
+
+    def test_polygon_polygon(self, sql):
+        import math
+        # gid 3's first part lies INSIDE gid 1's square -> distance 0
+        r = sql.sql("""
+            SELECT st_distance(a.geom, b.geom) AS d
+            FROM geoms a, geoms b WHERE a.gid = 1 AND b.gid = 3""").collect()[0]
+        assert r.d == 0.0
+        # disjoint squares: gap is the corner diagonal (4,4) -> (10,10)
+        r = sql.sql("""
+            SELECT st_distance(geom, st_geomfromtext(
+              'POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))')) AS d
+            FROM geoms WHERE gid = 1""").collect()[0]
+        assert r.d == pytest.approx(math.hypot(6, 6))
