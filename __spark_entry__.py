@@ -957,70 +957,16 @@ def _q_multimodal(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ORDERING CONTRACT: the driver's correctness sweep runs entries in
+    dict order and may cap (round 1 stopped at 50/73). Order is therefore:
+    (1) the 23 queries the round-1 sweep never reached — full-SQL dialect,
+        streaming twins, and ALL training-data-pipeline ops;
+    (2) queries NEW this round;
+    (3) previously driver-verified queries, most expensive first so the
+        cheap tail is what a cap would drop (least evidence lost).
+    """
     return {
-        # spatial / tiling core (SURVEY §2.9, §2.3, §2.4, §2.10)
-        "tile_assign": _q_tile_assign,
-        "tile_pyramid": _q_tile_pyramid,
-        "pip_rect_join": _q_pip_rect_join,
-        "pip_triangle_join": _q_pip_triangle,
-        "knn_ring": _q_knn_ring,
-        "zonal_stats": _q_zonal_stats,
-        "zonal_mode": _q_zonal_mode,
-        "zonal_weighted": _q_zonal_weighted,
-        "events_sliding": _q_events_sliding,
-        "dem_slope": _q_dem_slope,
-        "dem_tpi": _q_dem_tpi,
-        "graph_sssp": _q_graph_sssp,
-        "graph_components": _q_graph_components,
-        "dem_roughness": _q_dem_roughness,
-        "dem_aspect": _q_dem_aspect,
-        "dem_tri": _q_dem_tri,
-        "dem_hillshade": _q_dem_hillshade,
-        "interp_bilinear": _q_interp_bilinear,
-        "contour_segments": _q_contour,
-        "sjoin_left": _q_sjoin_left,
-        "sjoin_update": _q_sjoin_update,
-        "interp_nearest": _q_interp_nearest,
-        "interp_cubic": _q_interp_cubic,
-        "sieve_filter": _q_sieve,
-        "contour_multi": _q_contour_multi,
-        "raster_calc": _q_raster_calc,
-        "sjoin_clip": _q_sjoin_clip,
-        "sjoin_erase": _q_sjoin_erase,
-        "sjoin_identity": _q_sjoin_identity,
-        "sjoin_union": _q_sjoin_union,
-        "sjoin_symdiff": _q_sjoin_symdiff,
-        "warp_avg": _q_warp_avg,
-        "warp_rms": _q_warp_rms,
-        "warp_mode": _q_warp_mode,
-        "warp_q1q3": _q_warp_q1q3,
-        "warp_near": _q_warp_near,
-        "warp_bilinear": _q_warp_bilinear,
-        "proximity_dist": _q_proximity,
-        "fillnodata_idw": _q_fillnodata,
-        "overview_avg": _q_overview_avg,
-        "overview_gauss": _q_overview_gauss,
-        "overview_cubic": _q_overview_cubic,
-        "rasterize_rects": _q_rasterize,
-        "footprint_boundary": _q_footprint,
-        "histogram": _q_histogram,
-        "focal_mean": _q_focal_mean,
-        "grid_idw": _q_grid_idw,
-        "grid_metrics": _q_grid_metrics,
-        "grid_nearest": _q_grid_nearest,
-        "grid_movavg": _q_grid_movavg,
-        "grid_quadrant": _q_grid_quadrant,
-        # OGR SQL parity corpus (SURVEY §2.2, §2.4, §2.6, §2.7, §2.8, §5)
-        "ogr_filter_like": _q_filter_like,
-        "ogr_filter_in_between": _q_filter_in_between,
-        "ogr_order_limit_offset": _q_order_limit_offset,
-        "ogr_distinct": _q_distinct,
-        "ogr_summary_agg": _q_summary_agg,
-        "ogr_count_distinct": _q_count_distinct,
-        "ogr_first_match_join": _q_first_match_join,
-        "ogr_union_all": _q_union_all,
-        "ogr_cast_concat_substr": _q_cast_concat_substr,
-        "ogr_hstore_get": _q_hstore_get,
+        # ---- (1) driver-unverified in round 1: run these FIRST ----
         # full-SQL dialect (SQLite-dialect analog: aggregation/windows/sets)
         "tpch_q1_groupby": _q_tpch_q1,
         "window_topk": _q_window_topk,
@@ -1047,8 +993,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "minhash_dedup": _q_minhash_dedup,
         "polygonize_regions": _q_polygonize,
-        "polygonize_rings": _q_polygonize_rings,
         "multimodal_features": _q_multimodal,
+        # ---- (2) new this round ----
+        "sjoin_identity": _q_sjoin_identity,
+        "sjoin_union": _q_sjoin_union,
+        "sjoin_symdiff": _q_sjoin_symdiff,
+        "warp_rms": _q_warp_rms,
+        "warp_mode": _q_warp_mode,
+        "warp_q1q3": _q_warp_q1q3,
+        "warp_near": _q_warp_near,
+        "warp_bilinear": _q_warp_bilinear,
+        "grid_movavg": _q_grid_movavg,
+        "grid_quadrant": _q_grid_quadrant,
+        "dem_tri": _q_dem_tri,
+        "polygonize_rings": _q_polygonize_rings,
+        # ---- (3) driver-verified in round 1, expensive first ----
+        "tile_pyramid": _q_tile_pyramid,
+        "pip_rect_join": _q_pip_rect_join,
+        "knn_ring": _q_knn_ring,
+        "contour_segments": _q_contour,
+        "contour_multi": _q_contour_multi,
+        "sjoin_left": _q_sjoin_left,
+        "sjoin_update": _q_sjoin_update,
+        "interp_cubic": _q_interp_cubic,
+        "interp_bilinear": _q_interp_bilinear,
+        "dem_slope": _q_dem_slope,
+        "graph_sssp": _q_graph_sssp,
+        "graph_components": _q_graph_components,
+        "sieve_filter": _q_sieve,
+        "fillnodata_idw": _q_fillnodata,
+        "proximity_dist": _q_proximity,
+        "grid_idw": _q_grid_idw,
+        "grid_metrics": _q_grid_metrics,
+        "grid_nearest": _q_grid_nearest,
+        "overview_gauss": _q_overview_gauss,
+        "overview_cubic": _q_overview_cubic,
+        "overview_avg": _q_overview_avg,
+        "focal_mean": _q_focal_mean,
+        "dem_tpi": _q_dem_tpi,
+        "dem_roughness": _q_dem_roughness,
+        "dem_aspect": _q_dem_aspect,
+        "dem_hillshade": _q_dem_hillshade,
+        "warp_avg": _q_warp_avg,
+        "zonal_stats": _q_zonal_stats,
+        "zonal_mode": _q_zonal_mode,
+        "zonal_weighted": _q_zonal_weighted,
+        "events_sliding": _q_events_sliding,
+        "rasterize_rects": _q_rasterize,
+        "footprint_boundary": _q_footprint,
+        "interp_nearest": _q_interp_nearest,
+        "raster_calc": _q_raster_calc,
+        "sjoin_clip": _q_sjoin_clip,
+        "sjoin_erase": _q_sjoin_erase,
+        "pip_triangle_join": _q_pip_triangle,
+        "tile_assign": _q_tile_assign,
+        "histogram": _q_histogram,
+        "ogr_first_match_join": _q_first_match_join,
+        "ogr_filter_in_between": _q_filter_in_between,
+        "ogr_summary_agg": _q_summary_agg,
+        "ogr_count_distinct": _q_count_distinct,
+        "ogr_hstore_get": _q_hstore_get,
+        "ogr_union_all": _q_union_all,
+        "ogr_cast_concat_substr": _q_cast_concat_substr,
+        "ogr_order_limit_offset": _q_order_limit_offset,
+        "ogr_filter_like": _q_filter_like,
+        "ogr_distinct": _q_distinct,
     }
 
 
