@@ -907,7 +907,10 @@ def _q_jaccard_pairs(spark, sf_dir):
 def _q_cosine_topk(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
     q = e.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
-    out = similarity.cosine_topk(e, q, k=3)
+    # catalyst path: its left-to-right dot fold matches the duckdb oracle
+    # term for term (the default arrow matmul differs in the last ulp and
+    # is covered by an equivalence unit test instead)
+    out = similarity.cosine_topk(e, q, k=3, method="catalyst")
     return out.select(
         "qid", "vec_id", F.round("cos", 6).alias("cos"),
         F.col("rank").cast("long").alias("rank"),

@@ -48,18 +48,78 @@ def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                qid_col: str = "qid") -> DataFrame:
-    """Exact cosine top-k: (qid, vec_id, cos, rank). Query set broadcast."""
-    c = with_unit_norm(corpus, vec_col).select(
-        F.col(id_col), F.col("_unit").alias("_cu")
-    )
-    q = with_unit_norm(queries, vec_col).select(
-        F.col(qid_col), F.col("_unit").alias("_qu")
-    )
-    j = c.crossJoin(F.broadcast(q)).withColumn("cos", _dot(F.col("_cu"), F.col("_qu")))
-    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+                qid_col: str = "qid", method: str = "arrow") -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, cos, rank). Query set is small
+    (broadcast / driver-collected); the corpus is the big side.
+
+    method='arrow' (DEFAULT — the scale shape): mapInPandas computes each
+    Arrow batch's scores as ONE BLAS matmul against the broadcast query
+    matrix and keeps only that batch's top-k per query, so the exchange
+    into the global ranking window carries ~k * n_batches rows instead of
+    |corpus| x |queries| — the per-partition pre-top-k that makes the
+    exact baseline usable beyond dimension-table scale. Still exact: any
+    global top-k row is inside its batch's top-k (same (cos desc, id asc)
+    order locally and globally).
+
+    method='catalyst': pure-JVM fold (zip_with + aggregate) whose
+    left-to-right dot-product order matches the duckdb oracle term for
+    term — the cross-engine-exact correctness path (the arrow matmul's
+    SIMD fold differs in the last ulp)."""
+    if method == "catalyst":
+        c = with_unit_norm(corpus, vec_col).select(
+            F.col(id_col), F.col("_unit").alias("_cu")
+        )
+        q = with_unit_norm(queries, vec_col).select(
+            F.col(qid_col), F.col("_unit").alias("_qu")
+        )
+        j = c.crossJoin(F.broadcast(q)).withColumn(
+            "cos", _dot(F.col("_cu"), F.col("_qu")))
+        w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
+                                                F.col(id_col).asc())
+        return (
+            j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "cos", "rank")
+        )
+    if method != "arrow":
+        raise ValueError(f"unknown method {method}")
+    import pandas as pd
+
+    q_rows = queries.select(qid_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Q))
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+
+    def topk_batches(it):
+        bqids, bQ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            ids = pdf[id_col].to_numpy()
+            S = C @ bQ.T                      # (n_batch, n_q)
+            kk = min(k, len(ids))
+            out_q, out_i, out_c = [], [], []
+            for j in range(len(bqids)):
+                s = S[:, j]
+                # batch top-k by (cos desc, id asc): lexsort is ascending,
+                # so sort on (-cos, id) pairs
+                order = np.lexsort((ids, -s))[:kk]
+                out_q.extend([bqids[j]] * len(order))
+                out_i.extend(ids[order])
+                out_c.extend(s[order])
+            yield pd.DataFrame({qid_col: out_q, id_col: out_i, "cos": out_c})
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        topk_batches, schema=f"{qid_col} {qid_t}, {id_col} {id_t}, cos double")
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(),
+                                            F.col(id_col).asc())
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cos", "rank")
     )

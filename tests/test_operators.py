@@ -874,3 +874,27 @@ class TestPolygonizeRings:
         ka = sorted((r.bx, r.by, r.value, r.region_id) for r in a)
         kb = sorted((r.bx, r.by, r.value, r.region_id) for r in b)
         assert ka == kb
+
+
+class TestCosineTopkArrow:
+    def test_arrow_matches_catalyst(self, spark):
+        from lib_gdal_spark.operators import similarity
+
+        rng = np.random.default_rng(7)
+        v = rng.normal(0, 1, (400, 16))
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"vec_id": np.arange(400), "embedding": list(map(list, v))}),
+            schema="vec_id long, embedding array<double>",
+        ).repartition(7)
+        q = spark.createDataFrame(
+            pd.DataFrame({"qid": np.arange(6), "embedding": list(map(list, v[:6]))}),
+            schema="qid long, embedding array<double>",
+        )
+        a = similarity.cosine_topk(corpus, q, k=5, method="arrow").toPandas()
+        c = similarity.cosine_topk(corpus, q, k=5, method="catalyst").toPandas()
+        a = a.sort_values(["qid", "rank"]).reset_index(drop=True)
+        c = c.sort_values(["qid", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["qid", "vec_id", "rank"]],
+                                      c[["qid", "vec_id", "rank"]])
+        np.testing.assert_allclose(a.cos.to_numpy(), c.cos.to_numpy(),
+                                   rtol=1e-12)
