@@ -666,6 +666,23 @@ def _q_grid_quadrant(spark, sf_dir):
     )
 
 
+def _q_grid_linear(spark, sf_dir):
+    # TIN-linear gridding (gdalgrid.cpp GGA_Linear / alg/delaunay.c):
+    # Delaunay isn't ANSI-SQL-expressible -> rows-only driver check; the
+    # triangulation-independent planar-reproduction oracle and partition
+    # invariance are unit-tested instead. Deterministic 1/13 subsample
+    # keeps the O(n_block^2) per-block triangulation out of the sweep's
+    # wall-time budget at bigger sf.
+    pts = _tbl(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 13 == 0
+    ).select(
+        ((F.col("p_partkey") * 9973 % 199400) / 997.0).alias("x"),
+        ((F.col("p_partkey") * 6151 % 199400) / 997.0).alias("y"),
+        F.col("p_retailprice").cast("double").alias("z"),
+    )
+    return grid.grid_linear(pts, cell_size=10.0, block_cells=4, margin=20.0)
+
+
 def _q_grid_metrics(spark, sf_dir):
     out = grid.grid_metrics(_grid_pts997(spark, sf_dir),
                             cell_size=10.0, radius=15.0)
@@ -1008,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_bilinear": _q_warp_bilinear,
         "grid_movavg": _q_grid_movavg,
         "grid_quadrant": _q_grid_quadrant,
+        "grid_linear": _q_grid_linear,
         "dem_tri": _q_dem_tri,
         "polygonize_rings": _q_polygonize_rings,
         # ---- (3) driver-verified in round 1, expensive first ----

@@ -127,6 +127,90 @@ def grid_metrics_quadrant(points: DataFrame, cell_size: float, radius: float,
     )
 
 
+def grid_linear(points: DataFrame, cell_size: float,
+                block_cells: int = 8, margin: float | None = None,
+                x: str = "x", y: str = "y") -> DataFrame:
+    """Linear (Delaunay/TIN) gridding — gdalgrid.cpp GGA_Linear backed by
+    alg/delaunay.c (qhull) in the reference: triangulate the scatter,
+    then each output cell takes the barycentric-linear value of the
+    triangle containing its center.
+
+    Distributed recast: the plane is cut into square blocks of
+    `block_cells` x `block_cells` output cells; every point replicates to
+    each block whose `margin`-expanded bbox contains it (<= 4 blocks when
+    margin < block size — a bounded explode), each block triangulates its
+    LOCAL point set (geo/delaunay.py, sorted first so the result depends
+    only on the point set, never on partitioning) and interpolates only
+    the cells it OWNS. This matches the global triangulation wherever
+    every triangle overlapping an owned cell has circumradius < margin —
+    the density assumption that replaces the reference's single-node
+    global qhull pass; cells in no local triangle are absent (nodata).
+    margin defaults to half the block size. Shuffle: one groupBy on the
+    block key; per-block work is O(n_block^2) NumPy, so block_cells (and
+    margin) bound the per-task cost — size them so a block holds ~10^3
+    points.
+    """
+    import pandas as pd
+
+    from ..geo.delaunay import delaunay, tin_interpolate
+    from ..session import ship_package
+
+    ship_package(points.sparkSession)
+    S = float(block_cells * cell_size)
+    if margin is None:
+        margin = S / 2.0
+    r = int(math.ceil(margin / S))
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+    ])
+    c = points.select(
+        F.col(x).alias("_px"), F.col(y).alias("_py"), F.col("z").alias("_z"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        (F.floor(F.col("_px") / S) + F.col("_o.dx")).alias("_blk_x"),
+        (F.floor(F.col("_py") / S) + F.col("_o.dy")).alias("_blk_y"),
+        "_px", "_py", "_z",
+    )
+    in_halo = (
+        (F.greatest(F.col("_blk_x") * S - F.col("_px"),
+                    F.col("_px") - (F.col("_blk_x") + 1) * S,
+                    F.lit(0.0)) <= margin)
+        & (F.greatest(F.col("_blk_y") * S - F.col("_py"),
+                      F.col("_py") - (F.col("_blk_y") + 1) * S,
+                      F.lit(0.0)) <= margin)
+    )
+    c = c.filter(in_halo)
+
+    bc = block_cells
+    cs = float(cell_size)
+
+    def interp_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        blk_x = int(pdf["_blk_x"].iloc[0])
+        blk_y = int(pdf["_blk_y"].iloc[0])
+        pts = pdf[["_px", "_py"]].to_numpy(np.float64)
+        vals = pdf["_z"].to_numpy(np.float64)
+        # dedupe exact coordinate duplicates (keep min z — deterministic)
+        order = np.lexsort((vals, pts[:, 1], pts[:, 0]))
+        pts, vals = pts[order], vals[order]
+        _, first = np.unique(pts, axis=0, return_index=True)
+        pts, vals = pts[np.sort(first)], vals[np.sort(first)]
+        tris = delaunay(pts)
+        gx = np.arange(blk_x * bc, (blk_x + 1) * bc, dtype=np.int64)
+        gy = np.arange(blk_y * bc, (blk_y + 1) * bc, dtype=np.int64)
+        mx, my = np.meshgrid(gx, gy)
+        mx, my = mx.ravel(), my.ravel()
+        got = tin_interpolate(pts, vals, tris,
+                              (mx + 0.5) * cs, (my + 0.5) * cs)
+        ok = ~np.isnan(got)
+        return pd.DataFrame({"bx": mx[ok], "by": my[ok], "value": got[ok]})
+
+    return c.groupBy("_blk_x", "_blk_y").applyInPandas(
+        interp_block, schema="bx long, by long, value double")
+
+
 def grid_nearest(points: DataFrame, cell_size: float, radius: float,
                  x: str = "x", y: str = "y") -> DataFrame:
     """Nearest-neighbor gridding (gdalgrid.cpp:879): cell value = z of the

@@ -277,3 +277,44 @@ class TestTriLanczos:
             # parent center sits at source coordinate 2*bx + 1, whose ramp
             # value is (2*bx + 0.5) in child units
             assert r.value == _pt.approx(2 * r.bx + 0.5, abs=1e-9)
+
+
+class TestGridLinear:
+    def test_planar_reproduction(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.operators import grid
+        import numpy as np
+        import pandas as pd
+
+        # TIN-linear reproduces ANY plane exactly, regardless of which
+        # Delaunay triangulation the kernel picks — a triangulation-
+        # independent oracle
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(0, 160, (600, 2))
+        pdf = pd.DataFrame({
+            "x": pts[:, 0], "y": pts[:, 1],
+            "z": 5.0 + 0.25 * pts[:, 0] - 0.5 * pts[:, 1],
+        })
+        df = spark.createDataFrame(pdf)
+        out = grid.grid_linear(df, cell_size=10.0, block_cells=4).toPandas()
+        assert len(out) > 100
+        exp = 5.0 + 0.25 * (out.bx + 0.5) * 10.0 - 0.5 * (out.by + 0.5) * 10.0
+        np.testing.assert_allclose(out.value.to_numpy(), exp.to_numpy(),
+                                   atol=1e-8)
+
+    def test_partition_invariance(self, spark):
+        from lib_gdal_spark.operators import grid
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(0, 80, (300, 2))
+        pdf = pd.DataFrame({"x": pts[:, 0], "y": pts[:, 1],
+                            "z": rng.uniform(0, 10, 300)})
+        a = grid.grid_linear(spark.createDataFrame(pdf),
+                             cell_size=10.0, block_cells=4).toPandas()
+        b = grid.grid_linear(spark.createDataFrame(pdf).repartition(13),
+                             cell_size=10.0, block_cells=4).toPandas()
+        ka = sorted(map(tuple, a.to_numpy().tolist()))
+        kb = sorted(map(tuple, b.to_numpy().tolist()))
+        assert ka == kb
