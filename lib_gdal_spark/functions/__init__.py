@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession, functions as F, types as T
 
 from ..geo import cells as _cells, mercator as _mercator, wkb as _wkb, wkt as _wkt
 from ..geo.distance import geometry_distance
+from ..geo.hull import convex_hull_np, point_buffer_ring
 from ..geo.pip import point_in_polygon_np, polygon_area_np, polygon_centroid_np
 from ..geo.simplify import douglas_peucker_np, segmentize_np
 
@@ -216,6 +217,49 @@ def register_all(spark: SparkSession) -> None:
                 vals.append(geometry_distance(ka, da, kb, db))
         return pd.Series(vals)
 
+    @F.pandas_udf(T.BinaryType())
+    def st_convexhull(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::ConvexHull (ogr_geometry.h:560): hull of ALL
+        # vertices of the geometry, as a polygon
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "point":
+                pts = np.array([data], dtype=np.float64)
+            elif kind == "linestring":
+                pts = np.asarray(data, dtype=np.float64)
+            elif kind == "polygon":
+                pts = np.vstack(data)
+            else:
+                pts = np.vstack([r for rings in data for r in rings])
+            out.append(_wkb.encode_polygon([convex_hull_np(pts)]))
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BinaryType())
+    def st_buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
+        # OGRGeometry::Buffer (ogr_geometry.h:567) for the POINT case:
+        # 8-segments-per-quadrant circle (GEOS's default discretization).
+        # Line/polygon offsetting needs GEOS -> NotImplementedError.
+        d = float(dist.iloc[0])
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind != "point":
+                raise NotImplementedError(
+                    "st_buffer supports POINT geometries only (line/"
+                    "polygon offsetting requires GEOS)")
+            out.append(_wkb.encode_polygon(
+                [point_buffer_ring(data[0], data[1], d)]))
+        return pd.Series(out)
+
+    spark.udf.register("st_convexhull", st_convexhull)
+    spark.udf.register("st_buffer", st_buffer)
     spark.udf.register("st_astext", st_astext)
     spark.udf.register("st_geomfromtext", st_geomfromtext)
     spark.udf.register("st_distance", st_distance)

@@ -181,3 +181,40 @@ class TestStDistance:
               'POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))')) AS d
             FROM geoms WHERE gid = 1""").collect()[0]
         assert r.d == pytest.approx(math.hypot(6, 6))
+
+
+class TestHullBuffer:
+    def test_convexhull_of_concave_polygon(self, sql):
+        # hull of an L-shaped ring is its bounding pentagon-ish hull;
+        # check via area: hull of the holed square's OUTER ring = 16
+        r = sql.sql("""
+            SELECT st_area(st_convexhull(geom)) AS a
+            FROM geoms WHERE gid = 2""").collect()[0]
+        assert r.a == 16.0
+        # hull of a multipolygon spans both parts
+        r = sql.sql("""
+            SELECT st_xmin(st_convexhull(geom)) AS x0,
+                   st_xmax(st_convexhull(geom)) AS x1
+            FROM geoms WHERE gid = 3""").collect()[0]
+        assert (r.x0, r.x1) == (0.0, 12.0)
+
+    def test_convexhull_drops_interior_points(self, sql):
+        r = sql.sql("""
+            SELECT st_astext(st_convexhull(st_geomfromtext(
+              'LINESTRING (0 0, 4 0, 2 1, 4 4, 0 4)'))) AS t
+            FROM range(1)""").collect()[0]
+        # (2 1) is interior to the hull square
+        assert "2 1" not in r.t
+        assert r.t.startswith("POLYGON")
+
+    def test_point_buffer_area_and_distance(self, sql):
+        import math
+        r = sql.sql("""
+            SELECT st_area(st_buffer(st_point(3.0D, 4.0D), 2.0D)) AS a,
+                   st_contains_point(st_buffer(st_point(3.0D, 4.0D), 2.0D),
+                                     3.0D, 5.9D) AS inside
+            FROM range(1)""").collect()[0]
+        # 32-gon area = 1/2 n r^2 sin(2 pi / n)
+        n = 32
+        assert r.a == pytest.approx(0.5 * n * 4.0 * math.sin(2 * math.pi / n))
+        assert r.inside
