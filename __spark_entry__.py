@@ -303,6 +303,27 @@ def _graph_edges(spark, sf_dir):
     )
 
 
+def _kpath_edges(spark, sf_dir):
+    """Bipartite star graph + a nation chain (i <-> i+1): multiple simple
+    paths exist between any two nations, so K-shortest is non-trivial."""
+    n = _tbl(spark, sf_dir, "nation")
+    star = _graph_edges(spark, sf_dir)
+    chain = n.filter(F.col("n_nationkey") < 24).select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_nationkey") + 1).cast("long").alias("dst"),
+        ((F.col("n_nationkey") % 7) + 2).cast("double").alias("w"),
+    )
+    return star.unionByName(chain)
+
+
+def _q_graph_kpaths(spark, sf_dir):
+    # GNM K-shortest paths (gnmgraph.h:176): exhaustive simple-path
+    # enumeration (prune=None) within 8 hops -> exact top-5; the oracle
+    # is the same enumeration as a duckdb recursive CTE
+    return graph.k_shortest_paths(_kpath_edges(spark, sf_dir),
+                                  source=0, target=6, k=5, max_hops=8)
+
+
 def _q_graph_sssp(spark, sf_dir):
     out = graph.sssp(_graph_edges(spark, sf_dir), source=0)
     return out.select("vertex", "dist")
@@ -1026,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_movavg": _q_grid_movavg,
         "grid_quadrant": _q_grid_quadrant,
         "grid_linear": _q_grid_linear,
+        "graph_kpaths": _q_graph_kpaths,
         "dem_tri": _q_dem_tri,
         "polygonize_rings": _q_polygonize_rings,
         # ---- (3) driver-verified in round 1, expensive first ----
@@ -1966,6 +1988,45 @@ SELECT vertex, min(dist) AS dist FROM r GROUP BY 1
 """
 
 
+_DD_KPATH_GRAPH = """
+star0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST(n_regionkey + 100 AS BIGINT) AS dst,
+         CAST(n_nationkey % 5 + 1 AS DOUBLE) AS w
+  FROM nation
+),
+chain0 AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST(n_nationkey + 1 AS BIGINT) AS dst,
+         CAST(n_nationkey % 7 + 2 AS DOUBLE) AS w
+  FROM nation WHERE n_nationkey < 24
+),
+e0 AS (SELECT * FROM star0 UNION ALL SELECT * FROM chain0),
+edges AS (SELECT * FROM e0 UNION ALL SELECT dst, src, w FROM e0)
+"""
+
+
+def _o_graph_kpaths() -> str:
+    # same exhaustive simple-path enumeration: extend by one edge per
+    # recursion level (8 max), exclude revisits via the path string, stop
+    # paths that reached the target, then top-5 by (cost, path)
+    return f"""
+WITH RECURSIVE {_DD_KPATH_GRAPH},
+p(vertex, cost, path, hops) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), '|0|', 0
+  UNION ALL
+  SELECT e.dst, p.cost + e.w, p.path || CAST(e.dst AS VARCHAR) || '|',
+         p.hops + 1
+  FROM p JOIN edges e ON e.src = p.vertex
+  WHERE p.hops < 8 AND p.vertex <> 6
+    AND p.path NOT LIKE '%|' || CAST(e.dst AS VARCHAR) || '|%'
+)
+SELECT CAST(row_number() OVER (ORDER BY cost, path) AS BIGINT) AS rank,
+       cost, path
+FROM p WHERE vertex = 6 ORDER BY cost, path LIMIT 5
+"""
+
+
 def _o_graph_components() -> str:
     return f"""
 WITH RECURSIVE {_DD_GRAPH},
@@ -2475,6 +2536,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_tpi": _o_dem_tpi(),
         "graph_sssp": _o_graph_sssp(),
         "graph_components": _o_graph_components(),
+        "graph_kpaths": _o_graph_kpaths(),
         "dem_roughness": _o_dem_roughness(),
         "dem_aspect": _o_dem_aspect(),
         "dem_tri": _o_dem_tri(),

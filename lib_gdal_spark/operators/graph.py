@@ -74,6 +74,64 @@ def sssp(edges: DataFrame, source, directed: bool = False,
     return dist
 
 
+def k_shortest_paths(edges: DataFrame, source, target, k: int,
+                     directed: bool = False, max_hops: int = 12,
+                     prune: int | None = None) -> DataFrame:
+    """K shortest SIMPLE paths source -> target: (rank, cost, path).
+
+    The reference's GNMGraph::KShortestPaths (gnm/gnmgraph.h:176, Yen's
+    algorithm, single-node). Distributed recast: iterative frontier
+    expansion over the edge table — each round extends every live path by
+    one edge, drops cycles (the path string encodes visited vertices),
+    and collects arrivals at the target. With `prune=None` (default) the
+    enumeration is EXHAUSTIVE over simple paths up to `max_hops`, so the
+    final top-k is exact — right for the small-diameter networks GNM
+    targets. `prune=m` keeps only the m cheapest paths per intermediate
+    vertex each round — the bounded-frontier variant for big graphs
+    (exact for m >= k on graphs where subpath-optimality holds; a
+    documented approximation otherwise).
+
+    Paths are '|v0|v1|...|' strings; ties on cost break lexicographically
+    on the path — deterministic under any partitioning. Each round
+    localCheckpoints (the iterative-lineage discipline of sssp)."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    e = _sym(edges, directed).persist()
+    src_l = int(source)
+    frontier = spark.createDataFrame(
+        [(src_l, 0.0, f"|{src_l}|")], "vertex long, cost double, path string")
+    hits = frontier.filter(F.col("vertex") == target)
+    for _ in range(max_hops):
+        ext = (
+            frontier.join(e, frontier.vertex == e.src)
+            .filter(~F.col("path").contains(
+                F.concat(F.lit("|"), F.col("dst").cast("string"), F.lit("|"))))
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+                F.concat(F.col("path"), F.col("dst").cast("string"),
+                         F.lit("|")).alias("path"),
+            )
+        )
+        if prune is not None:
+            w = Window.partitionBy("vertex").orderBy(
+                F.col("cost").asc(), F.col("path").asc())
+            ext = (ext.withColumn("_r", F.row_number().over(w))
+                   .filter(F.col("_r") <= prune).drop("_r"))
+        ext = ext.localCheckpoint()
+        if len(ext.take(1)) == 0:
+            break
+        hits = hits.unionByName(ext.filter(F.col("vertex") == target))
+        frontier = ext.filter(F.col("vertex") != target)
+    w = Window.orderBy(F.col("cost").asc(), F.col("path").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("long").alias("rank"), "cost", "path")
+    )
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     """(vertex, component) with component = min vertex id in the component
     (deterministic under any partitioning)."""

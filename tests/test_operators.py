@@ -898,3 +898,45 @@ class TestCosineTopkArrow:
                                       c[["qid", "vec_id", "rank"]])
         np.testing.assert_allclose(a.cos.to_numpy(), c.cos.to_numpy(),
                                    rtol=1e-12)
+
+
+class TestKShortestPaths:
+    def test_diamond_hand_golden(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        # 0->1->3 (cost 2), 0->2->3 (cost 5), 0->3 direct (cost 10),
+        # 0->1->2->3 (1+1+4=6): known ranking
+        edges = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 3, 1.0), (0, 2, 1.0), (2, 3, 4.0),
+             (0, 3, 10.0), (1, 2, 1.0)],
+            "src long, dst long, w double")
+        out = graph.k_shortest_paths(edges, source=0, target=3, k=3,
+                                     directed=True)
+        rows = [(r.rank, r.cost, r.path) for r in out.collect()]
+        assert rows == [(1, 2.0, "|0|1|3|"),
+                        (2, 5.0, "|0|2|3|"),
+                        (3, 6.0, "|0|1|2|3|")]
+
+    def test_undirected_excludes_cycles(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        # triangle: simple paths 0->2 are direct and via 1; nothing longer
+        edges = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 3.0)],
+            "src long, dst long, w double")
+        out = graph.k_shortest_paths(edges, source=0, target=2, k=10)
+        rows = [(r.cost, r.path) for r in out.collect()]
+        assert rows == [(2.0, "|0|1|2|"), (3.0, "|0|2|")]
+
+    def test_prune_keeps_topk_on_dag(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        edges = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 3, 1.0), (0, 2, 1.0), (2, 3, 4.0),
+             (0, 3, 10.0), (1, 2, 1.0)],
+            "src long, dst long, w double")
+        exact = graph.k_shortest_paths(edges, 0, 3, k=2, directed=True)
+        pruned = graph.k_shortest_paths(edges, 0, 3, k=2, directed=True,
+                                        prune=4)
+        assert [r.path for r in exact.collect()] == \
+               [r.path for r in pruned.collect()]
