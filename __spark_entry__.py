@@ -25,7 +25,7 @@ from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
     contour, dedup, dem, focal, graph, grid, interp, knn, multimodal,
     ogrsql, polygonize, proximity, raster, similarity, sjoin, textops,
-    tiles, warp,
+    tiles, viewshed as vshed, warp,
 )
 from lib_gdal_spark.streaming import events as ev
 
@@ -343,6 +343,15 @@ def _q_dem_tpi(spark, sf_dir):
 def _q_dem_roughness(spark, sf_dir):
     out = focal.roughness(_base_grid8(spark, sf_dir))
     return out.select("bx", "by", "value", "roughness")
+
+
+def _q_viewshed(spark, sf_dir):
+    # gdal_viewshed (alg/viewshed.cpp): LOS visibility within 8 cells of
+    # observer (12, 10) at eye height 2 over the dense char-sum DEM; the
+    # distance term cancels from the angle test, so the comparison is
+    # exact cross-engine arithmetic
+    return vshed.viewshed(_base_grid8(spark, sf_dir), observer=(12, 10),
+                          maxdist=8.0, observer_height=2.0)
 
 
 def _q_dem_tri(spark, sf_dir):
@@ -1048,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_quadrant": _q_grid_quadrant,
         "grid_linear": _q_grid_linear,
         "graph_kpaths": _q_graph_kpaths,
+        "viewshed_los": _q_viewshed,
         "dem_tri": _q_dem_tri,
         "polygonize_rings": _q_polygonize_rings,
         # ---- (3) driver-verified in round 1, expensive first ----
@@ -2081,6 +2091,39 @@ f AS (SELECT * FROM d WHERE dist <= 15.0)
 """
 
 
+def _o_viewshed() -> str:
+    return f"""
+WITH {_dd_base8_cte()},
+obs AS (SELECT value + 2.0 AS oz FROM base WHERE bx = 12 AND "by" = 10),
+t AS (
+  SELECT bx, "by", value, bx - 12 AS dx, "by" - 10 AS dy,
+         greatest(abs(bx - 12), abs("by" - 10)) AS n
+  FROM base
+  WHERE (bx-12)*(bx-12) + ("by"-10)*("by"-10) <= 64.0
+),
+s AS (
+  SELECT bx, "by", value, n, dx, dy,
+         unnest(generate_series(1, CAST(n - 1 AS BIGINT))) AS j
+  FROM t WHERE n >= 2
+),
+sp AS (
+  SELECT bx, "by", value, n, j,
+         CAST(floor(12.0 + dx*j/n + 0.5) AS BIGINT) AS sx,
+         CAST(floor(10.0 + dy*j/n + 0.5) AS BIGINT) AS sy
+  FROM s
+),
+blocked AS (
+  SELECT DISTINCT sp.bx, sp."by"
+  FROM sp JOIN base b ON b.bx = sp.sx AND b."by" = sp.sy
+  WHERE (b.value - (SELECT oz FROM obs)) * sp.n / sp.j
+        >= (sp.value - (SELECT oz FROM obs))
+)
+SELECT t.bx, t."by", t.value,
+       CAST(CASE WHEN bl.bx IS NOT NULL THEN 0 ELSE 1 END AS INT) AS visible
+FROM t LEFT JOIN blocked bl ON t.bx = bl.bx AND t."by" = bl."by"
+"""
+
+
 def _o_dem_tri() -> str:
     return f"""
 WITH {_dd_dense_contrib(False)},
@@ -2540,6 +2583,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_roughness": _o_dem_roughness(),
         "dem_aspect": _o_dem_aspect(),
         "dem_tri": _o_dem_tri(),
+        "viewshed_los": _o_viewshed(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),
         "contour_multi": _o_contour_multi(),

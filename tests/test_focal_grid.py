@@ -318,3 +318,35 @@ class TestGridLinear:
         ka = sorted(map(tuple, a.to_numpy().tolist()))
         kb = sorted(map(tuple, b.to_numpy().tolist()))
         assert ka == kb
+
+
+class TestViewshed:
+    def test_wall_shadows_cells_behind_it(self, spark):
+        from lib_gdal_spark.operators import viewshed as vs
+
+        # flat 11x3 plain (z=0) with a z=10 wall at bx=5; observer at
+        # (0, 1) eye height 1: everything up to the wall is visible, the
+        # wall itself is visible, cells behind it are not
+        rows = [(x, y, 10.0 if x == 5 else 0.0)
+                for x in range(11) for y in range(3)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = {(r.bx, r.by): r.visible
+               for r in vs.viewshed(df, observer=(0, 1), maxdist=12.0,
+                                    observer_height=1.0).collect()}
+        assert out[(0, 1)] == 1            # observer
+        assert out[(4, 1)] == 1            # before the wall
+        assert out[(5, 1)] == 1            # the wall face
+        assert out[(6, 1)] == 0            # shadowed
+        assert out[(10, 1)] == 0           # deep shadow
+        # rising ground stays visible on the unobstructed row? the wall
+        # spans all y, so the whole bx>5 half-plane is shadowed
+        assert out[(8, 0)] == 0 and out[(8, 2)] == 0
+
+    def test_open_plain_fully_visible(self, spark):
+        from lib_gdal_spark.operators import viewshed as vs
+
+        rows = [(x, y, 0.0) for x in range(9) for y in range(9)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = vs.viewshed(df, observer=(4, 4), maxdist=6.0,
+                          observer_height=2.0)
+        assert out.filter("visible = 0").count() == 0
