@@ -940,3 +940,81 @@ class TestKShortestPaths:
                                         prune=4)
         assert [r.path for r in exact.collect()] == \
                [r.path for r in pruned.collect()]
+
+
+class TestPolygonizeReferenceGolden:
+    """Replay of the reference's own polygonize fixture
+    (autotest/alg/polygonize.py test_polygonize_1/2 over
+    autotest/alg/data/polygonize_in.grd): 5x7 grid, cellsize 60, origin
+    (440720, 3751020), nodata 132."""
+
+    GRID = [  # top-down rows as in the .grd file
+        [107, 123, 132, 115, 132],
+        [115, 132, 132, 123, 123],
+        [115, 132, 140, 132, 123],
+        [148, 132, 123, 123, 123],
+        [156, 156, 156, 140, 132],
+        [156, 100, 156, 101, 102],
+        [156, 156, 156, 103, 103],
+    ]
+
+    def _cells(self, spark, mask_nodata):
+        rows = []
+        for r, vals in enumerate(self.GRID):
+            for c, v in enumerate(vals):
+                if mask_nodata and v == 132:
+                    continue
+                rows.append((c, 6 - r, float(v)))  # by counts from bottom
+        return spark.createDataFrame(rows, "bx long, by long, value double")
+
+    @staticmethod
+    def _corners(ring):
+        """Drop collinear vertices (the tracer emits every lattice vertex;
+        the reference emits corners only)."""
+        pts = [tuple(p) for p in ring[:-1]]
+        out = []
+        n = len(pts)
+        for i in range(n):
+            a, b, c = pts[i - 1], pts[i], pts[(i + 1) % n]
+            cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if cross != 0:
+                out.append(b)
+        return set(out)
+
+    def test_masked_13_features(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+
+        out = pz.polygonize_rings(self._cells(spark, True), block_bits=1,
+                                  cell_size=60.0,
+                                  origin=(440720.0, 3751020.0)).collect()
+        assert len(out) == 13  # test_polygonize_1 expected_feature_number
+        expect = [107, 123, 115, 115, 140, 148, 123, 140, 100, 101, 102, 156, 103]
+        assert sorted(int(r.value) for r in out) == sorted(expect)
+
+    def test_unmasked_17_features(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+
+        out = pz.polygonize_rings(self._cells(spark, False), block_bits=1).collect()
+        assert len(out) == 17  # test_polygonize_2 expected_feature_number
+        expect = [107, 123, 115, 132, 115, 140, 132, 132, 148, 123, 140,
+                  132, 100, 101, 102, 156, 103]
+        assert sorted(int(r.value) for r in out) == sorted(expect)
+
+    def test_dn156_geometry_matches_reference_wkt(self, spark):
+        from lib_gdal_spark.operators import polygonize as pz
+        from lib_gdal_spark.geo import wkb as wkbmod
+
+        out = pz.polygonize_rings(self._cells(spark, True), block_bits=1,
+                                  cell_size=60.0,
+                                  origin=(440720.0, 3751020.0)).collect()
+        r156 = [r for r in out if r.value == 156.0][0]
+        assert r156.n_cells == 8 and r156.n_rings == 2 and r156.area == 8.0
+        kind, rings = wkbmod.decode(bytes(r156.wkb))
+        assert kind == "polygon" and len(rings) == 2
+        # reference WKT (autotest/alg/polygonize.py:63-66)
+        outer_exp = {(440720.0, 3751200.0), (440720.0, 3751020.0),
+                     (440900.0, 3751020.0), (440900.0, 3751200.0)}
+        hole_exp = {(440780.0, 3751140.0), (440840.0, 3751140.0),
+                    (440840.0, 3751080.0), (440780.0, 3751080.0)}
+        assert self._corners(rings[0]) == outer_exp
+        assert self._corners(rings[1]) == hole_exp
