@@ -280,6 +280,122 @@ def polygonize_rings(cells: DataFrame, block_bits: int = 5,
     )
 
 
+def sieve_gdal(cells: DataFrame, threshold: int, connect8: bool = False,
+               block_bits: int = 5) -> DataFrame:
+    """Bit-faithful GDALSieveFilter (alg/gdalsievefilter.cpp): replays the
+    reference's exact merge semantics so its autotest checksums reproduce.
+
+    Differences from the engine-native `sieve`:
+    - big-neighbour choice (:100-126 CompareNeighbour): neighbour with the
+      LARGEST size; ties break to the neighbour whose first observation
+      comes earliest in the raster scan (top-down rows, left-right, and
+      within a cell: top, [top-left, top-right,] left). The scan is
+      re-expressed as a deterministic position key, so the distributed
+      computation reproduces the sequential scan's answer exactly.
+    - chain walk (:470-540): a small region whose big neighbour is still
+      small follows big-neighbour pointers until a region >= threshold
+      (merge the whole chain into it) or a cycle/dead end (keep original
+      value). The walk runs driver-side over the SMALL-region graph only
+      (bounded by small-region count, << cells) — the scale concession of
+      compat mode; the native `sieve` stays fully distributed.
+
+    Input rows are (bx, by, value) with by increasing UPWARD (row 0 of a
+    top-down raster = max by), matching the repo's grid convention.
+    """
+    spark = cells.sparkSession
+    labeled = polygonize(cells, block_bits=block_bits,
+                         connect8=connect8).persist()
+    sizes = labeled.groupBy("region_id").agg(F.count(F.lit(1)).alias("_n"))
+    vals = labeled.groupBy("region_id").agg(F.first("value").alias("_val"))
+
+    ymax, xmax = labeled.agg(F.max("by"), F.max("bx")).collect()[0]
+    width = int(xmax) + 1
+
+    # scan index of a cell: top-down rows -> (ymax - by) * width + bx
+    def scan(col_bx, col_by):
+        return (F.lit(int(ymax)) - col_by) * width + col_bx
+
+    # directed observations at the CURRENT cell, sub-ranked in GDAL's
+    # within-cell compare order (gdalsievefilter.cpp second pass loop)
+    neigh = [((0, 1), 0)]                      # top (previous raster row)
+    if connect8:
+        neigh += [((-1, 1), 1), ((1, 1), 2)]   # top-left, top-right
+    neigh += [((-1, 0), 3)]                    # left
+    a = labeled.select("bx", "by", F.col("region_id").alias("_ra")).alias("a")
+    b = labeled.select("bx", "by", F.col("region_id").alias("_rb")).alias("b")
+    obs = None
+    for (dx, dy), sub in neigh:
+        p = a.join(
+            b,
+            (F.col("a.bx") + dx == F.col("b.bx"))
+            & (F.col("a.by") + dy == F.col("b.by"))
+            & (F.col("a._ra") != F.col("b._rb")),
+        ).select(
+            F.col("a._ra").alias("_r"), F.col("b._rb").alias("_nb"),
+            (scan(F.col("a.bx"), F.col("a.by")) * 4 + sub).alias("_pos"),
+        )
+        # the same observation updates BOTH regions at the same position
+        p = p.unionByName(p.select(F.col("_nb").alias("_r"),
+                                   F.col("_r").alias("_nb"), "_pos"))
+        obs = p if obs is None else obs.unionByName(p)
+    first_obs = obs.groupBy("_r", "_nb").agg(F.min("_pos").alias("_pos"))
+    cand = first_obs.join(
+        sizes.select(F.col("region_id").alias("_nb"),
+                     F.col("_n").alias("_nbsize")), on="_nb")
+    w = Window.partitionBy("_r").orderBy(F.col("_nbsize").desc(),
+                                         F.col("_pos").asc())
+    bign = (cand.withColumn("_rk", F.row_number().over(w))
+            .filter("_rk = 1").select("_r", "_nb"))
+
+    # driver-side chain walk over the small-region graph (reference
+    # :470-540); sizes/pointers for small regions + their targets only
+    small_ids = {r._r: r._nb for r in
+                 bign.join(sizes.withColumnRenamed("region_id", "_r"), "_r")
+                 .filter(F.col("_n") < threshold).select("_r", "_nb").collect()}
+    size_map = {r.region_id: r._n for r in sizes.collect()}
+    merge: dict = {}
+    for poly in sorted(small_ids):
+        visited = {poly}
+        cur = poly
+        found = False
+        while True:
+            cur = merge.get(cur, small_ids.get(cur, -1))
+            if cur == -1:
+                break
+            if size_map.get(cur, 0) >= threshold:
+                found = True
+                break
+            if cur in visited:
+                break
+            visited.add(cur)
+        if found:
+            # map the whole chain (reference's path compression)
+            c2 = poly
+            while c2 != cur and c2 != -1:
+                nxt = merge.get(c2, small_ids.get(c2, -1))
+                merge[c2] = cur
+                c2 = nxt
+        else:
+            merge[poly] = -1
+    final = [(r, t) for r, t in merge.items() if t != -1]
+    if not final:
+        out = labeled
+    else:
+        m = F.broadcast(spark.createDataFrame(final,
+                                              "region_id long, _tgt long"))
+        out = (
+            labeled.join(m, on="region_id", how="left")
+            .withColumn("_final", F.coalesce("_tgt", "region_id"))
+            .drop("region_id", "value", "_tgt")
+            .join(F.broadcast(vals.withColumnRenamed("region_id", "_final")),
+                  on="_final")
+            .select("bx", "by", F.col("_val").alias("value"),
+                    F.col("_final").alias("region_id"))
+        )
+    labeled.unpersist()
+    return out
+
+
 def sieve(cells: DataFrame, threshold: int, connect8: bool = False,
           block_bits: int = 5) -> DataFrame:
     """Remove raster polygons smaller than `threshold` cells by merging

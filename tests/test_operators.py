@@ -1018,3 +1018,78 @@ class TestPolygonizeReferenceGolden:
                     (440840.0, 3751080.0), (440780.0, 3751080.0)}
         assert self._corners(rings[0]) == outer_exp
         assert self._corners(rings[1]) == hole_exp
+
+
+class TestSieveReferenceGolden:
+    """Replay of the reference's own sieve autotests
+    (autotest/alg/sieve.py tests 1-4) including their GDALChecksumImage
+    expectations (alg/gdalchecksum.cpp: sum of value % prime[i % 11] over
+    the row-major scan, masked to 16 bits)."""
+
+    SIEVE_SRC = [
+        [107, 123, 132, 115, 132],
+        [115, 132, 132, 123, 123],
+        [115, 132, 140, 132, 123],
+        [148, 132, 123, 123, 123],
+        [156, 156, 156, 140, 132],
+        [156, 100, 156, 101, 102],
+        [156, 156, 156, 103, 103],
+    ]
+    UNMERGABLE = [
+        [10, 11, 12, 13, 14],
+        [15, 16, 17, 18, 19],
+        [20, 21, 22, 23, 24],
+        [25, 25, 26, 27, 28],
+        [29, 30, 31, 32, 33],
+        [34, 35, 36, 37, 38],
+        [39, 40, 41, 42, 43],
+    ]
+    SIEVE_2634 = [
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 255, 0, 0, 0, 255, 0, 0],
+        [0, 0, 255, 255, 255, 255, 255, 255, 255, 0],
+        [0, 0, 0, 255, 0, 0, 0, 255, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    ]
+
+    @staticmethod
+    def _checksum(grid_topdown):
+        primes = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+        cs, i = 0, 0
+        for row in grid_topdown:
+            for v in row:
+                cs += int(v) % primes[i % 11]
+                i += 1
+        return cs & 0xFFFF
+
+    def _run(self, spark, grid, threshold, connect8):
+        from lib_gdal_spark.operators import polygonize as pz
+
+        nrows = len(grid)
+        rows = [(c, nrows - 1 - r, float(v))
+                for r, vals in enumerate(grid) for c, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = pz.sieve_gdal(df, threshold=threshold, connect8=connect8,
+                            block_bits=1)
+        got = {(r.bx, r.by): int(r.value) for r in out.collect()}
+        return [[got[(c, nrows - 1 - r)] for c in range(len(grid[0]))]
+                for r in range(nrows)]
+
+    def test_sieve_1_checksum(self, spark):
+        out = self._run(spark, self.SIEVE_SRC, threshold=2, connect8=False)
+        assert self._checksum(out) == 364  # autotest/alg/sieve.py:37
+
+    def test_sieve_2_checksum_8connected(self, spark):
+        out = self._run(spark, self.SIEVE_SRC, threshold=2, connect8=True)
+        assert self._checksum(out) == 370  # autotest/alg/sieve.py:67
+
+    def test_sieve_3_unmergable(self, spark):
+        out = self._run(spark, self.UNMERGABLE, threshold=2, connect8=True)
+        assert self._checksum(out) == 451  # autotest/alg/sieve.py:98
+
+    def test_sieve_4_bug2634(self, spark):
+        out = self._run(spark, self.SIEVE_2634, threshold=2, connect8=False)
+        assert self._checksum(out) == 98   # autotest/alg/sieve.py:128
