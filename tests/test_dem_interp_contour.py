@@ -208,3 +208,77 @@ class TestInterpCubic:
         pts = spark.createDataFrame([(1, 1.5, 1.5)],
                                     "pt_id long, px double, py double")
         assert interp.interpolate_cubic(pts, cells).collect() == []
+
+
+class TestContourReferenceGolden:
+    """Replay of the reference's contour autotest fixture
+    (autotest/alg/contour.py test_contour_1): 160x160 raster, background
+    1, nested squares of 10/20/25; ContourGenerate interval 10 must yield
+    exactly the two rings whose envelopes the reference asserts (within
+    its own precision/2 tolerance)."""
+
+    def test_contour_1_envelopes(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.operators import contour
+
+        size = 160
+        precision = 1.0 / size
+
+        def value(col, row):
+            if 70 <= col < 90 and 70 <= row < 90:
+                return 25.0
+            if 60 <= col < 100 and 60 <= row < 100:
+                return 20.0
+            if 40 <= col < 120 and 40 <= row < 120:
+                return 10.0
+            return 1.0
+
+        rows = [(c, size - 1 - r, value(c, r))
+                for r in range(size) for c in range(size)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        segs = contour.contour_segments_multi(df, [10.0, 20.0]).collect()
+        assert len(segs) > 0
+
+        # per level, envelope over segment endpoints, mapped through the
+        # fixture's geotransform [1, 1/160, 0, 50, 0, -1/160] with my
+        # bottom-up by = 159 - raster row
+        import collections
+        env = collections.defaultdict(lambda: [1e9, -1e9, 1e9, -1e9])
+        for s in segs:
+            for (x, y) in ((s.x0, s.y0), (s.x1, s.y1)):
+                gx = 1.0 + (x + 0.5) * precision
+                gy = 50.0 - (size - 1 - y + 0.5) * precision
+                e = env[s.level]
+                e[0] = min(e[0], gx); e[1] = max(e[1], gx)
+                e[2] = min(e[2], gy); e[3] = max(e[3], gy)
+        assert sorted(env) == [10.0, 20.0]
+        # reference expectations (autotest/alg/contour.py:101-104) with
+        # the reference's own tolerance (:116)
+        expected = {10.0: [1.25, 1.75, 49.25, 49.75],
+                    20.0: [1.375, 1.625, 49.375, 49.625]}
+        tol = precision / 2 * 1.001
+        for lvl, exp in expected.items():
+            got = env[lvl]
+            for a, b in zip(got, exp):
+                assert abs(a - b) <= tol, (lvl, got, exp)
+
+    def test_contour_1_rings_close(self, spark):
+        from lib_gdal_spark.operators import contour
+
+        size = 40  # smaller replica of the same nested-square shape
+
+        def value(col, row):
+            if 10 <= col < 30 and 10 <= row < 30:
+                return 10.0
+            return 1.0
+
+        rows = [(c, size - 1 - r, value(c, r))
+                for r in range(size) for c in range(size)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        segs = [(s.x0, s.y0, s.x1, s.y1)
+                for s in contour.contour_segments(df, 10.0).collect()]
+        lines = contour.assemble_polylines(segs)
+        # one closed ring around the square (the reference emits one
+        # feature per contour line)
+        assert len(lines) == 1
+        assert lines[0][0] == lines[0][-1]
