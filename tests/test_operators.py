@@ -1093,3 +1093,55 @@ class TestSieveReferenceGolden:
     def test_sieve_4_bug2634(self, spark):
         out = self._run(spark, self.SIEVE_2634, threshold=2, connect8=False)
         assert self._checksum(out) == 98   # autotest/alg/sieve.py:128
+
+
+class TestFillNodataReferenceGolden:
+    """Replay of the reference's fillnodata table-driven autotests
+    (autotest/alg/fillnodata.py fillnodata_tests, the smoothing=0 /
+    default-nodata subset): valid cells are present rows, nodata cells
+    are absent, maxSearchDist maps to the IDW fill radius, unfillable
+    cells stay nodata (0 in the reference's expected arrays)."""
+
+    CASES = {
+        "1x1_nodata_but_pixel_valid": ([[1]], 1, [[1]]),
+        "1x1_nodata_pixel_invalid": ([[0]], 1, [[0]]),
+        "2x1_valid_invalid": ([[1, 0]], 1, [[1, 1]]),
+        "2x1_invalid_valid": ([[0, 1]], 1, [[1, 1]]),
+        "3x1_valid_invalid_valid": ([[2, 0, 4]], 1, [[2, 3, 4]]),
+        "4x1_valid_invalid_invalid_valid": ([[2, 0, 0, 4]], 1, [[2, 2, 4, 4]]),
+        "1x2_valid_invalid": ([[1], [0]], 1, [[1], [1]]),
+        "1x2_invalid_valid": ([[0], [1]], 1, [[1], [1]]),
+        "1x3_valid_invalid_valid": ([[2], [0], [4]], 1, [[2], [3], [4]]),
+        "1x4_valid_invalid_invalid_valid": (
+            [[2], [0], [0], [4]], 1, [[2], [2], [4], [4]]),
+        "3x3_central_column_invalid": (
+            [[2, 0, 4], [4, 0, 6], [6, 0, 8]], 1,
+            [[2, 3, 4], [4, 5, 6], [6, 7, 8]]),
+        "3x3_central_line_invalid": (
+            [[2, 3, 4], [0, 0, 0], [6, 7, 8]], 1,
+            [[2, 3, 4], [4, 5, 6], [6, 7, 8]]),
+        "3x3_central_column_and_line_invalid": (
+            [[2, 0, 4], [0, 0, 0], [6, 0, 8]], 1,
+            [[2, 3, 4], [4, 0, 6], [6, 7, 8]]),
+        "3x3_central_column_and_line_invalid_search_dist_1_5": (
+            [[2, 0, 4], [0, 0, 0], [6, 0, 8]], 1.5,
+            [[2, 3, 4], [4, 5, 6], [6, 7, 8]]),
+    }
+
+    def test_reference_table(self, spark):
+        from lib_gdal_spark.operators import proximity
+
+        for name, (grid, maxdist, expected) in self.CASES.items():
+            nrows = len(grid)
+            cells = [(c, nrows - 1 - r, float(v))
+                     for r, row in enumerate(grid) for c, v in enumerate(row)
+                     if v != 0]
+            if not cells:
+                continue  # all-nodata input: nothing to interpolate from
+            df = spark.createDataFrame(cells, "bx long, by long, value double")
+            out = {(r.bx, r.by): r.value
+                   for r in proximity.fillnodata(df, radius=float(maxdist)).collect()}
+            for r, row in enumerate(expected):
+                for c, v in enumerate(row):
+                    got = out.get((c, nrows - 1 - r), 0.0)
+                    assert got == float(v), (name, (c, r), got, v)
