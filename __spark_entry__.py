@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
     contour, dedup, dem, focal, graph, grid, interp, knn, multimodal,
-    ogrsql, polygonize, proximity, raster, similarity, sjoin, textops,
+    mdim, ogrsql, polygonize, proximity, raster, similarity, sjoin, textops,
     tiles, viewshed as vshed, warp,
 )
 from lib_gdal_spark.streaming import events as ev
@@ -343,6 +343,26 @@ def _q_dem_tpi(spark, sf_dir):
 def _q_dem_roughness(spark, sf_dir):
     out = focal.roughness(_base_grid8(spark, sf_dir))
     return out.select("bx", "by", "value", "roughness")
+
+
+def _q_mdim_subset_reduce(spark, sf_dir):
+    # GDALMDArray surface (gcore/gdalmultidim.cpp GetView + statistics):
+    # 3-D array from documents -> strided subset d0[2:8:2] (index-rebased
+    # view) -> mean-reduce over d2 -> 2-D result
+    d = _tbl(spark, sf_dir, "documents")
+    cube = (
+        d.select(
+            (F.col("doc_id") % 10).alias("d0"),
+            (F.floor(F.col("doc_id") / 10) % 10).alias("d1"),
+            (F.floor(F.col("doc_id") / 100) % 5).alias("d2"),
+            "n_chars",
+        )
+        .groupBy("d0", "d1", "d2")
+        .agg(F.sum("n_chars").cast("double").alias("value"))
+    )
+    a = mdim.MDArray.from_long(cube, ["d0", "d1", "d2"])
+    out = a.subset(d0=(2, 8, 2)).reduce("d2", how="mean")
+    return out.df.select("d0", "d1", "value")
 
 
 def _q_viewshed(spark, sf_dir):
@@ -1058,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_linear": _q_grid_linear,
         "graph_kpaths": _q_graph_kpaths,
         "viewshed_los": _q_viewshed,
+        "mdim_subset_reduce": _q_mdim_subset_reduce,
         "dem_tri": _q_dem_tri,
         "polygonize_rings": _q_polygonize_rings,
         # ---- (3) driver-verified in round 1, expensive first ----
@@ -2091,6 +2112,23 @@ f AS (SELECT * FROM d WHERE dist <= 15.0)
 """
 
 
+def _o_mdim_subset_reduce() -> str:
+    return """
+WITH a AS (
+  SELECT CAST(doc_id % 10 AS BIGINT) AS d0,
+         CAST(floor(doc_id/10) AS BIGINT) % 10 AS d1,
+         CAST(floor(doc_id/100) AS BIGINT) % 5 AS d2,
+         CAST(sum(n_chars) AS DOUBLE) AS value
+  FROM documents GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT CAST((d0 - 2) / 2 AS BIGINT) AS d0, d1, d2, value
+  FROM a WHERE d0 >= 2 AND d0 < 8 AND (d0 - 2) % 2 = 0
+)
+SELECT d0, d1, avg(value) AS value FROM s GROUP BY 1, 2
+"""
+
+
 def _o_viewshed() -> str:
     return f"""
 WITH {_dd_base8_cte()},
@@ -2584,6 +2622,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_aspect": _o_dem_aspect(),
         "dem_tri": _o_dem_tri(),
         "viewshed_los": _o_viewshed(),
+        "mdim_subset_reduce": _o_mdim_subset_reduce(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),
         "contour_multi": _o_contour_multi(),

@@ -1145,3 +1145,37 @@ class TestFillNodataReferenceGolden:
                 for c, v in enumerate(row):
                     got = out.get((c, nrows - 1 - r), 0.0)
                     assert got == float(v), (name, (c, r), got, v)
+
+
+class TestMDArray:
+    def _cube(self, spark):
+        from lib_gdal_spark.operators.mdim import MDArray
+        rows = [(i, j, k, float(i * 100 + j * 10 + k))
+                for i in range(4) for j in range(3) for k in range(2)]
+        df = spark.createDataFrame(rows, "x long, y long, t long, value double")
+        return MDArray.from_long(df, ["x", "y", "t"])
+
+    def test_subset_stride_rebases_indices(self, spark):
+        a = self._cube(spark).subset(x=(1, 4, 2))  # x in {1, 3} -> {0, 1}
+        got = {(r.x, r.y, r.t): r.value for r in a.df.collect()}
+        assert set(r[0] for r in got) == {0, 1}
+        assert got[(0, 2, 1)] == 121.0  # original x=1
+        assert got[(1, 0, 0)] == 300.0  # original x=3
+
+    def test_reduce_and_transpose(self, spark):
+        a = self._cube(spark)
+        m = a.reduce("t", how="mean")
+        got = {(r.x, r.y): r.value for r in m.df.collect()}
+        assert got[(2, 1)] == 210.5  # mean(210, 211)
+        s = a.transpose(["t", "y", "x"]).reduce(["y", "x"], how="sum")
+        tot = {r.t: r.value for r in s.df.collect()}
+        assert tot[0] == sum(i * 100 + j * 10 for i in range(4) for j in range(3))
+
+    def test_info_and_to_classic(self, spark):
+        a = self._cube(spark)
+        info = a.info()
+        assert (info["n_x"], info["n_y"], info["n_t"]) == (4, 3, 2)
+        assert info["n_values"] == 24 and info["min"] == 0.0
+        g = a.subset(t=(0, 1)).reduce("t", how="mean").to_classic("x", "y")
+        assert set(g.columns) == {"bx", "by", "value"}
+        assert g.count() == 12
