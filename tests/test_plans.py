@@ -152,3 +152,53 @@ class TestStencilPlans:
         plan = contour.contour_segments(g, 5.0)._jdf.queryExecution(
         ).executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+class TestWarpTriPlans:
+    def _src(self, spark):
+        return spark.range(64).select(
+            ((F.col("id") % 8 + 0.5) * 5.0 - 20.0).alias("cx"),
+            (((F.col("id") / 8).cast("long") + 0.5) * 5.0 - 20.0).alias("cy"),
+            F.lit(1.0).alias("v"),
+        )
+
+    def test_warp_agg_single_exchange(self, spark):
+        from lib_gdal_spark.operators import warp
+
+        plan = warp.warp_agg(self._src(spark), 3, "average")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+    def test_warp_quartiles_single_exchange(self, spark):
+        # the ranking window and the final aggregate share the (x, y)
+        # key, so the percentile pass must NOT add a second shuffle
+        from lib_gdal_spark.operators import warp
+
+        plan = warp.warp_quartiles(self._src(spark), 3)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+    def test_tri_two_exchanges_join_reused_by_agg(self, spark):
+        # halo explode + center join shuffle both join sides; the final
+        # groupBy must reuse the join's (bx, by) partitioning
+        from lib_gdal_spark.operators import focal
+
+        g = spark.range(400).select(
+            (F.col("id") % 20).alias("bx"),
+            (F.col("id") / 20).cast("long").alias("by"),
+            (F.col("id") * 7 % 31).cast("double").alias("value"),
+        )
+        plan = focal.tri(g)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 2, plan
+
+    def test_grid_movavg_single_exchange(self, spark):
+        from lib_gdal_spark.operators import grid
+
+        pts = spark.range(100).select(
+            (F.col("id") % 10).cast("double").alias("x"),
+            (F.col("id") / 10).cast("double").alias("y"),
+            F.lit(1.0).alias("z"),
+        )
+        plan = grid.grid_movavg(pts, 2.0, 3.0)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
