@@ -144,3 +144,68 @@ class TestGeometryProperties:
         a = ring_area_np(ring)
         # polygon with itself as a "hole" has zero area
         assert abs(polygon_area_np([ring, ring.copy()])) < 1e-9 * max(1.0, a)
+
+
+class TestHullWktDelaunayProperties:
+    _coords = st.floats(-1000, 1000, allow_nan=False, allow_infinity=False)
+    _pointset = st.lists(st.tuples(_coords, _coords), min_size=3, max_size=40)
+
+    @given(_pointset)
+    @settings(max_examples=100, deadline=None)
+    def test_hull_contains_all_points_and_is_convex(self, pts):
+        from lib_gdal_spark.geo.hull import convex_hull_np
+
+        P = np.array(pts)
+        ring = convex_hull_np(P)
+        assert (ring[0] == ring[-1]).all()
+        v = ring[:-1]
+        if len(v) >= 3:
+            # convex CCW: every consecutive cross product >= 0
+            for i in range(len(v)):
+                a, b, c = v[i - 1], v[i], v[(i + 1) % len(v)]
+                cross = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+                assert cross >= -1e-6 * max(1.0, abs(cross))
+            # all input points inside or on the hull: signed distance to
+            # every edge >= -eps
+            for p in P:
+                for i in range(len(v)):
+                    a, b = v[i], v[(i + 1) % len(v)]
+                    cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+                    assert cross >= -1e-6 * (abs(a[0]) + abs(b[0]) + abs(p[0]) + 1) * 1000
+
+    @given(_pointset)
+    @settings(max_examples=50, deadline=None)
+    def test_wkt_polygon_roundtrip_random(self, pts):
+        from lib_gdal_spark.geo import wkt as wktmod
+
+        ring = np.array(pts + [pts[0]], dtype=np.float64)
+        kind, data = wktmod.from_wkt(wktmod.to_wkt("polygon", [ring]))
+        assert kind == "polygon"
+        assert np.array_equal(data[0], ring)
+
+    @given(st.integers(0, 10_000))
+    @settings(max_examples=30, deadline=None)
+    def test_delaunay_reproduces_planes(self, seed):
+        from lib_gdal_spark.geo.delaunay import delaunay, tin_interpolate
+
+        rng = np.random.default_rng(seed)
+        P = np.unique(rng.uniform(0, 100, (60, 2)).round(4), axis=0)
+        if len(P) < 3:
+            return
+        a, b, c = rng.uniform(-2, 2, 3)
+        vals = a + b * P[:, 0] + c * P[:, 1]
+        tris = delaunay(P)
+        q = rng.uniform(20, 80, (40, 2))
+        got = tin_interpolate(P, vals, tris, q[:, 0], q[:, 1])
+        exp = a + b * q[:, 0] + c * q[:, 1]
+        ok = ~np.isnan(got)
+        if ok.any():
+            np.testing.assert_allclose(got[ok], exp[ok], atol=1e-6)
+
+    @given(_coords, _coords, _coords, _coords)
+    @settings(max_examples=100, deadline=None)
+    def test_distance_point_point_is_hypot(self, x0, y0, x1, y1):
+        from lib_gdal_spark.geo.distance import geometry_distance
+
+        d = geometry_distance("point", (x0, y0), "point", (x1, y1))
+        assert d == np.hypot(x0 - x1, y0 - y1)
