@@ -163,11 +163,17 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
 def ann_lsh(corpus: DataFrame, queries: DataFrame, k: int,
             n_tables: int = 4, n_bits: int = 8, seed: int = 42,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            qid_col: str = "qid") -> DataFrame:
+            qid_col: str = "qid", broadcast_queries: bool = True) -> DataFrame:
     """Approximate NN: multi-table hyperplane LSH + exact cosine re-rank.
 
     Output (qid, vec_id, cos, rank) for up to k hits per query (recall<1 by
     design; tests measure recall against cosine_topk).
+
+    broadcast_queries: right for a small query set (the default search
+    shape). Pass False when the query side is corpus-sized (the near-dup
+    self-join) — the candidate join then runs as a plain shuffle
+    equi-join on (table, bucket), which scales with bucket occupancy
+    instead of requiring the query side to fit in every executor.
     """
     dim = len(corpus.select(vec_col).first()[0])
     c = with_unit_norm(corpus, vec_col)
@@ -193,8 +199,9 @@ def ann_lsh(corpus: DataFrame, queries: DataFrame, k: int,
     qb = q_buckets[0]
     for x in q_buckets[1:]:
         qb = qb.unionByName(x)
+    right = F.broadcast(qb) if broadcast_queries else qb
     cand = (
-        cb.join(F.broadcast(qb), on=["_tbl", "_bkt"], how="inner")
+        cb.join(right, on=["_tbl", "_bkt"], how="inner")
         .dropDuplicates([qid_col, id_col])
         .withColumn("cos", _dot(F.col("_cu"), F.col("_qu")))
     )
@@ -235,8 +242,10 @@ def embedding_neardup(df: DataFrame, threshold: float = 0.999,
         )
     elif method == "lsh":
         q = df.select(F.col(id_col).alias("_q_id"), F.col(vec_col))
+        # the "query" side IS the corpus here -> never broadcast it
         cand = ann_lsh(df, q, k=k_probe, n_tables=n_tables, n_bits=n_bits,
-                       id_col=id_col, vec_col=vec_col, qid_col="_q_id")
+                       id_col=id_col, vec_col=vec_col, qid_col="_q_id",
+                       broadcast_queries=False)
         # self-join candidates (qid, vec_id, cos); orient a<b
         pairs = cand.filter(F.col("_q_id") != F.col(id_col)).select(
             F.least(F.col("_q_id"), F.col(id_col)).alias("_ia"),
