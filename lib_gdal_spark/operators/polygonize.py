@@ -352,7 +352,12 @@ def sieve_gdal(cells: DataFrame, threshold: int, connect8: bool = False,
     small_ids = {r._r: r._nb for r in
                  bign.join(sizes.withColumnRenamed("region_id", "_r"), "_r")
                  .filter(F.col("_n") < threshold).select("_r", "_nb").collect()}
-    size_map = {r.region_id: r._n for r in sizes.collect()}
+    # only sizes reachable by the walk (small regions + their targets) —
+    # never the full region table
+    needed = set(small_ids) | set(small_ids.values())
+    size_map = {r.region_id: r._n for r in
+                sizes.filter(F.col("region_id").isin(list(needed))).collect()
+                } if needed else {}
     merge: dict = {}
     for poly in sorted(small_ids):
         visited = {poly}
@@ -449,12 +454,15 @@ def sieve(cells: DataFrame, threshold: int, connect8: bool = False,
         .select("region_id", F.col("rb").alias("_into"))
     )
     vals = labeled.groupBy("region_id").agg(F.first("value").alias("_tv"))
+    # no broadcast hints: `target` scales with the SMALL-region count and
+    # `vals` with the total region count — both unbounded at a 100 TB
+    # grid; the joins are keyed on region_id either way and AQE upgrades
+    # them to broadcasts when the maps actually are small
     out = (
-        labeled.join(F.broadcast(target), on="region_id", how="left")
+        labeled.join(target, on="region_id", how="left")
         .withColumn("_final", F.coalesce("_into", "region_id"))
         .drop("region_id", "value")
-        .join(F.broadcast(vals.withColumnRenamed("region_id", "_final")),
-              on="_final")
+        .join(vals.withColumnRenamed("region_id", "_final"), on="_final")
         .select("bx", "by", F.col("_tv").alias("value"),
                 F.col("_final").alias("region_id"))
     )
