@@ -125,7 +125,9 @@ def polygonize(cells: DataFrame, block_bits: int = 5,
         remap_df = comp.filter(F.col("vertex") != F.col("component")).select(
             F.col("vertex").alias("label"), F.col("component").alias("region_id")
         )
-        out = labeled.join(F.broadcast(remap_df), on="label", how="left").withColumn(
+        # no broadcast hint: the relabel map scales with total block
+        # perimeter — AQE broadcasts it when it is actually small
+        out = labeled.join(remap_df, on="label", how="left").withColumn(
             "region_id", F.coalesce("region_id", "label")
         )
         return out.select("bx", "by", "value", "region_id")
@@ -392,8 +394,8 @@ def sieve_gdal(cells: DataFrame, threshold: int, connect8: bool = False,
             labeled.join(m, on="region_id", how="left")
             .withColumn("_final", F.coalesce("_tgt", "region_id"))
             .drop("region_id", "value", "_tgt")
-            .join(F.broadcast(vals.withColumnRenamed("region_id", "_final")),
-                  on="_final")
+            # per-region value map scales with region count -> no hint
+            .join(vals.withColumnRenamed("region_id", "_final"), on="_final")
             .select("bx", "by", F.col("_val").alias("value"),
                     F.col("_final").alias("region_id"))
         )
