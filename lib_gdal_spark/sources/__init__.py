@@ -1,0 +1,21 @@
+"""Raster format sources — the engine's (deliberately small) driver set.
+
+SURVEY §2.1 declares the reference's 113 raster / ~70 vector format
+drivers replaced by the parquet/Iceberg storage model; these two text
+formats are the exception because they carry the reference's own test
+fixtures and the streaming-text shape Spark natively distributes:
+
+- AAIGrid (Arc/Info ASCII grid, frmts/aaigrid/aaigriddataset.cpp) —
+  header + row-major values in one text file. Inherently a small
+  single-file format (the reference also parses it sequentially), so
+  the parse is driver-side NumPy and the OUTPUT is the distributed
+  (bx, by, value) cell table every raster operator consumes.
+- XYZ (frmts/xyz/xyzdataset.cpp) — "x y z" lines, one cell per row.
+  This one IS distributable: spark.read.csv scans it in parallel and
+  cell indices derive from closed-form column math.
+"""
+
+from .aaigrid import read_aaigrid, write_aaigrid
+from .xyz import read_xyz, write_xyz
+
+__all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz"]
