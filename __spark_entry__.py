@@ -952,6 +952,18 @@ def _q_token_quality(spark, sf_dir):
     )
 
 
+def _q_repetition_ratio(spark, sf_dir):
+    # Gopher/MassiveText-style repetition signal: duplicate-bigram
+    # fraction per doc; 1 - distinct/total is a single division -> exact
+    return textops.repetition_ratio(_tbl(spark, sf_dir, "documents"))
+
+
+def _q_segment_dedup(spark, sf_dir):
+    # C4-style corpus-global sentence dedup: each normalized segment
+    # survives only at its first (doc_id, position) occurrence
+    return textops.segment_dedup(_tbl(spark, sf_dir, "documents"))
+
+
 def _q_winnow(spark, sf_dir):
     # portable md5-derived gram hash so duckdb computes identical values
     h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -1054,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "token_quality": _q_token_quality,
         "lang_id": _q_lang_id,
+        "repetition_ratio": _q_repetition_ratio,
+        "segment_dedup": _q_segment_dedup,
         "winnow_fp": _q_winnow,
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -2510,6 +2524,41 @@ FROM f
 """
 
 
+def _o_repetition_ratio() -> str:
+    return """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+           FROM documents),
+g AS (SELECT doc_id, greatest(len(tk) - 1, 0) AS ng,
+             list_transform(generate_series(1, greatest(len(tk) - 1, 1)),
+                            i -> concat_ws(' ', tk[i], tk[i+1])) AS gr
+      FROM t)
+SELECT doc_id, CAST(ng AS BIGINT) AS n_ngrams,
+       CAST(CASE WHEN ng > 0 THEN len(list_distinct(gr)) ELSE 0 END AS BIGINT) AS n_distinct,
+       CASE WHEN ng > 0
+            THEN 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / ng
+            ELSE 0.0 END AS dup_ratio
+FROM g
+"""
+
+
+def _o_segment_dedup() -> str:
+    return """
+WITH s AS (SELECT doc_id, string_split(text, '.') AS parts FROM documents),
+e0 AS (SELECT doc_id, parts,
+              unnest(generate_series(1, len(parts))) AS i FROM s),
+seg AS (SELECT doc_id, i - 1 AS idx, trim(parts[i]) AS sg
+        FROM e0 WHERE length(trim(parts[i])) > 0),
+k AS (SELECT doc_id, idx, sg,
+             row_number() OVER (PARTITION BY md5(sg)
+                                ORDER BY doc_id, idx) AS rn
+      FROM seg),
+p AS (SELECT doc_id, string_agg(sg, '.' ORDER BY idx) AS text
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.text, '') AS text
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+"""
+
+
 def _o_winnow() -> str:
     # k=3 grams, window=4 minima, ties resolved by value equality (mins
     # of equal values are equal); duckdb list slice l[a:b] is 1-based
@@ -2680,6 +2729,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _o_fingerprint(),
         "token_quality": _o_token_quality(),
         "lang_id": _o_lang_id(),
+        "repetition_ratio": _o_repetition_ratio(),
+        "segment_dedup": _o_segment_dedup(),
         "winnow_fp": _o_winnow(),
         "jaccard_pairs": _o_jaccard_pairs(),
         "cosine_topk": _o_cosine_topk(),

@@ -125,3 +125,78 @@ def winnow_fingerprints(df: DataFrame, doc_col: str = "doc_id",
         F.col("_ng") > 0, F.array(F.array_min(F.col("_g")))  # short doc
     ).otherwise(F.array().cast("array<bigint>"))
     return g.select(F.col(doc_col), F.explode(fps).alias("fp"))
+
+
+def repetition_ratio(df: DataFrame, doc_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Within-document n-gram repetition — the Gopher/MassiveText-style
+    repetition filter signal: dup_ratio = 1 - distinct/total over token
+    n-grams (0 = no repeated n-gram, ->1 = highly repetitive boilerplate).
+
+    Engine analog of the training-data quality family (SURVEY training-
+    data ops). Pure column math; the n-gram array is STAGED as a real
+    column (the lambda re-evaluation trap — see winnow_fingerprints).
+
+    Output: (doc_col, n_ngrams, n_distinct, dup_ratio).
+    """
+    t = df.select(F.col(doc_col), tokens_col(text_col).alias("_t"))
+    n_g = F.greatest(F.size(F.col("_t")) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_g, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n)),
+    )
+    g = t.select(F.col(doc_col), n_g.alias("_ng"), grams.alias("_g"))
+    n_distinct = F.when(F.col("_ng") > 0,
+                        F.size(F.array_distinct(F.col("_g")))).otherwise(0)
+    return g.select(
+        F.col(doc_col),
+        F.col("_ng").cast("long").alias("n_ngrams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.when(F.col("_ng") > 0,
+               F.lit(1.0) - n_distinct / F.col("_ng").cast("double"))
+        .otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
+def segment_dedup(df: DataFrame, doc_col: str = "doc_id",
+                  text_col: str = "text", sep: str = ".") -> DataFrame:
+    """Corpus-global segment (sentence/paragraph) deduplication — the
+    C4-style "remove duplicate lines across the corpus" pass: every
+    document is split on `sep`, each normalized non-empty segment
+    survives only at its FIRST occurrence (min doc id, then min segment
+    position — deterministic under any partitioning), and documents are
+    reassembled from their surviving segments in original order.
+
+    Scale shape: one explode (documents -> segments), one window keyed by
+    the segment hash (the global dedup shuffle), one groupBy(doc) to
+    reassemble. No driver-side state; the dedup key is md5(trimmed
+    segment), so the shuffle carries hashes + positions, not full text.
+
+    Output: (doc_col, text) — documents whose every segment was a
+    duplicate come out with an empty string (callers filter).
+    """
+    from pyspark.sql import Window
+
+    seg = df.select(
+        F.col(doc_col),
+        F.posexplode(F.split(F.col(text_col), re_escape(sep))).alias("_i", "_s"),
+    ).withColumn("_s", F.trim(F.col("_s"))).filter(F.length("_s") > 0)
+    w = Window.partitionBy(F.md5(F.col("_s"))).orderBy(
+        F.col(doc_col).asc(), F.col("_i").asc())
+    keep = seg.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    parts = keep.groupBy(doc_col).agg(
+        F.concat_ws(sep, F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_i"), F.col("_s")))),
+            lambda s: s["_s"],
+        )).alias("text")
+    )
+    return df.select(doc_col).join(parts, on=doc_col, how="left").select(
+        F.col(doc_col), F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
+def re_escape(sep: str) -> str:
+    """Escape a literal separator for Spark's regex-based split."""
+    import re
+
+    return re.escape(sep)

@@ -1179,3 +1179,49 @@ class TestMDArray:
         g = a.subset(t=(0, 1)).reduce("t", how="mean").to_classic("x", "y")
         assert set(g.columns) == {"bx", "by", "value"}
         assert g.count() == 12
+
+
+class TestRepetitionAndSegmentDedup:
+    def test_repetition_ratio_hand_golden(self, spark):
+        from lib_gdal_spark.operators import textops
+
+        docs = spark.createDataFrame([
+            (0, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab -> 2/5 distinct
+            (1, "one two three"),    # all distinct
+            (2, "solo"),             # no bigram
+        ], "doc_id long, text string")
+        got = {r.doc_id: (r.n_ngrams, r.n_distinct, r.dup_ratio)
+               for r in textops.repetition_ratio(docs).collect()}
+        assert got[0] == (5, 2, 1.0 - 2.0 / 5.0)
+        assert got[1] == (2, 2, 0.0)
+        assert got[2] == (0, 0, 0.0)
+
+    def test_segment_dedup_first_occurrence_wins(self, spark):
+        from lib_gdal_spark.operators import textops
+
+        docs = spark.createDataFrame([
+            (0, "keep me. shared line. unique zero"),
+            (1, "shared line. unique one"),    # loses 'shared line' to doc 0
+            (2, "shared line"),                # everything duplicated -> empty
+        ], "doc_id long, text string")
+        got = {r.doc_id: r.text
+               for r in textops.segment_dedup(docs).collect()}
+        assert got[0] == "keep me.shared line.unique zero"
+        assert got[1] == "unique one"
+        assert got[2] == ""
+
+    def test_segment_dedup_partition_invariant(self, spark):
+        from lib_gdal_spark.operators import textops
+
+        docs = spark.createDataFrame(
+            [(i, f"common tail. body {i % 7}. extra {i}") for i in range(60)],
+            "doc_id long, text string")
+        a = sorted((r.doc_id, r.text)
+                   for r in textops.segment_dedup(docs).collect())
+        b = sorted((r.doc_id, r.text)
+                   for r in textops.segment_dedup(docs.repartition(13)).collect())
+        assert a == b
+        # 'common tail' survives only in doc 0
+        by = dict(a)
+        assert by[0].startswith("common tail")
+        assert not by[1].startswith("common tail")
