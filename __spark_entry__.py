@@ -952,6 +952,41 @@ def _q_token_quality(spark, sf_dir):
     )
 
 
+def _pages_crawl(spark, sf_dir):
+    """Pages-shaped crawl table with DUPLICATE urls derived from
+    documents: ~2.5 crawls per url at sf0.01, ts from integer math —
+    identical in both engines."""
+    d = _tbl(spark, sf_dir, "documents")
+    # 200 distinct urls (host derives from the path key), so every url
+    # has multiple crawls at every sf and the dedup is non-degenerate
+    return d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://h"),
+                 ((F.col("doc_id") % 200) % 7).cast("string"),
+                 F.lit(".example.com/p/"),
+                 (F.col("doc_id") % 200).cast("string")).alias("url"),
+        (F.lit(1600000000) + (F.col("doc_id") * 7919) % 100000).alias("ts"),
+        "text",
+    )
+
+
+def _q_latest_snapshot(spark, sf_dir):
+    # crawl-dedup: newest ts per url wins, ties to the largest doc_id —
+    # the "current web" view over an append-only WARC history
+    from lib_gdal_spark.pages import ops as pops
+    j = pops.latest_snapshot(_pages_crawl(spark, sf_dir), url_col="url",
+                             ts_col="ts", tie_col="doc_id")
+    return j.select("url", "doc_id", "ts")
+
+
+def _q_host_stats(spark, sf_dir):
+    from lib_gdal_spark.pages import ops as pops
+    out = pops.host_stats(_pages_crawl(spark, sf_dir))
+    return out.select("host", "n_pages",
+                      F.col("total_chars").cast("long").alias("total_chars"),
+                      F.round("mean_chars", 9).alias("mean_chars"))
+
+
 def _q_repetition_ratio(spark, sf_dir):
     # Gopher/MassiveText-style repetition signal: duplicate-bigram
     # fraction per doc; 1 - distinct/total is a single division -> exact
@@ -1068,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "repetition_ratio": _q_repetition_ratio,
         "segment_dedup": _q_segment_dedup,
+        "latest_snapshot": _q_latest_snapshot,
+        "host_stats": _q_host_stats,
         "winnow_fp": _q_winnow,
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -2524,6 +2561,40 @@ FROM f
 """
 
 
+_DD_CRAWL = """
+p AS (
+  SELECT doc_id,
+         'https://h' || CAST((doc_id % 200) % 7 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id % 200 AS VARCHAR) AS url,
+         1600000000 + (doc_id * 7919) % 100000 AS ts,
+         text
+  FROM documents
+)
+"""
+
+
+def _o_latest_snapshot() -> str:
+    return f"""
+WITH {_DD_CRAWL},
+r AS (SELECT url, doc_id, ts,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY ts DESC, doc_id DESC) AS rn
+      FROM p)
+SELECT url, doc_id, CAST(ts AS BIGINT) AS ts FROM r WHERE rn = 1
+"""
+
+
+def _o_host_stats() -> str:
+    return f"""
+WITH {_DD_CRAWL}
+SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       count(*) AS n_pages,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 9) AS mean_chars
+FROM p GROUP BY 1
+"""
+
+
 def _o_repetition_ratio() -> str:
     return """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
@@ -2731,6 +2802,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _o_lang_id(),
         "repetition_ratio": _o_repetition_ratio(),
         "segment_dedup": _o_segment_dedup(),
+        "latest_snapshot": _o_latest_snapshot(),
+        "host_stats": _o_host_stats(),
         "winnow_fp": _o_winnow(),
         "jaccard_pairs": _o_jaccard_pairs(),
         "cosine_topk": _o_cosine_topk(),

@@ -1225,3 +1225,27 @@ class TestRepetitionAndSegmentDedup:
         by = dict(a)
         assert by[0].startswith("common tail")
         assert not by[1].startswith("common tail")
+
+
+class TestPageOps:
+    def test_latest_snapshot_newest_wins(self, spark):
+        from lib_gdal_spark.pages import ops as pops
+
+        rows = [("u1", 100, 1), ("u1", 300, 2), ("u1", 300, 3),
+                ("u2", 50, 4)]
+        df = spark.createDataFrame(rows, "url string, warc_ts long, pid long")
+        got = {r.url: (r.warc_ts, r.pid)
+               for r in pops.latest_snapshot(df, tie_col="pid").collect()}
+        assert got["u1"] == (300, 3)   # newest ts; tie -> largest pid
+        assert got["u2"] == (50, 4)
+
+    def test_host_extraction_and_stats(self, spark):
+        from lib_gdal_spark.pages import ops as pops
+
+        rows = [("https://a.com/x", "hello"), ("https://a.com/y", "worlds"),
+                ("http://b.org/", "zz")]
+        df = spark.createDataFrame(rows, "url string, text string")
+        got = {r.host: (r.n_pages, r.total_chars)
+               for r in pops.host_stats(df).collect()}
+        assert got["a.com"] == (2, 11)
+        assert got["b.org"] == (1, 2)
