@@ -91,3 +91,84 @@ def dedup_batch_twin(df: DataFrame, content_col: str = "text") -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "h")
     )
+
+
+# ---------------------------------------------------------------- keep-latest
+
+PAGES_SCHEMA = "url string, warc_ts long, doc_id long"
+
+_SNAP_OUT = StructType([
+    StructField("url_h", LongType()),
+    StructField("warc_ts", LongType()),
+    StructField("doc_id", LongType()),
+])
+_SNAP_STATE = StructType([
+    StructField("uh", ArrayType(LongType())),
+    StructField("ts", ArrayType(LongType())),
+    StructField("pid", ArrayType(LongType())),
+])
+
+
+def _latest_fn(key, pdf_iter, state: GroupState):
+    """Keep-latest per url hash: emit a row whenever a url's newest-known
+    crawl improves ((ts, doc_id) lexicographic — the latest_snapshot
+    tie-break); stale arrivals emit nothing. The LAST emission per url
+    therefore equals the batch twin at any processAllAvailable() point."""
+    if state.exists:
+        uh, ts, pid = state.get
+        best = {int(u): (int(t), int(p)) for u, t, p in zip(uh, ts, pid)}
+    else:
+        best = {}
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["warc_ts", "doc_id"])  # winners arrive last
+        for row in pdf.itertuples(index=False):
+            k = int(row.url_h)
+            cand = (int(row.warc_ts), int(row.doc_id))
+            if k not in best or cand > best[k]:
+                best[k] = cand
+                out.append((k, cand[0], cand[1]))
+    state.update((
+        [k for k in best], [v[0] for v in best.values()],
+        [v[1] for v in best.values()],
+    ))
+    yield pd.DataFrame(out, columns=["url_h", "warc_ts", "doc_id"])
+
+
+def latest_snapshot_stream(spark: SparkSession, src_dir: str,
+                           n_buckets: int = 64,
+                           query_name: str = "latest_stream"):
+    """Streaming keep-latest crawl dedup — the incremental face of
+    pages.ops.latest_snapshot. State shards by url-hash bucket; per-url
+    state is one (ts, doc_id) pair, so state size is |distinct urls|,
+    independent of crawl history length."""
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(src_dir)
+    keyed = src.select(
+        F.xxhash64("url").alias("url_h"), "warc_ts", "doc_id",
+    ).withColumn("bucket", F.pmod("url_h", F.lit(n_buckets)))
+    out = keyed.groupBy("bucket").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=_SNAP_OUT,
+        stateStructType=_SNAP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def latest_batch_twin(df: DataFrame) -> DataFrame:
+    """Batch twin: max (warc_ts, doc_id) per url hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_h").orderBy(F.col("warc_ts").desc(),
+                                            F.col("doc_id").desc())
+    return (
+        df.select(F.xxhash64("url").alias("url_h"), "warc_ts", "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1").drop("_rn")
+    )

@@ -1249,3 +1249,41 @@ class TestPageOps:
                for r in pops.host_stats(df).collect()}
         assert got["a.com"] == (2, 11)
         assert got["b.org"] == (1, 2)
+
+
+class TestKeepLatestStreaming:
+    def test_stream_equals_batch_and_drops_stale(self, spark, tmp_path):
+        import pandas as pd
+        from lib_gdal_spark.streaming import stateful as sf
+
+        src = tmp_path / "snap_src"
+        src.mkdir()
+
+        def land(name, rows):
+            pd.DataFrame(rows, columns=["url", "warc_ts", "doc_id"]).to_parquet(
+                src / f"{name}.parquet")
+
+        q = sf.latest_snapshot_stream(spark, str(src), n_buckets=4,
+                                      query_name="t_latest")
+        try:
+            land("b0", [("u1", 100, 1), ("u2", 50, 2), ("u1", 300, 3)])
+            q.processAllAvailable()
+            # batch 2: a STALE crawl of u1 (ts 200 < 300) must emit
+            # nothing; a fresher u2 must win
+            land("b1", [("u1", 200, 4), ("u2", 90, 5)])
+            q.processAllAvailable()
+            hist = spark.sql("SELECT * FROM t_latest").collect()
+        finally:
+            q.stop()
+        import pandas as _pd
+        df = _pd.DataFrame([(r.url_h, r.warc_ts, r.doc_id) for r in hist],
+                           columns=["url_h", "warc_ts", "doc_id"])
+        # stale u1@200 never emitted
+        assert 4 not in set(df.doc_id)
+        # last emission per url == batch twin over all landed files
+        last = df.groupby("url_h").tail(1).sort_values("url_h")
+        batch = sf.latest_batch_twin(
+            spark.read.schema(sf.PAGES_SCHEMA).parquet(str(src))).toPandas() \
+            .sort_values("url_h")
+        assert list(last.doc_id) == list(batch.doc_id)
+        assert list(last.warc_ts) == list(batch.warc_ts)
