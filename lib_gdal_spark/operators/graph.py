@@ -124,6 +124,8 @@ def k_shortest_paths(edges: DataFrame, source, target, k: int,
             break
         hits = hits.unionByName(ext.filter(F.col("vertex") == target))
         frontier = ext.filter(F.col("vertex") != target)
+    hits = hits.localCheckpoint()
+    e.unpersist()
     w = Window.orderBy(F.col("cost").asc(), F.col("path").asc())
     return (
         hits.withColumn("rank", F.row_number().over(w))

@@ -25,14 +25,19 @@ def read_xyz(spark: SparkSession, path: str, cellsize: float | None = None,
     / cellsize); when registration is not supplied it derives from the
     data (origin = min coords; cellsize = min positive x-step), the same
     inference the reference performs in its sequential pre-scan."""
+    from pyspark.sql import Window
+
     raw = spark.read.csv(path, sep=sep, schema=_SCHEMA,
                          ignoreLeadingWhiteSpace=True).dropna()
     if cellsize is None:
-        xs = raw.select("x").distinct().orderBy("x").limit(2).collect()
-        if len(xs) < 2:
-            cellsize = 1.0
-        else:
-            cellsize = float(xs[1][0] - xs[0][0])
+        # min consecutive step over the distinct x coordinates (robust to
+        # holes at the grid edge); the global-order window runs over at
+        # most raster-width rows
+        xd = raw.select("x").distinct()
+        step = xd.select(
+            (F.col("x") - F.lag("x").over(Window.orderBy("x"))).alias("d")
+        ).agg(F.min("d")).collect()[0][0]
+        cellsize = float(step) if step else 1.0
     if origin is None:
         r = raw.agg(F.min("x"), F.min("y")).collect()[0]
         origin = (float(r[0]), float(r[1]))
