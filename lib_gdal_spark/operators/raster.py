@@ -7,6 +7,13 @@
   burned cells are the cells whose CENTER passes the ray-cast PIP (parity
   fill == even-odd ray cast on cell centers — same rule, our kernel), or any
   intersecting cell for ALL_TOUCHED; merge is groupBy(cell).agg(first|sum).
+  Note: the default center-fill path matches the reference exactly (oracle
+  query `rasterize_rects`); ALL_TOUCHED here is the set-exact "every cell
+  the geometry intersects", which differs by design from the reference's
+  edge-stepping rasterizer (alg/llrasterize.cpp GDALdllImageLineAllTouched)
+  around diagonal edges and corner-only touches — the reference's own
+  issue tracker documents those cells as quirks, so this engine burns the
+  mathematically-defined superset instead of replaying them.
 - zonal statistics: per-zone aggregation of a value grid. Reference:
   alg/zonal.cpp:1996, stat list :2085-2110. Here: spatial join cells->zones
   then groupBy(zone).agg(...); the reference's FEATURE_SEQUENTIAL vs
