@@ -365,6 +365,12 @@ def _q_mdim_subset_reduce(spark, sf_dir):
     return out.df.select("d0", "d1", "value")
 
 
+def _q_raster_checksum(spark, sf_dir):
+    # GDALChecksumImage (alg/gdalchecksum.cpp:48) over the dense doc grid
+    # window — the reference's own fixture-equality primitive
+    return raster.checksum(_base_grid8(spark, sf_dir), 0, 0, 25, 20)
+
+
 def _q_viewshed(spark, sf_dir):
     # gdal_viewshed (alg/viewshed.cpp): LOS visibility within 8 cells of
     # observer (12, 10) at eye height 2 over the dense char-sum DEM; the
@@ -1129,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_linear": _q_grid_linear,
         "graph_kpaths": _q_graph_kpaths,
         "viewshed_los": _q_viewshed,
+        "raster_checksum": _q_raster_checksum,
         "mdim_subset_reduce": _q_mdim_subset_reduce,
         "dem_tri": _q_dem_tri,
         "polygonize_rings": _q_polygonize_rings,
@@ -2180,6 +2187,21 @@ SELECT d0, d1, avg(value) AS value FROM s GROUP BY 1, 2
 """
 
 
+def _o_raster_checksum() -> str:
+    primes = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
+    return f"""
+WITH {_dd_base8_cte()},
+t AS (
+  SELECT ((19 - "by") * 25 + bx) % 11 AS idx,
+         CAST(floor(value + 0.5) AS BIGINT) AS v
+  FROM base
+  WHERE bx >= 0 AND bx < 25 AND "by" >= 0 AND "by" < 20
+)
+SELECT CAST(sum(v % ({primes})[idx + 1]) AS BIGINT) & 65535 AS checksum
+FROM t
+"""
+
+
 def _o_viewshed() -> str:
     return f"""
 WITH {_dd_base8_cte()},
@@ -2742,6 +2764,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_aspect": _o_dem_aspect(),
         "dem_tri": _o_dem_tri(),
         "viewshed_los": _o_viewshed(),
+        "raster_checksum": _o_raster_checksum(),
         "mdim_subset_reduce": _o_mdim_subset_reduce(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),

@@ -222,6 +222,37 @@ def overview(cells: DataFrame, kernel: str = "average",
     return cells.groupBy(px, py).agg(agg.alias(value_col))
 
 
+CHECKSUM_PRIMES = (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43)
+
+
+def checksum(cells: DataFrame, x0: int, y0: int, width: int, height: int,
+             value_col: str = "value") -> DataFrame:
+    """GDALChecksumImage (alg/gdalchecksum.cpp:48): the reference's 16-bit
+    image checksum — sum over the row-major window scan of
+    (int(value + 0.5) % prime[pixel_index % 11]), masked to 16 bits.
+    The fixture-equality tool SURVEY §7 planned for bitwise-identical
+    run verification, as ONE map + ONE scalar aggregate: the pixel index
+    derives from (bx, by) arithmetic, so no ordering or collect is
+    involved and the result is partition-invariant by construction.
+
+    Window: cols x0..x0+width-1, rows top-down (row 0 = by y0+height-1,
+    matching the raster scan); absent cells contribute 0 (== nodata-as-0
+    in a Byte band) because 0 mod anything is 0."""
+    primes = F.array(*[F.lit(p) for p in CHECKSUM_PRIMES])
+    in_win = (
+        (F.col("bx") >= x0) & (F.col("bx") < x0 + width)
+        & (F.col("by") >= y0) & (F.col("by") < y0 + height)
+    )
+    row = F.lit(y0 + height - 1) - F.col("by")
+    idx = (row * width + (F.col("bx") - x0)) % 11
+    v = F.floor(F.col(value_col) + F.lit(0.5)).cast("long")
+    term = v % F.element_at(primes, (idx + 1).cast("int"))
+    return (
+        cells.filter(in_win)
+        .agg(F.sum(term).bitwiseAND(F.lit(0xFFFF)).alias("checksum"))
+    )
+
+
 def histogram(cells: DataFrame, value_col: str = "value",
               lo: float = 0.0, hi: float = 256.0, n_buckets: int = 256) -> DataFrame:
     """Pixel histogram (gdalrasterband GetHistogram) via width_bucket."""

@@ -1287,3 +1287,33 @@ class TestKeepLatestStreaming:
             .sort_values("url_h")
         assert list(last.doc_id) == list(batch.doc_id)
         assert list(last.warc_ts) == list(batch.warc_ts)
+
+
+class TestChecksumOperator:
+    def test_matches_reference_sieve_expectation(self, spark):
+        # chain the compat sieve into the distributed checksum operator:
+        # the result must be the reference's own expected value (364 for
+        # sieve test 1) — the operator IS GDALChecksumImage
+        from lib_gdal_spark.operators import polygonize as pz, raster
+
+        grid = TestSieveReferenceGolden.SIEVE_SRC
+        nrows = len(grid)
+        rows = [(c, nrows - 1 - r, float(v))
+                for r, vals in enumerate(grid) for c, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        sieved = pz.sieve_gdal(df, threshold=2, connect8=False, block_bits=1)
+        cs = raster.checksum(sieved, 0, 0, 5, 7).collect()[0].checksum
+        assert cs == 364  # autotest/alg/sieve.py:37
+
+    def test_partition_invariant(self, spark):
+        from lib_gdal_spark.operators import raster
+        from pyspark.sql import functions as F
+
+        g = spark.range(500).select(
+            (F.col("id") % 25).alias("bx"),
+            (F.col("id") / 25).cast("long").alias("by"),
+            (F.col("id") * 13 % 251).cast("double").alias("value"),
+        )
+        a = raster.checksum(g, 0, 0, 25, 20).collect()[0].checksum
+        b = raster.checksum(g.repartition(17), 0, 0, 25, 20).collect()[0].checksum
+        assert a == b
