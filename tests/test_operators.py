@@ -1317,3 +1317,39 @@ class TestChecksumOperator:
         a = raster.checksum(g, 0, 0, 25, 20).collect()[0].checksum
         b = raster.checksum(g.repartition(17), 0, 0, 25, 20).collect()[0].checksum
         assert a == b
+
+
+class TestProximityReferenceGolden:
+    """Replay of the reference's proximity autotest (autotest/alg/
+    proximity.py test_proximity_1 over data/pat.tif — parsed directly:
+    uncompressed single-strip 25x25 Byte TIFF). Expected checksum 1941.
+
+    test_proximity_2 (MAXDIST=12 buffer) is deliberately NOT replayed:
+    its expected checksum (3256) falls strictly between the exact-
+    euclidean dist<12 and dist<=12 buffer sets (3218 / 3349), i.e. the
+    reference's two-pass scan propagation (alg/gdalproximity.cpp,
+    Danielsson-style) misestimates a handful of boundary-ring cells at
+    distance exactly 12 — this engine computes exact euclidean distance
+    and does not reproduce that approximation."""
+
+    @staticmethod
+    def _pat():
+        b = open("/root/reference/autotest/alg/data/pat.tif", "rb").read()
+        return np.frombuffer(b[251:251 + 625], dtype=np.uint8).reshape(25, 25)
+
+    def test_proximity_1_checksum(self, spark):
+        from lib_gdal_spark.operators import proximity, raster
+
+        arr = self._pat()
+        rows = [(c, 24 - r, float(arr[r, c]))
+                for r in range(25) for c in range(25)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        targets = sorted({float(v) for v in arr.ravel() if v != 0})
+        out = proximity.proximity(df, targets, maxdist=34.0)
+        # Byte output band: distance rounded int(d + 0.5), clamp 255;
+        # run the distributed checksum operator on the rounded grid
+        rounded = out.select(
+            "bx", "by",
+            F.least(F.floor(F.col("dist") + 0.5), F.lit(255.0)).alias("value"))
+        cs = raster.checksum(rounded, 0, 0, 25, 25).collect()[0].checksum
+        assert cs == 1941  # autotest/alg/proximity.py:35
