@@ -365,6 +365,24 @@ def _q_mdim_subset_reduce(spark, sf_dir):
     return out.df.select("d0", "d1", "value")
 
 
+def _q_pansharpen(spark, sf_dir):
+    # weighted-Brovey pansharpening (gdalpansharpen.h:40): pan + three
+    # derived bands over the dense doc grid; DYADIC weights (0.25/0.5/
+    # 0.25) keep every fold exact, so no rounding is needed
+    d = _tbl(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 25).cast("long").alias("bx"),
+        (F.floor(F.col("doc_id") / 25) % 20).cast("long").alias("by"),
+        "doc_id", "n_chars",
+    )
+    pan = d.groupBy("bx", "by").agg(F.sum("n_chars").cast("double").alias("value"))
+    r = d.groupBy("bx", "by").agg(F.count(F.lit(1)).cast("double").alias("value"))
+    g = d.groupBy("bx", "by").agg(F.sum(F.col("doc_id") % 97).cast("double").alias("value"))
+    b = d.groupBy("bx", "by").agg(F.min("n_chars").cast("double").alias("value"))
+    out = raster.pansharpen(pan, {"r": r, "g": g, "b": b},
+                            weights={"r": 0.25, "g": 0.5, "b": 0.25})
+    return out.select("bx", "by", "r", "g", "b")
+
+
 def _q_raster_checksum(spark, sf_dir):
     # GDALChecksumImage (alg/gdalchecksum.cpp:48) over the dense doc grid
     # window — the reference's own fixture-equality primitive
@@ -1136,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kpaths": _q_graph_kpaths,
         "viewshed_los": _q_viewshed,
         "raster_checksum": _q_raster_checksum,
+        "pansharpen_brovey": _q_pansharpen,
         "mdim_subset_reduce": _q_mdim_subset_reduce,
         "dem_tri": _q_dem_tri,
         "polygonize_rings": _q_polygonize_rings,
@@ -2187,6 +2206,30 @@ SELECT d0, d1, avg(value) AS value FROM s GROUP BY 1, 2
 """
 
 
+def _o_pansharpen() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(doc_id % 25 AS BIGINT) AS bx,
+         CAST(floor(doc_id/25) AS BIGINT) % 20 AS "by",
+         doc_id, n_chars
+  FROM documents
+),
+pan AS (SELECT bx, "by", CAST(sum(n_chars) AS DOUBLE) AS pv FROM d GROUP BY 1, 2),
+r AS (SELECT bx, "by", CAST(count(*) AS DOUBLE) AS rv FROM d GROUP BY 1, 2),
+g AS (SELECT bx, "by", CAST(sum(doc_id % 97) AS DOUBLE) AS gv FROM d GROUP BY 1, 2),
+b AS (SELECT bx, "by", CAST(min(n_chars) AS DOUBLE) AS bv FROM d GROUP BY 1, 2),
+j AS (
+  SELECT pan.bx, pan."by", pv, rv, gv, bv,
+         pv / (0.25 * rv + 0.5 * gv + 0.25 * bv) AS ratio
+  FROM pan
+  JOIN r ON pan.bx = r.bx AND pan."by" = r."by"
+  JOIN g ON pan.bx = g.bx AND pan."by" = g."by"
+  JOIN b ON pan.bx = b.bx AND pan."by" = b."by"
+)
+SELECT bx, "by", rv * ratio AS r, gv * ratio AS g, bv * ratio AS b FROM j
+"""
+
+
 def _o_raster_checksum() -> str:
     primes = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
     return f"""
@@ -2765,6 +2808,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_tri": _o_dem_tri(),
         "viewshed_los": _o_viewshed(),
         "raster_checksum": _o_raster_checksum(),
+        "pansharpen_brovey": _o_pansharpen(),
         "mdim_subset_reduce": _o_mdim_subset_reduce(),
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),

@@ -383,6 +383,39 @@ def overview_lanczos(cells: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def pansharpen(pan: DataFrame, bands: dict, weights: dict | None = None,
+               how: str = "inner") -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.h:40 — "only
+    weighed Brovey for now"): out_band = band * pan / pseudo_pan with
+    pseudo_pan = sum(w_i * band_i).
+
+    pan: (bx, by, value) high-res panchromatic grid; bands: {name:
+    DataFrame(bx, by, value)} aligned spectral bands (upsample first via
+    interp/overview if needed); weights default to 1/n_bands each (the
+    reference's default when none are supplied). Pure Catalyst: one
+    co-keyed join per band + the ratio expression — the same aligned-band
+    equi-join shape as raster.calc, whole-stage-codegen'd.
+    Output: (bx, by, <name> per band)."""
+    names = list(bands)
+    if weights is None:
+        weights = {n: 1.0 / len(names) for n in names}
+    out = pan.select("bx", "by", F.col("value").alias("_pan"))
+    for n in names:
+        out = out.join(
+            bands[n].select("bx", "by", F.col("value").alias(f"_b_{n}")),
+            on=["bx", "by"], how=how,
+        )
+    pseudo = None
+    for n in names:
+        term = F.lit(float(weights[n])) * F.col(f"_b_{n}")
+        pseudo = term if pseudo is None else pseudo + term
+    ratio = F.col("_pan") / pseudo
+    return out.select(
+        "bx", "by",
+        *[(F.col(f"_b_{n}") * ratio).alias(n) for n in names],
+    )
+
+
 def as_features(cells: DataFrame, cell_size: float = 1.0,
                 origin=(0.0, 0.0), value_col: str = "value") -> DataFrame:
     """Expose raster cells as vector features — `gdal raster as-features` /

@@ -1353,3 +1353,32 @@ class TestProximityReferenceGolden:
             F.least(F.floor(F.col("dist") + 0.5), F.lit(255.0)).alias("value"))
         cs = raster.checksum(rounded, 0, 0, 25, 25).collect()[0].checksum
         assert cs == 1941  # autotest/alg/proximity.py:35
+
+
+class TestPansharpen:
+    def test_brovey_hand_golden(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        pan = spark.createDataFrame([(0, 0, 100.0), (1, 0, 50.0)],
+                                    "bx long, by long, value double")
+        r = spark.createDataFrame([(0, 0, 10.0), (1, 0, 4.0)],
+                                  "bx long, by long, value double")
+        g = spark.createDataFrame([(0, 0, 20.0), (1, 0, 8.0)],
+                                  "bx long, by long, value double")
+        out = {(x.bx, x.by): (x.r, x.g) for x in raster.pansharpen(
+            pan, {"r": r, "g": g}).collect()}
+        # default equal weights: pseudo = (10+20)/2 = 15; ratio 100/15
+        assert out[(0, 0)] == (10.0 * (100.0 / 15.0), 20.0 * (100.0 / 15.0))
+        assert out[(1, 0)] == (4.0 * (50.0 / 6.0), 8.0 * (50.0 / 6.0))
+
+    def test_constant_ratio_preserves_spectrum(self, spark):
+        from pyspark.sql import functions as F
+        from lib_gdal_spark.operators import raster
+
+        # when pan == pseudo_pan everywhere, bands pass through unchanged
+        g = spark.range(40).select((F.col("id") % 8).alias("bx"),
+                                   (F.col("id") / 8).cast("long").alias("by"),
+                                   (F.col("id") + 1.0).alias("value"))
+        out = raster.pansharpen(g, {"r": g}, weights={"r": 1.0})
+        diff = out.join(g, on=["bx", "by"]).filter(F.col("r") != F.col("value"))
+        assert diff.count() == 0
