@@ -398,6 +398,24 @@ def _q_viewshed(spark, sf_dir):
                           maxdist=8.0, observer_height=2.0)
 
 
+def _ramp(spark, sf_dir):
+    """Scale-independent 3-stop color ramp at the grid's exact min/mean/
+    max (integer-valued -> cross-engine exact doubles)."""
+    g = _base_grid8(spark, sf_dir)
+    r = g.agg(F.min("value"), F.avg("value"), F.max("value")).collect()[0]
+    return [(float(r[0]), 0.0, 0.0, 255.0),
+            (float(r[1]), 0.0, 255.0, 0.0),
+            (float(r[2]), 255.0, 0.0, 0.0)]
+
+
+def _q_color_relief(spark, sf_dir):
+    # gdaldem color-relief (apps/gdaldem_lib.cpp): piecewise-linear RGB
+    # ramp; per-segment slopes are driver-computed doubles injected into
+    # BOTH engines, so each channel is two identical IEEE ops
+    return dem.color_relief(_base_grid8(spark, sf_dir),
+                            _ramp(spark, sf_dir))
+
+
 def _q_dem_tri(spark, sf_dir):
     # TRI Riley (gdaldem_lib.cpp default): sqrt of the sum of squared
     # center-neighbor diffs — exact on the integer-valued grid
@@ -1151,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_movavg": _q_grid_movavg,
         "grid_quadrant": _q_grid_quadrant,
         "grid_linear": _q_grid_linear,
+        "color_relief": _q_color_relief,
         "graph_kpaths": _q_graph_kpaths,
         "viewshed_los": _q_viewshed,
         "raster_checksum": _q_raster_checksum,
@@ -2278,6 +2297,29 @@ FROM t LEFT JOIN blocked bl ON t.bx = bl.bx AND t."by" = bl."by"
 """
 
 
+def _o_color_relief() -> str:
+    # channel stops: r 0->0->255, g 0->255->0, b 255->0->0 at lo/mu/hi;
+    # interp form c0 + (v - v0) * ((c1 - c0)/(v1 - v0)) mirrors the
+    # Column expression op for op (single division per slope)
+    def chan(c_lo, c_mu, c_hi):
+        return f"""
+  CASE WHEN value < (SELECT lo FROM st) THEN {c_lo}
+       WHEN value < (SELECT mu FROM st) THEN {c_lo} + (value - (SELECT lo FROM st))
+            * (({c_mu} - {c_lo}) / ((SELECT mu FROM st) - (SELECT lo FROM st)))
+       WHEN value < (SELECT hi FROM st) THEN {c_mu} + (value - (SELECT mu FROM st))
+            * (({c_hi} - {c_mu}) / ((SELECT hi FROM st) - (SELECT mu FROM st)))
+       ELSE {c_hi} END"""
+    return f"""
+WITH {_dd_base8_cte()},
+st AS (SELECT min(value) AS lo, avg(value) AS mu, max(value) AS hi FROM base)
+SELECT bx, "by", value,
+  {chan('0.0', '0.0', '255.0')} AS r,
+  {chan('0.0', '255.0', '0.0')} AS g,
+  {chan('255.0', '0.0', '0.0')} AS b
+FROM base
+"""
+
+
 def _o_dem_tri() -> str:
     return f"""
 WITH {_dd_dense_contrib(False)},
@@ -2806,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_roughness": _o_dem_roughness(),
         "dem_aspect": _o_dem_aspect(),
         "dem_tri": _o_dem_tri(),
+        "color_relief": _o_color_relief(),
         "viewshed_los": _o_viewshed(),
         "raster_checksum": _o_raster_checksum(),
         "pansharpen_brovey": _o_pansharpen(),

@@ -157,3 +157,36 @@ def hillshade(cells: DataFrame, value_col: str = "value", xres: float = 1.0,
     )
     val = F.greatest(F.lit(0.0), F.least(F.lit(255.0), 255.0 * shade))
     return w.select("bx", "by", F.round(val, 4).alias("hillshade"))
+
+
+def color_relief(cells: DataFrame, ramp, value_col: str = "value") -> DataFrame:
+    """gdaldem color-relief (apps/gdaldem_lib.cpp color-relief mode,
+    default interpolated colors): map elevations to RGB by piecewise
+    LINEAR interpolation between sorted ramp entries
+    [(elev, r, g, b), ...]; values below/above the ramp clamp to the end
+    colors.
+
+    Per-segment slopes are precomputed driver-side as plain doubles, so
+    each channel is `c_i + (v - v_i) * slope` — two IEEE ops, identical
+    in a duckdb twin with the same injected constants. Output:
+    (bx, by, value, r, g, b)."""
+    ramp = sorted((float(v), float(r), float(g), float(b))
+                  for v, r, g, b in ramp)
+    v = F.col(value_col)
+
+    def channel(idx):
+        expr = F.lit(ramp[-1][idx])                    # clamp above
+        # REVERSED so the first segment's test ends outermost — the
+        # when-chain must check segments in ascending order
+        for (v0, *c0), (v1, *c1) in reversed(list(zip(ramp[:-1], ramp[1:]))):
+            slope = (c1[idx - 1] - c0[idx - 1]) / (v1 - v0)
+            expr = F.when(
+                v < F.lit(v1),
+                F.lit(c0[idx - 1]) + (v - F.lit(v0)) * F.lit(slope),
+            ).otherwise(expr)
+        return F.when(v < F.lit(ramp[0][0]), F.lit(ramp[0][idx])).otherwise(expr)
+
+    return cells.select(
+        "bx", "by", v.alias("value"),
+        channel(1).alias("r"), channel(2).alias("g"), channel(3).alias("b"),
+    )

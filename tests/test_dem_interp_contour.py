@@ -282,3 +282,24 @@ class TestContourReferenceGolden:
         # feature per contour line)
         assert len(lines) == 1
         assert lines[0][0] == lines[0][-1]
+
+
+class TestColorRelief:
+    def test_interpolation_and_clamps(self, spark):
+        from lib_gdal_spark.operators import dem
+
+        cells = spark.createDataFrame(
+            [(0, 0, -5.0), (1, 0, 0.0), (2, 0, 50.0), (3, 0, 100.0),
+             (4, 0, 150.0), (5, 0, 200.0), (6, 0, 999.0)],
+            "bx long, by long, value double")
+        ramp = [(0.0, 0, 0, 255), (100.0, 0, 255, 0), (200.0, 255, 0, 0)]
+        got = {r.bx: (r.r, r.g, r.b)
+               for r in dem.color_relief(cells, ramp).collect()}
+        import pytest as _pt
+        assert got[0] == (0.0, 0.0, 255.0)       # clamp below
+        assert got[1] == (0.0, 0.0, 255.0)       # first stop
+        assert got[2] == _pt.approx((0.0, 127.5, 127.5))   # seg-1 midpoint
+        assert got[3] == (0.0, 255.0, 0.0)       # second stop
+        assert got[4] == _pt.approx((127.5, 127.5, 0.0))   # seg-2 midpoint
+        assert got[5] == (255.0, 0.0, 0.0)       # last stop (clamp edge)
+        assert got[6] == (255.0, 0.0, 0.0)       # clamp above
