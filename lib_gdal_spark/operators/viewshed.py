@@ -22,6 +22,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def line_of_sight(cells: DataFrame, a: tuple, b: tuple) -> bool:
+    """gdal.IsLineOfSightVisible (apps surface; autotest/alg/los.py):
+    True iff the straight 3-D segment (ax, ay, az) -> (bx, by, bz) stays
+    on-or-above the DEM at every chebyshev-sampled cell, endpoints
+    included (a point below the terrain at its own cell is not visible —
+    the reference's basic-case semantics).
+
+    Scalar API over the distributed cell table: only the <= chebyshev-
+    distance sampled cells are filtered out of the table (predicate
+    pushdown on (bx, by)), so the lookup touches one partition-pruned
+    scan, never a full collect."""
+    ax, ay, az = float(a[0]), float(a[1]), float(a[2])
+    bx, by, bz = float(b[0]), float(b[1]), float(b[2])
+    n = max(1, int(max(abs(bx - ax), abs(by - ay))))
+    samples = []
+    for j in range(n + 1):
+        px = ax + (bx - ax) * j / n
+        py = ay + (by - ay) * j / n
+        pz = az + (bz - az) * j / n
+        samples.append((int(math_floor(px + 0.5)), int(math_floor(py + 0.5)), pz))
+    keys = {(sx, sy) for sx, sy, _ in samples}
+    cond = None
+    for sx, sy in keys:
+        c = (F.col("bx") == sx) & (F.col("by") == sy)
+        cond = c if cond is None else (cond | c)
+    dem = {(r.bx, r.by): r.value for r in
+           cells.filter(cond).select("bx", "by", "value").collect()}
+    for sx, sy, pz in samples:
+        z = dem.get((sx, sy))
+        if z is not None and pz < z:
+            return False
+    return True
+
+
+def math_floor(x: float) -> float:
+    import math
+
+    return math.floor(x)
+
+
 def viewshed(cells: DataFrame, observer: tuple, maxdist: float,
              observer_height: float = 0.0) -> DataFrame:
     """(bx, by, value=elevation) -> (bx, by, value, visible int) for every

@@ -350,3 +350,34 @@ class TestViewshed:
         out = vs.viewshed(df, observer=(4, 4), maxdist=6.0,
                           observer_height=2.0)
         assert out.filter("visible = 0").count() == 0
+
+
+class TestLineOfSightReferenceGolden:
+    """Replay of the reference's LOS autotest basic cases
+    (autotest/alg/los.py test_los_basic: a 2x1 all-zero raster)."""
+
+    def _zero(self, spark):
+        return spark.createDataFrame([(0, 0, 0.0), (1, 0, 0.0)],
+                                     "bx long, by long, value double")
+
+    def test_basic_cases(self, spark):
+        from lib_gdal_spark.operators.viewshed import line_of_sight
+
+        z = self._zero(spark)
+        # (0,0,z=1) -> (1,0,z=1): above the flat terrain -> visible
+        assert line_of_sight(z, (0, 0, 1), (1, 0, 1))
+        # (0,0,z=0) -> (1,0,z=0): ON the terrain -> visible (>= rule)
+        assert line_of_sight(z, (0, 0, 0), (1, 0, 0))
+        # observer below terrain -> not visible
+        assert not line_of_sight(z, (0, 0, -1), (1, 0, 1))
+        # target below terrain -> not visible
+        assert not line_of_sight(z, (0, 0, 1), (1, 0, -1))
+
+    def test_wall_blocks_midpoint(self, spark):
+        from lib_gdal_spark.operators.viewshed import line_of_sight
+
+        wall = spark.createDataFrame(
+            [(0, 0, 0.0), (1, 0, 10.0), (2, 0, 0.0)],
+            "bx long, by long, value double")
+        assert not line_of_sight(wall, (0, 0, 1), (2, 0, 1))
+        assert line_of_sight(wall, (0, 0, 11), (2, 0, 11))
