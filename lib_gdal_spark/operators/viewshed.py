@@ -19,6 +19,8 @@ enters the comparison and a duckdb twin matches bit for bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -41,7 +43,7 @@ def line_of_sight(cells: DataFrame, a: tuple, b: tuple) -> bool:
         px = ax + (bx - ax) * j / n
         py = ay + (by - ay) * j / n
         pz = az + (bz - az) * j / n
-        samples.append((int(math_floor(px + 0.5)), int(math_floor(py + 0.5)), pz))
+        samples.append((int(math.floor(px + 0.5)), int(math.floor(py + 0.5)), pz))
     keys = {(sx, sy) for sx, sy, _ in samples}
     cond = None
     for sx, sy in keys:
@@ -54,12 +56,6 @@ def line_of_sight(cells: DataFrame, a: tuple, b: tuple) -> bool:
         if z is not None and pz < z:
             return False
     return True
-
-
-def math_floor(x: float) -> float:
-    import math
-
-    return math.floor(x)
 
 
 def viewshed(cells: DataFrame, observer: tuple, maxdist: float,
