@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+# Best-of-N per query: this host shows +-20% steal-time noise on single
+# shots (BENCH/BASELINE.md), which made r01-vs-r02 comparison unactionable.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 HEADLINE = [
     "tile_pyramid",
@@ -120,16 +123,26 @@ def main():
     # warm the JVM/session with a trivial action
     spark.range(1000).count()
 
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(REPS):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            samples.append(round(time.time() - t0, 3))
+        runs[name] = samples
+        times[name] = min(samples)
 
     import tempfile
     refshapes = refshape_benchmarks(spark, tempfile.mkdtemp(prefix="refshape_"))
 
-    n_pages, join_rows, n_tiles, flagship_sec = flagship_pipeline(spark, PAGES_N)
+    fl_samples = []
+    for _ in range(REPS):
+        n_pages, join_rows, n_tiles, s = flagship_pipeline(spark, PAGES_N)
+        fl_samples.append(s)
+    flagship_sec = min(fl_samples)
+    runs["flagship_pipeline"] = fl_samples
     times["flagship_pipeline"] = flagship_sec
 
     total = round(sum(times.values()), 3)
@@ -148,6 +161,8 @@ def main():
         },
         "cores": CPUS,
         "refshapes": refshapes,
+        "reps": REPS,
+        "runs": runs,
     }
     print(json.dumps(out))
 

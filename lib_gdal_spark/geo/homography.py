@@ -45,6 +45,12 @@ def gcps_to_homography(gcps):
         return (X[0] - p[0] * sx, sx, 0.0,
                 Y[0] - l[0] * sy, 0.0, sy, 1.0, 0.0, 0.0)
 
+    if n >= 4:
+        # degenerate-in-one-dimension rejection (gdal_homography.cpp:180)
+        for arr in (p, l, X, Y):
+            if abs(arr.max() - arr.min()) < 1.0e-12:
+                return None
+
     # normalize source and target to ~unit scale (gdal_homography.cpp:155)
     def norm_params(u, v):
         cu, cv = u.mean(), v.mean()
@@ -55,18 +61,6 @@ def gcps_to_homography(gcps):
     cX, cY, st = norm_params(X, Y)
     pn, ln = (p - cp) / ss, (l - cl) / ss
     Xn, Yn = (X - cX) / st, (Y - cY) / st
-
-    if n == 4:
-        # hour-glass rejection (gdal_homography.cpp:316, issue 11618):
-        # the first-four quad must wind consistently in BOTH spaces
-        for (u, v) in ((pn, ln), (Xn, Yn)):
-            d1 = (u[1] - u[0], v[1] - v[0])
-            d2 = (u[2] - u[1], v[2] - v[1])
-            d3 = (u[3] - u[2], v[3] - v[2])
-            c12 = d1[0] * d2[1] - d1[1] * d2[0]
-            c23 = d2[0] * d3[1] - d2[1] * d3[0]
-            if c12 * c23 <= 0.0:
-                return None
 
     if n == 3:
         A = np.column_stack([np.ones(3), pn, ln])
@@ -100,9 +94,29 @@ def gcps_to_homography(gcps):
     n5 = st * h5 / ss + cY * d8
     if d6 == 0.0:
         return None
-    return tuple(float(v / d6) for v in (n0, n1, n2, n3, n4, n5,
-                                         d6, d7, d8)) [:6] + (
+    h = tuple(float(v / d6) for v in (n0, n1, n2, n3, n4, n5,
+                                      d6, d7, d8)) [:6] + (
         1.0, float(d7 / d6), float(d8 / d6))
+
+    if n >= 4:
+        # Hour-glass / fold rejection (gdal_homography.cpp:288-318, issue
+        # 11618): the fitted homography must map the unit square of the
+        # reference's min-max pixel normalization — i.e. the GCP pixel
+        # bounding box — to a CONVEX quadrilateral. Checking in final geo
+        # space is equivalent: the denormalization is affine, and an
+        # affine map flips the sign of both cross products together, so
+        # sign(cross12 * cross23) is invariant.
+        bx = np.array([p.min(), p.max(), p.max(), p.min()])
+        by = np.array([l.min(), l.min(), l.max(), l.max()])
+        qx, qy = apply_homography(h, bx, by)
+        if not (np.isfinite(qx).all() and np.isfinite(qy).all()):
+            return None
+        vx, vy = qx - qx[0], qy - qy[0]
+        cross12 = vx[1] * vy[2] - vx[2] * vy[1]
+        cross23 = vx[2] * vy[3] - vx[3] * vy[2]
+        if cross12 * cross23 <= 0.0:
+            return None
+    return h
 
 
 def apply_homography(h, p, l):

@@ -310,12 +310,16 @@ def sieve_gdal(cells: DataFrame, threshold: int, connect8: bool = False,
     sizes = labeled.groupBy("region_id").agg(F.count(F.lit(1)).alias("_n"))
     vals = labeled.groupBy("region_id").agg(F.first("value").alias("_val"))
 
-    ymax, xmax = labeled.agg(F.max("by"), F.max("bx")).collect()[0]
-    width = int(xmax) + 1
+    ymax, xmax, xmin = labeled.agg(
+        F.max("by"), F.max("bx"), F.min("bx")).collect()[0]
+    # width/origin from the grid's actual bbox: grids with negative or
+    # offset bx must still reproduce the reference's raster scan order
+    width = int(xmax) - int(xmin) + 1
 
-    # scan index of a cell: top-down rows -> (ymax - by) * width + bx
+    # scan index of a cell: top-down rows ->
+    # (ymax - by) * width + (bx - xmin)
     def scan(col_bx, col_by):
-        return (F.lit(int(ymax)) - col_by) * width + col_bx
+        return (F.lit(int(ymax)) - col_by) * width + (col_bx - int(xmin))
 
     # directed observations at the CURRENT cell, sub-ranked in GDAL's
     # within-cell compare order (gdalsievefilter.cpp second pass loop)

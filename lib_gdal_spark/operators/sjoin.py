@@ -272,7 +272,20 @@ def spatial_join(
         return cand
     if how == "semi":
         return cand.drop("poly_id").distinct()
-    key = key_col or points.columns[0]
+    key = key_col
+    if key is None:
+        # The key-based faces (left/anti/identity/union/symdiff) anti-join
+        # on this column and silently produce wrong unmatched sets if it
+        # is not unique. When the caller did not choose it, probe
+        # uniqueness with a single narrow-column agg; hot paths should
+        # pass key_col explicitly (a known-unique row id) to skip this.
+        key = points.columns[0]
+        dup = (points.groupBy(key).count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                f"spatial_join how={how!r}: defaulted key column {key!r} "
+                "is not unique; pass key_col= (a unique row id) explicitly")
     if how == "anti":
         return points.join(
             cand.select(key).distinct(), on=key, how="left_anti",

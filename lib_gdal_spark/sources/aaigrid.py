@@ -26,10 +26,25 @@ def read_aaigrid(spark: SparkSession, path: str):
             key = parts[0].lower()
             if key in ("ncols", "nrows"):
                 meta[key] = int(parts[1])
-            elif key in ("xllcorner", "yllcorner", "cellsize", "nodata_value"):
+            elif key in ("xllcorner", "yllcorner", "cellsize", "nodata_value",
+                         "xllcenter", "yllcenter", "dx", "dy"):
+                # the reference driver also accepts xllcenter/yllcenter
+                # (cell-center origin) and dx/dy (anisotropic cell size)
+                # headers — frmts/aaigrid/aaigriddataset.cpp ParseHeader
                 meta[key] = float(parts[1])
             else:
                 data_lines.append(line)
+    # normalize alternate header forms to the corner/cellsize convention
+    if "dx" in meta:
+        if "dy" not in meta:
+            raise ValueError("aaigrid: dx header without dy")
+        meta.setdefault("cellsize", meta["dx"])
+    csx = meta.get("dx", meta.get("cellsize", 1.0))
+    csy = meta.get("dy", meta.get("cellsize", 1.0))
+    if "xllcenter" in meta:
+        meta["xllcorner"] = meta["xllcenter"] - csx / 2.0
+    if "yllcenter" in meta:
+        meta["yllcorner"] = meta["yllcenter"] - csy / 2.0
     grid = np.loadtxt(data_lines, dtype=np.float64, ndmin=2)
     nrows, ncols = meta["nrows"], meta["ncols"]
     assert grid.shape == (nrows, ncols), (grid.shape, meta)

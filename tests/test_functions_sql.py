@@ -182,6 +182,27 @@ class TestStDistance:
             FROM geoms WHERE gid = 1""").collect()[0]
         assert r.d == pytest.approx(math.hypot(6, 6))
 
+    def test_crossing_linestrings_zero(self, sql):
+        # boundaries cross with no vertex of either near the other —
+        # GEOS ST_Distance returns 0 (ADVICE r02: crossing case)
+        r = sql.sql("""
+            SELECT st_distance(
+              st_geomfromtext('LINESTRING (-10 0, 10 0)'),
+              st_geomfromtext('LINESTRING (0 -10, 0 10)')) AS d
+            FROM range(1)""").collect()[0]
+        assert r.d == 0.0
+
+    def test_plus_shaped_polygon_overlap_zero(self, sql):
+        # two rectangles overlapping in a plus shape: neither contains a
+        # VERTEX of the other, but their boundaries cross -> 0
+        r = sql.sql("""
+            SELECT st_distance(
+              st_geomfromtext('POLYGON ((-10 -1, 10 -1, 10 1, -10 1, -10 -1))'),
+              st_geomfromtext('POLYGON ((-1 -10, 1 -10, 1 10, -1 10, -1 -10))')
+            ) AS d
+            FROM range(1)""").collect()[0]
+        assert r.d == 0.0
+
 
 class TestHullBuffer:
     def test_convexhull_of_concave_polygon(self, sql):

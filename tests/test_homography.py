@@ -80,6 +80,26 @@ class TestHomographyReferenceGolden:
         assert gcps_to_homography([(0, 0, 0, 0), (0, 10, 0, 10),
                                    (10, 0, 10, 10), (10, 10, 10, 0)]) is None
 
+    def test_hour_glass_rejected_overdetermined(self):
+        # n > 4 fold: the reference checks the FITTED homography's
+        # unit-square image for every n >= 4 (gdal_homography.cpp:288-318),
+        # not just quads. Sample 8 GCPs exactly from a projective map whose
+        # denominator (1 - 0.3 p) flips sign inside the pixel bbox — the
+        # DLT recovers it exactly and the bbox image is folded, not convex.
+        ht = (0, 1, 0, 0, 0, 1, 1, -0.3, 0)
+        gcps = []
+        for p, l in [(0, 0), (1, 0), (0, 5), (1, 5), (2, 3),
+                     (8, 2), (9, 6), (10, 10)]:
+            x, y = apply_homography(ht, np.array([float(p)]),
+                                    np.array([float(l)]))
+            gcps.append((p, l, float(x[0]), float(y[0])))
+        assert gcps_to_homography(gcps) is None
+
+    def test_degenerate_dimension_rejected(self):
+        # gdal_homography.cpp:180 — GCPs degenerate in one dimension
+        assert gcps_to_homography([(0, 0, 0, 0), (0, 1, 0, 1),
+                                   (0, 2, 0, 2), (0, 3, 0, 3)]) is None
+
     def test_column_face_matches_numpy(self, spark):
         from pyspark.sql import functions as F
 

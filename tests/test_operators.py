@@ -1094,6 +1094,27 @@ class TestSieveReferenceGolden:
         out = self._run(spark, self.SIEVE_2634, threshold=2, connect8=False)
         assert self._checksum(out) == 98   # autotest/alg/sieve.py:128
 
+    def test_offset_grid_matches_origin_grid(self, spark):
+        # ADVICE r02: the scan-position key used width = max(bx)+1 and
+        # ignored min(bx), so offset/negative-bx grids silently changed
+        # big-neighbour tie-breaks. Shifting the grid must shift the
+        # result, nothing else.
+        from lib_gdal_spark.operators import polygonize as pz
+
+        grid = self.SIEVE_SRC
+        nrows = len(grid)
+        sx, sy = -3, 7   # negative bx offset is the hard case
+        rows = [(c + sx, nrows - 1 - r + sy, float(v))
+                for r, vals in enumerate(grid) for c, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = pz.sieve_gdal(df, threshold=2, connect8=False, block_bits=1)
+        got = {(r.bx - sx, r.by - sy): int(r.value) for r in out.collect()}
+        base = self._run(spark, grid, threshold=2, connect8=False)
+        shifted_back = [[got[(c, nrows - 1 - r)]
+                         for c in range(len(grid[0]))] for r in range(nrows)]
+        assert shifted_back == base
+        assert self._checksum(shifted_back) == 364
+
 
 class TestFillNodataReferenceGolden:
     """Replay of the reference's fillnodata table-driven autotests

@@ -80,6 +80,16 @@ class TestSpatialJoin:
         assert left.select("url").distinct().count() == N
         assert left.filter("poly_id IS NULL").count() > 0
 
+    def test_defaulted_nonunique_key_raises(self, points):
+        # ADVICE r02: the key-based faces anti-join on points.columns[0]
+        # and silently produced wrong unmatched sets when it wasn't unique
+        from pyspark.sql import functions as F
+
+        ps = sjoin.PolygonSet(POLYS)
+        dup = points.withColumn("url", F.lit("same-for-all"))
+        with pytest.raises(ValueError, match="not.*unique|unique"):
+            sjoin.spatial_join(dup, ps, zoom=7, how="left")
+
     def test_salted_shuffle_path_same_result(self, points, pages_pdf):
         ps = sjoin.PolygonSet(POLYS)
         got = sjoin.spatial_join(points, ps, zoom=7, how="inner",

@@ -31,6 +31,22 @@ class TestAAIGrid:
         out = pz.polygonize_rings(cells, block_bits=1).collect()
         assert len(out) == 13
 
+    def test_center_and_dxdy_headers(self, spark, tmp_path):
+        # the reference driver accepts xllcenter/yllcenter and dx/dy
+        # headers (frmts/aaigrid ParseHeader); ADVICE r02: these used to
+        # fall into the data lines and crash np.loadtxt
+        p = str(tmp_path / "center.grd")
+        with open(p, "w") as f:
+            f.write("ncols 2\nnrows 2\nxllcenter 10.0\nyllcenter 20.0\n"
+                    "dx 4.0\ndy 2.0\n1 2\n3 4\n")
+        cells, meta = read_aaigrid(spark, p)
+        assert cells.count() == 4
+        # corner = center - cell/2, per axis with anisotropic dx/dy
+        assert meta["xllcorner"] == 10.0 - 2.0
+        assert meta["yllcorner"] == 20.0 - 1.0
+        got = {(r.bx, r.by): r.value for r in cells.collect()}
+        assert got[(0, 1)] == 1.0 and got[(1, 0)] == 4.0
+
     def test_roundtrip(self, spark, tmp_path):
         cells, meta = read_aaigrid(spark, REF_GRD)
         p = str(tmp_path / "out.grd")
