@@ -603,6 +603,30 @@ def _q_warp_bilinear(spark, sf_dir):
     return out.select("x", "y", F.round("value", 6).alias("value"))
 
 
+def _q_warp_cubic(spark, sf_dir):
+    # gdalwarp -r cubic (Catmull-Rom, gdalresamplingkernels.h:23): 16-tap
+    # normalized convolution pull sample; weights evaluated from the SAME
+    # SQL text as the duckdb twin, fold rounded to 6 dp on both sides
+    out = warp.warp_convolution(_warp_src(spark, sf_dir, cell=30.0),
+                                zoom=4, cell_size=30.0, kernel="cubic")
+    return out.select("x", "y", F.round("value", 6).alias("value"))
+
+
+def _q_warp_cubicspline(spark, sf_dir):
+    # gdalwarp -r cubicspline (GWKBSpline, gdalwarpkernel.cpp:3680)
+    out = warp.warp_convolution(_warp_src(spark, sf_dir, cell=30.0),
+                                zoom=4, cell_size=30.0, kernel="cubicspline")
+    return out.select("x", "y", F.round("value", 6).alias("value"))
+
+
+def _q_warp_lanczos(spark, sf_dir):
+    # gdalwarp -r lanczos (GWKLanczosSinc, gdalwarpkernel.cpp:3540): 36-tap
+    # radius-3 windowed sinc incl. the reference's single-sin trick
+    out = warp.warp_convolution(_warp_src(spark, sf_dir, cell=30.0),
+                                zoom=4, cell_size=30.0, kernel="lanczos")
+    return out.select("x", "y", F.round("value", 6).alias("value"))
+
+
 def _q_raster_calc(spark, sf_dir):
     # two aligned bands from documents: A = char sum, B = doc count; out =
     # reclassified mean chars-per-doc (pixel-function map algebra, §2.8)
@@ -1166,6 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_q1q3": _q_warp_q1q3,
         "warp_near": _q_warp_near,
         "warp_bilinear": _q_warp_bilinear,
+        "warp_cubic": _q_warp_cubic,
+        "warp_cubicspline": _q_warp_cubicspline,
+        "warp_lanczos": _q_warp_lanczos,
         "grid_movavg": _q_grid_movavg,
         "grid_quadrant": _q_grid_quadrant,
         "grid_linear": _q_grid_linear,
@@ -1858,6 +1885,36 @@ taps AS (
 SELECT t.x, t.y, round(sum(t.w * s.v), 6) AS value
 FROM taps t JOIN src s ON s.gx = t.gx AND s.gy = t.gy
 GROUP BY 1, 2 HAVING count(*) = 4
+"""
+
+
+def _o_warp_conv(kernel: str) -> str:
+    # identical structure to _o_warp_bilinear widened to the kernel
+    # support; the weight CASE text comes from the very function the
+    # Spark plan evaluates (warp.kernel_weight_sql) — op-order identity
+    # across engines by construction
+    r = warp.CONV_RADIUS[kernel]
+    ks = ", ".join(str(k) for k in range(-(r - 1), r + 1))
+    full = (2 * r) * (2 * r)
+    clon = _dd_tile_center_lon("x", 4)
+    clat = _dd_tile_center_lat("y", 4)
+    wx = warp.kernel_weight_sql("f.fx - (floor(f.fx) + i.i)", kernel)
+    wy = warp.kernel_weight_sql("f.fy - (floor(f.fy) + j.j)", kernel)
+    return f"""
+WITH {_PAGES_CTE},
+{_dd_warp_src(30.0)},
+tgt AS (SELECT DISTINCT {_dd_tile_x('cx', 4)} AS x, {_dd_tile_y('cy', 4)} AS y FROM ctr),
+fr AS (SELECT x, y, ({clon})/30.0 - 0.5 AS fx, ({clat})/30.0 - 0.5 AS fy FROM tgt),
+taps AS (
+  SELECT f.x, f.y,
+         CAST(floor(f.fx) AS BIGINT) + i.i AS gx,
+         CAST(floor(f.fy) AS BIGINT) + j.j AS gy,
+         ({wx}) * ({wy}) AS w
+  FROM fr f, (SELECT unnest([{ks}]) AS i) i, (SELECT unnest([{ks}]) AS j) j
+)
+SELECT t.x, t.y, round(sum(t.w * s.v) / sum(t.w), 6) AS value
+FROM taps t JOIN src s ON s.gx = t.gx AND s.gy = t.gy
+GROUP BY 1, 2 HAVING count(*) = {full}
 """
 
 
@@ -2872,6 +2929,9 @@ def oracle_sql() -> dict[str, str]:
         "warp_q1q3": _o_warp_q1q3(),
         "warp_near": _o_warp_near(),
         "warp_bilinear": _o_warp_bilinear(),
+        "warp_cubic": _o_warp_conv("cubic"),
+        "warp_cubicspline": _o_warp_conv("cubicspline"),
+        "warp_lanczos": _o_warp_conv("lanczos"),
         "proximity_dist": _o_proximity(),
         "fillnodata_idw": _o_fillnodata(),
         "overview_avg": _o_overview_avg(),

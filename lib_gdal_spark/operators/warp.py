@@ -30,11 +30,65 @@ the final aggregate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..geo import mercator
 
 AGG_KERNELS = ("average", "sum", "min", "max", "rms", "mode")
+
+# Convolution kernels (the last three of gdalwarper.cpp's 14): taps per
+# axis = 2 * radius
+CONV_RADIUS = {"cubic": 2, "cubicspline": 2, "lanczos": 3}
+
+_PI = repr(math.pi)
+
+
+def kernel_weight_sql(d: str, kernel: str) -> str:
+    """SQL text for the 1-D kernel weight at signed distance expression
+    `d` (in source-grid units). The SAME string runs as a Spark Column
+    (F.expr) and inside the duckdb oracle, so the float op ORDER is
+    identical across engines by construction (CLAUDE.md exactness rule).
+
+    Formulas are term-for-term the reference's:
+    - cubic: Catmull-Rom, alg/gdalresamplingkernels.h:23-42
+      (x^2*(1.5|x| - 2.5) + 1; x^2*(-0.5|x| + 2.5) - 4|x| + 2)
+    - cubicspline: cubic B-spline, alg/gdalwarpkernel.cpp:3680 GWKBSpline
+      (Mitchell (B,C)=(1,0); the reference omits the 1/6 factor and so do
+      we — it cancels in the sum(w*v)/sum(w) normalization)
+    - lanczos: radius-3 windowed sinc, alg/gdalwarpkernel.cpp:3540
+      GWKLanczosSinc including its sin(3x) = (3 - 4 sin^2 x) sin x trick,
+      so only ONE transcendental sin() per weight in both engines
+    """
+    if kernel == "cubic":
+        return (
+            f"CASE WHEN abs({d}) <= 1.0 THEN"
+            f" ({d})*({d}) * (1.5*abs({d}) - 2.5) + 1.0"
+            f" WHEN abs({d}) <= 2.0 THEN"
+            f" ({d})*({d}) * (-0.5*abs({d}) + 2.5) - 4.0*abs({d}) + 2.0"
+            f" ELSE 0.0 END"
+        )
+    if kernel == "cubicspline":
+        return (
+            f"CASE WHEN abs({d}) < 1.0 THEN"
+            f" 3.0*abs({d})*abs({d})*abs({d})"
+            f" - 6.0*abs({d})*abs({d}) + 4.0"
+            f" WHEN abs({d}) < 2.0 THEN"
+            f" -(abs({d})*abs({d})*abs({d}))"
+            f" + 6.0*abs({d})*abs({d}) - 12.0*abs({d}) + 8.0"
+            f" ELSE 0.0 END"
+        )
+    if kernel == "lanczos":
+        s = f"sin({_PI}*({d})/3.0)"
+        return (
+            f"CASE WHEN ({d}) = 0.0 THEN 1.0"
+            f" WHEN abs({d}) < 3.0 THEN"
+            f" (3.0 - 4.0*({s})*({s})) * (({s})*({s}))"
+            f" / (({_PI}*({d})) * ({_PI}*({d})/3.0))"
+            f" ELSE 0.0 END"
+        )
+    raise ValueError(f"unknown convolution kernel {kernel!r}")
 
 
 def _tiled(src: DataFrame, zoom: int, lon_col: str, lat_col: str,
@@ -181,5 +235,68 @@ def warp_bilinear(src: DataFrame, zoom: int, cell_size: float,
         .agg(F.sum(F.col("_w") * F.col("_v")).alias("value"),
              F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") == 4)
+        .drop("_n")
+    )
+
+
+def warp_convolution(src: DataFrame, zoom: int, cell_size: float,
+                     kernel: str = "cubic",
+                     lon_col: str = "cx", lat_col: str = "cy",
+                     value_col: str = "v") -> DataFrame:
+    """Inverse warp with a convolution kernel — cubic / cubicspline /
+    lanczos, the last three of gdalwarper.cpp:1921-1947's 14 ->
+    (x, y, value).
+
+    Same pull-based shape as `warp_bilinear`, widened to the kernel's
+    support: each target-tile center explodes (2r)^2 taps on the regular
+    source grid (r=2 for the cubics, r=3 for lanczos) and one
+    groupBy(x, y) folds sum(w*v)/sum(w) — normalized convolution, the
+    reference's accumulator-weight semantics (GWKResample's
+    dfAccumulatorWeight divide; exact 1 for Catmull-Rom, and absorbing
+    B-spline's omitted 1/6). Only COMPLETE (2r)^2-tap windows survive
+    (edge/hole tiles drop — the engine's nodata discipline).
+
+    Scale: shuffle volume is |target tiles| x (2r)^2 against the
+    (already aggregated) source grid — an equi-join on grid indices,
+    never |src| x |tgt|; the source side is broadcastable when coarse.
+
+    Weights are evaluated from ONE shared SQL text (kernel_weight_sql)
+    reused verbatim by the duckdb oracle, so cross-engine drift is
+    limited to the final fold order — callers comparing across engines
+    round the output (the weights involve the transcendental inverse
+    latitude anyway, as in bilinear).
+    """
+    r = CONV_RADIUS[kernel]
+    ks = list(range(-(r - 1), r + 1))
+    taps = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+        for i in ks for j in ks
+    ])
+    wx = kernel_weight_sql("_fx - (floor(_fx) + _t.i)", kernel)
+    wy = kernel_weight_sql("_fy - (floor(_fy) + _t.j)", kernel)
+    tgt = _target_centers(src, zoom, lon_col, lat_col).select(
+        "x", "y",
+        (F.col("_lon") / cell_size - 0.5).alias("_fx"),
+        (F.col("_lat") / cell_size - 0.5).alias("_fy"),
+        F.explode(taps).alias("_t"),
+    ).select(
+        "x", "y",
+        (F.floor("_fx") + F.col("_t.i")).cast("long").alias("_gx"),
+        (F.floor("_fy") + F.col("_t.j")).cast("long").alias("_gy"),
+        (F.expr(wx) * F.expr(wy)).alias("_w"),
+    )
+    s = src.select(
+        F.floor(F.col(lon_col) / cell_size).cast("long").alias("_gx"),
+        F.floor(F.col(lat_col) / cell_size).cast("long").alias("_gy"),
+        F.col(value_col).alias("_v"),
+    )
+    full = (2 * r) * (2 * r)
+    return (
+        tgt.join(s, on=["_gx", "_gy"], how="inner")
+        .groupBy("x", "y")
+        .agg((F.sum(F.col("_w") * F.col("_v"))
+              / F.sum("_w")).alias("value"),
+             F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == full)
         .drop("_n")
     )

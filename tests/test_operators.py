@@ -817,6 +817,93 @@ class TestWarpKernels:
         bad = out.filter((F.col("value") < lo - 1e-9) | (F.col("value") > hi + 1e-9))
         assert bad.count() == 0
 
+    def test_kernel_weights_match_reference_formulas(self, spark):
+        # kernel_weight_sql (shared Spark/duckdb text) vs independent
+        # NumPy transliterations of gdalresamplingkernels.h:23 (cubic),
+        # gdalwarpkernel.cpp:3680 (GWKBSpline /6) and :3540 (lanczos)
+        import numpy as np
+        from lib_gdal_spark.operators import warp
+
+        def ref_cubic(x):
+            a = abs(x)
+            if a <= 1.0:
+                return x * x * (1.5 * a - 2.5) + 1.0
+            if a <= 2.0:
+                return x * x * (-0.5 * a + 2.5) - 4.0 * a + 2.0
+            return 0.0
+
+        def ref_bspline(x):
+            # GWKBSpline omits the 1/6; piecewise-equivalent closed form
+            a = abs(x)
+            if a < 1.0:
+                return 3.0 * a**3 - 6.0 * a**2 + 4.0
+            if a < 2.0:
+                return -(a**3) + 6.0 * a**2 - 12.0 * a + 8.0
+            return 0.0
+
+        def ref_lanczos(x):
+            if x == 0.0:
+                return 1.0
+            if abs(x) >= 3.0:
+                return 0.0
+            return float(np.sin(np.pi * x) * np.sin(np.pi * x / 3.0)
+                         / (np.pi * x * (np.pi * x / 3.0)))
+
+        ds = [round(-2.9 + 0.151 * k, 6) for k in range(39)]
+        df = spark.createDataFrame([(d,) for d in ds], "d double")
+        for kernel, ref in (("cubic", ref_cubic),
+                            ("cubicspline", ref_bspline),
+                            ("lanczos", ref_lanczos)):
+            got = {r.d: r.w for r in df.select(
+                "d", F.expr(warp.kernel_weight_sql("d", kernel)).alias("w")
+            ).collect()}
+            for d in ds:
+                assert got[d] == pytest.approx(ref(d), abs=1e-12), (kernel, d)
+
+    def test_cubic_and_bspline_reproduce_linear_field(self, spark):
+        # Catmull-Rom and (normalized) B-spline both have linear
+        # precision: warping v = 3*gx + 7*gy + 11 must return the exact
+        # linear value at each target center
+        import numpy as np
+        from lib_gdal_spark.operators import warp
+        from lib_gdal_spark.geo import mercator as M
+
+        cells = [(gx, gy, float(3 * gx + 7 * gy + 11))
+                 for gx in range(-8, 8) for gy in range(-8, 8)]
+        src = spark.createDataFrame(cells, "gx long, gy long, v double").select(
+            ((F.col("gx") + 0.5) * 5.0).alias("cx"),
+            ((F.col("gy") + 0.5) * 5.0).alias("cy"), "v")
+        for kernel in ("cubic", "cubicspline"):
+            out = warp.warp_convolution(src, zoom=5, cell_size=5.0,
+                                        kernel=kernel).collect()
+            assert len(out) > 0
+            s = M.tile_size_meters(5)
+            for r in out:
+                lon = ((r.x + 0.5) * s - M.ORIGIN_SHIFT) / M.ORIGIN_SHIFT * 180.0
+                my = M.ORIGIN_SHIFT - (r.y + 0.5) * s
+                lat = float(180.0 / np.pi * (2.0 * np.arctan(
+                    np.exp(my / M.ORIGIN_SHIFT * np.pi)) - np.pi / 2.0))
+                exp = 3.0 * (lon / 5.0 - 0.5) + 7.0 * (lat / 5.0 - 0.5) + 11.0
+                assert r.value == pytest.approx(exp, abs=1e-9), (kernel, r)
+
+    def test_lanczos_constant_field_and_range(self, spark):
+        # sum(w*v)/sum(w) normalization: a constant field stays exactly
+        # constant even though lanczos weights don't sum to 1
+        from lib_gdal_spark.operators import warp
+
+        # 16x16 grid: wide enough that complete 6x6 windows exist at z4
+        cells = [(gx, gy) for gx in range(-8, 8) for gy in range(-8, 8)]
+        src = spark.createDataFrame(cells, "gx long, gy long").select(
+            ((F.col("gx") + 0.5) * 5.0).alias("cx"),
+            ((F.col("gy") + 0.5) * 5.0).alias("cy"),
+            F.lit(42.0).alias("v"))
+        out = warp.warp_convolution(src, zoom=4, cell_size=5.0,
+                                    kernel="lanczos")
+        rows = out.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.value == pytest.approx(42.0, abs=1e-9)
+
 
 class TestPolygonizeRings:
     def _df(self, spark, cells, value=1.0):

@@ -169,6 +169,19 @@ class TestWarpTriPlans:
             .queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
 
+    def test_warp_convolution_two_exchanges_broadcast_src(self, spark):
+        # distinct-target shuffle + final (x, y) aggregate; the source
+        # grid side must BROADCAST into the tap join (it is the already-
+        # aggregated coarse grid), never hash-shuffle — and the fold must
+        # map-side combine
+        from lib_gdal_spark.operators import warp
+
+        plan = warp.warp_convolution(self._src(spark), 3, 5.0, "cubic")._jdf \
+            .queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 2, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "partial_sum" in plan, plan
+
     def test_warp_quartiles_single_exchange(self, spark):
         # the ranking window and the final aggregate share the (x, y)
         # key, so the percentile pass must NOT add a second shuffle
