@@ -707,9 +707,8 @@ def _q_contour_multi(spark, sf_dir):
 
 def _q_sieve(spark, sf_dir):
     # classed raster (3 value classes) -> distributed CC -> sieve: regions
-    # under 3 cells merge into their largest neighbor. Connected
-    # components aren't ANSI-SQL-expressible -> rows-only driver check
-    # (like polygonize_regions); invariants are unit-tested instead.
+    # under 3 cells merge into their largest neighbor (tie: smallest id).
+    # Exact duckdb twin via recursive-CTE min-label CC (_o_sieve).
     cells = _base_grid8(spark, sf_dir).select(
         "bx", "by", F.floor(F.col("value") / 200.0).cast("double").alias("value")
     )
@@ -1110,25 +1109,34 @@ def _q_minhash_dedup(spark, sf_dir):
     return dedup.minhash_dedup(d, "doc_id", "text", threshold=0.8).select("doc_id")
 
 
-def _q_polygonize(spark, sf_dir):
-    d = _tbl(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 40).alias("bx"),
-        ((F.col("doc_id") / 40).cast("long") % 40).alias("by"),
-        (F.col("n_chars") % 3).cast("double").alias("value"),
+def _pz_cells(spark, sf_dir):
+    """Shared polygonize input: 40x40 classed grid, one row per cell
+    (min-n_chars dedup keeps it well-defined at every sf — doc_id wraps
+    past 1600 at sf >= 0.1 and duplicate (bx, by) cells with conflicting
+    values would make CC ill-posed)."""
+    return (
+        _tbl(spark, sf_dir, "documents")
+        .groupBy(
+            (F.col("doc_id") % 40).alias("bx"),
+            ((F.col("doc_id") / 40).cast("long") % 40).alias("by"),
+        )
+        .agg((F.min("n_chars") % 3).cast("double").alias("value"))
     )
-    return polygonize.polygonize(d, block_bits=4)
+
+
+def _q_polygonize(spark, sf_dir):
+    # distributed CC labeling; region_id = min cell key (by<<32 | bx) of
+    # the component — deterministic, so an exact duckdb twin exists via
+    # recursive-CTE min-label propagation (autotest/alg/polygonize.py
+    # shape recast as a full-grid labeling check)
+    return polygonize.polygonize(_pz_cells(spark, sf_dir), block_bits=4)
 
 
 def _q_polygonize_rings(spark, sf_dir):
     # geometry-producing polygonize (alg/polygonize.cpp; autotest shape
-    # asserts geometries): rows-only driver check (CC not SQL); the ring
-    # tracer's area==n_cells invariant is unit-tested with goldens
-    d = _tbl(spark, sf_dir, "documents").select(
-        (F.col("doc_id") % 40).alias("bx"),
-        ((F.col("doc_id") / 40).cast("long") % 40).alias("by"),
-        (F.col("n_chars") % 3).cast("double").alias("value"),
-    )
-    out = polygonize.polygonize_rings(d, block_bits=4)
+    # asserts geometries): rows-only driver check (ring tracing not SQL);
+    # the ring tracer's area==n_cells invariant is unit-tested with goldens
+    out = polygonize.polygonize_rings(_pz_cells(spark, sf_dir), block_bits=4)
     return out.select("region_id", "value", "n_cells", "n_rings",
                       "n_vertices", "area")
 
@@ -1915,6 +1923,88 @@ taps AS (
 SELECT t.x, t.y, round(sum(t.w * s.v) / sum(t.w), 6) AS value
 FROM taps t JOIN src s ON s.gx = t.gx AND s.gy = t.gy
 GROUP BY 1, 2 HAVING count(*) = {full}
+"""
+
+
+def _dd_cc_label(cells_cte: str) -> str:
+    """Recursive-CTE connected components over a cells(bx, "by", value)
+    CTE: 4-adjacent equal-valued cells share a region; the label is the
+    MIN cell key (by<<32 | bx) of the component — exactly polygonize()'s
+    deterministic labeling, so min-label propagation reaches the same
+    fixed point the distributed union-find does. The recursive member
+    only propagates labels DOWNHILL (lbl < receiving key), which keeps
+    the closure far below the naive sum-of-|comp|^2 and guarantees
+    termination. (Reference shape: autotest/alg/polygonize.py recast as
+    a full-grid labeling check.)"""
+    return f"""{cells_cte},
+kc AS (SELECT bx, "by", value, "by" * 4294967296 + bx AS k FROM cells),
+cedges AS (
+  SELECT a.k AS src, b.k AS dst
+  FROM kc a JOIN kc b ON a.value = b.value AND
+       ((b.bx = a.bx + 1 AND b."by" = a."by") OR
+        (b.bx = a.bx - 1 AND b."by" = a."by") OR
+        (b.bx = a.bx AND b."by" = a."by" + 1) OR
+        (b.bx = a.bx AND b."by" = a."by" - 1))
+),
+reach AS (
+  SELECT k AS node, k AS lbl FROM kc
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN cedges e ON e.src = r.node
+  WHERE r.lbl < e.dst
+),
+lab AS (SELECT node, min(lbl) AS region_id FROM reach GROUP BY node),
+lc AS (SELECT kc.bx, kc."by", kc.value, lab.region_id
+       FROM kc JOIN lab ON lab.node = kc.k)"""
+
+
+def _o_polygonize_regions() -> str:
+    cells = ('cells AS (SELECT bx, "by", '
+             "CAST(min(n_chars) % 3 AS DOUBLE) AS value FROM d GROUP BY 1, 2)")
+    return f"""
+WITH RECURSIVE
+d AS (SELECT CAST(doc_id % 40 AS BIGINT) AS bx,
+             CAST(floor(doc_id/40.0) AS BIGINT) % 40 AS "by",
+             n_chars
+      FROM documents),
+{_dd_cc_label(cells)}
+SELECT bx, "by", value, region_id FROM lc
+"""
+
+
+def _o_sieve() -> str:
+    # sieve = CC labeling + small-region merge into the largest neighbor
+    # (tie: smallest region_id), value follows the absorbing region —
+    # mirrors polygonize.sieve()'s window rule term for term
+    cells = ('cells AS (SELECT bx, "by", '
+             "CAST(floor(value/200.0) AS DOUBLE) AS value FROM base)")
+    return f"""
+WITH RECURSIVE {_dd_base8_cte()},
+{_dd_cc_label(cells)},
+sizes AS (SELECT region_id, count(*) AS n FROM lc GROUP BY 1),
+adj AS (
+  SELECT DISTINCT a.region_id AS ra, b.region_id AS rb
+  FROM lc a JOIN lc b ON a.region_id <> b.region_id AND
+       ((b.bx = a.bx + 1 AND b."by" = a."by") OR
+        (b.bx = a.bx - 1 AND b."by" = a."by") OR
+        (b.bx = a.bx AND b."by" = a."by" + 1) OR
+        (b.bx = a.bx AND b."by" = a."by" - 1))
+),
+cand AS (
+  SELECT s.region_id, a.rb, z.n AS nb,
+         row_number() OVER (PARTITION BY s.region_id
+                            ORDER BY z.n DESC, a.rb ASC) AS rk
+  FROM (SELECT region_id FROM sizes WHERE n < 3) s
+  JOIN adj a ON a.ra = s.region_id
+  JOIN sizes z ON z.region_id = a.rb
+),
+target AS (SELECT region_id, rb AS tgt FROM cand WHERE rk = 1),
+vals AS (SELECT region_id, min(value) AS tv FROM lc GROUP BY 1),
+fin AS (
+  SELECT lc.bx, lc."by", coalesce(t.tgt, lc.region_id) AS region_id
+  FROM lc LEFT JOIN target t ON t.region_id = lc.region_id
+)
+SELECT f.bx, f."by", v.tv AS value, f.region_id
+FROM fin f JOIN vals v ON v.region_id = f.region_id
 """
 
 
@@ -2978,8 +3068,11 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _o_jaccard_pairs(),
         "cosine_topk": _o_cosine_topk(),
         "embed_neardup": _o_embed_neardup(),
-        # ann_lsh / minhash_dedup / polygonize_regions / multimodal_features:
-        # intentionally no oracle (approximate or non-SQL-expressible) ->
+        "polygonize_regions": _o_polygonize_regions(),
+        "sieve_filter": _o_sieve(),
+        # ann_lsh / minhash_dedup / multimodal_features / polygonize_rings
+        # / grid_linear / dem_hillshade: intentionally no oracle
+        # (approximate, transcendental-fold, or non-SQL-expressible) ->
         # driver records rows-only checks.
     }
 
