@@ -1142,8 +1142,11 @@ def _q_polygonize_rings(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
-    media = multimodal.synth_media(spark, 200)
-    out = multimodal.extract_features(media, dim=8)
+    # REAL pure-NumPy decode (BMP/PPM/WAV headers+raw) over synthetic
+    # uncompressed payloads — feat[0:3] are genuine decoded dimensions;
+    # binary parsing isn't SQL, so the driver records a rows-only check
+    media = multimodal.synth_media_real(spark, 200)
+    out = multimodal.extract_features(media, dim=8, codec="real")
     return out.select("id", "kind", "n_bytes", "ok")
 
 

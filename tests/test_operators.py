@@ -280,9 +280,75 @@ class TestMultimodal:
         b = again.sort_values("id").reset_index(drop=True)
         assert all(np.allclose(x, y) for x, y in zip(a.feat, b.feat))
 
-    def test_real_decode_is_stubbed(self):
+    def test_real_decode_unknown_format_raises(self):
+        # compressed/unknown formats still raise with the dependency note
         with pytest.raises(NotImplementedError):
-            multimodal.decode_real(b"bytes", "image")
+            multimodal.decode_real(b"\x89PNG\r\n\x1a\nrest", "image")
+
+    def test_bmp_roundtrip_hand_golden(self):
+        # 2x2 RGB image, hand-laid pixels; BMP is bottom-up BGR with
+        # 4-byte row padding — decode must undo all three
+        img = np.array([[[255, 0, 0], [0, 255, 0]],
+                        [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+        payload = multimodal.encode_bmp(img)
+        assert payload[:2] == b"BM"
+        arr, meta = multimodal.decode_real(payload)
+        assert (meta["width"], meta["height"], meta["channels"]) == (2, 2, 3)
+        np.testing.assert_array_equal(arr, img)
+
+    def test_ppm_pgm_roundtrip(self):
+        img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        arr, meta = multimodal.decode_real(multimodal.encode_ppm(img))
+        assert meta["codec"] == "P6"
+        np.testing.assert_array_equal(arr, img)
+        gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        arr, meta = multimodal.decode_real(multimodal.encode_ppm(gray))
+        assert meta["codec"] == "P5" and meta["channels"] == 1
+        np.testing.assert_array_equal(arr, gray)
+
+    def test_ppm_comment_header(self):
+        img = np.full((2, 2, 3), 7, dtype=np.uint8)
+        p = b"P6\n# a comment\n2 2\n255\n" + img.tobytes()
+        arr, meta = multimodal.decode_real(p)
+        np.testing.assert_array_equal(arr, img)
+
+    def test_wav_roundtrip_hand_golden(self):
+        s = np.array([[0, 100], [-100, 200], [32767, -32768]], dtype=np.int16)
+        arr, meta = multimodal.decode_real(multimodal.encode_wav(s, rate=8000))
+        assert (meta["rate"], meta["channels"], meta["bits"]) == (8000, 2, 16)
+        np.testing.assert_array_equal(arr, s)
+
+    def test_real_features_hand_golden(self, spark):
+        # one 2x2 BMP with known pixels: feat = [w, h, c, mean, min, max, 0, 0]
+        img = np.array([[[0, 0, 0], [0, 0, 0]],
+                        [[0, 0, 0], [0, 0, 12]]], dtype=np.uint8)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(multimodal.encode_bmp(img)), None)],
+            multimodal.MEDIA_SCHEMA)
+        row = multimodal.extract_features(media, dim=8, codec="real").collect()[0]
+        assert row.ok
+        assert row.feat == [2.0, 2.0, 3.0, 1.0, 0.0, 12.0, 0.0, 0.0]
+
+    def test_real_branch_over_synth_media(self, spark):
+        feats = multimodal.extract_features(
+            multimodal.synth_media_real(spark, 30), dim=8,
+            codec="real").toPandas()
+        assert len(feats) == 30 and feats.ok.all()
+        # decoded dims are real, not hash noise: BMP/PPM rows carry
+        # width = 4 + id%5 in feat[0]
+        for _, r in feats.iterrows():
+            if r.kind == "image":
+                assert r.feat[0] == 4 + r.id % 5
+                assert r.feat[2] == 3.0
+            else:
+                assert r.feat[1] == 1.0 or r.feat[2] == 8000.0
+
+    def test_real_branch_honest_on_compressed(self, spark):
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(b"\xff\xd8\xff\xe0 jpeg bytes"), None)],
+            multimodal.MEDIA_SCHEMA)
+        row = multimodal.extract_features(media, dim=8, codec="real").collect()[0]
+        assert not row.ok and row.feat is None
 
 
 # -------------------------------------------------------------- metrics
