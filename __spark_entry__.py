@@ -398,6 +398,29 @@ def _q_viewshed(spark, sf_dir):
                           maxdist=8.0, observer_height=2.0)
 
 
+def _q_viewshed_curv(spark, sf_dir):
+    # gdal_viewshed with the earth-curvature+refraction correction
+    # ([Height] -= c*R^2/ED, viewshed_executor.cpp:295, default c=0.85714
+    # viewshed_types.h:77) and a 20 m target height on 10 km cells; all
+    # correction terms are rational (R^2 — no sqrt), so the duckdb twin
+    # is bit-exact
+    return vshed.viewshed(_base_grid8(spark, sf_dir), observer=(12, 10),
+                          maxdist=8.0, observer_height=2.0,
+                          target_height=20.0,
+                          curve_coeff=vshed.CURVE_COEFF_DEFAULT,
+                          cell_size=10000.0)
+
+
+def _q_viewshed_minheight(spark, sf_dir):
+    # GVOT_MIN_TARGET_HEIGHT_FROM_DEM (viewshed.h heightMode; setOutput
+    # viewshed_executor.cpp:184): how much height above the DEM a target
+    # needs to become visible — max-agg of the required-height terms,
+    # exact rational arithmetic
+    return vshed.viewshed(_base_grid8(spark, sf_dir), observer=(12, 10),
+                          maxdist=8.0, observer_height=2.0,
+                          mode="min_height")
+
+
 def _ramp(spark, sf_dir):
     """Scale-independent 3-stop color ramp at the grid's exact min/mean/
     max (integer-valued -> cross-engine exact doubles)."""
@@ -1210,6 +1233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_relief": _q_color_relief,
         "graph_kpaths": _q_graph_kpaths,
         "viewshed_los": _q_viewshed,
+        "viewshed_curv": _q_viewshed_curv,
+        "viewshed_minheight": _q_viewshed_minheight,
         "raster_checksum": _q_raster_checksum,
         "pansharpen_brovey": _q_pansharpen,
         "mdim_subset_reduce": _q_mdim_subset_reduce,
@@ -2447,6 +2472,82 @@ FROM t LEFT JOIN blocked bl ON t.bx = bl.bx AND t."by" = bl."by"
 """
 
 
+def _o_viewshed_curv() -> str:
+    # CH mirrors the operator's precomputed quotient term for term
+    # (curve_coeff * cell^2 / earth_diameter with the same python floats)
+    from lib_gdal_spark.operators import viewshed as _vs
+
+    ch = repr(_vs.CURVE_COEFF_DEFAULT * 10000.0 * 10000.0
+              / _vs.EARTH_DIAMETER)
+    return f"""
+WITH {_dd_base8_cte()},
+obs AS (SELECT value + 2.0 AS oz FROM base WHERE bx = 12 AND "by" = 10),
+t AS (
+  SELECT bx, "by", value, bx - 12 AS dx, "by" - 10 AS dy,
+         greatest(abs(bx - 12), abs("by" - 10)) AS n,
+         (bx-12)*(bx-12) + ("by"-10)*("by"-10) AS d2
+  FROM base
+  WHERE (bx-12)*(bx-12) + ("by"-10)*("by"-10) <= 64.0
+),
+s AS (
+  SELECT bx, "by", value, n, dx, dy, d2,
+         unnest(generate_series(1, CAST(n - 1 AS BIGINT))) AS j
+  FROM t WHERE n >= 2
+),
+sp AS (
+  SELECT bx, "by", value, n, j, d2,
+         CAST(floor(12.0 + dx*j/n + 0.5) AS BIGINT) AS sx,
+         CAST(floor(10.0 + dy*j/n + 0.5) AS BIGINT) AS sy
+  FROM s
+),
+blocked AS (
+  SELECT DISTINCT sp.bx, sp."by"
+  FROM sp JOIN base b ON b.bx = sp.sx AND b."by" = sp.sy
+  WHERE ((b.value - (SELECT oz FROM obs))
+         - {ch} * sp.d2 * sp.j * sp.j / (sp.n * sp.n)) * sp.n / sp.j
+        >= sp.value + 20.0 - (SELECT oz FROM obs) - {ch} * sp.d2
+)
+SELECT t.bx, t."by", t.value,
+       CAST(CASE WHEN bl.bx IS NOT NULL THEN 0 ELSE 1 END AS INT) AS visible
+FROM t LEFT JOIN blocked bl ON t.bx = bl.bx AND t."by" = bl."by"
+"""
+
+
+def _o_viewshed_minheight() -> str:
+    return f"""
+WITH {_dd_base8_cte()},
+obs AS (SELECT value + 2.0 AS oz FROM base WHERE bx = 12 AND "by" = 10),
+t AS (
+  SELECT bx, "by", value, bx - 12 AS dx, "by" - 10 AS dy,
+         greatest(abs(bx - 12), abs("by" - 10)) AS n
+  FROM base
+  WHERE (bx-12)*(bx-12) + ("by"-10)*("by"-10) <= 64.0
+),
+s AS (
+  SELECT bx, "by", value, n, dx, dy,
+         unnest(generate_series(1, CAST(n - 1 AS BIGINT))) AS j
+  FROM t WHERE n >= 2
+),
+sp AS (
+  SELECT bx, "by", value, n, j,
+         CAST(floor(12.0 + dx*j/n + 0.5) AS BIGINT) AS sx,
+         CAST(floor(10.0 + dy*j/n + 0.5) AS BIGINT) AS sy
+  FROM s
+),
+mh AS (
+  SELECT sp.bx, sp."by",
+         max((b.value - (SELECT oz FROM obs)) * sp.n / sp.j) AS maxq
+  FROM sp JOIN base b ON b.bx = sp.sx AND b."by" = sp.sy
+  GROUP BY 1, 2
+)
+SELECT t.bx, t."by", t.value,
+       greatest(0.0, coalesce(mh.maxq
+                              - (t.value - (SELECT oz FROM obs)), 0.0))
+           AS min_height_from_dem
+FROM t LEFT JOIN mh ON t.bx = mh.bx AND t."by" = mh."by"
+"""
+
+
 def _o_color_relief() -> str:
     # channel stops: r 0->0->255, g 0->255->0, b 255->0->0 at lo/mu/hi;
     # interp form c0 + (v - v0) * ((c1 - c0)/(v1 - v0)) mirrors the
@@ -3000,6 +3101,8 @@ def oracle_sql() -> dict[str, str]:
         "dem_tri": _o_dem_tri(),
         "color_relief": _o_color_relief(),
         "viewshed_los": _o_viewshed(),
+        "viewshed_curv": _o_viewshed_curv(),
+        "viewshed_minheight": _o_viewshed_minheight(),
         "raster_checksum": _o_raster_checksum(),
         "pansharpen_brovey": _o_pansharpen(),
         "mdim_subset_reduce": _o_mdim_subset_reduce(),

@@ -58,17 +58,61 @@ def line_of_sight(cells: DataFrame, a: tuple, b: tuple) -> bool:
     return True
 
 
+#: 2 * WGS84 semi-major axis — the reference's default Earth diameter
+#: when the SRS provides one (viewshed_executor.cpp:161-166)
+EARTH_DIAMETER = 2.0 * 6378137.0
+
+#: the reference's default curvature+refraction coefficient (1 - 1/7,
+#: viewshed_types.h:77)
+CURVE_COEFF_DEFAULT = 0.85714
+
+
 def viewshed(cells: DataFrame, observer: tuple, maxdist: float,
-             observer_height: float = 0.0) -> DataFrame:
-    """(bx, by, value=elevation) -> (bx, by, value, visible int) for every
-    cell within `maxdist` (euclidean, cell units) of the observer cell.
-    The observer cell itself is emitted visible=1."""
+             observer_height: float = 0.0, target_height: float = 0.0,
+             curve_coeff: float = 0.0,
+             earth_diameter: float = EARTH_DIAMETER,
+             cell_size: float = 1.0, mode: str = "normal") -> DataFrame:
+    """(bx, by, value=elevation) -> visibility within `maxdist`
+    (euclidean, cell units) of the observer cell.
+
+    Option parity with gdal_viewshed (alg/viewshed/viewshed.cpp):
+    - observer_height / target_height: added to the DEM at the observer /
+      target cell (GDALViewshedGenerate dfObserverHeight/dfTargetHeight).
+    - curve_coeff + earth_diameter: earth-curvature + refraction
+      correction [Height] -= curve_coeff * R^2 / earth_diameter, the
+      reference's adjustHeight (viewshed_executor.cpp:295, factor
+      curveCoeff / (2 * semiMajor) at :166); `cell_size` converts cell
+      units to SRS meters for R. Default coefficient when enabled is
+      0.85714 (viewshed_types.h:77). All terms stay +-*/ rational
+      (R^2 needs no sqrt), so a duckdb twin matches bit for bit.
+    - mode: 'normal' -> (bx, by, value, visible int); 'min_height' ->
+      (bx, by, value, min_height_from_dem double), the reference's
+      GVOT_MIN_TARGET_HEIGHT_FROM_DEM (setOutput :184: how much height
+      ABOVE THE DEM a target at the cell needs to become visible; 0 when
+      already visible).
+
+    Scale note (why no per-ray sample sharing): targets whose offsets are
+    integer multiples of one primitive direction do share a sample
+    lattice, and a per-ray running-max window would dedup them — but on
+    an integer grid almost all offsets within radius R are themselves
+    primitive (density 6/pi^2), each contributing its own ~R samples, so
+    ray-sharing saves only the harmonic constant (~1.6x), not a factor of
+    R; total exact-LOS volume is Theta(R^3) either way. The reference's
+    O(R^2) sweep (Wang et al. 2000) gets there by interpolating required
+    heights BETWEEN adjacent rays — an approximation the reference
+    accepts; this operator keeps per-target exact LOS, fully distributed
+    (bounded explode + equi-join + agg, no collect).
+    """
     obx, oby = int(observer[0]), int(observer[1])
     oz_row = cells.filter((F.col("bx") == obx) & (F.col("by") == oby)).select(
         "value").collect()
     if not oz_row:
         raise ValueError(f"observer cell ({obx}, {oby}) not in the grid")
     oz = float(oz_row[0][0]) + float(observer_height)
+    # precomputed quotient (CLAUDE.md op-order rule): the per-sample
+    # correction is CH * d2 * j^2 / n^2 with d2 in cell^2 units
+    ch = float(curve_coeff) * float(cell_size) * float(cell_size) \
+        / float(earth_diameter)
 
     d2 = float(maxdist) * float(maxdist)
     t = cells.select(
@@ -79,15 +123,22 @@ def viewshed(cells: DataFrame, observer: tuple, maxdist: float,
         (F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy")) <= d2
     ).withColumn(
         "_n", F.greatest(F.abs("_dx"), F.abs("_dy"))
+    ).withColumn(
+        "_d2", F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy")
     )
+
+    # target's adjusted height relative to the observer eye
+    zt_rel = F.col("value") + F.lit(float(target_height)) - F.lit(oz)
+    if curve_coeff != 0.0:
+        zt_rel = zt_rel - F.lit(ch) * F.col("_d2")
 
     # intermediate samples j = 1 .. n-1 (targets with n <= 1 have none
     # and are always visible)
     s = t.filter(F.col("_n") >= 2).select(
-        "bx", "by", "value", "_dx", "_dy", "_n",
+        "bx", "by", "value", "_dx", "_dy", "_n", "_d2",
         F.explode(F.sequence(F.lit(1), F.col("_n") - 1)).alias("_j"),
     ).select(
-        "bx", "by", "value", "_n", "_j",
+        "bx", "by", "value", "_n", "_j", "_d2",
         F.floor(F.lit(float(obx)) + F.col("_dx") * F.col("_j") / F.col("_n")
                 + F.lit(0.5)).cast("long").alias("_sx"),
         F.floor(F.lit(float(oby)) + F.col("_dy") * F.col("_j") / F.col("_n")
@@ -95,16 +146,43 @@ def viewshed(cells: DataFrame, observer: tuple, maxdist: float,
     )
     dem = cells.select(F.col("bx").alias("_sx"), F.col("by").alias("_sy"),
                        F.col("value").alias("_zj"))
-    blocked = (
-        s.join(dem, on=["_sx", "_sy"], how="inner")
-        .filter((F.col("_zj") - F.lit(oz)) * F.col("_n") / F.col("_j")
-                >= (F.col("value") - F.lit(oz)))
-        .select("bx", "by").distinct()
-    )
-    out = t.join(blocked.withColumn("_blk", F.lit(1)), on=["bx", "by"],
-                 how="left")
-    return out.select(
-        "bx", "by", "value",
-        F.when(F.col("_blk").isNotNull(), F.lit(0)).otherwise(F.lit(1))
-        .alias("visible"),
+    zj_rel = F.col("_zj") - F.lit(oz)
+    if curve_coeff != 0.0:
+        # sample distance^2 = d2 * j^2 / n^2 (rational, no sqrt)
+        zj_rel = zj_rel - F.lit(ch) * F.col("_d2") * F.col("_j") \
+            * F.col("_j") / (F.col("_n") * F.col("_n"))
+    # required relative height at the target subtended by sample j
+    q = (zj_rel * F.col("_n") / F.col("_j")).alias("_q")
+    joined = s.join(dem, on=["_sx", "_sy"], how="inner")
+
+    if mode == "normal":
+        blocked = (
+            joined.filter(q >= (F.col("value") + F.lit(float(target_height))
+                                - F.lit(oz)
+                                - (F.lit(ch) * F.col("_d2")
+                                   if curve_coeff != 0.0 else F.lit(0.0))))
+            .select("bx", "by").distinct()
+        )
+        out = t.join(blocked.withColumn("_blk", F.lit(1)), on=["bx", "by"],
+                     how="left")
+        return out.select(
+            "bx", "by", "value",
+            F.when(F.col("_blk").isNotNull(), F.lit(0)).otherwise(F.lit(1))
+            .alias("visible"),
+        )
+    if mode != "min_height":
+        raise ValueError(f"mode must be 'normal' or 'min_height', got {mode!r}")
+    # GVOT_MIN_TARGET_HEIGHT_FROM_DEM: needed = max(0, max_j q_j - zt_rel)
+    # where zt_rel EXCLUDES target_height (height is what we solve for)
+    need = (joined.select("bx", "by", q)
+            .groupBy("bx", "by").agg(F.max("_q").alias("_maxq")))
+    zt_dem = F.col("value") - F.lit(oz)
+    if curve_coeff != 0.0:
+        zt_dem = zt_dem - F.lit(ch) * F.col("_d2")
+    return (
+        t.join(need, on=["bx", "by"], how="left")
+        .select("bx", "by", "value",
+                F.greatest(F.lit(0.0),
+                           F.coalesce(F.col("_maxq") - zt_dem, F.lit(0.0)))
+                .alias("min_height_from_dem"))
     )

@@ -351,6 +351,73 @@ class TestViewshed:
                           observer_height=2.0)
         assert out.filter("visible = 0").count() == 0
 
+    def test_curvature_hides_the_horizon(self, spark):
+        # flat 1-D plain z=100, observer (0,0) eye 2: flat-earth fully
+        # visible; with the reference's correction (viewshed_executor.cpp
+        # :295, [Height] -= c*R^2/ED) samples drop LESS than the target
+        # (R_j < R_t), so the near terrain becomes the horizon. Blocked
+        # iff exists j: (-2 - CH*d2*j^2/n^2)*n/j >= -2 - CH*d2 — first
+        # true when CH*d2*(1 - j/n)*(j/n... hand case: d2=n^2, worst j
+        # near n: cond ~ CH*n^2 >= ... verified against an independent
+        # python mirror below
+        from lib_gdal_spark.operators import viewshed as vs
+
+        rows = [(x, 0, 100.0) for x in range(31)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        flat = vs.viewshed(df, observer=(0, 0), maxdist=30.0,
+                           observer_height=2.0)
+        assert flat.filter("visible = 0").count() == 0
+
+        cell, ed, cc = 10000.0, vs.EARTH_DIAMETER, vs.CURVE_COEFF_DEFAULT
+        out = {r.bx: r.visible for r in vs.viewshed(
+            df, observer=(0, 0), maxdist=30.0, observer_height=2.0,
+            curve_coeff=cc, cell_size=cell, earth_diameter=ed).collect()}
+        ch = cc * cell * cell / ed
+        # independent mirror: target n blocked iff any sample j in 1..n-1
+        # satisfies the adjusted angle inequality
+        exp = {}
+        for n in range(31):
+            d2 = n * n
+            zt = 100.0 + 0.0 - 102.0 - ch * d2
+            blocked = any(
+                (100.0 - 102.0 - ch * d2 * j * j / (n * n)) * n / j >= zt
+                for j in range(1, n))
+            exp[n] = 0 if blocked else 1
+        assert out == exp
+        # and curvature genuinely flipped something (horizon exists)
+        assert 0 in out.values() and 1 in out.values()
+
+    def test_min_height_mode_hand_golden(self, spark):
+        # wall z=5 at bx=1; observer (0,0) z=0: target (2,0) z=0 needs
+        # (5-0)*2/1 = 10 above the observer eye -> min height 10 exactly;
+        # unobstructed (1,0) itself needs 0
+        from lib_gdal_spark.operators import viewshed as vs
+
+        rows = [(0, 0, 0.0), (1, 0, 5.0), (2, 0, 0.0), (3, 0, 0.0)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = {r.bx: r.min_height_from_dem for r in vs.viewshed(
+            df, observer=(0, 0), maxdist=4.0, mode="min_height").collect()}
+        assert out[0] == 0.0          # observer cell
+        assert out[1] == 0.0          # the wall face is visible
+        assert out[2] == 10.0         # (5)*n/j - z_t = 5*2 - 0
+        assert out[3] == 15.0         # 5*3/1 = 15 dominates 0*3/2
+
+    def test_target_height_unblocks(self, spark):
+        from lib_gdal_spark.operators import viewshed as vs
+
+        rows = [(0, 0, 0.0), (1, 0, 4.0), (2, 0, 0.0)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+
+        def vis(th):
+            out = {r.bx: r.visible for r in vs.viewshed(
+                df, observer=(0, 0), maxdist=3.0,
+                target_height=th).collect()}
+            return out[2]
+
+        assert vis(0.0) == 0     # blocked: need 8 above DEM
+        assert vis(7.0) == 0     # 7 < 8 still blocked
+        assert vis(9.0) == 1     # clears the wall angle
+
 
 class TestLineOfSightReferenceGolden:
     """Replay of the reference's LOS autotest basic cases
