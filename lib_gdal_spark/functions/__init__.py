@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
 
-from ..geo import cells as _cells, mercator as _mercator, wkb as _wkb, wkt as _wkt
+from ..geo import cells as _cells, geodesic as _geodesic, \
+    mercator as _mercator, wkb as _wkb, wkt as _wkt
 from ..geo.distance import geometry_distance
 from ..geo.hull import convex_hull_np, point_buffer_ring
 from ..geo.pip import point_in_polygon_np, polygon_area_np, polygon_centroid_np
@@ -258,6 +259,62 @@ def register_all(spark: SparkSession) -> None:
                 [point_buffer_ring(data[0], data[1], d)]))
         return pd.Series(out)
 
+    @F.pandas_udf(T.DoubleType())
+    def st_geodesic_area(wkb: pd.Series) -> pd.Series:
+        # ST_Area(geom, use_ellipsoid=1) (ogrsqlitesqlfunctions.cpp:630
+        # -> OGR_G_GeodesicArea): WGS84 ellipsoidal area in m^2; closed
+        # linestrings count as rings, multipolygons sum parts, holes
+        # subtract (ogr_geom.py geodesic autotest semantics)
+        vals = []
+        for buf in wkb:
+            if buf is None:
+                vals.append(float("nan"))
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "polygon":
+                vals.append(_geodesic.geodesic_area(data))
+            elif kind == "multipolygon":
+                vals.append(sum(_geodesic.geodesic_area(rings)
+                                for rings in data))
+            elif kind == "linestring":
+                pts = np.asarray(data, np.float64)
+                closed = len(pts) >= 4 and (pts[0] == pts[-1]).all()
+                vals.append(_geodesic.geodesic_area([pts]) if closed
+                            else float("nan"))
+            else:
+                vals.append(0.0 if kind == "point" else float("nan"))
+        return pd.Series(vals)
+
+    @F.pandas_udf(T.DoubleType())
+    def st_geodesic_length(wkb: pd.Series) -> pd.Series:
+        # ST_Length(geom, use_ellipsoid=1) (ogrsqlitesqlfunctions.cpp:675
+        # -> get_GeodesicLength): Vincenty per-segment sum; polygons
+        # return their ring perimeters
+        vals = []
+        for buf in wkb:
+            if buf is None:
+                vals.append(float("nan"))
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "linestring":
+                pts = np.asarray(data, np.float64)
+                vals.append(_geodesic.geodesic_length(pts[:, 0], pts[:, 1]))
+            elif kind == "polygon":
+                vals.append(sum(
+                    _geodesic.geodesic_length(np.asarray(r, np.float64)[:, 0],
+                                              np.asarray(r, np.float64)[:, 1])
+                    for r in data))
+            elif kind == "multipolygon":
+                vals.append(sum(
+                    _geodesic.geodesic_length(np.asarray(r, np.float64)[:, 0],
+                                              np.asarray(r, np.float64)[:, 1])
+                    for rings in data for r in rings))
+            else:
+                vals.append(0.0 if kind == "point" else float("nan"))
+        return pd.Series(vals)
+
+    spark.udf.register("st_geodesic_area", st_geodesic_area)
+    spark.udf.register("st_geodesic_length", st_geodesic_length)
     spark.udf.register("st_convexhull", st_convexhull)
     spark.udf.register("st_buffer", st_buffer)
     spark.udf.register("st_astext", st_astext)

@@ -204,6 +204,75 @@ class TestStDistance:
         assert r.d == 0.0
 
 
+class TestGeodesicReferenceGolden:
+    """Replay of the reference's geodesic autotest values
+    (autotest/ogr/ogr_geom.py::test_ogr_geom_GeodesicArea /
+    test_ogr_geom_GeodesicLength — Karney geodesic lib expectations) via
+    the Vincenty + authalic-sphere kernels."""
+
+    def test_area_triangle_49N(self, sql):
+        r = sql.sql("""
+            SELECT st_geodesic_area(st_geomfromtext(
+              'POLYGON ((2 49, 3 49, 3 48, 2 49))')) AS a
+            FROM range(1)""").collect()[0]
+        assert r.a == pytest.approx(4068384291.8911743, rel=1e-7)
+
+    def test_area_longitude_invariant(self, sql):
+        # the reference checks the same triangle at lon 12..13
+        r = sql.sql("""
+            SELECT st_geodesic_area(st_geomfromtext(
+              'POLYGON ((12 49, 13 49, 13 48, 12 49))')) AS a
+            FROM range(1)""").collect()[0]
+        assert r.a == pytest.approx(4068384291.8911743, rel=1e-7)
+
+    def test_area_near_pole(self, sql):
+        r = sql.sql("""
+            SELECT st_geodesic_area(st_geomfromtext(
+              'POLYGON ((2 89, 3 89, 3 88, 2 89))')) AS a
+            FROM range(1)""").collect()[0]
+        assert r.a == pytest.approx(108860488.12023926, rel=1e-7)
+
+    def test_area_hole_cancels(self, sql):
+        # reference: POLYGON with hole == outer -> exactly 0
+        r = sql.sql("""
+            SELECT st_geodesic_area(st_geomfromtext(
+              'POLYGON ((2 49, 3 49, 3 48, 2 49), (2 49, 3 49, 3 48, 2 49))'
+            )) AS a
+            FROM range(1)""").collect()[0]
+        assert r.a == 0.0
+
+    def test_area_multipolygon_sums(self, sql):
+        r = sql.sql("""
+            SELECT st_geodesic_area(st_geomfromtext(
+              'MULTIPOLYGON (((2 49, 3 49, 3 48, 2 49)), ((2 89, 3 89, 3 88, 2 89)))'
+            )) AS a
+            FROM range(1)""").collect()[0]
+        assert r.a == pytest.approx(4068384291.8911743 + 108860488.12023926,
+                                    rel=1e-7)
+
+    def test_length_parallel_and_meridian(self, sql):
+        # LINESTRING(49 2,49 3) in the reference's lat-lon order = lon
+        # 2->3 at lat 49
+        r = sql.sql("""
+            SELECT st_geodesic_length(st_geomfromtext(
+              'LINESTRING (2 49, 3 49)')) AS l1,
+                   st_geodesic_length(st_geomfromtext(
+              'LINESTRING (3 49, 3 48)')) AS l2
+            FROM range(1)""").collect()[0]
+        assert r.l1 == pytest.approx(73171.26435678436, rel=1e-9)
+        # one degree of meridian at ~48.5N (Karney: 111195.80 m class)
+        assert 111000 < r.l2 < 111400
+
+    def test_planar_vs_geodesic_ratio(self, sql):
+        # sanity: geodesic area of the 49N triangle is ~0.08% above the
+        # reference's cartesian UTM value (its own test prints both)
+        r = sql.sql("""
+            SELECT st_geodesic_area(st_geomfromtext(
+              'POLYGON ((2 49, 3 49, 3 48, 2 49))')) AS g
+            FROM range(1)""").collect()[0]
+        assert r.g / 4065070548.465351 == pytest.approx(1.000815, abs=2e-4)
+
+
 class TestHullBuffer:
     def test_convexhull_of_concave_polygon(self, sql):
         # hull of an L-shaped ring is its bounding pentagon-ish hull;
