@@ -408,7 +408,7 @@ def sieve_gdal(cells: DataFrame, threshold: int, connect8: bool = False,
 
 
 def sieve(cells: DataFrame, threshold: int, connect8: bool = False,
-          block_bits: int = 5) -> DataFrame:
+          block_bits: int = 5, iterations: int = 1) -> DataFrame:
     """Remove raster polygons smaller than `threshold` cells by merging
     them into their largest neighbor — GDALSieveFilter semantics
     (/root/reference/alg/gdalsievefilter.cpp:559 entry; "merge with the
@@ -422,10 +422,43 @@ def sieve(cells: DataFrame, threshold: int, connect8: bool = False,
     cells; small regions with no neighbor (isolated islands) keep their
     value, as the reference does when no merge target exists.
 
-    Note: single pass — a merged region could itself still be under
-    threshold after absorbing; the reference iterates until stable, and
-    so can callers (re-run sieve), but one pass is the common case.
+    iterations: simultaneous one-pass merges can leave a region that is
+    still under threshold (A->B while B->C strands A's cells in a small
+    B-valued region) — the reference's pointer-chain walk keeps merging
+    until every survivor is big (`sieve_gdal` replays that exactly).
+    Pass iterations=N to run N passes, or iterations=0 to iterate to the
+    FIXPOINT (until a pass merges nothing). Each round re-labels the
+    merged value grid and localCheckpoints eagerly (CLAUDE.md iterative-
+    loop rule: lineage must truncate or the plan doubles per round).
     """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0 (0 = to fixpoint)")
+    if iterations != 1:
+        out = _sieve_pass(cells, threshold, connect8, block_bits)
+        rounds = 1
+        while iterations == 0 or rounds < iterations:
+            out = out.localCheckpoint(eager=True)
+            nxt = _sieve_pass(out.select("bx", "by", "value"),
+                              threshold, connect8, block_bits)
+            rounds += 1
+            if iterations == 0:
+                # fixpoint test: a pass that changes no cell value is
+                # stable (region ids may relabel, values cannot)
+                changed = (
+                    out.select("bx", "by", F.col("value").alias("_pv"))
+                    .join(nxt, on=["bx", "by"])
+                    .filter(F.col("value") != F.col("_pv")).limit(1).count())
+                if not changed:
+                    break
+                if rounds > 100:
+                    raise RuntimeError("sieve: no fixpoint after 100 rounds")
+            out = nxt
+        return nxt if iterations != 0 else out
+    return _sieve_pass(cells, threshold, connect8, block_bits)
+
+
+def _sieve_pass(cells: DataFrame, threshold: int, connect8: bool = False,
+                block_bits: int = 5) -> DataFrame:
     labeled = polygonize(cells, block_bits=block_bits, connect8=connect8)
     labeled = labeled.persist()
     sizes = labeled.groupBy("region_id").agg(F.count(F.lit(1)).alias("_n"))

@@ -1247,6 +1247,27 @@ class TestSieveReferenceGolden:
         out = self._run(spark, self.SIEVE_2634, threshold=2, connect8=False)
         assert self._checksum(out) == 98   # autotest/alg/sieve.py:128
 
+    def test_iterate_until_stable_differs_from_one_pass(self, spark):
+        # strip [1,1,2,3,3,3], threshold 3: pass 1 merges A{0,1}->B and
+        # simultaneously B{2}->C, stranding a NEW 2-cell value-2 region —
+        # provably still under threshold; the fixpoint pass (reference
+        # chain semantics) absorbs it into C
+        from lib_gdal_spark.operators import polygonize as pz
+
+        vals = [1.0, 1.0, 2.0, 3.0, 3.0, 3.0]
+        df = spark.createDataFrame(
+            [(x, 0, v) for x, v in enumerate(vals)],
+            "bx long, by long, value double")
+        one = pz.sieve(df, threshold=3, block_bits=1)
+        got1 = {r.bx: r.value for r in one.collect()}
+        assert got1 == {0: 2.0, 1: 2.0, 2: 3.0, 3: 3.0, 4: 3.0, 5: 3.0}
+        fix = pz.sieve(df, threshold=3, block_bits=1, iterations=0)
+        gotf = {r.bx: r.value for r in fix.collect()}
+        assert gotf == {x: 3.0 for x in range(6)}
+        # explicit 2-pass request reaches the same answer here
+        two = pz.sieve(df, threshold=3, block_bits=1, iterations=2)
+        assert {r.bx: r.value for r in two.collect()} == gotf
+
     def test_offset_grid_matches_origin_grid(self, spark):
         # ADVICE r02: the scan-position key used width = max(bx)+1 and
         # ignored min(bx), so offset/negative-bx grids silently changed
