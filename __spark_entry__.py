@@ -791,6 +791,16 @@ def _q_grid_movavg(spark, sf_dir):
                             cell_size=10.0, radius=15.0)
 
 
+def _q_grid_invdistnn(spark, sf_dir):
+    # invdistnn (gdalgrid.cpp:191): IDW over the nearest max_points=8
+    # candidates, power fixed at 2 so the weight 1/d^2 stays rational;
+    # fold order differs across engines -> round to 6 dp on both sides
+    out = grid.grid_invdistnn(_grid_pts997(spark, sf_dir),
+                              cell_size=10.0, radius=15.0,
+                              max_points=8, min_points=3)
+    return out.select("bx", "by", F.round("value", 6).alias("value"))
+
+
 def _q_grid_quadrant(spark, sf_dir):
     # per-quadrant metrics (gdalgrid.cpp:1145-1442): cells qualify only
     # with >=2 points in EVERY quadrant around the center
@@ -1175,26 +1185,92 @@ def _q_multimodal(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
-    dict order and may cap (round 1 stopped at 50/73). Order is therefore:
-    (1) the 23 queries the round-1 sweep never reached — full-SQL dialect,
-        streaming twins, and ALL training-data-pipeline ops;
-    (2) queries NEW this round;
-    (3) previously driver-verified queries, most expensive first so the
-        cheap tail is what a cap would drop (least evidence lost).
+    dict order and caps at 50/round (proven rounds 1-2). Rotation rule:
+    never-swept or changed queries first, then the queries whose newest
+    driver row is OLDEST. Round-3 order:
+    (1) NEW this round (warp convolution family, viewshed parity modes);
+    (2) CHANGED this round (newly-oracled polygonize/sieve, real-decode
+        multimodal, re-derived polygonize_rings input);
+    (3) the round-1-verified set, now one round stale — the verdict's
+        46 minus sieve_filter (moved to group 2). Its 4 cheapest
+        pure-Catalyst ogr_* entries sit at positions 51-54, just past
+        the cap: they are double-verified (r01 driver + every-session
+        local parity) and rotate FIRST in round 4;
+    (4) the round-2-verified set, expensive/headline first.
     """
     return {
-        # ---- (1) driver-unverified in round 1: run these FIRST ----
-        # full-SQL dialect (SQLite-dialect analog: aggregation/windows/sets)
+        # ---- (1) new this round ----
+        "warp_cubic": _q_warp_cubic,
+        "warp_cubicspline": _q_warp_cubicspline,
+        "warp_lanczos": _q_warp_lanczos,
+        "viewshed_curv": _q_viewshed_curv,
+        "viewshed_minheight": _q_viewshed_minheight,
+        "grid_invdistnn": _q_grid_invdistnn,
+        # ---- (2) changed this round ----
+        "polygonize_regions": _q_polygonize,       # recursive-CTE oracle
+        "sieve_filter": _q_sieve,                  # recursive-CTE oracle
+        "multimodal_features": _q_multimodal,      # real BMP/PPM/WAV decode
+        "polygonize_rings": _q_polygonize_rings,   # deduped cell input
+        # ---- (3) round-1-verified, one round stale: refresh ----
+        "tile_assign": _q_tile_assign,
+        "pip_triangle_join": _q_pip_triangle,
+        "sjoin_left": _q_sjoin_left,
+        "sjoin_update": _q_sjoin_update,
+        "sjoin_clip": _q_sjoin_clip,
+        "sjoin_erase": _q_sjoin_erase,
+        "contour_multi": _q_contour_multi,
+        "interp_cubic": _q_interp_cubic,
+        "interp_bilinear": _q_interp_bilinear,
+        "interp_nearest": _q_interp_nearest,
+        "dem_slope": _q_dem_slope,
+        "dem_tpi": _q_dem_tpi,
+        "dem_roughness": _q_dem_roughness,
+        "dem_aspect": _q_dem_aspect,
+        "dem_hillshade": _q_dem_hillshade,
+        "graph_sssp": _q_graph_sssp,
+        "graph_components": _q_graph_components,
+        "fillnodata_idw": _q_fillnodata,
+        "proximity_dist": _q_proximity,
+        "grid_idw": _q_grid_idw,
+        "grid_metrics": _q_grid_metrics,
+        "grid_nearest": _q_grid_nearest,
+        "overview_gauss": _q_overview_gauss,
+        "overview_cubic": _q_overview_cubic,
+        "overview_avg": _q_overview_avg,
+        "focal_mean": _q_focal_mean,
+        "warp_avg": _q_warp_avg,
+        "zonal_stats": _q_zonal_stats,
+        "zonal_mode": _q_zonal_mode,
+        "zonal_weighted": _q_zonal_weighted,
+        "events_sliding": _q_events_sliding,
+        "rasterize_rects": _q_rasterize,
+        "footprint_boundary": _q_footprint,
+        "raster_calc": _q_raster_calc,
+        "histogram": _q_histogram,
+        "ogr_first_match_join": _q_first_match_join,
+        "ogr_filter_in_between": _q_filter_in_between,
+        "ogr_summary_agg": _q_summary_agg,
+        "ogr_count_distinct": _q_count_distinct,
+        "ogr_hstore_get": _q_hstore_get,
+        # -------- 50-cap boundary: positions 51+ below --------
+        "ogr_union_all": _q_union_all,
+        "ogr_cast_concat_substr": _q_cast_concat_substr,
+        "ogr_order_limit_offset": _q_order_limit_offset,
+        "ogr_filter_like": _q_filter_like,
+        "ogr_distinct": _q_distinct,
+        # ---- (4) round-2-verified, expensive/headline first ----
+        "tile_pyramid": _q_tile_pyramid,
+        "pip_rect_join": _q_pip_rect_join,
+        "knn_ring": _q_knn_ring,
+        "contour_segments": _q_contour,
         "tpch_q1_groupby": _q_tpch_q1,
         "window_topk": _q_window_topk,
         "window_running_sum": _q_window_running,
         "set_intersect": _q_set_intersect,
         "set_except": _q_set_except,
         "pivot_status": _q_pivot,
-        # streaming-shaped analytics (batch twins; §2.11)
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
-        # training-data pipeline ops
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_sigs,
         "simhash": _q_simhash,
@@ -1210,12 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embed_neardup": _q_embed_neardup,
         "ann_ivf": _q_ann_ivf,
-        # non-SQL-expressible (rows-only checks)
         "ann_lsh": _q_ann_lsh,
         "minhash_dedup": _q_minhash_dedup,
-        "polygonize_regions": _q_polygonize,
-        "multimodal_features": _q_multimodal,
-        # ---- (2) new this round ----
         "sjoin_identity": _q_sjoin_identity,
         "sjoin_union": _q_sjoin_union,
         "sjoin_symdiff": _q_sjoin_symdiff,
@@ -1224,73 +1296,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_q1q3": _q_warp_q1q3,
         "warp_near": _q_warp_near,
         "warp_bilinear": _q_warp_bilinear,
-        "warp_cubic": _q_warp_cubic,
-        "warp_cubicspline": _q_warp_cubicspline,
-        "warp_lanczos": _q_warp_lanczos,
         "grid_movavg": _q_grid_movavg,
         "grid_quadrant": _q_grid_quadrant,
         "grid_linear": _q_grid_linear,
         "color_relief": _q_color_relief,
         "graph_kpaths": _q_graph_kpaths,
         "viewshed_los": _q_viewshed,
-        "viewshed_curv": _q_viewshed_curv,
-        "viewshed_minheight": _q_viewshed_minheight,
         "raster_checksum": _q_raster_checksum,
         "pansharpen_brovey": _q_pansharpen,
         "mdim_subset_reduce": _q_mdim_subset_reduce,
         "dem_tri": _q_dem_tri,
-        "polygonize_rings": _q_polygonize_rings,
-        # ---- (3) driver-verified in round 1, expensive first ----
-        "tile_pyramid": _q_tile_pyramid,
-        "pip_rect_join": _q_pip_rect_join,
-        "knn_ring": _q_knn_ring,
-        "contour_segments": _q_contour,
-        "contour_multi": _q_contour_multi,
-        "sjoin_left": _q_sjoin_left,
-        "sjoin_update": _q_sjoin_update,
-        "interp_cubic": _q_interp_cubic,
-        "interp_bilinear": _q_interp_bilinear,
-        "dem_slope": _q_dem_slope,
-        "graph_sssp": _q_graph_sssp,
-        "graph_components": _q_graph_components,
-        "sieve_filter": _q_sieve,
-        "fillnodata_idw": _q_fillnodata,
-        "proximity_dist": _q_proximity,
-        "grid_idw": _q_grid_idw,
-        "grid_metrics": _q_grid_metrics,
-        "grid_nearest": _q_grid_nearest,
-        "overview_gauss": _q_overview_gauss,
-        "overview_cubic": _q_overview_cubic,
-        "overview_avg": _q_overview_avg,
-        "focal_mean": _q_focal_mean,
-        "dem_tpi": _q_dem_tpi,
-        "dem_roughness": _q_dem_roughness,
-        "dem_aspect": _q_dem_aspect,
-        "dem_hillshade": _q_dem_hillshade,
-        "warp_avg": _q_warp_avg,
-        "zonal_stats": _q_zonal_stats,
-        "zonal_mode": _q_zonal_mode,
-        "zonal_weighted": _q_zonal_weighted,
-        "events_sliding": _q_events_sliding,
-        "rasterize_rects": _q_rasterize,
-        "footprint_boundary": _q_footprint,
-        "interp_nearest": _q_interp_nearest,
-        "raster_calc": _q_raster_calc,
-        "sjoin_clip": _q_sjoin_clip,
-        "sjoin_erase": _q_sjoin_erase,
-        "pip_triangle_join": _q_pip_triangle,
-        "tile_assign": _q_tile_assign,
-        "histogram": _q_histogram,
-        "ogr_first_match_join": _q_first_match_join,
-        "ogr_filter_in_between": _q_filter_in_between,
-        "ogr_summary_agg": _q_summary_agg,
-        "ogr_count_distinct": _q_count_distinct,
-        "ogr_hstore_get": _q_hstore_get,
-        "ogr_union_all": _q_union_all,
-        "ogr_cast_concat_substr": _q_cast_concat_substr,
-        "ogr_order_limit_offset": _q_order_limit_offset,
-        "ogr_filter_like": _q_filter_like,
-        "ogr_distinct": _q_distinct,
     }
 
 
@@ -2594,6 +2609,30 @@ FROM f GROUP BY 1, 2
 """
 
 
+def _o_grid_invdistnn() -> str:
+    # mirrors grid_invdistnn term for term: rational d2 (+0 smoothing
+    # omitted on both sides), epsilon clamp, (sd2, z) rank tie-break,
+    # 1/sd2 weights, 6-dp rounded fold
+    return f"""
+WITH {_DD_GRID997},
+f2 AS (
+  SELECT bx, "by", z,
+         greatest(((bx+0.5)*10.0 - x)*((bx+0.5)*10.0 - x)
+                  + (("by"+0.5)*10.0 - y)*(("by"+0.5)*10.0 - y),
+                  1e-13) AS sd2
+  FROM f
+),
+r AS (
+  SELECT bx, "by", z, sd2,
+         row_number() OVER (PARTITION BY bx, "by"
+                            ORDER BY sd2 ASC, z ASC) AS rk
+  FROM f2
+)
+SELECT bx, "by", round(sum((1.0 / sd2) * z) / sum(1.0 / sd2), 6) AS value
+FROM r WHERE rk <= 8 GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
 def _o_grid_movavg() -> str:
     return f"""
 WITH {_DD_GRID997}
@@ -3142,6 +3181,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_nearest": _o_grid_nearest(),
         "grid_movavg": _o_grid_movavg(),
         "grid_quadrant": _o_grid_quadrant(),
+        "grid_invdistnn": _o_grid_invdistnn(),
         "ogr_filter_like": _o_filter_like(),
         "ogr_filter_in_between": _o_filter_in_between(),
         "ogr_order_limit_offset": _o_order_limit_offset(),

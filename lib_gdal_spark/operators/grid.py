@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _candidates(points: DataFrame, cell_size: float, radius: float,
@@ -59,6 +59,49 @@ def grid_idw(points: DataFrame, cell_size: float, radius: float,
         .groupBy("bx", "by")
         .agg((F.sum(F.col("_w") * F.col("_z")) / F.sum("_w")).alias("value"))
     )
+
+
+def grid_invdistnn(points: DataFrame, cell_size: float, radius: float,
+                   max_points: int = 12, min_points: int = 0,
+                   smoothing: float = 0.0,
+                   x: str = "x", y: str = "y") -> DataFrame:
+    """Inverse distance to a power, nearest-neighbor-capped — gdalgrid.cpp
+    :191 GDALGridInverseDistanceToAPowerNearestNeighbor with power = 2:
+    candidates within `radius` are ranked by smoothed distance^2
+    (r^2 + smoothing^2), the nearest `max_points` contribute weight
+    1/(r^2 + s^2), and a cell with fewer than `min_points` neighbors is
+    nodata (absent).
+
+    power is fixed at 2 so the weight is RATIONAL (no libm pow) — the
+    oracle-parity discipline; the reference's general power needs
+    pow(r2, p/2) (:316). Rank ties break (distance^2, z) ascending:
+    deterministic under any partitioning, and value-equivalent (equal
+    d2+z means equal contribution, so which twin is cut is irrelevant).
+    The reference's exact-hit short-circuit (:290) becomes the same
+    epsilon clamp grid_idw uses. One window + one groupBy over the same
+    (bx, by) key — AQE keeps them co-partitioned, single wide exchange.
+    """
+    cand = _candidates(points, cell_size, radius, x, y)
+    cx = (F.col("bx") + 0.5) * cell_size
+    cy = (F.col("by") + 0.5) * cell_size
+    d2 = ((cx - F.col("_px")) * (cx - F.col("_px"))
+          + (cy - F.col("_py")) * (cy - F.col("_py")))
+    if smoothing != 0.0:
+        d2 = d2 + F.lit(float(smoothing) * float(smoothing))
+    c = cand.withColumn("_sd2", F.greatest(d2, F.lit(1e-13)))
+    w = Window.partitionBy("bx", "by").orderBy(F.col("_sd2").asc(),
+                                               F.col("_z").asc())
+    ranked = (c.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= max_points))
+    out = (
+        ranked.withColumn("_w", F.lit(1.0) / F.col("_sd2"))
+        .groupBy("bx", "by")
+        .agg((F.sum(F.col("_w") * F.col("_z")) / F.sum("_w")).alias("value"),
+             F.count(F.lit(1)).alias("_n"))
+    )
+    if min_points > 0:
+        out = out.filter(F.col("_n") >= min_points)
+    return out.drop("_n")
 
 
 def grid_metrics(points: DataFrame, cell_size: float, radius: float,

@@ -13,9 +13,17 @@ fixtures and the streaming-text shape Spark natively distributes:
 - XYZ (frmts/xyz/xyzdataset.cpp) — "x y z" lines, one cell per row.
   This one IS distributable: spark.read.csv scans it in parallel and
   cell indices derive from closed-form column math.
+- TIFF (uncompressed striped subset of frmts/gtiff/) — pure-NumPy IFD
+  parsing incl. the GDAL_NODATA tag; reads the reference's own
+  autotest fixtures (pat.tif) directly. Compressed/tiled variants
+  raise honestly (libtiff territory).
+- BMP (frmts/bmp/) — via the multimodal pure-NumPy codec, one band to
+  a cell table.
 """
 
 from .aaigrid import read_aaigrid, write_aaigrid
+from .tiff import decode_tiff, read_bmp, read_tiff
 from .xyz import read_xyz, write_xyz
 
-__all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz"]
+__all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
+           "read_tiff", "read_bmp", "decode_tiff"]

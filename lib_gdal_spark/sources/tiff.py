@@ -1,0 +1,151 @@
+"""Uncompressed TIFF raster source — pure-NumPy IFD + strip parsing.
+
+Reference: the GTiff driver (frmts/gtiff/, ~60k LoC with libtiff) is the
+reference's workhorse format; its autotest fixtures (e.g.
+autotest/alg/data/pat.tif, the proximity golden input) are tiny
+uncompressed striped TIFFs. This source parses exactly that subset
+natively — no codec library:
+
+- classic TIFF (not BigTIFF), II or MM byte order;
+- Compression=1 (none), striped layout (StripOffsets/StripByteCounts/
+  RowsPerStrip), single sample per pixel;
+- BitsPerSample 8/16/32 unsigned, or 32/64-bit IEEE float
+  (SampleFormat=3);
+- the GDAL_NODATA ASCII tag (42113) — nodata cells become ABSENT rows,
+  the engine's nodata discipline (same convention as the AAIGrid
+  source).
+
+Anything outside the subset (compression, tiles, multi-band, BigTIFF)
+raises NotImplementedError with the actual offending parameter — honest
+partial coverage, like the multimodal codec tier.
+
+Driver-side parse of a single (small, by format construction) header +
+raster; the OUTPUT is a distributed cell table. For web-scale rasters
+the storage model is parquet cell tables (SURVEY §2.1) — this source
+exists for ingest parity with the reference's own fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+# TIFF tag ids
+_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
+    279: "strip_counts", 339: "sample_format", 42113: "gdal_nodata",
+}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d"}
+
+
+def _read_ifd(buf: bytes):
+    if buf[:2] == b"II":
+        eo = "<"
+    elif buf[:2] == b"MM":
+        eo = ">"
+    else:
+        raise NotImplementedError("not a TIFF (bad byte-order mark)")
+    magic = struct.unpack_from(eo + "H", buf, 2)[0]
+    if magic == 43:
+        raise NotImplementedError("BigTIFF not supported")
+    if magic != 42:
+        raise NotImplementedError(f"bad TIFF magic {magic}")
+    ifd_off = struct.unpack_from(eo + "I", buf, 4)[0]
+    n = struct.unpack_from(eo + "H", buf, ifd_off)[0]
+    tags = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(eo + "HHI", buf, off)
+        if tag not in _TAGS or typ not in _TYPE_SIZE:
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        voff = off + 8 if size <= 4 else struct.unpack_from(eo + "I", buf,
+                                                            off + 8)[0]
+        if typ == 2:  # ASCII
+            val = buf[voff : voff + cnt].split(b"\0")[0].decode("ascii")
+        else:
+            fmt = _TYPE_FMT.get(typ)
+            if fmt is None:
+                continue
+            vals = struct.unpack_from(eo + fmt * cnt, buf, voff)
+            val = list(vals) if cnt > 1 else vals[0]
+        tags[_TAGS[tag]] = val
+    return eo, tags
+
+
+def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
+    """TIFF bytes -> (2-D array [row 0 = top], meta). Uncompressed
+    single-band striped subset only."""
+    eo, t = _read_ifd(buf)
+    comp = t.get("compression", 1)
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} needs libtiff")
+    spp = t.get("samples_per_pixel", 1)
+    if spp != 1:
+        raise NotImplementedError(f"multi-band TIFF (spp={spp}) unsupported")
+    w, h = int(t["width"]), int(t["height"])
+    bits = t.get("bits", 8)
+    if isinstance(bits, list):
+        bits = bits[0]
+    sfmt = t.get("sample_format", 1)
+    if isinstance(sfmt, list):
+        sfmt = sfmt[0]
+    key = (int(bits), int(sfmt))
+    dt = {(8, 1): "u1", (16, 1): "u2", (32, 1): "u4",
+          (8, 2): "i1", (16, 2): "i2", (32, 2): "i4",
+          (32, 3): "f4", (64, 3): "f8"}.get(key)
+    if dt is None:
+        raise NotImplementedError(f"TIFF bits/format {key} unsupported")
+    dtype = np.dtype(eo + dt)
+    offs = t["strip_offsets"]
+    cnts = t["strip_counts"]
+    if not isinstance(offs, list):
+        offs, cnts = [offs], [cnts]
+    raw = b"".join(buf[o : o + c] for o, c in zip(offs, cnts))
+    arr = np.frombuffer(raw, dtype, count=w * h).reshape(h, w)
+    meta = {"width": w, "height": h, "bits": int(bits),
+            "sample_format": int(sfmt)}
+    if "gdal_nodata" in t:
+        meta["nodata"] = float(t["gdal_nodata"])
+    return arr, meta
+
+
+def read_tiff(spark: SparkSession, path: str):
+    """-> (cells DataFrame (bx, by, value), meta). Grid convention
+    matches the AAIGrid source: by increases UPWARD (raster row 0 = max
+    by); GDAL_NODATA cells are absent rows."""
+    with open(path, "rb") as f:
+        arr, meta = decode_tiff(f.read())
+    h, w = arr.shape
+    nodata = meta.get("nodata")
+    rows = []
+    for r in range(h):
+        for c in range(w):
+            v = float(arr[r, c])
+            if nodata is not None and v == nodata:
+                continue
+            rows.append((c, h - 1 - r, v))
+    return (spark.createDataFrame(rows, "bx long, by long, value double"),
+            meta)
+
+
+def read_bmp(spark: SparkSession, path: str, band: int = 1):
+    """Uncompressed BMP -> (cells DataFrame (bx, by, value), meta) for
+    one 1-based band (1=R, 2=G, 3=B[, 4=A]) — reuses the multimodal
+    pure-NumPy BMP codec; same upward-by grid convention."""
+    from ..operators.multimodal import _decode_bmp
+
+    with open(path, "rb") as f:
+        arr, meta = _decode_bmp(f.read())
+    h, w = arr.shape[:2]
+    ch = arr[:, :, band - 1]
+    rows = [(c, h - 1 - r, float(ch[r, c]))
+            for r in range(h) for c in range(w)]
+    return (spark.createDataFrame(rows, "bx long, by long, value double"),
+            meta)

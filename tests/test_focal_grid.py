@@ -102,6 +102,34 @@ class TestGrid:
         d = np.hypot(pdf.x - cx, pdf.y - cy)
         assert r.value == pytest.approx(pdf.z[d.idxmin()])
 
+    def test_invdistnn_matches_numpy_oracle(self, points):
+        # gdalgrid.cpp:191 semantics: nearest max_points by smoothed d^2,
+        # weight 1/d^2, min_points gating — checked per cell vs numpy
+        df, pdf = points
+        got = grid.grid_invdistnn(df, cell_size=1.0, radius=2.0,
+                                  max_points=5, min_points=2).toPandas()
+        assert len(got) > 50
+        for r in got.sample(10, random_state=1).itertuples():
+            cx, cy = r.bx + 0.5, r.by + 0.5
+            d2 = np.maximum((pdf.x - cx) ** 2 + (pdf.y - cy) ** 2, 1e-13)
+            m = np.hypot(pdf.x - cx, pdf.y - cy) <= 2.0
+            order = sorted(zip(d2[m], pdf.z[m]))[:5]
+            assert len(order) >= 2
+            w = np.array([1.0 / a for a, _ in order])
+            z = np.array([b for _, b in order])
+            assert r.value == pytest.approx(float((w * z).sum() / w.sum()),
+                                            rel=1e-9)
+
+    def test_invdistnn_min_points_gates(self, spark):
+        # a lone point yields exactly one candidate per nearby cell ->
+        # min_points=2 drops every cell; min_points=1 keeps them
+        df = spark.createDataFrame([(5.0, 5.0, 42.0)], "x double, y double, z double")
+        assert grid.grid_invdistnn(df, 1.0, 2.0, max_points=4,
+                                   min_points=2).count() == 0
+        kept = grid.grid_invdistnn(df, 1.0, 2.0, max_points=4, min_points=1)
+        vals = {r.value for r in kept.collect()}
+        assert vals == {42.0}  # single-neighbor IDW is the value itself
+
 
 class TestSieve:
     def test_small_region_merges_into_largest_neighbor(self, spark):
