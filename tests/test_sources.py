@@ -98,6 +98,41 @@ class TestTiff:
         # nodata cells are absent rows
         assert cells.count() == int((ref != 255).sum())
 
+    def test_utmsmall_histogram_matches_reference_golden(self, spark):
+        # autotest/gcore/histogram.py test_histogram_1: GetHistogram()
+        # over data/utmsmall.tif — replay its FULL hardcoded 256-bucket
+        # expectation through read_tiff + the distributed histogram
+        # (default GDAL bins: [-0.5, 255.5) x 256 -> integer counts)
+        import re
+        from lib_gdal_spark.sources import read_tiff
+        from lib_gdal_spark.operators import raster
+
+        src = open("/root/reference/autotest/gcore/histogram.py").read()
+        m = re.search(r"exp_hist = \[(.*?)\]", src, re.S)
+        exp = [int(t) for t in m.group(1).split(",") if t.strip()]
+        assert len(exp) == 256 and sum(exp) == 100 * 100
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/utmsmall.tif")
+        got = {r.bucket: r.n for r in raster.histogram(
+            cells, lo=-0.5, hi=255.5, n_buckets=256).collect()}
+        mine = [got.get(i + 1, 0) for i in range(256)]  # width_bucket 1-based
+        assert mine == exp
+
+    def test_byte_tif_statistics_golden(self, spark):
+        # the reference's canonical byte.tif ComputeStatistics golden
+        # [74, 255, 126.765, 22.9284708386757] (autotest/gdrivers/
+        # ehdr.py:240 et al.); population stddev, exact integer mean
+        from lib_gdal_spark.sources import read_tiff
+
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/byte.tif")
+        r = cells.agg(
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+            F.avg("value").alias("mean"),
+            F.stddev_pop("value").alias("sd")).collect()[0]
+        assert (r.mn, r.mx, r.mean) == (74.0, 255.0, 126.765)
+        assert r.sd == pytest.approx(22.928470838675658, rel=1e-12)
+
     def test_compressed_tiff_raises(self):
         from lib_gdal_spark.sources.tiff import decode_tiff
         import glob
