@@ -398,6 +398,20 @@ def _q_viewshed(spark, sf_dir):
                           maxdist=8.0, observer_height=2.0)
 
 
+def _q_contour_polygon_bands(spark, sf_dir):
+    # gdal_contour -p / POLYGONIZE=TRUE (autotest/alg/contour.py
+    # test_contour_polygonize shape): 4 bands at data-derived quarter
+    # levels (exact integer-valued min/max -> identical level doubles in
+    # both engines); per band: region count (CC), cells, area, envelope
+    g = _base_grid8(spark, sf_dir)
+    r = g.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    step = (r.hi - r.lo) / 4.0
+    levels = [r.lo, r.lo + step, r.lo + 2 * step, r.lo + 3 * step, r.hi]
+    out = contour.contour_polygon_bands(g, levels)
+    return out.select("band", "elev_min", "elev_max", "n_regions",
+                      "n_cells", "area", "xmin", "ymin", "xmax", "ymax")
+
+
 def _q_viewshed_curv(spark, sf_dir):
     # gdal_viewshed with the earth-curvature+refraction correction
     # ([Height] -= c*R^2/ED, viewshed_executor.cpp:295, default c=0.85714
@@ -1206,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed_curv": _q_viewshed_curv,
         "viewshed_minheight": _q_viewshed_minheight,
         "grid_invdistnn": _q_grid_invdistnn,
+        "contour_polygon_bands": _q_contour_polygon_bands,
         # ---- (2) changed this round ----
         "polygonize_regions": _q_polygonize,       # recursive-CTE oracle
         "sieve_filter": _q_sieve,                  # recursive-CTE oracle
@@ -1251,8 +1266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_filter_in_between": _q_filter_in_between,
         "ogr_summary_agg": _q_summary_agg,
         "ogr_count_distinct": _q_count_distinct,
-        "ogr_hstore_get": _q_hstore_get,
         # -------- 50-cap boundary: positions 51+ below --------
+        "ogr_hstore_get": _q_hstore_get,
         "ogr_union_all": _q_union_all,
         "ogr_cast_concat_substr": _q_cast_concat_substr,
         "ogr_order_limit_offset": _q_order_limit_offset,
@@ -2048,6 +2063,45 @@ fin AS (
 )
 SELECT f.bx, f."by", v.tv AS value, f.region_id
 FROM fin f JOIN vals v ON v.region_id = f.region_id
+"""
+
+
+def _o_contour_polygon_bands() -> str:
+    # band CASE mirrors contour_polygons' closed-top rule term for term;
+    # region counts via the same recursive-CTE CC the polygonize oracle
+    # uses; envelopes are exact integer cell edges
+    cells = """cells AS (
+  SELECT bx, "by", CAST(CASE
+    WHEN value >= l.l0 AND value < l.l1 THEN 0
+    WHEN value >= l.l1 AND value < l.l2 THEN 1
+    WHEN value >= l.l2 AND value < l.l3 THEN 2
+    WHEN value >= l.l3 AND value <= l.l4 THEN 3
+  END AS DOUBLE) AS value
+  FROM base, l
+  WHERE value >= l.l0 AND value <= l.l4)"""
+    return f"""
+WITH RECURSIVE {_dd_base8_cte()},
+mm AS (SELECT min(value) AS lo, max(value) AS hi FROM base),
+l AS (SELECT lo AS l0, lo + (hi - lo) / 4.0 AS l1,
+             lo + 2.0 * ((hi - lo) / 4.0) AS l2,
+             lo + 3.0 * ((hi - lo) / 4.0) AS l3, hi AS l4
+      FROM mm),
+{_dd_cc_label(cells)}
+SELECT CAST(lc.value AS INT) AS band,
+       CASE CAST(lc.value AS INT) WHEN 0 THEN (SELECT l0 FROM l)
+            WHEN 1 THEN (SELECT l1 FROM l) WHEN 2 THEN (SELECT l2 FROM l)
+            ELSE (SELECT l3 FROM l) END AS elev_min,
+       CASE CAST(lc.value AS INT) WHEN 0 THEN (SELECT l1 FROM l)
+            WHEN 1 THEN (SELECT l2 FROM l) WHEN 2 THEN (SELECT l3 FROM l)
+            ELSE (SELECT l4 FROM l) END AS elev_max,
+       count(DISTINCT lc.region_id) AS n_regions,
+       count(*) AS n_cells,
+       CAST(count(*) AS DOUBLE) AS area,
+       CAST(min(lc.bx) AS DOUBLE) AS xmin,
+       CAST(min(lc."by") AS DOUBLE) AS ymin,
+       CAST(max(lc.bx) + 1 AS DOUBLE) AS xmax,
+       CAST(max(lc."by") + 1 AS DOUBLE) AS ymax
+FROM lc GROUP BY 1
 """
 
 
@@ -3148,6 +3202,7 @@ def oracle_sql() -> dict[str, str]:
         "interp_bilinear": _o_interp_bilinear(),
         "contour_segments": _o_contour(),
         "contour_multi": _o_contour_multi(),
+        "contour_polygon_bands": _o_contour_polygon_bands(),
         "raster_calc": _o_raster_calc(),
         "sjoin_left": _o_sjoin_left(),
         "sjoin_update": _o_sjoin_update(),

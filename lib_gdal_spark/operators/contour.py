@@ -259,3 +259,87 @@ def contour_segments_multi(cells: DataFrame, levels: list,
     return out.select("level", "s.x0", "s.y0", "s.x1", "s.y1").filter(
         ~((F.col("x0") == F.col("x1")) & (F.col("y0") == F.col("y1")))
     )
+
+
+def contour_polygons(cells: DataFrame, levels: list,
+                     block_bits: int = 5, cell_size: float = 1.0,
+                     origin=(0.0, 0.0)) -> DataFrame:
+    """gdal_contour -p / POLYGONIZE=TRUE (ContourGenerateEx option,
+    alg/contour.cpp; autotest/alg/contour.py test_contour_polygonize /
+    test_contour_3): classify cells into the bands between consecutive
+    fixed levels and emit one row per connected band region with its
+    ring-traced WKB polygon.
+
+    Band rule (derived from the reference's own parametrized
+    expectations): band i covers [levels[i], levels[i+1]) half-open,
+    except the TOP band which is closed — the "0,10,20,24,25" case puts
+    the v==25 cells in band [24, 25]. Cells below levels[0] or above
+    levels[-1] are nodata; bands with no cells emit nothing ("20" alone
+    produces an empty layer, as the reference asserts).
+
+    Geometry is at CELL-EDGE resolution: region boundaries follow pixel
+    edges rather than the reference's per-edge linear interpolation. The
+    interpolated boundary never leaves the boundary pixel, so envelopes
+    and areas agree within the reference's own autotest tolerance
+    (precision/2) — and the band ENVELOPES agree exactly, because a
+    band's bbox is attained at whole pixel edges in its fixture.
+
+    Output: (band int, elev_min, elev_max, region_id, n_cells, n_rings,
+    area, wkb, xmin, ymin, xmax, ymax) — the reference writes one
+    MULTIPOLYGON feature per band; aggregate rows over `band` to build
+    it (contour_polygon_bands does exactly that).
+
+    Distribution: classification is a Catalyst CASE; labeling is the
+    distributed CC pass; ring tracing is per-region local (see
+    polygonize_rings). No driver-side geometry work at all.
+    """
+    from .polygonize import polygonize_rings
+
+    lv = [float(v) for v in levels]
+    if sorted(lv) != lv:
+        raise ValueError("levels must be ascending")
+    if len(lv) < 2:
+        return cells.sparkSession.createDataFrame(
+            [], "band int, elev_min double, elev_max double, "
+                "region_id long, n_cells long, n_rings int, area double, "
+                "wkb binary, xmin double, ymin double, "
+                "xmax double, ymax double")
+    band = F.lit(None).cast("int")
+    n = len(lv)
+    for i in range(n - 1):
+        hi_ok = (F.col("value") <= lv[i + 1]) if i == n - 2 else \
+            (F.col("value") < lv[i + 1])
+        band = F.when((F.col("value") >= lv[i]) & hi_ok, i).otherwise(band)
+    classified = (cells.withColumn("_band", band)
+                  .filter(F.col("_band").isNotNull()))
+    rings = polygonize_rings(
+        classified.select("bx", "by",
+                          F.col("_band").cast("double").alias("value")),
+        block_bits=block_bits, cell_size=cell_size, origin=origin)
+    lo = F.lit(None).cast("double")
+    hi = F.lit(None).cast("double")
+    for i in range(n - 1):
+        lo = F.when(F.col("value") == float(i), lv[i]).otherwise(lo)
+        hi = F.when(F.col("value") == float(i), lv[i + 1]).otherwise(hi)
+    return rings.select(
+        F.col("value").cast("int").alias("band"),
+        lo.alias("elev_min"), hi.alias("elev_max"),
+        "region_id", "n_cells", "n_rings", "area", "wkb",
+        "xmin", "ymin", "xmax", "ymax")
+
+
+def contour_polygon_bands(cells: DataFrame, levels: list,
+                          block_bits: int = 5, cell_size: float = 1.0,
+                          origin=(0.0, 0.0)) -> DataFrame:
+    """One row per non-empty band — the reference's one-multipolygon-per-
+    band layer, minus the stitched geometry: (band, elev_min, elev_max,
+    n_regions, n_cells, area, xmin, ymin, xmax, ymax)."""
+    r = contour_polygons(cells, levels, block_bits=block_bits,
+                         cell_size=cell_size, origin=origin)
+    return r.groupBy("band", "elev_min", "elev_max").agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.sum("n_cells").alias("n_cells"),
+        F.sum("area").alias("area"),
+        F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+        F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
+    )

@@ -265,6 +265,8 @@ def polygonize_rings(cells: DataFrame, block_bits: int = 5,
         rings.sort(key=_ring_signed_area, reverse=True)
         geo = [np.asarray(r, dtype=np.float64) * cell_size + [ox, oy]
                for r in rings]
+        xs = [p[0] for p in s]
+        ys = [p[1] for p in s]
         return pd.DataFrame({
             "region_id": [int(pdf["region_id"].iloc[0])],
             "value": [float(pdf["value"].iloc[0])],
@@ -273,12 +275,18 @@ def polygonize_rings(cells: DataFrame, block_bits: int = 5,
             "n_vertices": [sum(len(r) for r in rings)],
             "area": [float(area)],
             "wkb": [_wkb.encode_polygon(geo)],
+            # cell-EDGE envelope in geo units (cells span [b, b+1))
+            "xmin": [min(xs) * cell_size + ox],
+            "ymin": [min(ys) * cell_size + oy],
+            "xmax": [(max(xs) + 1) * cell_size + ox],
+            "ymax": [(max(ys) + 1) * cell_size + oy],
         })
 
     return labeled.groupBy("region_id").applyInPandas(
         trace,
         schema="region_id long, value double, n_cells long, n_rings int, "
-               "n_vertices long, area double, wkb binary",
+               "n_vertices long, area double, wkb binary, "
+               "xmin double, ymin double, xmax double, ymax double",
     )
 
 

@@ -284,6 +284,92 @@ class TestContourReferenceGolden:
         assert lines[0][0] == lines[0][-1]
 
 
+class TestContourPolygonizeReferenceGolden:
+    """Replay of the reference's POLYGONIZE=TRUE autotests
+    (autotest/alg/contour.py test_contour_polygonize band min/max cases
+    and test_contour_3 band envelopes) over the same 160x160
+    nested-squares fixture, geotransform [1, 1/160, 0, 50, 0, -1/160]."""
+
+    SIZE = 160
+    PRECISION = 1.0 / 160
+
+    def _fixture(self, spark):
+        size = self.SIZE
+
+        def value(col, row):
+            if 70 <= col < 90 and 70 <= row < 90:
+                return 25.0
+            if 60 <= col < 100 and 60 <= row < 100:
+                return 20.0
+            if 40 <= col < 120 and 40 <= row < 120:
+                return 10.0
+            return 1.0
+
+        rows = [(c, size - 1 - r, value(c, r))
+                for r in range(size) for c in range(size)]
+        return spark.createDataFrame(rows, "bx long, by long, value double")
+
+    def _bands(self, spark, levels):
+        from lib_gdal_spark.operators import contour
+
+        # geo mapping: x = 1 + bx/160; y = 50 - (raster row)/160 with our
+        # bottom-up by -> y = 50 - (160 - by)/160 = 49 + by/160
+        out = contour.contour_polygon_bands(
+            self._fixture(spark), levels,
+            cell_size=self.PRECISION, origin=(1.0, 49.0))
+        return sorted(out.collect(), key=lambda r: r.elev_min)
+
+    @pytest.mark.parametrize("levels,exp_min,exp_max", [
+        ([10.0, 20.0], [10], [20]),
+        ([0.0, 20.0], [0], [20]),
+        ([20.0, 1000.0], [20], [1000]),
+        ([20.0], [], []),                       # nothing to do
+        ([1.0, 20.0], [1], [20]),               # "min,20"
+        ([1.0, 25.0], [1], [25]),               # "min,max"
+        ([1.0, 10.0, 25.0], [1, 10], [10, 25]), # "min,10,max"
+    ])
+    def test_polygonize_band_minmax(self, spark, levels, exp_min, exp_max):
+        got = self._bands(spark, levels)
+        assert [r.elev_min for r in got] == exp_min
+        assert [r.elev_max for r in got] == exp_max
+
+    @pytest.mark.parametrize("levels,exp_min,exp_max", [
+        ([-10.0, 0.0, 10.0, 20.0, 25.0, 30.0, 40.0],
+         [0, 10, 20, 25], [10, 20, 25, 30]),
+        ([0.0, 10.0, 20.0, 25.0, 30.0], [0, 10, 20, 25], [10, 20, 25, 30]),
+        ([0.0, 10.0, 20.0, 24.0, 25.0], [0, 10, 20, 24], [10, 20, 24, 25]),
+        ([0.0, 10.0, 20.0, 25.0], [0, 10, 20], [10, 20, 25]),
+    ])
+    def test_contour_3_bands_and_envelopes(self, spark, levels,
+                                           exp_min, exp_max):
+        exp_env = [
+            [1.0, 2.0, 49.0, 50.0],
+            [1.25, 1.75, 49.25, 49.75],
+            [1.375, 1.625, 49.375, 49.625],
+            [1.4375, 1.5625, 49.4375, 49.5625],
+        ][: len(exp_min)]
+        got = self._bands(spark, levels)
+        assert [r.elev_min for r in got] == exp_min
+        assert [r.elev_max for r in got] == exp_max
+        tol = self.PRECISION / 2 * 1.001  # the reference's own tolerance
+        for r, env in zip(got, exp_env):
+            for a, b in zip((r.xmin, r.xmax, r.ymin, r.ymax), env):
+                assert abs(a - b) <= tol, (r.elev_min, env, r)
+
+    def test_region_geometry_closes(self, spark):
+        # each band region's traced multipolygon area equals its cell
+        # count (the ring-tracer invariant) and every band here is one
+        # connected region
+        from lib_gdal_spark.operators import contour
+
+        rows = contour.contour_polygons(
+            self._fixture(spark), [0.0, 10.0, 20.0, 25.0, 30.0]).collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert r.area == float(r.n_cells)
+            assert r.n_rings >= 1
+
+
 class TestColorRelief:
     def test_interpolation_and_clamps(self, spark):
         from lib_gdal_spark.operators import dem
