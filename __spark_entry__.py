@@ -398,6 +398,16 @@ def _q_viewshed(spark, sf_dir):
                           maxdist=8.0, observer_height=2.0)
 
 
+def _q_translate_scale(spark, sf_dir):
+    # gdal_translate -scale src_min src_max 0 65535 (UInt16 out): linear
+    # stretch from the grid's own exact min/max; rational ratio/offset +
+    # the floor(x+0.5) integer write -> engine-exact
+    g = _base_grid8(spark, sf_dir)
+    r = g.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    return raster.scale_linear(g, src_min=r.lo, src_max=r.hi,
+                               dst_min=0.0, dst_max=65535.0)
+
+
 def _q_contour_polygon_bands(spark, sf_dir):
     # gdal_contour -p / POLYGONIZE=TRUE (autotest/alg/contour.py
     # test_contour_polygonize shape): 4 bands at data-derived quarter
@@ -1221,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed_minheight": _q_viewshed_minheight,
         "grid_invdistnn": _q_grid_invdistnn,
         "contour_polygon_bands": _q_contour_polygon_bands,
+        "translate_scale": _q_translate_scale,
         # ---- (2) changed this round ----
         "polygonize_regions": _q_polygonize,       # recursive-CTE oracle
         "sieve_filter": _q_sieve,                  # recursive-CTE oracle
@@ -1265,8 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_first_match_join": _q_first_match_join,
         "ogr_filter_in_between": _q_filter_in_between,
         "ogr_summary_agg": _q_summary_agg,
-        "ogr_count_distinct": _q_count_distinct,
         # -------- 50-cap boundary: positions 51+ below --------
+        "ogr_count_distinct": _q_count_distinct,
         "ogr_hstore_get": _q_hstore_get,
         "ogr_union_all": _q_union_all,
         "ogr_cast_concat_substr": _q_cast_concat_substr,
@@ -2063,6 +2074,23 @@ fin AS (
 )
 SELECT f.bx, f."by", v.tv AS value, f.region_id
 FROM fin f JOIN vals v ON v.region_id = f.region_id
+"""
+
+
+def _o_translate_scale() -> str:
+    # mirrors scale_linear's python-computed ratio/off op order and the
+    # floor(x+0.5) integer write (never CAST: its rounding differs
+    # between the engines)
+    return f"""
+WITH {_dd_base8_cte()},
+mm AS (SELECT min(value) AS lo, max(value) AS hi FROM base),
+p AS (SELECT (65535.0 - 0.0) / (hi - lo) AS ratio,
+             0.0 - lo * ((65535.0 - 0.0) / (hi - lo)) AS off
+      FROM mm)
+SELECT bx, "by",
+       floor(least(greatest(value * p.ratio + p.off, 0.0), 65535.0) + 0.5)
+           AS value
+FROM base, p
 """
 
 
@@ -3203,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_segments": _o_contour(),
         "contour_multi": _o_contour_multi(),
         "contour_polygon_bands": _o_contour_polygon_bands(),
+        "translate_scale": _o_translate_scale(),
         "raster_calc": _o_raster_calc(),
         "sjoin_left": _o_sjoin_left(),
         "sjoin_update": _o_sjoin_update(),

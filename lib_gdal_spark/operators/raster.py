@@ -283,6 +283,47 @@ def calc(grids: dict, expr, out_col: str = "value", how: str = "inner") -> DataF
     return out.select("bx", "by", expr.alias(out_col))
 
 
+def scale_linear(cells: DataFrame, src_min: float, src_max: float,
+                 dst_min: float, dst_max: float, exponent: float = 1.0,
+                 clip: bool = True, integer_out: bool = True,
+                 value_col: str = "value") -> DataFrame:
+    """gdal_translate -scale [-exponent] (apps/gdal_translate_lib.cpp
+    scaleParams -> VRTComplexSource scaling, frmts/vrt/vrtsources.cpp
+    :3692-3706):
+
+    - linear (exponent == 1): out = v * ratio + off with
+      ratio = (dst_max - dst_min) / (src_max - src_min),
+      off = dst_min - src_min * ratio — rational, oracle-exact;
+    - exponential: out = (dst_max - dst_min) * pow(t, exponent) + dst_min
+      with t = (v - src_min)/(src_max - src_min) clipped to [0, 1]
+      (the reference's m_bClip branch) — libm pow is not cross-engine
+      ulp-stable, so exponent != 1 queries are rows-only by policy.
+
+    integer_out mirrors writing to an integer band: clamp to
+    [dst_min, dst_max] then floor(x + 0.5) — a deterministic
+    round-half-up both engines compute identically (never CAST, whose
+    rounding differs between Spark and duckdb).
+    """
+    v = F.col(value_col)
+    if exponent == 1.0:
+        ratio = (float(dst_max) - float(dst_min)) \
+            / (float(src_max) - float(src_min))
+        off = float(dst_min) - float(src_min) * ratio
+        out = v * F.lit(ratio) + F.lit(off)
+    else:
+        t = (v - F.lit(float(src_min))) \
+            / F.lit(float(src_max) - float(src_min))
+        if clip:
+            t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+        out = (F.lit(float(dst_max) - float(dst_min))
+               * F.pow(t, F.lit(float(exponent))) + F.lit(float(dst_min)))
+    if integer_out:
+        out = F.least(F.greatest(out, F.lit(float(dst_min))),
+                      F.lit(float(dst_max)))
+        out = F.floor(out + F.lit(0.5)).cast("double")
+    return cells.select("bx", "by", out.alias(value_col))
+
+
 def reclassify(cells: DataFrame, breaks: list, classes: list,
                value_col: str = "value") -> DataFrame:
     """gdal raster reclassify (gdalalg_raster_pipeline.cpp:204): map value

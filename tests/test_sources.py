@@ -133,6 +133,19 @@ class TestTiff:
         assert (r.mn, r.mx, r.mean) == (74.0, 255.0, 126.765)
         assert r.sd == pytest.approx(22.928470838675658, rel=1e-12)
 
+    def test_translate_scale_byte_to_uint16_golden(self, spark):
+        # autotest/utilities/test_gdal_translate_lib.py:565-569:
+        # -scale 0 255 0 65535 to UInt16 over byte.tif ->
+        # ComputeRasterMinMax == (19018, 65535)
+        from lib_gdal_spark.sources import read_tiff
+        from lib_gdal_spark.operators import raster
+
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/byte.tif")
+        out = raster.scale_linear(cells, 0.0, 255.0, 0.0, 65535.0)
+        r = out.agg(F.min("value"), F.max("value")).collect()[0]
+        assert (r[0], r[1]) == (19018.0, 65535.0)
+
     def test_compressed_tiff_raises(self):
         from lib_gdal_spark.sources.tiff import decode_tiff
         import glob
