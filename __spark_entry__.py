@@ -1200,11 +1200,17 @@ def _q_polygonize_rings(spark, sf_dir):
 
 def _q_multimodal(spark, sf_dir):
     # REAL pure-NumPy decode (BMP/PPM/WAV headers+raw) over synthetic
-    # uncompressed payloads — feat[0:3] are genuine decoded dimensions;
-    # binary parsing isn't SQL, so the driver records a rows-only check
+    # uncompressed payloads. The duckdb twin never parses a byte: it
+    # recomputes what the decoded dimensions/stats MUST be from the
+    # synthesis formula (pixel k of id i = k*(42+i) % 251, etc.), so a
+    # hash match proves the encoder+decoder round-trip cell by cell.
     media = multimodal.synth_media_real(spark, 200)
     out = multimodal.extract_features(media, dim=8, codec="real")
-    return out.select("id", "kind", "n_bytes", "ok")
+    return out.select(
+        "id", "kind", "n_bytes", "ok",
+        F.col("feat")[0].alias("f0"), F.col("feat")[1].alias("f1"),
+        F.col("feat")[2].alias("f2"), F.col("feat")[3].alias("f3"),
+        F.col("feat")[4].alias("f4"), F.col("feat")[5].alias("f5"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1212,14 +1218,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict order and caps at 50/round (proven rounds 1-2). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
     driver row is OLDEST. Round-3 order:
-    (1) NEW this round (warp convolution family, viewshed parity modes);
-    (2) CHANGED this round (newly-oracled polygonize/sieve, real-decode
-        multimodal, re-derived polygonize_rings input);
-    (3) the round-1-verified set, now one round stale — the verdict's
-        46 minus sieve_filter (moved to group 2). Its 4 cheapest
-        pure-Catalyst ogr_* entries sit at positions 51-54, just past
-        the cap: they are double-verified (r01 driver + every-session
-        local parity) and rotate FIRST in round 4;
+    (1) NEW this round (warp convolution family, viewshed parity modes,
+        invdistnn, contour polygonize, translate -scale);
+    (2) CHANGED this round — every formerly-rows-only query that gained
+        an exact oracle (polygonize/sieve CC, composed minhash_dedup,
+        multimodal synthesis-replay, Euler-quad polygonize_rings,
+        plane/centroid-replay ANN) needs a fresh hash row;
+    (3) the round-1-verified set, now one round stale. Its 10 cheapest
+        pure-Catalyst ogr_* entries sit just past the 50 cap: they are
+        double-verified (r01 driver + the every-session local parity
+        sweep) and rotate FIRST in round 4;
     (4) the round-2-verified set, expensive/headline first.
     """
     return {
@@ -1236,8 +1244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_regions": _q_polygonize,       # recursive-CTE oracle
         "sieve_filter": _q_sieve,                  # recursive-CTE oracle
         "minhash_dedup": _q_minhash_dedup,         # exact composed oracle
-        "multimodal_features": _q_multimodal,      # real BMP/PPM/WAV decode
-        "polygonize_rings": _q_polygonize_rings,   # deduped cell input
+        "multimodal_features": _q_multimodal,      # real decode, exact oracle
+        "polygonize_rings": _q_polygonize_rings,   # Euler-quad oracle
+        "ann_lsh": _q_ann_lsh,                     # plane-replay oracle
+        "ann_ivf": _q_ann_ivf,                     # centroid-replay oracle
         # ---- (3) round-1-verified, one round stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -1274,9 +1284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "footprint_boundary": _q_footprint,
         "raster_calc": _q_raster_calc,
         "histogram": _q_histogram,
+        # -------- 50-cap boundary: positions 51+ below --------
         "ogr_first_match_join": _q_first_match_join,
         "ogr_filter_in_between": _q_filter_in_between,
-        # -------- 50-cap boundary: positions 51+ below --------
         "ogr_summary_agg": _q_summary_agg,
         "ogr_count_distinct": _q_count_distinct,
         "ogr_hstore_get": _q_hstore_get,
@@ -1312,8 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "cosine_topk": _q_cosine_topk,
         "embed_neardup": _q_embed_neardup,
-        "ann_ivf": _q_ann_ivf,
-        "ann_lsh": _q_ann_lsh,
         "sjoin_identity": _q_sjoin_identity,
         "sjoin_union": _q_sjoin_union,
         "sjoin_symdiff": _q_sjoin_symdiff,
@@ -1600,6 +1608,35 @@ def _dd_base8_cte() -> str:
          CAST(sum(n_chars) AS DOUBLE) AS value
   FROM documents GROUP BY 1, 2
 )"""
+
+
+def _o_dem_hillshade() -> str:
+    # term-for-term transcendental mirror (atan/atan2/sin/cos exist in
+    # both engines) with repr-injected python constants; the 4-dp round
+    # on BOTH sides absorbs libm ulp differences, and transcendental
+    # outputs never terminate on the rounding half-boundary (the
+    # knife-edge class needs grid-aligned rational inputs)
+    import math as _m
+
+    zen = _m.radians(90.0 - 45.0)
+    az = repr(_m.radians(360.0 - 315.0 + 90.0))
+    c, s = repr(_m.cos(zen)), repr(_m.sin(zen))
+    return f"""
+WITH {_PAGES_CTE},
+{_dd_w9(_dd_base8_cte())},
+h2 AS (
+  SELECT bx, "by",
+         atan(sqrt(dzdx*dzdx + dzdy*dzdy)) AS slope_r,
+         atan2(-dzdy, dzdx) AS aspect_r
+  FROM horn
+)
+SELECT bx, "by",
+       round(greatest(0.0, least(255.0,
+             255.0 * ({c} * cos(slope_r)
+                      + {s} * sin(slope_r) * cos({az} - aspect_r)))), 4)
+           AS hillshade
+FROM h2
+"""
 
 
 def _o_dem_slope() -> str:
@@ -3180,6 +3217,220 @@ LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
 """
 
 
+def _o_ann_ivf() -> str:
+    # ann_ivf is approximate but deterministic end to end: centroids are
+    # the unit vectors of ids {0, stride, 2*stride, ...} (ordered limit,
+    # dense-id path), assignment/probing take the max-(dot, cid) ranking
+    # that F.reverse(array_sort) produces, re-rank is exact cosine. The
+    # oracle recomputes the whole thing relationally.
+    return """
+WITH cn AS (
+  SELECT vec_id, embedding AS e,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id,
+             list_transform(e, x -> CAST(x AS DOUBLE) / nrm) AS u
+      FROM cn),
+st AS (SELECT greatest(1, count(*) // 8) AS stride FROM u),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, u AS cu
+  FROM (SELECT vec_id, u FROM u, st
+        WHERE vec_id % st.stride = 0 ORDER BY vec_id LIMIT 8)
+),
+asg AS (
+  SELECT a.vec_id, c.cid,
+         list_sum(list_transform(generate_series(1, 64),
+                  j -> a.u[j] * c.cu[j])) AS dot
+  FROM u a, cents c
+),
+arank AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dot DESC, cid DESC) AS rk
+          FROM asg),
+clist AS (SELECT vec_id, cid AS list FROM arank WHERE rk = 1),
+qprobe AS (SELECT a.vec_id AS qid, a.cid AS list
+           FROM arank a WHERE a.vec_id % 97 = 0 AND a.rk <= 3),
+cand AS (SELECT DISTINCT qp.qid, cl.vec_id
+         FROM qprobe qp JOIN clist cl ON cl.list = qp.list),
+cosj AS (
+  SELECT cand.qid, cand.vec_id,
+         list_sum(list_transform(generate_series(1, 64),
+                  j -> cu.u[j] * qu.u[j])) AS cos
+  FROM cand
+  JOIN u cu ON cu.vec_id = cand.vec_id
+  JOIN u qu ON qu.vec_id = cand.qid
+),
+r AS (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM cosj)
+SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
+"""
+
+
+def _o_polygonize_rings() -> str:
+    # ring-tracing is not SQL — but every NUMBER the query returns is:
+    # region_id/value/n_cells from the CC labeling; area == n_cells (the
+    # tracer's shoelace invariant); n_rings from Gray's quad-count Euler
+    # characteristic for 4-connected foreground / 8-connected background
+    # (the polygonize duality: a diagonally-open cavity is NOT a hole):
+    # chi4 = (n1 - n3 + 2*nd)/4 over all 2x2 windows, where n1/n3 count
+    # windows with 1/3 region cells and nd the diagonal-pair windows;
+    # holes = 1 - chi4 => n_rings = 2 - chi4. n_vertices =
+    # boundary_edges + n_rings (each closed ring repeats its start
+    # vertex; boundary edges = 4F - 2*adjacent_pairs).
+    cells = ('cells AS (SELECT bx, "by", '
+             "CAST(min(n_chars) % 3 AS DOUBLE) AS value FROM d GROUP BY 1, 2)")
+    return f"""
+WITH RECURSIVE
+d AS (SELECT CAST(doc_id % 40 AS BIGINT) AS bx,
+             CAST(floor(doc_id/40.0) AS BIGINT) % 40 AS "by",
+             n_chars
+      FROM documents),
+{_dd_cc_label(cells)},
+f AS (SELECT region_id, count(*) AS f FROM lc GROUP BY 1),
+quadm AS (
+  -- each cell hits 4 window anchors; pos encodes its corner in the
+  -- window ((bx-wx) + 2*((by-wy))): diagonal pairs sum to 3
+  SELECT region_id, wx, wy, count(*) AS n, sum(pos) AS sp FROM (
+    SELECT region_id, bx AS wx, "by" AS wy, 0 AS pos FROM lc
+    UNION ALL SELECT region_id, bx - 1, "by", 1 FROM lc
+    UNION ALL SELECT region_id, bx, "by" - 1, 2 FROM lc
+    UNION ALL SELECT region_id, bx - 1, "by" - 1, 3 FROM lc
+  ) GROUP BY 1, 2, 3
+),
+chi AS (
+  SELECT region_id,
+         (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+          - sum(CASE WHEN n = 3 THEN 1 ELSE 0 END)
+          + 2 * sum(CASE WHEN n = 2 AND sp = 3 THEN 1 ELSE 0 END)) // 4
+             AS chi4
+  FROM quadm GROUP BY 1
+),
+adj AS (
+  SELECT a.region_id, count(*) AS a2
+  FROM lc a JOIN lc b ON a.region_id = b.region_id AND
+       ((b.bx = a.bx + 1 AND b."by" = a."by") OR
+        (b.bx = a.bx AND b."by" = a."by" + 1))
+  GROUP BY 1
+),
+vals AS (SELECT region_id, min(value) AS value FROM lc GROUP BY 1)
+SELECT f.region_id, vals.value, f.f AS n_cells,
+       CAST(2 - chi.chi4 AS INT) AS n_rings,
+       (4 * f.f - 2 * COALESCE(adj.a2, 0)) + (2 - chi.chi4) AS n_vertices,
+       CAST(f.f AS DOUBLE) AS area
+FROM f
+JOIN chi ON chi.region_id = f.region_id
+JOIN vals ON vals.region_id = f.region_id
+LEFT JOIN adj ON adj.region_id = f.region_id
+"""
+
+
+def _o_ann_lsh() -> str:
+    # ann_lsh is APPROXIMATE but fully DETERMINISTIC: the hyperplanes are
+    # splitmix64-derived from (seed, table), so the oracle regenerates
+    # the exact plane constants (similarity._hyperplanes) and replays the
+    # whole pipeline — unit-norm, 4x6 sign-bit buckets, bucket equi-join,
+    # exact-cosine re-rank. The only cross-engine exposure is a sign
+    # test on a dot product within 1 ulp of zero (never observed on this
+    # deterministic data; checked at both sf).
+    from lib_gdal_spark.operators.similarity import _hyperplanes
+
+    dim, n_tables, n_bits, k = 64, 4, 6, 3
+
+    def bucket(tbl: int, ucol: str) -> str:
+        planes = _hyperplanes(dim, n_bits, tbl, 42)
+        bits = []
+        for i in range(n_bits):
+            consts = ", ".join(repr(float(x)) for x in planes[i])
+            dot = (f"list_sum(list_transform(generate_series(1, {dim}),"
+                   f" j -> {ucol}[j] * [{consts}][j]))")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    cb_arms = " UNION ALL ".join(
+        f"SELECT vec_id, u, {t} AS tbl, {bucket(t, 'u')} AS bkt FROM u"
+        for t in range(n_tables))
+    qb_arms = " UNION ALL ".join(
+        f"SELECT qid, qu, {t} AS tbl, {bucket(t, 'qu')} AS bkt FROM qs"
+        for t in range(n_tables))
+    return f"""
+WITH cn AS (
+  SELECT vec_id, embedding AS e,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+u AS (SELECT vec_id,
+             list_transform(e, x -> CAST(x AS DOUBLE) / nrm) AS u
+      FROM cn),
+qs AS (SELECT vec_id AS qid, u AS qu FROM u WHERE vec_id < 5),
+cb AS ({cb_arms}),
+qb AS ({qb_arms}),
+cand AS (SELECT DISTINCT q.qid, c.vec_id
+         FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bkt = q.bkt),
+cosj AS (
+  SELECT cand.qid, cand.vec_id,
+         list_sum(list_transform(generate_series(1, {dim}),
+                  j -> cu.u[j] * qu2.qu[j])) AS cos
+  FROM cand
+  JOIN u cu ON cu.vec_id = cand.vec_id
+  JOIN qs qu2 ON qu2.qid = cand.qid
+),
+r AS (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM cosj)
+SELECT qid, vec_id, round(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= {k}
+"""
+
+
+def _o_multimodal() -> str:
+    # independent recomputation of the decode results from the synthesis
+    # formula (multimodal.synth_media_real, seed 42): BMP/PPM pixel k of
+    # id i is k*(42+i) % 251 over w*h*3 pixels (w = 4+i%5, h = 3+i%4);
+    # WAV sample k is k*(42+i) % 4001 - 2000 over n = 64+i%32 samples.
+    # n_bytes are the container sizes by construction (BMP 54-byte
+    # header + 4-padded rows; PPM 11-byte header for 1-digit dims;
+    # WAV 44 + 2n). All sums are integer-exact; the mean is one division.
+    return """
+WITH ids AS (SELECT unnest(generate_series(0, 199)) AS id),
+b AS (SELECT id, id % 3 AS m, 4 + id % 5 AS w, 3 + id % 4 AS h,
+             64 + id % 32 AS n
+      FROM ids),
+k AS (SELECT unnest(generate_series(0, 149)) AS k),
+ip AS (SELECT b.id, (k.k * (42 + b.id)) % 251 AS v
+       FROM b, k WHERE b.m < 2 AND k.k < b.w * b.h * 3),
+ist AS (SELECT id, min(v) AS mn, max(v) AS mx,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean
+        FROM ip GROUP BY id),
+ap AS (SELECT b.id, (k.k * (42 + b.id)) % 4001 - 2000 AS v
+       FROM b, k WHERE b.m = 2 AND k.k < b.n),
+ast AS (SELECT id, min(v) AS mn, max(v) AS mx,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mean
+        FROM ap GROUP BY id)
+SELECT b.id,
+       CASE WHEN b.m = 2 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE b.m
+         WHEN 0 THEN 54 + ((b.w * 3 + 3) // 4) * 4 * b.h
+         WHEN 1 THEN 11 + b.w * b.h * 3
+         ELSE 44 + b.n * 2 END AS BIGINT) AS n_bytes,
+       TRUE AS ok,
+       CAST(CASE WHEN b.m = 2 THEN b.n ELSE b.w END AS DOUBLE) AS f0,
+       CAST(CASE WHEN b.m = 2 THEN 1 ELSE b.h END AS DOUBLE) AS f1,
+       CAST(CASE WHEN b.m = 2 THEN 8000 ELSE 3 END AS DOUBLE) AS f2,
+       CASE WHEN b.m = 2 THEN ast.mean ELSE ist.mean END AS f3,
+       CAST(CASE WHEN b.m = 2 THEN ast.mn ELSE ist.mn END AS DOUBLE) AS f4,
+       CAST(CASE WHEN b.m = 2 THEN ast.mx ELSE ist.mx END AS DOUBLE) AS f5
+FROM b
+LEFT JOIN ist ON ist.id = b.id
+LEFT JOIN ast ON ast.id = b.id
+"""
+
+
 def _o_minhash_dedup() -> str:
     # the full near-dup pipeline IS deterministic end to end (md5
     # min-hashes -> band keys -> exact-Jaccard verify -> greedy larger-id
@@ -3343,12 +3594,18 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _o_cosine_topk(),
         "embed_neardup": _o_embed_neardup(),
         "minhash_dedup": _o_minhash_dedup(),
+        "multimodal_features": _o_multimodal(),
+        "dem_hillshade": _o_dem_hillshade(),
+        "ann_lsh": _o_ann_lsh(),
+        "polygonize_rings": _o_polygonize_rings(),
+        "ann_ivf": _o_ann_ivf(),
         "polygonize_regions": _o_polygonize_regions(),
         "sieve_filter": _o_sieve(),
-        # ann_lsh / minhash_dedup / multimodal_features / polygonize_rings
-        # / grid_linear / dem_hillshade: intentionally no oracle
-        # (approximate, transcendental-fold, or non-SQL-expressible) ->
-        # driver records rows-only checks.
+        # grid_linear is the ONLY remaining rows-only query: its TIN
+        # interpolation needs a Delaunay triangulation, which has no
+        # bounded relational expression (the empty-circumcircle test is
+        # O(n^4) in SQL). Everything else — including the approximate
+        # ANN paths — is deterministic and exactly replayed above.
     }
 
 
