@@ -262,35 +262,64 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize kernel over image rows (codec STUBBED — deterministic fake).
+def resize_nearest_np(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Center-sampled nearest-neighbor resample: source index of output
+    pixel i is floor((i + 0.5) * src / dst) — the overview 'near' kernel
+    convention (gcore/overview.cpp nearest; same phase as warp_near)."""
+    sh, sw = img.shape[:2]
+    ys = np.floor((np.arange(height) + 0.5) * sh / height).astype(np.int64)
+    xs = np.floor((np.arange(width) + 0.5) * sw / width).astype(np.int64)
+    return img[np.clip(ys, 0, sh - 1)][:, np.clip(xs, 0, sw - 1)]
 
-    Real shape of the op: decode payload -> resample pixel grid -> encode;
-    the resample itself is the warp kernel family the engine implements on
-    cell tables (gcore/overview.cpp kernels). Here the stub re-derives a
-    payload of the target 'size' deterministically from the source bytes
-    (md5-keyed) and rewrites meta.width/height, keeping the Arrow batch
-    contract and partition behavior real. Non-image rows pass through.
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  codec: str = "stub") -> DataFrame:
+    """Resize kernel over image rows.
+
+    codec='real': decode (pure-NumPy BMP/PPM), center-sampled
+    nearest-neighbor resample (resize_nearest_np), re-encode in the SAME
+    container — a genuine decode->resample->encode pipeline for the
+    uncompressed formats; rows whose format needs a codec library pass
+    through unchanged (meta untouched, honest partial coverage).
+    codec='stub': deterministic md5 fake, plumbing tests only.
+    Non-image rows always pass through.
     """
     from ..session import ship_package
 
     ship_package(media.sparkSession)
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
 
     def run(batches):
         for pdf in batches:
             out = pdf.copy()
             pay, meta = [], []
             for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
-                if k == "image" and p is not None:
-                    h = hashlib.md5(bytes(p) + f"|{width}x{height}".encode()).digest()
-                    # fake bitmap: one digest block per output row of pixels
-                    pay.append(h * max(1, height // 4))
-                    m = dict(m) if m is not None else {}
-                    m["width"], m["height"] = width, height
-                    meta.append(m)
-                else:
+                if k != "image" or p is None:
                     pay.append(p)
                     meta.append(m)
+                    continue
+                if codec == "real":
+                    try:
+                        img, dm = decode_real(bytes(p))
+                    except NotImplementedError:
+                        pay.append(p)
+                        meta.append(m)
+                        continue
+                    r = resize_nearest_np(img, width, height)
+                    if r.ndim == 3 and r.shape[2] == 4:
+                        r = r[:, :, :3]   # 32-bit BMP: drop alpha on write
+                    if dm["codec"] == "bmp":
+                        pay.append(encode_bmp(r))
+                    else:
+                        pay.append(encode_ppm(r))
+                else:
+                    h = hashlib.md5(
+                        bytes(p) + f"|{width}x{height}".encode()).digest()
+                    pay.append(h * max(1, height // 4))
+                m = dict(m) if m is not None else {}
+                m["width"], m["height"] = width, height
+                meta.append(m)
             out["payload"], out["meta"] = pay, meta
             yield out
 

@@ -22,8 +22,9 @@ fixtures and the streaming-text shape Spark natively distributes:
 """
 
 from .aaigrid import read_aaigrid, write_aaigrid
-from .tiff import decode_tiff, read_bmp, read_tiff
+from .tiff import decode_tiff, encode_tiff, read_bmp, read_tiff, write_tiff
 from .xyz import read_xyz, write_xyz
 
 __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
-           "read_tiff", "read_bmp", "decode_tiff"]
+           "read_tiff", "write_tiff", "read_bmp", "decode_tiff",
+           "encode_tiff"]

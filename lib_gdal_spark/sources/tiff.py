@@ -135,6 +135,78 @@ def read_tiff(spark: SparkSession, path: str):
             meta)
 
 
+def encode_tiff(arr: np.ndarray, nodata: float | None = None) -> bytes:
+    """2-D array -> minimal single-strip little-endian classic TIFF
+    (uncompressed, single band; uint8/16/32, int8/16/32 or float32/64),
+    with the GDAL_NODATA ASCII tag when `nodata` is given — the exact
+    subset decode_tiff reads, round-trip tested."""
+    arr = np.ascontiguousarray(arr)
+    h, w = arr.shape
+    kind_fmt = {"u": 1, "i": 2, "f": 3}
+    sfmt = kind_fmt.get(arr.dtype.kind)
+    if sfmt is None or arr.dtype.itemsize not in (1, 2, 4, 8):
+        raise NotImplementedError(f"encode_tiff: dtype {arr.dtype}")
+    bits = arr.dtype.itemsize * 8
+    data = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    nod = f"{nodata:g}".encode() + b"\0" if nodata is not None else None
+
+    entries = []  # (tag, type, count, value or bytes-offset placeholder)
+
+    def short(tag, v):
+        entries.append((tag, 3, 1, v))
+
+    def long_(tag, v):
+        entries.append((tag, 4, 1, v))
+
+    short(256, w)
+    short(257, h)
+    short(258, bits)
+    short(259, 1)            # no compression
+    short(262, 1)            # BlackIsZero
+    long_(273, 0)            # strip offset (patched below)
+    short(277, 1)
+    short(278, h)            # one strip
+    long_(279, len(data))
+    short(339, sfmt)
+    if nod is not None:
+        entries.append((42113, 2, len(nod), None))  # ascii, out-of-line
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n + 4
+    nod_off = after_ifd
+    data_off = after_ifd + (len(nod) if nod is not None else 0)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n)
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        if tag == 42113:
+            out += struct.pack("<HHII", tag, typ, cnt, nod_off)
+            continue
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    if nod is not None:
+        out += nod
+    out += data
+    return bytes(out)
+
+
+def write_tiff(cells: DataFrame, path: str, width: int, height: int,
+               dtype: str = "f8", nodata: float = -9999.0) -> dict:
+    """(bx, by, value) -> uncompressed TIFF; absent cells take `nodata`
+    (written as the GDAL_NODATA tag). Bottom-up by maps to raster row
+    height-1-by, mirroring read_tiff."""
+    got = {(r.bx, r.by): r.value for r in cells.collect()}
+    arr = np.full((height, width), nodata, dtype=np.dtype(dtype))
+    for (x, y), v in got.items():
+        if 0 <= x < width and 0 <= y < height:
+            arr[height - 1 - y, x] = v
+    with open(path, "wb") as f:
+        f.write(encode_tiff(arr, nodata=nodata))
+    return {"width": width, "height": height, "nodata": nodata}
+
+
 def read_bmp(spark: SparkSession, path: str, band: int = 1):
     """Uncompressed BMP -> (cells DataFrame (bx, by, value), meta) for
     one 1-based band (1=R, 2=G, 3=B[, 4=A]) — reuses the multimodal

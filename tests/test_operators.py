@@ -343,6 +343,27 @@ class TestMultimodal:
             else:
                 assert r.feat[1] == 1.0 or r.feat[2] == 8000.0
 
+    def test_real_resize_hand_golden(self, spark):
+        # 4x2 BMP -> 2x1: center-sampled nearest picks src col
+        # floor((i+0.5)*4/2) = {1, 3}, src row floor(0.5*2/1) = 1
+        img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(multimodal.encode_bmp(img)), None)],
+            multimodal.MEDIA_SCHEMA)
+        row = multimodal.resize_images(media, 2, 1, codec="real").collect()[0]
+        arr, meta = multimodal.decode_real(bytes(row.payload))
+        assert (meta["width"], meta["height"]) == (2, 1)
+        np.testing.assert_array_equal(arr, img[[1]][:, [1, 3]])
+        assert row.meta.width == 2 and row.meta.height == 1
+
+    def test_real_resize_passthrough_on_compressed(self, spark):
+        payload = bytearray(b"\xff\xd8\xff\xe0 jpeg")
+        media = spark.createDataFrame(
+            [(1, "image", payload, None)], multimodal.MEDIA_SCHEMA)
+        row = multimodal.resize_images(media, 8, 8, codec="real").collect()[0]
+        assert bytes(row.payload) == bytes(payload)  # untouched
+        assert row.meta is None                      # meta untouched too
+
     def test_real_branch_honest_on_compressed(self, spark):
         media = spark.createDataFrame(
             [(1, "image", bytearray(b"\xff\xd8\xff\xe0 jpeg bytes"), None)],

@@ -161,6 +161,36 @@ class TestTiff:
             with pytest.raises(NotImplementedError):
                 decode_tiff(buf)
 
+    def test_write_tiff_roundtrip_through_reference_fixture(self, spark, tmp_path):
+        # read byte.tif -> write with our encoder -> read back: identical
+        # cell table AND the canonical checksum 4672 survives the sink
+        from lib_gdal_spark.sources import read_tiff, write_tiff
+        from lib_gdal_spark.operators import raster
+
+        cells, meta = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/byte.tif")
+        p = str(tmp_path / "rt.tif")
+        write_tiff(cells, p, width=20, height=20, dtype="u1", nodata=255.0)
+        again, meta2 = read_tiff(spark, p)
+        assert meta2["nodata"] == 255.0
+        a = sorted((r.bx, r.by, r.value) for r in cells.collect())
+        b = sorted((r.bx, r.by, r.value) for r in again.collect())
+        assert a == b
+        cs = raster.checksum(again, 0, 0, 20, 20).collect()[0].checksum
+        assert cs == 4672
+
+    def test_write_tiff_nodata_holes(self, spark, tmp_path):
+        from lib_gdal_spark.sources import read_tiff, write_tiff
+
+        df = spark.createDataFrame([(0, 0, 1.5), (2, 1, 7.25)],
+                                   "bx long, by long, value double")
+        p = str(tmp_path / "holes.tif")
+        write_tiff(df, p, width=3, height=2, dtype="f8")
+        back, meta = read_tiff(spark, p)
+        got = {(r.bx, r.by): r.value for r in back.collect()}
+        assert got == {(0, 0): 1.5, (2, 1): 7.25}  # holes stay absent
+        assert meta["nodata"] == -9999.0
+
     def test_bmp_source_roundtrip(self, spark, tmp_path):
         from lib_gdal_spark.operators import multimodal
         from lib_gdal_spark.sources import read_bmp
