@@ -174,19 +174,25 @@ def encode_tiff(arr: np.ndarray, nodata: float | None = None) -> bytes:
     n = len(entries)
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * n + 4
+    nod_inline = nod is not None and len(nod) <= 4
     nod_off = after_ifd
-    data_off = after_ifd + (len(nod) if nod is not None else 0)
+    data_off = after_ifd + (0 if nod is None or nod_inline else len(nod))
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
     out += struct.pack("<H", n)
     for tag, typ, cnt, val in entries:
         if tag == 273:
             val = data_off
         if tag == 42113:
-            out += struct.pack("<HHII", tag, typ, cnt, nod_off)
+            if nod_inline:
+                # values <= 4 bytes live IN the 12-byte entry (TIFF 6.0)
+                out += struct.pack("<HHI", tag, typ, cnt)
+                out += nod.ljust(4, b"\0")
+            else:
+                out += struct.pack("<HHII", tag, typ, cnt, nod_off)
             continue
         out += struct.pack("<HHII", tag, typ, cnt, val)
     out += struct.pack("<I", 0)  # no next IFD
-    if nod is not None:
+    if nod is not None and not nod_inline:
         out += nod
     out += data
     return bytes(out)

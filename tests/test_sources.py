@@ -170,9 +170,11 @@ class TestTiff:
         cells, meta = read_tiff(
             spark, "/root/reference/autotest/gcore/data/byte.tif")
         p = str(tmp_path / "rt.tif")
-        write_tiff(cells, p, width=20, height=20, dtype="u1", nodata=255.0)
+        # nodata must avoid the data range (byte.tif holds 74..255 incl.
+        # 255s) — 0 never occurs
+        write_tiff(cells, p, width=20, height=20, dtype="u1", nodata=0.0)
         again, meta2 = read_tiff(spark, p)
-        assert meta2["nodata"] == 255.0
+        assert meta2["nodata"] == 0.0
         a = sorted((r.bx, r.by, r.value) for r in cells.collect())
         b = sorted((r.bx, r.by, r.value) for r in again.collect())
         assert a == b
