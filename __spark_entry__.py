@@ -1161,6 +1161,17 @@ def _q_ann_lsh(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _q_corpus_clean(spark, sf_dir):
+    # the C4/CCNet/Gopher cleaning pipeline as ONE composition: quality
+    # >= 0.5 -> lang en -> 2-gram repetition <= 0.5 -> exact dedup ->
+    # MinHash-LSH near-dup; every stage is an individually-verified
+    # operator, and the composition has its own composed oracle
+    d = _tbl(spark, sf_dir, "documents")
+    out = textops.corpus_clean(d, min_quality=0.5, langs=("en",),
+                               max_repetition=0.5, neardup_threshold=0.8)
+    return out.select("doc_id")
+
+
 def _q_minhash_dedup(spark, sf_dir):
     d = _tbl(spark, sf_dir, "documents")
     return dedup.minhash_dedup(d, "doc_id", "text", threshold=0.8).select("doc_id")
@@ -1244,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_regions": _q_polygonize,       # recursive-CTE oracle
         "sieve_filter": _q_sieve,                  # recursive-CTE oracle
         "minhash_dedup": _q_minhash_dedup,         # exact composed oracle
+        "corpus_clean": _q_corpus_clean,           # NEW: composed pipeline
         "multimodal_features": _q_multimodal,      # real decode, exact oracle
         "polygonize_rings": _q_polygonize_rings,   # Euler-quad oracle
         "ann_lsh": _q_ann_lsh,                     # plane-replay oracle
@@ -3475,6 +3487,112 @@ WHERE doc_id NOT IN (SELECT id_b FROM losers)
 """
 
 
+def _o_corpus_clean() -> str:
+    # stage-for-stage composition of the individually-green oracle
+    # fragments: quality formula (=_o_token_quality), lang CASE chain
+    # (=_o_lang_id), 2-gram repetition (=_o_repetition_ratio), md5 exact
+    # dedup, then the minhash->band->Jaccard chain restricted to the
+    # surviving ids
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS_ALL)
+    hits = {
+        lang: "len(list_filter(t, x -> x IN ({})))".format(
+            ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang]))
+        for lang in textops.STOPWORDS
+    }
+    sig_cols = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
+        for b in range(4))
+    return f"""
+WITH q AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alpha
+  FROM documents
+),
+f AS (
+  SELECT doc_id, t, len(t) AS n_tokens, nc, alpha,
+         len(list_filter(t, x -> x IN ({stops}))) AS stop_hits
+  FROM q
+),
+p1 AS (
+  SELECT doc_id, t FROM f
+  WHERE (least(nc / 500.0, 1.0)
+         + CASE WHEN nc > 0 THEN alpha / CAST(nc AS DOUBLE) ELSE 0.0 END
+         + CASE WHEN n_tokens > 0 AND alpha / CAST(n_tokens AS DOUBLE) >= 3
+                     AND alpha / CAST(n_tokens AS DOUBLE) <= 10
+                THEN 1.0 ELSE 0.5 END
+         + least(CASE WHEN n_tokens > 0
+                      THEN stop_hits / CAST(n_tokens AS DOUBLE)
+                      ELSE 0.0 END * 4, 1.0)
+        ) / 4.0 >= 0.5
+),
+h AS (SELECT doc_id, t, {hits['en']} AS h_en, {hits['de']} AS h_de,
+             {hits['fr']} AS h_fr, {hits['es']} AS h_es FROM p1),
+p2 AS (
+  SELECT doc_id, t FROM h
+  WHERE (CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de
+                   AND h_fr > 0 THEN 'fr'
+              WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
+              WHEN h_en >= h_de AND h_en > 0 THEN 'en'
+              WHEN h_de > 0 THEN 'de'
+              ELSE 'und' END) = 'en'
+),
+g AS (SELECT doc_id, greatest(len(t) - 1, 0) AS ng,
+             list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                            i -> concat_ws(' ', t[i], t[i+1])) AS gr
+      FROM p2),
+p3 AS (
+  SELECT doc_id FROM g
+  WHERE (CASE WHEN ng > 0
+              THEN 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / ng
+              ELSE 0.0 END) <= 0.5
+),
+p4 AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN p3 ON p3.doc_id = d.doc_id
+  GROUP BY md5(d.text)
+),
+toks4 AS (SELECT d.doc_id,
+                 regexp_extract_all(lower(d.text), '[a-z0-9]+') AS t
+          FROM documents d JOIN p4 ON p4.doc_id = d.doc_id),
+sh0 AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                              i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+        FROM toks4),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE length(shingle) > 0),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT c.id_b
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE COALESCE(i.i, 0)
+        / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE) >= 0.8
+)
+SELECT doc_id FROM p4
+WHERE doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
 def _o_cosine_topk() -> str:
     return """
 WITH cn AS (
@@ -3594,6 +3712,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _o_cosine_topk(),
         "embed_neardup": _o_embed_neardup(),
         "minhash_dedup": _o_minhash_dedup(),
+        "corpus_clean": _o_corpus_clean(),
         "multimodal_features": _o_multimodal(),
         "dem_hillshade": _o_dem_hillshade(),
         "ann_lsh": _o_ann_lsh(),

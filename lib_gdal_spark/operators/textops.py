@@ -200,3 +200,42 @@ def re_escape(sep: str) -> str:
     import re
 
     return re.escape(sep)
+
+
+def corpus_clean(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_quality: float = 0.5,
+                 langs=("en",), max_repetition: float = 0.2,
+                 neardup_threshold: float = 0.8) -> DataFrame:
+    """End-to-end corpus cleaning — the C4/CCNet/Gopher pipeline shape
+    composed from the engine's already-verified stages:
+
+    1. quality_score(text) >= min_quality   (length/alpha/word-length/
+       stopword heuristics)
+    2. lang_id(text) in `langs`             (None/empty keeps all)
+    3. repetition_ratio(2-gram) <= max_repetition  (boilerplate filter)
+    4. exact text dedup                      (md5 digest, min-id keeps)
+    5. MinHash-LSH near-dup removal          (banded candidates + exact
+       Jaccard >= neardup_threshold, larger id drops)
+
+    Every stage is a narrow-column Catalyst pass or a bucketed equi-join
+    — the whole pipeline is a linear chain of the operators the driver
+    queries verify individually, so the composition stays exactly
+    oracle-able (and deterministic under any partitioning).
+    Output: the surviving input rows.
+    """
+    from . import dedup
+
+    q = quality_score(df, text_col)
+    keep = q.filter(F.col("quality") >= float(min_quality)) \
+        .select(id_col, text_col)
+    keep = lang_id(keep, text_col)
+    if langs:
+        keep = keep.filter(F.col("lang_pred").isin(list(langs)))
+    keep = keep.select(id_col, text_col)
+    rep = repetition_ratio(keep, id_col, text_col)
+    keep = keep.join(
+        rep.filter(F.col("dup_ratio") <= float(max_repetition))
+        .select(id_col), on=id_col, how="left_semi")
+    keep = dedup.exact_dedup(keep, id_col, text_col)
+    return dedup.minhash_dedup(keep, id_col, text_col,
+                               threshold=float(neardup_threshold))

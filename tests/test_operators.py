@@ -208,6 +208,38 @@ class TestTextops:
         assert out.loc[1, "lang_pred"] == "de"
         assert out.loc[2, "lang_pred"] == "und"
 
+    def test_corpus_clean_stages(self, spark):
+        # each stage visibly removes its target: low-quality (1), wrong
+        # lang (2), repetitive boilerplate (3), exact dup (5 of 4),
+        # near-dup (7 of 6); good English docs survive
+        good = ("the quick brown fox jumped over the lazy dog while the "
+                "morning sun rose over the quiet house and the old cat "
+                "watched from the garden wall with great patience")
+        other = ("a small boat drifted down the wide river as children "
+                 "played near the shore and fishermen pulled their nets "
+                 "from the cold water before the storm arrived that night")
+        rows = [
+            (0, good),
+            (1, "x"),                                    # low quality
+            (2, "der hund und die katze sind nicht in das haus mit zu "
+                "und der morgen war noch sehr ruhig in dem garten"),
+            (3, "spam ham " * 60),                       # repetitive
+            (4, other),
+            (5, other),                                  # exact dup of 4
+            (6, other.replace("storm", "rain")),         # near-dup of 4
+            (7, "the engineers tested the new bridge for many months "
+                "and wrote careful reports about the load limits and "
+                "the weather conditions during each of the trials"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sorted(r.doc_id for r in textops.corpus_clean(
+            df, min_quality=0.5, langs=("en",), max_repetition=0.5,
+            neardup_threshold=0.8).select("doc_id").collect())
+        assert 0 in out and 4 in out and 7 in out
+        assert 1 not in out and 2 not in out and 3 not in out
+        assert 5 not in out                      # exact dup dropped
+        assert 6 not in out                      # near-dup of 4 dropped
+
     def test_fingerprint_normalization(self, spark):
         df = spark.createDataFrame(
             [(0, "Hello,   World!"), (1, "hello world"), (2, "other text")],
