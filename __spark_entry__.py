@@ -1101,6 +1101,21 @@ def _q_latest_snapshot(spark, sf_dir):
     return j.select("url", "doc_id", "ts")
 
 
+def _q_crawl_incremental(spark, sf_dir):
+    # incremental-ingest gate: new crawl rows whose url was never seen.
+    # Bloom prefilter (JVM bloom_filter_agg broadcast into the scan) +
+    # exact anti-join verify — the bloom only ADMITS candidates, so the
+    # result is exact and oracle-checkable as a plain anti-join
+    from lib_gdal_spark.pages import ops as pops
+
+    crawl = _pages_crawl(spark, sf_dir)
+    seen = crawl.filter(F.col("doc_id") < 100).select("url")
+    new = crawl.filter(F.col("doc_id") >= 100)
+    out = pops.incremental_dedup(new, seen, url_col="url",
+                                 expected_seen=1000)
+    return out.select("doc_id", "url")
+
+
 def _q_host_stats(spark, sf_dir):
     from lib_gdal_spark.pages import ops as pops
     out = pops.host_stats(_pages_crawl(spark, sf_dir))
@@ -1256,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve_filter": _q_sieve,                  # recursive-CTE oracle
         "minhash_dedup": _q_minhash_dedup,         # exact composed oracle
         "corpus_clean": _q_corpus_clean,           # NEW: composed pipeline
+        "crawl_incremental": _q_crawl_incremental,  # NEW: bloom-gated ingest
         "multimodal_features": _q_multimodal,      # real decode, exact oracle
         "polygonize_rings": _q_polygonize_rings,   # Euler-quad oracle
         "ann_lsh": _q_ann_lsh,                     # plane-replay oracle
@@ -3487,6 +3503,17 @@ WHERE doc_id NOT IN (SELECT id_b FROM losers)
 """
 
 
+def _o_crawl_incremental() -> str:
+    # the bloom is a pure admit-only prefilter, so the exact semantics
+    # are a plain anti-join on url
+    return f"""
+WITH {_DD_CRAWL}
+SELECT doc_id, url FROM p
+WHERE doc_id >= 100
+  AND url NOT IN (SELECT url FROM p WHERE doc_id < 100)
+"""
+
+
 def _o_corpus_clean() -> str:
     # stage-for-stage composition of the individually-green oracle
     # fragments: quality formula (=_o_token_quality), lang CASE chain
@@ -3713,6 +3740,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": _o_embed_neardup(),
         "minhash_dedup": _o_minhash_dedup(),
         "corpus_clean": _o_corpus_clean(),
+        "crawl_incremental": _o_crawl_incremental(),
         "multimodal_features": _o_multimodal(),
         "dem_hillshade": _o_dem_hillshade(),
         "ann_lsh": _o_ann_lsh(),

@@ -53,3 +53,64 @@ def host_stats(df: DataFrame, url_col: str = "url",
         F.sum(F.length(text_col)).alias("total_chars"),
         (F.sum(F.length(text_col)) / F.count(F.lit(1))).alias("mean_chars"),
     )
+
+
+def incremental_dedup(new_pages: DataFrame, seen: DataFrame,
+                      url_col: str = "url",
+                      expected_seen: int = 1_000_000,
+                      n_hashes: int = 4,
+                      bloom: bool = True) -> DataFrame:
+    """Pages of the new crawl whose url has NEVER been seen — the
+    incremental-ingest gate of an append-only 10^12-page corpus.
+
+    Two-phase at scale: an explicit k-hash bitmap bloom over the seen
+    side prefilters the new side IN THE SCAN, so only the ~fpp false
+    positives plus genuine dups reach the exact left_anti join — the
+    shuffle carries a fraction of the new crawl instead of all of it.
+    The exact anti-join makes the RESULT exact regardless of fpp (the
+    bloom can only ADMIT extra candidates, never drop a novel url), so
+    the operator stays fully oracle-checkable.
+
+    Bloom construction is one distributed aggregation of bit positions
+    (xxhash64(url, seed) pmod m, k seeds); the driver collect is bounded
+    by the BITMAP size m ~ 8 bits/key — never by data volume — and the
+    packed words broadcast as a single array row, with membership tested
+    by JVM shift/mask expressions. Scale bound: the bitmap must fit the
+    broadcast budget (10^9 seen keys ~ 1 GB); beyond that pass
+    bloom=False — the plain anti-join — and let AQE's runtime filters
+    do the shuffle pruning instead."""
+    out_cols = new_pages.columns
+    if not bloom:
+        return new_pages.join(seen.select(url_col).distinct(),
+                              on=url_col, how="left_anti")
+    m = max(64, 8 * int(expected_seen))
+    pos = None
+    for s in range(n_hashes):
+        arm = seen.select(
+            F.pmod(F.xxhash64(F.col(url_col), F.lit(s)), F.lit(m))
+            .alias("p"))
+        pos = arm if pos is None else pos.unionByName(arm)
+    words = [0] * ((m + 63) // 64)
+    for r in pos.distinct().collect():           # bounded by m, not data
+        p = int(r.p)
+        words[p // 64] |= 1 << (p % 64)
+    # signed-long pack (Spark arrays are long); bit tests are unaffected
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    spark = new_pages.sparkSession
+    bmdf = spark.createDataFrame([(words,)], "_bm array<long>")
+    tagged = new_pages.crossJoin(F.broadcast(bmdf))
+    maybe = None
+    for s in range(n_hashes):
+        bit = F.expr(
+            f"((element_at(_bm, cast(pmod(xxhash64({url_col}, {s}), {m})"
+            f" / 64 as int) + 1)"
+            f" >> cast(pmod(xxhash64({url_col}, {s}), {m}) % 64 as int))"
+            f" & 1) = 1")
+        maybe = bit if maybe is None else (maybe & bit)
+    tagged = tagged.withColumn("_maybe", maybe)
+    clean = tagged.filter(~F.col("_maybe")).select(*out_cols)
+    dup_checked = (
+        tagged.filter(F.col("_maybe")).select(*out_cols)
+        .join(seen.select(url_col).distinct(), on=url_col, how="left_anti")
+    )
+    return clean.unionByName(dup_checked.select(*out_cols))

