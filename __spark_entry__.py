@@ -1310,8 +1310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": _q_events_sliding,
         "rasterize_rects": _q_rasterize,
         "footprint_boundary": _q_footprint,
-        "raster_calc": _q_raster_calc,
         # -------- 50-cap boundary: positions 51+ below --------
+        "raster_calc": _q_raster_calc,
         "histogram": _q_histogram,
         "ogr_first_match_join": _q_first_match_join,
         "ogr_filter_in_between": _q_filter_in_between,
