@@ -133,6 +133,25 @@ class TestTiff:
         assert (r.mn, r.mx, r.mean) == (74.0, 255.0, 126.765)
         assert r.sd == pytest.approx(22.928470838675658, rel=1e-12)
 
+    def test_gdaladdo_average_overview_golden(self, spark):
+        # autotest/utilities/test_gdaladdo.py test_gdaladdo_2 (same as
+        # gcore tiff_ovr_5): -r average factor 2 over nodata_byte.tif ->
+        # overview checksum 1130. Nodata pixels are absent rows, so our
+        # average is GDAL's valid-only average; the Byte write rounds as
+        # floor(x+0.5); all-nodata blocks stay absent = the nodata value
+        # 0 under the checksum
+        from lib_gdal_spark.sources import read_tiff
+        from lib_gdal_spark.operators import raster
+
+        cells, meta = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/nodata_byte.tif")
+        assert meta["nodata"] == 0.0
+        ov = raster.overview(cells, "average").select(
+            "bx", "by",
+            F.floor(F.col("value") + 0.5).cast("double").alias("value"))
+        cs = raster.checksum(ov, 0, 0, 10, 10).collect()[0].checksum
+        assert cs == 1130
+
     def test_translate_scale_byte_to_uint16_golden(self, spark):
         # autotest/utilities/test_gdal_translate_lib.py:565-569:
         # -scale 0 255 0 65535 to UInt16 over byte.tif ->
