@@ -285,9 +285,13 @@ def overview(cells: DataFrame, kernel: str = "average",
     py = F.shiftright(F.col("by"), 1).alias("by")
     v = F.col(value_col)
     if kernel == "near":
-        # upper-left child wins (overview.cpp near: picks the sampled pixel)
+        # upper-left child wins (overview.cpp NEAREST samples the
+        # top-left source pixel of each block — replaying the reference's
+        # tiff_ovr_check checksums 1087/328 pins it). With by increasing
+        # UP, upper-left = LARGEST by, smallest bx.
         w = Window.partitionBy(F.shiftright(F.col("bx"), 1),
-                               F.shiftright(F.col("by"), 1)).orderBy("by", "bx")
+                               F.shiftright(F.col("by"), 1)) \
+            .orderBy(F.col("by").desc(), F.col("bx").asc())
         return (
             cells.withColumn("_rn", F.row_number().over(w))
             .filter("_rn = 1")

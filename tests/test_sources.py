@@ -152,6 +152,24 @@ class TestTiff:
         cs = raster.checksum(ov, 0, 0, 10, 10).collect()[0].checksum
         assert cs == 1130
 
+    def test_tiff_ovr_nearest_goldens(self, spark):
+        # autotest/gcore/tiff_ovr.py tiff_ovr_check: NEAREST overviews at
+        # factors 2 and 4 over the float32 twin of byte.tif -> checksums
+        # 1087 (10x10) and 328 (5x5). Pins the top-left child pick (this
+        # caught an upper-vs-lower child bug under the bottom-up by
+        # convention).
+        from lib_gdal_spark.sources import read_tiff
+        from lib_gdal_spark.operators import raster
+
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/float32.tif")
+        ov2 = raster.overview(cells, "near")
+        cs2 = raster.checksum(ov2, 0, 0, 10, 10).collect()[0].checksum
+        assert cs2 == 1087
+        ov4 = raster.overview(ov2, "near")
+        cs4 = raster.checksum(ov4, 0, 0, 5, 5).collect()[0].checksum
+        assert cs4 == 328
+
     def test_translate_scale_byte_to_uint16_golden(self, spark):
         # autotest/utilities/test_gdal_translate_lib.py:565-569:
         # -scale 0 255 0 65535 to UInt16 over byte.tif ->
