@@ -674,6 +674,26 @@ def _q_warp_lanczos(spark, sf_dir):
     return out.select("x", "y", F.round("value", 6).alias("value"))
 
 
+def _q_rasterize_lines(spark, sf_dir):
+    # gdal_rasterize over LINESTRINGs (GDALdllImageLine Bresenham,
+    # llrasterize.cpp:256): 25 nation-derived segments burned into a
+    # 200x200 grid, REPLACE = largest line id wins. The duckdb twin
+    # replays the integer walk as a recursive CTE — exact arithmetic.
+    rows = _tbl(spark, sf_dir, "nation").select("n_nationkey").collect()
+    lines = []
+    burns = {}
+    for r in rows:
+        k = int(r.n_nationkey)
+        lines.append((k, [((k * 7919 % 2000) / 10.0,
+                           (k * 104729 % 2000) / 10.0),
+                          ((k * 9973 % 2000) / 10.0,
+                           (k * 6151 % 2000) / 10.0)]))
+        burns[k] = float(k)
+    out = raster.rasterize_lines(spark, lines, burns, cell_size=1.0,
+                                 origin=(0.0, 0.0), width=200, height=200)
+    return out.select("bx", "by", "value")
+
+
 def _q_raster_calc(spark, sf_dir):
     # two aligned bands from documents: A = char sum, B = doc count; out =
     # reclassified mean chars-per-doc (pixel-function map algebra, §2.8)
@@ -1266,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_invdistnn": _q_grid_invdistnn,
         "contour_polygon_bands": _q_contour_polygon_bands,
         "translate_scale": _q_translate_scale,
+        "rasterize_line_burn": _q_rasterize_lines,
         # ---- (2) changed this round ----
         "polygonize_regions": _q_polygonize,       # recursive-CTE oracle
         "sieve_filter": _q_sieve,                  # recursive-CTE oracle
@@ -1309,8 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted": _q_zonal_weighted,
         "events_sliding": _q_events_sliding,
         "rasterize_rects": _q_rasterize,
-        "footprint_boundary": _q_footprint,
         # -------- 50-cap boundary: positions 51+ below --------
+        "footprint_boundary": _q_footprint,
         "raster_calc": _q_raster_calc,
         "histogram": _q_histogram,
         "ogr_first_match_join": _q_first_match_join,
@@ -2195,6 +2216,54 @@ SELECT CAST(lc.value AS INT) AS band,
        CAST(max(lc.bx) + 1 AS DOUBLE) AS xmax,
        CAST(max(lc."by") + 1 AS DOUBLE) AS ymax
 FROM lc GROUP BY 1
+"""
+
+
+def _o_rasterize_lines() -> str:
+    # the Bresenham walk as a recursive CTE with generic (major, minor)
+    # state: A = major delta, B = minor delta, xe = 2B, ye = 2B - 2A,
+    # err0 = 2B - A; each recursion step advances the major coordinate
+    # and conditionally the minor — integer-exact, total rows bounded by
+    # the segment lengths (a dimension-side constant)
+    return """
+WITH RECURSIVE
+segs AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS lid,
+         CAST(floor((n_nationkey*7919 % 2000)/10.0) AS BIGINT) AS ix0,
+         CAST(floor(200.0 - (n_nationkey*104729 % 2000)/10.0) AS BIGINT) AS iy0,
+         CAST(floor((n_nationkey*9973 % 2000)/10.0) AS BIGINT) AS ix1,
+         CAST(floor(200.0 - (n_nationkey*6151 % 2000)/10.0) AS BIGINT) AS iy1
+  FROM nation
+),
+init AS (
+  SELECT lid, ix0 AS ix, iy0 AS iy,
+         abs(ix1 - ix0) >= abs(iy1 - iy0) AS xmaj,
+         CASE WHEN ix0 > ix1 THEN -1 ELSE 1 END AS sx,
+         CASE WHEN iy0 > iy1 THEN -1 ELSE 1 END AS sy,
+         CASE WHEN abs(ix1 - ix0) >= abs(iy1 - iy0)
+              THEN abs(ix1 - ix0) ELSE abs(iy1 - iy0) END AS a,
+         CASE WHEN abs(ix1 - ix0) >= abs(iy1 - iy0)
+              THEN abs(iy1 - iy0) ELSE abs(ix1 - ix0) END AS b
+  FROM segs
+),
+walk(lid, xmaj, sx, sy, xe, ye, ix, iy, err, nd) AS (
+  SELECT lid, xmaj, sx, sy, 2*b, 2*b - 2*a, ix, iy, 2*b - a, a FROM init
+  UNION ALL
+  SELECT lid, xmaj, sx, sy, xe, ye,
+         CASE WHEN xmaj THEN ix + sx
+              ELSE CASE WHEN err > 0 THEN ix + sx ELSE ix END END,
+         CASE WHEN xmaj THEN CASE WHEN err > 0 THEN iy + sy ELSE iy END
+              ELSE iy + sy END,
+         CASE WHEN err > 0 THEN err + ye ELSE err + xe END,
+         nd - 1
+  FROM walk WHERE nd > 0
+),
+burned AS (
+  SELECT lid, ix, iy FROM walk
+  WHERE ix >= 0 AND ix < 200 AND iy >= 0 AND iy < 200
+)
+SELECT ix AS bx, 199 - iy AS "by", CAST(max(lid) AS DOUBLE) AS value
+FROM burned GROUP BY 1, 2
 """
 
 
@@ -3672,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_multi": _o_contour_multi(),
         "contour_polygon_bands": _o_contour_polygon_bands(),
         "translate_scale": _o_translate_scale(),
+        "rasterize_line_burn": _o_rasterize_lines(),
         "raster_calc": _o_raster_calc(),
         "sjoin_left": _o_sjoin_left(),
         "sjoin_update": _o_sjoin_update(),
