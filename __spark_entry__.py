@@ -1259,13 +1259,108 @@ def _q_multimodal(spark, sf_dir):
         F.col("feat")[4].alias("f4"), F.col("feat")[5].alias("f5"))
 
 
+def _pii_aug(d):
+    """Documents text with deterministic synthetic PII appended (the
+    corpus itself is PII-free word soup): one email, one IPv4, one
+    phone per doc, all derived from doc_id — identical int/string math
+    in both engines, so redaction is exercised on every row."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org from 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" call 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    # pre-training privacy pass: count + redact emails/IPv4s/phones with
+    # placeholder tokens; patterns restricted to the Java-regex/RE2
+    # common subset so the oracle runs the literally identical regexes
+    out = textops.pii_redact(_pii_aug(_tbl(spark, sf_dir, "documents")))
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone",
+                      "text_redacted")
+
+
+def _q_contamination(spark, sf_dir):
+    # GPT-3-style eval decontamination: benchmark = every 97th doc, probe
+    # every corpus doc's distinct 3-gram shingles against the broadcast
+    # benchmark shingle set (3-grams, not the production 8-gram default,
+    # so the synthetic word-soup corpus produces nonzero cross-doc hits)
+    d = _tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_check(d, bench, "doc_id", "text",
+                                     shingle_n=3)
+
+
+def _q_gopher_rules(spark, sf_dir):
+    # Gopher/MassiveText table-A1 quality rules (the single-line subset);
+    # min_words=30 sits inside the synthetic word-count distribution at
+    # every sf (degenerate-constant trap) — booleans cast to long for the
+    # cross-engine hash
+    out = textops.gopher_rules(_tbl(spark, sf_dir, "documents"),
+                               min_words=30)
+    return out.select(
+        "doc_id", "word_count", "mean_word_len", "symbol_frac",
+        "stop_distinct",
+        F.col("ok_words").cast("long").alias("ok_words"),
+        F.col("ok_word_len").cast("long").alias("ok_word_len"),
+        F.col("ok_symbols").cast("long").alias("ok_symbols"),
+        F.col("ok_stop").cast("long").alias("ok_stop"),
+        F.col("passes_gopher").cast("long").alias("passes_gopher"),
+    )
+
+
+def _messy_urls(d):
+    """Deterministic messy-URL synthesis: mixed-case scheme/host,
+    default and explicit ports, empty paths, unsorted query params with
+    a trailing separator, fragments — every branch of the canonicalizer
+    hit at every sf."""
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP"),
+            F.when(did % 3 == 0, F.lit("S")).otherwise(F.lit("")),
+            F.lit("://WWW.Example"), (did % 7).cast("string"),
+            F.lit(".COM"),
+            F.when(did % 3 == 0, F.lit(":443"))
+            .when(did % 5 == 0, F.lit(":8080"))
+            .when(did % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/Path/"), (did % 13).cast("string"))),
+            F.when(did % 2 == 0, F.concat(
+                F.lit("?b=2&a="), (did % 5).cast("string"), F.lit("&")))
+            .otherwise(F.lit("")),
+            F.when(did % 6 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def _q_url_canonical(spark, sf_dir):
+    # crawl-key normalizer ahead of latest_snapshot/incremental_dedup:
+    # lowercase scheme+host, drop default ports + fragments, '/' for
+    # empty paths, sorted deduped-empty query params
+    from lib_gdal_spark.pages import ops as pops
+    d = _messy_urls(_tbl(spark, sf_dir, "documents"))
+    return pops.url_canonicalize(d).select("doc_id", "url",
+                                           "canonical_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
     dict order and caps at 50/round (proven rounds 1-2). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
     driver row is OLDEST. Round-3 order:
-    (1) NEW this round (warp convolution family, viewshed parity modes,
-        invdistnn, contour polygonize, translate -scale);
+    (1) NEW this round (webtext: PII redaction, eval decontamination,
+        Gopher rules, URL canonicalization; warp convolution family,
+        viewshed parity modes, invdistnn, contour polygonize,
+        translate -scale);
     (2) CHANGED this round — every formerly-rows-only query that gained
         an exact oracle (polygonize/sieve CC, composed minhash_dedup,
         multimodal synthesis-replay, Euler-quad polygonize_rings,
@@ -1278,6 +1373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- (1) new this round ----
+        "pii_redact": _q_pii_redact,
+        "contamination_check": _q_contamination,
+        "gopher_rules": _q_gopher_rules,
+        "url_canonical": _q_url_canonical,
         "warp_cubic": _q_warp_cubic,
         "warp_cubicspline": _q_warp_cubicspline,
         "warp_lanczos": _q_warp_lanczos,
@@ -3572,6 +3671,143 @@ WHERE doc_id NOT IN (SELECT id_b FROM losers)
 """
 
 
+def _o_pii_redact() -> str:
+    # same PII augmentation (integer/string math) and the LITERALLY
+    # identical regexes (Java/RE2 common subset); duckdb regexp_replace
+    # needs the 'g' flag (first-match-only by default — Spark is global)
+    em = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    ph = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org from 10.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR)
+              || ' call 555-010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{em}', '<EMAIL>', 'g'),
+      '{ip}', '<IPV4>', 'g'),
+      '{ph}', '<PHONE>', 'g') AS text_redacted
+FROM aug
+"""
+
+
+def _o_contamination() -> str:
+    # 3-gram shingles exactly as dedup.shingles(): starts 1..len-2 for
+    # len>=3, one partial shingle for shorter docs, empty docs dropped
+    return """
+WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+sh0 AS (SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(t) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' '))) AS s
+        FROM tk),
+sh AS (SELECT DISTINCT doc_id, s FROM sh0 WHERE length(s) > 0),
+b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_hits FROM sh
+        WHERE s IN (SELECT s FROM b) GROUP BY doc_id)
+SELECT tot.doc_id,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(hit.n_hits, 0) AS DOUBLE) / tot.n_grams AS contam_frac
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+"""
+
+
+def _o_gopher_rules() -> str:
+    # signals are counts + single divisions — exact in both engines
+    return """
+WITH tk AS (SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+g AS (SELECT doc_id,
+             len(t) AS wc,
+             length(array_to_string(t, '')) AS tc,
+             length(text) AS nc,
+             length(text)
+               - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+               AS sym,
+             len(list_distinct(list_filter(t,
+                 x -> x IN ('the','a','and','of','to','in','is','that'))))
+               AS sd
+      FROM tk),
+m AS (SELECT doc_id, wc, sd,
+             CASE WHEN wc > 0 THEN CAST(tc AS DOUBLE) / wc ELSE 0.0 END AS mwl,
+             CASE WHEN nc > 0 THEN CAST(sym AS DOUBLE) / nc ELSE 0.0 END AS sf
+      FROM g)
+SELECT doc_id,
+       CAST(wc AS BIGINT) AS word_count,
+       mwl AS mean_word_len,
+       sf AS symbol_frac,
+       CAST(sd AS BIGINT) AS stop_distinct,
+       CAST(wc >= 30 AND wc <= 100000 AS BIGINT) AS ok_words,
+       CAST(mwl >= 3.0 AND mwl <= 10.0 AS BIGINT) AS ok_word_len,
+       CAST(sf <= 0.1 AS BIGINT) AS ok_symbols,
+       CAST(sd >= 2 AS BIGINT) AS ok_stop,
+       CAST((wc >= 30 AND wc <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+            AND sf <= 0.1 AND sd >= 2 AS BIGINT) AS passes_gopher
+FROM m
+"""
+
+
+def _o_url_canonical() -> str:
+    # identical messy-URL synthesis and the identical extraction regexes;
+    # no group references in any replacement (Java $1 vs RE2 \\1 trap)
+    return r"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTP' || CASE WHEN doc_id % 3 = 0 THEN 'S' ELSE '' END
+         || '://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443'
+                 WHEN doc_id % 5 = 0 THEN ':8080'
+                 WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ''
+                 ELSE '/Path/' || CAST(doc_id % 13 AS VARCHAR) END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?b=2&a=' || CAST(doc_id % 5 AS VARCHAR) || '&'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN '#Frag' ELSE '' END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS query
+  FROM u),
+q AS (
+  SELECT doc_id, url, scheme, path, query,
+         lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+  FROM p),
+c AS (
+  SELECT doc_id, url, scheme, host,
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END AS port_part,
+         CASE WHEN path = '' THEN '/' ELSE path END AS path_part,
+         list_sort(list_filter(string_split(query, '&'),
+                               x -> length(x) > 0)) AS params
+  FROM q)
+SELECT doc_id, url,
+       scheme || '://' || host || port_part || path_part
+       || CASE WHEN len(params) > 0
+               THEN '?' || array_to_string(params, '&') ELSE '' END
+       AS canonical_url
+FROM c
+"""
+
+
 def _o_crawl_incremental() -> str:
     # the bloom is a pure admit-only prefilter, so the exact semantics
     # are a plain anti-join on url
@@ -3794,6 +4030,10 @@ def oracle_sql() -> dict[str, str]:
         "pivot_status": _o_pivot(),
         "events_tumbling": _o_events_tumbling(),
         "events_sessionize": _o_events_sessionize(),
+        "pii_redact": _o_pii_redact(),
+        "contamination_check": _o_contamination(),
+        "gopher_rules": _o_gopher_rules(),
+        "url_canonical": _o_url_canonical(),
         "dedup_exact": _o_dedup_exact(),
         "minhash_signatures": _o_minhash_sigs(),
         "simhash": _o_simhash(),

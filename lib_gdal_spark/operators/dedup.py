@@ -198,3 +198,41 @@ def simhash_dup_pairs(sh: DataFrame, id_col: str, max_hamming: int = 2,
     return pairs.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 8) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, the
+    fraction of its distinct n-gram shingles that appear in ANY benchmark
+    document (the GPT-3/PaLM-style eval-decontamination test).
+
+    Scale shape: the benchmark side is the small one by construction
+    (eval suites are KBs; the corpus is the 100 TB side), so its distinct
+    shingle set is broadcast and the probe is a map-side left-semi join —
+    the corpus is scanned once, shuffled only by `id_col` for the
+    per-document counts. No all-pairs anything.
+
+    Output: one row per corpus document —
+    (id_col, n_grams, n_hits, contam_frac), contaminated docs first-class
+    (contam_frac = 1.0 when the doc IS a benchmark doc).
+    """
+    c = shingles(corpus, id_col, text_col, shingle_n)
+    b = shingles(benchmark, id_col, text_col, shingle_n) \
+        .select("shingle").distinct()
+    per_doc = c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        c.join(F.broadcast(b), on="shingle", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        per_doc.join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0))
+             / F.col("n_grams").cast("double")).alias("contam_frac"),
+        )
+    )

@@ -202,6 +202,110 @@ def re_escape(sep: str) -> str:
     return re.escape(sep)
 
 
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (duckdb): character classes + bounded repeats + \b only — no
+# backreferences, no lookaround (RE2 has neither).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, IPv4 addresses
+    and phone-shaped numbers with typed placeholder tokens (`<EMAIL>`,
+    `<IPV4>`, `<PHONE>`) and count each category.
+
+    The standard pre-training privacy pass (the reference has no text
+    pipeline; this belongs to the SURVEY training-data family). Pure JVM
+    regexp column math — three `regexp_replace` passes plus three
+    `regexp_extract_all` counts, no Python, no shuffle; at 100 TB this is
+    a map-only stage that pipelines with the scan.
+
+    Redaction order is email -> ipv4 -> phone, counted BEFORE any
+    replacement so counts refer to the original text. Patterns avoid
+    every Java/RE2 divergence (no backrefs/lookaround), so the duckdb
+    oracle runs the literally identical regexes.
+
+    Output: input columns + (n_email, n_ipv4, n_phone, out_col).
+    """
+    t = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(t, F.lit(p), 0)).cast("long")
+        for k, p in PII_PATTERNS.items()
+    }
+    red = F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>")
+    red = F.regexp_replace(red, PII_PATTERNS["ipv4"], "<IPV4>")
+    red = F.regexp_replace(red, PII_PATTERNS["phone"], "<PHONE>")
+    return (
+        df.withColumn("n_email", counts["email"])
+        .withColumn("n_ipv4", counts["ipv4"])
+        .withColumn("n_phone", counts["phone"])
+        .withColumn(out_col, red)
+    )
+
+
+# Gopher (MassiveText, Rae et al. 2021 table A1) repetition/quality rule
+# thresholds — the subset expressible over single-line documents.
+GOPHER_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "that"]
+
+
+def gopher_rules(df: DataFrame, doc_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100000,
+                 min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                 max_symbol_frac: float = 0.1,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style document quality rules: word-count bounds, mean word
+    length bounds, symbol-to-character ratio, and a "contains >= k
+    distinct stopwords" sanity test. Emits the per-document signals plus
+    one boolean per rule and the conjunction `passes_gopher`.
+
+    All JVM column math over one staged token array (the higher-order-
+    function re-evaluation trap — stage `_toks` as a real column first);
+    map-only at any scale. Every signal is counts and single divisions,
+    so the duckdb oracle matches exactly.
+
+    Output: (doc_col, word_count, mean_word_len, symbol_frac,
+    stop_distinct, ok_words, ok_word_len, ok_symbols, ok_stop,
+    passes_gopher).
+    """
+    t = df.select(F.col(doc_col), F.col(text_col),
+                  tokens_col(text_col).alias("_toks"))
+    wc = F.size(F.col("_toks"))
+    tok_chars = F.length(F.array_join(F.col("_toks"), ""))
+    n_chars = F.length(F.col(text_col))
+    # symbols = characters outside [a-z0-9] and space (lowercased view)
+    sym = n_chars - F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""))
+    stop_distinct = F.size(F.array_distinct(
+        F.filter(F.col("_toks"), lambda x: x.isin(GOPHER_STOPWORDS))))
+    g = t.select(
+        F.col(doc_col),
+        wc.cast("long").alias("word_count"),
+        F.when(wc > 0, tok_chars / wc.cast("double"))
+        .otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(n_chars > 0, sym / n_chars.cast("double"))
+        .otherwise(F.lit(0.0)).alias("symbol_frac"),
+        stop_distinct.cast("long").alias("stop_distinct"),
+    )
+    return g.select(
+        "*",
+        ((F.col("word_count") >= min_words)
+         & (F.col("word_count") <= max_words)).alias("ok_words"),
+        ((F.col("mean_word_len") >= min_mean_wl)
+         & (F.col("mean_word_len") <= max_mean_wl)).alias("ok_word_len"),
+        (F.col("symbol_frac") <= max_symbol_frac).alias("ok_symbols"),
+        (F.col("stop_distinct") >= min_stop_hits).alias("ok_stop"),
+    ).withColumn(
+        "passes_gopher",
+        F.col("ok_words") & F.col("ok_word_len") & F.col("ok_symbols")
+        & F.col("ok_stop"),
+    )
+
+
 def corpus_clean(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", min_quality: float = 0.5,
                  langs=("en",), max_repetition: float = 0.2,

@@ -55,6 +55,57 @@ def host_stats(df: DataFrame, url_col: str = "url",
     )
 
 
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^#]*\?([^#]*)"
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url",
+                     out_col: str = "canonical_url") -> DataFrame:
+    """URL canonicalization — the crawl-dedup key normalizer that makes
+    `latest_snapshot` / `incremental_dedup` see `HTTP://Example.COM:80/a`
+    and `http://example.com/a?` as the same page:
+
+    - scheme and host lowercased; default ports dropped (http:80,
+      https:443), other explicit ports kept;
+    - fragment dropped (never sent to the server);
+    - empty path becomes '/';
+    - query parameters split on '&', empties dropped, sorted
+      bytewise, rejoined ('?a=1&b=2' == '?b=2&a=1').
+
+    Pure regexp_extract + array column math (identical Java/RE2
+    semantics: classes and bounded repeats only, and no group references
+    in any REPLACEMENT string — Java spells those $1, RE2 \\1), so the
+    duckdb oracle runs the same expressions. Map-only at any scale; at
+    10^12 pages this runs inside the scan before the url shuffle.
+
+    Output: input columns + out_col.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.regexp_extract(u, _HOSTPORT_RE, 1)
+    host_ = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    default_port = ((scheme == "http") & (port == "80")) | \
+                   ((scheme == "https") & (port == "443"))
+    port_part = F.when((port == "") | default_port, F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(F.split(query, "&"), lambda x: F.length(x) > 0))
+    query_part = F.when(F.size(params) > 0,
+                        F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+    return df.withColumn(
+        out_col,
+        F.concat(scheme, F.lit("://"), host_, port_part, path_part,
+                 query_part),
+    )
+
+
 def incremental_dedup(new_pages: DataFrame, seen: DataFrame,
                       url_col: str = "url",
                       expected_seen: int = 1_000_000,

@@ -1720,3 +1720,106 @@ class TestPansharpen:
         out = raster.pansharpen(g, {"r": g}, weights={"r": 1.0})
         diff = out.join(g, on=["bx", "by"]).filter(F.col("r") != F.col("value"))
         assert diff.count() == 0
+
+
+# ------------------------------------------- webtext pipeline (round 3)
+class TestPiiRedact:
+    def test_hand_golden(self, spark):
+        df = spark.createDataFrame(
+            [(0, "mail bob.smith@x.co and 10.0.0.1 or 999-123-4567 end"),
+             (1, "no pii here at all"),
+             (2, "two mails a@b.org c@d.io one ip 192.168.1.255")],
+            "id long, text string",
+        )
+        out = textops.pii_redact(df).toPandas().set_index("id")
+        assert out.loc[0, "n_email"] == 1
+        assert out.loc[0, "n_ipv4"] == 1
+        assert out.loc[0, "n_phone"] == 1
+        assert out.loc[0, "text_redacted"] == \
+            "mail <EMAIL> and <IPV4> or <PHONE> end"
+        assert out.loc[1, ["n_email", "n_ipv4", "n_phone"]].sum() == 0
+        assert out.loc[1, "text_redacted"] == "no pii here at all"
+        assert out.loc[2, "n_email"] == 2 and out.loc[2, "n_ipv4"] == 1
+
+    def test_no_tld_not_an_email(self, spark):
+        df = spark.createDataFrame([(0, "ping a@b please")],
+                                   "id long, text string")
+        out = textops.pii_redact(df).toPandas()
+        assert out.n_email[0] == 0
+        assert out.text_redacted[0] == "ping a@b please"
+
+
+class TestContamination:
+    def test_hand_golden(self, spark):
+        corpus = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "c d e f g"), (2, "x y z w v")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(100, "a b c d e q")],
+                                      "doc_id long, text string")
+        out = dedup.contamination_check(corpus, bench, shingle_n=3) \
+            .toPandas().set_index("doc_id")
+        # bench 3-grams: {a b c, b c d, c d e, d e q}
+        assert out.loc[0, "n_grams"] == 3 and out.loc[0, "n_hits"] == 3
+        assert out.loc[0, "contam_frac"] == pytest.approx(1.0)
+        assert out.loc[1, "n_hits"] == 1  # only "c d e"
+        assert out.loc[1, "contam_frac"] == pytest.approx(1 / 3)
+        assert out.loc[2, "n_hits"] == 0
+
+    def test_empty_benchmark(self, spark):
+        corpus = spark.createDataFrame([(0, "a b c d")],
+                                       "doc_id long, text string")
+        bench = corpus.filter("doc_id < 0")
+        out = dedup.contamination_check(corpus, bench, shingle_n=2).toPandas()
+        assert out.n_hits[0] == 0 and out.n_grams[0] == 3
+
+
+class TestGopherRules:
+    def test_hand_golden(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat and the dog ran to the big house in a field"),
+             (1, "$$$ ### !!!")],
+            "doc_id long, text string",
+        )
+        out = textops.gopher_rules(df, min_words=5).toPandas() \
+            .set_index("doc_id")
+        # doc 0: 13 words, 39 token chars -> mean 3.0; stopword hits
+        # {the, and, to, in, a} -> 5 distinct; no symbols
+        assert out.loc[0, "word_count"] == 13
+        assert out.loc[0, "mean_word_len"] == pytest.approx(3.0)
+        assert out.loc[0, "symbol_frac"] == pytest.approx(0.0)
+        assert out.loc[0, "stop_distinct"] == 5
+        assert bool(out.loc[0, "passes_gopher"])
+        # doc 1: zero words -> every rule fails
+        assert out.loc[1, "word_count"] == 0
+        assert out.loc[1, "symbol_frac"] == pytest.approx(9 / 11)
+        assert not bool(out.loc[1, "passes_gopher"])
+
+
+class TestUrlCanonicalize:
+    def test_hand_goldens(self, spark):
+        from lib_gdal_spark.pages import ops as pops
+
+        cases = [
+            (0, "HTTP://WWW.Example.COM:80/Path?b=2&a=1&#frag",
+             "http://www.example.com/Path?a=1&b=2"),
+            (1, "https://x.com:8443", "https://x.com:8443/"),
+            (2, "http://a.com/", "http://a.com/"),
+            (3, "HTTPS://A.com:443?x=1", "https://a.com/?x=1"),
+            (4, "http://a.com/p#only-frag", "http://a.com/p"),
+        ]
+        df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                                   "id long, url string")
+        out = pops.url_canonicalize(df).toPandas().set_index("id")
+        for i, _, want in cases:
+            assert out.loc[i, "canonical_url"] == want, i
+
+    def test_idempotent(self, spark):
+        from lib_gdal_spark.pages import ops as pops
+
+        df = spark.createDataFrame(
+            [(0, "HTTP://B.com:80/x?z=1&y=2#f")], "id long, url string")
+        once = pops.url_canonicalize(df).select(
+            "id", F.col("canonical_url").alias("url"))
+        twice = pops.url_canonicalize(once).toPandas()
+        assert twice.canonical_url[0] == twice.url[0]
