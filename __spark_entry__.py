@@ -858,21 +858,46 @@ def _q_grid_quadrant(spark, sf_dir):
     )
 
 
-def _q_grid_linear(spark, sf_dir):
-    # TIN-linear gridding (gdalgrid.cpp GGA_Linear / alg/delaunay.c):
-    # Delaunay isn't ANSI-SQL-expressible -> rows-only driver check; the
-    # triangulation-independent planar-reproduction oracle and partition
-    # invariance are unit-tested instead. Deterministic 1/13 subsample
-    # keeps the O(n_block^2) per-block triangulation out of the sweep's
-    # wall-time budget at bigger sf.
-    pts = _tbl(spark, sf_dir, "part").filter(
+_TIN_SCALE = 200.0 / (2.0 ** 52)  # 25 * 2^-49: exact power-of-two scale
+
+
+def _tin_points(spark, sf_dir):
+    """md5-derived scatter for the TIN query: 13 hex digits -> [0, 2^52)
+    exactly representable, scaled by an exact power-of-two quotient, so
+    both engines produce BIT-IDENTICAL doubles. md5 coordinates put the
+    points in general position (no 4 cocircular, no 3 collinear) — the
+    property that makes the Delaunay triangulation unique and hence
+    relationally characterizable (the earlier /997 lattice synthesis had
+    EXACT cocircular ties everywhere, broken only by insertion order)."""
+    h = lambda tag: F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag),
+                                   F.col("p_partkey").cast("string"))),
+                    1, 13), 16, 10).cast("long").cast("double") * _TIN_SCALE
+    return _tbl(spark, sf_dir, "part").filter(
         F.col("p_partkey") % 13 == 0
     ).select(
-        ((F.col("p_partkey") * 9973 % 199400) / 997.0).alias("x"),
-        ((F.col("p_partkey") * 6151 % 199400) / 997.0).alias("y"),
+        h("gx|").alias("x"), h("gy|").alias("y"),
         F.col("p_retailprice").cast("double").alias("z"),
     )
-    return grid.grid_linear(pts, cell_size=10.0, block_cells=4, margin=20.0)
+
+
+def _q_grid_linear(spark, sf_dir):
+    # TIN-linear gridding (gdalgrid.cpp GGA_Linear / alg/delaunay.c).
+    # EXACT oracle via the empty-circumcircle characterization: the
+    # engine's per-block Bowyer-Watson equals Delaunay(P u {3 super
+    # vertices}) restricted to real triples, and with md5 general-
+    # position points that set is definable in SQL (circumcircle empty
+    # of every other block point AND of the super vertices, whose
+    # coordinates are block min/max aggregates). Validated: all 48
+    # blocks' triangle sets match brute force at sf0.01, min incircle
+    # margin 8.36 (fp noise ~1e-7), min |barycentric| 5e-4, zero
+    # multi-containment — so sign tests and the containment rule are
+    # fp-safe. The barycentric fold is vertex-order dependent (engine
+    # CCW vs oracle sorted) -> round to 6 dp on BOTH sides per the
+    # exactness conventions.
+    out = grid.grid_linear(_tin_points(spark, sf_dir),
+                           cell_size=10.0, block_cells=4, margin=20.0)
+    return out.select("bx", "by", F.round("value", 6).alias("value"))
 
 
 def _q_grid_metrics(spark, sf_dir):
@@ -1364,7 +1389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (2) CHANGED this round — every formerly-rows-only query that gained
         an exact oracle (polygonize/sieve CC, composed minhash_dedup,
         multimodal synthesis-replay, Euler-quad polygonize_rings,
-        plane/centroid-replay ANN) needs a fresh hash row;
+        plane/centroid-replay ANN, circumcircle-Delaunay grid_linear)
+        needs a fresh hash row;
     (3) the round-1-verified set, now one round stale. Its 10 cheapest
         pure-Catalyst ogr_* entries sit just past the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
@@ -1396,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_rings": _q_polygonize_rings,   # Euler-quad oracle
         "ann_lsh": _q_ann_lsh,                     # plane-replay oracle
         "ann_ivf": _q_ann_ivf,                     # centroid-replay oracle
+        "grid_linear": _q_grid_linear,             # circumcircle oracle (was
+                                                   # the LAST rows-only entry)
         # ---- (3) round-1-verified, one round stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -1480,7 +1508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_bilinear": _q_warp_bilinear,
         "grid_movavg": _q_grid_movavg,
         "grid_quadrant": _q_grid_quadrant,
-        "grid_linear": _q_grid_linear,
         "color_relief": _q_color_relief,
         "graph_kpaths": _q_graph_kpaths,
         "viewshed_los": _q_viewshed,
@@ -4058,12 +4085,110 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _o_ann_ivf(),
         "polygonize_regions": _o_polygonize_regions(),
         "sieve_filter": _o_sieve(),
-        # grid_linear is the ONLY remaining rows-only query: its TIN
-        # interpolation needs a Delaunay triangulation, which has no
-        # bounded relational expression (the empty-circumcircle test is
-        # O(n^4) in SQL). Everything else — including the approximate
-        # ANN paths — is deterministic and exactly replayed above.
+        # grid_linear (the last formerly-rows-only query): Delaunay IS
+        # relationally characterizable once the points are in general
+        # position — triangle in Delaunay(P u super) iff its circumcircle
+        # contains no other block point and no super vertex. O(n_block^4)
+        # in SQL, bounded by the block size, not the data.
+        "grid_linear": _o_grid_linear(),
     }
+
+
+def _tin_incircle(px: str, py: str) -> str:
+    """Incircle predicate text: blocker (px, py) strictly inside the
+    circumcircle of oriented triple (ax,ay)-(bx2,by2)-(cx2,cy2) — the
+    brute-force characterization validated against the engine's
+    Bowyer-Watson block by block (margins >= 8.36 at sf0.01; doubles
+    are sign-safe by 7 orders of magnitude)."""
+    ax, ay = f"(t.ax - {px})", f"(t.ay - {py})"
+    bx, by = f"(t.bx2 - {px})", f"(t.by2 - {py})"
+    cx, cy = f"(t.cx2 - {px})", f"(t.cy2 - {py})"
+    det = (f"(({ax}*{ax} + {ay}*{ay}) * ({bx}*{cy} - {cx}*{by})"
+           f" - ({bx}*{bx} + {by}*{by}) * ({ax}*{cy} - {cx}*{ay})"
+           f" + ({cx}*{cx} + {cy}*{cy}) * ({ax}*{by} - {bx}*{ay}))")
+    return f"((t.o > 0 AND {det} > 0) OR (t.o < 0 AND {det} < 0))"
+
+
+def _o_grid_linear() -> str:
+    # the md5 coordinate synthesis is bit-identical to _tin_points
+    # (13 hex digits -> exact 52-bit integer, exact power-of-two scale);
+    # the block/halo float expressions mirror operators/grid.py term by
+    # term; the barycentric formulas mirror geo/delaunay.py
+    # tin_interpolate including its -1e-9 containment eps. Vertex order
+    # in the weighted sum differs (sorted vs CCW) -> 6 dp round, same
+    # as the engine side.
+    coord = (lambda tag: "CAST(('0x' || substr(md5('" + tag
+             + "' || CAST(p_partkey AS VARCHAR)), 1, 13))::BIGINT"
+             " AS DOUBLE) * " + repr(_TIN_SCALE))
+    inc_real = _tin_incircle("d.x", "d.y")
+    inc_sup = _tin_incircle("s.sx", "s.sy")
+    return f"""
+WITH pts AS (
+  SELECT {coord('gx|')} AS x, {coord('gy|')} AS y,
+         CAST(p_retailprice AS DOUBLE) AS z
+  FROM part WHERE p_partkey % 13 = 0),
+off AS (SELECT * FROM (VALUES (-1),(0),(1)) o1(dx), (VALUES (-1),(0),(1)) o2(dy)),
+halo AS (
+  SELECT CAST(floor(x/40.0) AS BIGINT) + dx AS gbx,
+         CAST(floor(y/40.0) AS BIGINT) + dy AS gby, x, y, z
+  FROM pts, off
+  WHERE greatest((CAST(floor(x/40.0) AS BIGINT) + dx)*40.0 - x,
+                 x - ((CAST(floor(x/40.0) AS BIGINT) + dx) + 1)*40.0,
+                 0.0) <= 20.0
+    AND greatest((CAST(floor(y/40.0) AS BIGINT) + dy)*40.0 - y,
+                 y - ((CAST(floor(y/40.0) AS BIGINT) + dy) + 1)*40.0,
+                 0.0) <= 20.0),
+lp AS (SELECT gbx, gby, x, y, z,
+              row_number() OVER (PARTITION BY gbx, gby ORDER BY x, y) AS pid
+       FROM halo),
+sup AS (SELECT gbx, gby,
+               (min(x) + max(x))/2.0 AS c0, (min(y) + max(y))/2.0 AS c1,
+               greatest(max(x) - min(x), max(y) - min(y))*16.0 + 1.0 AS d
+        FROM lp GROUP BY gbx, gby),
+supv AS (
+  SELECT gbx, gby, c0 - 2*d AS sx, c1 - d AS sy FROM sup
+  UNION ALL SELECT gbx, gby, c0 + 2*d, c1 - d FROM sup
+  UNION ALL SELECT gbx, gby, c0, c1 + 2*d FROM sup),
+tri AS (
+  SELECT a.gbx, a.gby, a.pid AS pa, b.pid AS pb, c.pid AS pc,
+         a.x AS ax, a.y AS ay, a.z AS az,
+         b.x AS bx2, b.y AS by2, b.z AS bz,
+         c.x AS cx2, c.y AS cy2, c.z AS cz,
+         (b.x - a.x)*(c.y - a.y) - (b.y - a.y)*(c.x - a.x) AS o
+  FROM lp a
+  JOIN lp b ON b.gbx = a.gbx AND b.gby = a.gby AND b.pid > a.pid
+  JOIN lp c ON c.gbx = a.gbx AND c.gby = a.gby AND c.pid > b.pid
+  WHERE (b.x - a.x)*(c.y - a.y) - (b.y - a.y)*(c.x - a.x) <> 0.0),
+dtri AS (
+  SELECT * FROM tri t
+  WHERE NOT EXISTS (
+          SELECT 1 FROM lp d
+          WHERE d.gbx = t.gbx AND d.gby = t.gby
+            AND d.pid NOT IN (t.pa, t.pb, t.pc) AND {inc_real})
+    AND NOT EXISTS (
+          SELECT 1 FROM supv s
+          WHERE s.gbx = t.gbx AND s.gby = t.gby AND {inc_sup})),
+cells AS (
+  SELECT gbx, gby, gbx*4 + i AS bx, gby*4 + j AS by,
+         (gbx*4 + i + 0.5)*10.0 AS qx, (gby*4 + j + 0.5)*10.0 AS qy
+  FROM (SELECT DISTINCT gbx, gby FROM lp),
+       (VALUES (0),(1),(2),(3)) ii(i), (VALUES (0),(1),(2),(3)) jj(j)),
+m AS (
+  SELECT c.bx, c.by, t.pa, t.pb, t.pc, t.az, t.bz, t.cz,
+         ((t.by2 - t.cy2)*(c.qx - t.cx2) + (t.cx2 - t.bx2)*(c.qy - t.cy2))
+           / ((t.by2 - t.cy2)*(t.ax - t.cx2) + (t.cx2 - t.bx2)*(t.ay - t.cy2)) AS l1,
+         ((t.cy2 - t.ay)*(c.qx - t.cx2) + (t.ax - t.cx2)*(c.qy - t.cy2))
+           / ((t.by2 - t.cy2)*(t.ax - t.cx2) + (t.cx2 - t.bx2)*(t.ay - t.cy2)) AS l2
+  FROM cells c JOIN dtri t ON t.gbx = c.gbx AND t.gby = c.gby
+  WHERE abs((t.by2 - t.cy2)*(t.ax - t.cx2) + (t.cx2 - t.bx2)*(t.ay - t.cy2)) >= 1e-300),
+hit AS (
+  SELECT bx, by, l1, l2, az, bz, cz,
+         row_number() OVER (PARTITION BY bx, by ORDER BY pa, pb, pc) AS rn
+  FROM m
+  WHERE l1 >= -1e-9 AND l2 >= -1e-9 AND (1.0 - l1 - l2) >= -1e-9)
+SELECT bx, by, round(l1*az + l2*bz + (1.0 - l1 - l2)*cz, 6) AS value
+FROM hit WHERE rn = 1
+"""
 
 
 # ------------------------------------------------------------------- entry
