@@ -23,9 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
-    contour, dedup, dem, focal, graph, grid, interp, knn, multimodal,
-    mdim, ogrsql, polygonize, proximity, raster, similarity, sjoin, textops,
-    tiles, viewshed as vshed, warp,
+    contour, dedup, dem, focal, gdaldem_compat, graph, grid, interp, knn,
+    multimodal, mdim, ogrsql, polygonize, proximity, raster, similarity,
+    sjoin, textops, tiles, viewshed as vshed, warp,
 )
 from lib_gdal_spark.streaming import events as ev
 
@@ -510,6 +510,25 @@ def _q_dem_aspect(spark, sf_dir):
 
 def _q_dem_hillshade(spark, sf_dir):
     return dem.hillshade(_base_grid8(spark, sf_dir))
+
+
+# gdaldem-replay parameters: n43.tif's square-pixel geotransform and the
+# reference autotest's `-s 111120 -z 30` flags (test_gdaldem.py:42) —
+# chosen so the driver query exercises the SAME folded constants the
+# byte-exact n43 checksum replays validate (tests/test_gdaldem_replay.py)
+_GDALDEM_GT = (0.0, 0.008333333333333333, 0.0, 0.0, 0.0,
+               -0.008333333333333333)
+
+
+def _q_gdaldem_hillshade(spark, sf_dir):
+    """Byte-exact gdaldem hillshade (operators/gdaldem_compat): the
+    reference's same-res fast path (gdaldem_lib.cpp:1030) — integer Horn
+    sums, folded constants, float32 cast, floor(f + 0.5f) byte write;
+    border cells carry the dst-nodata 0 (no -compute_edges)."""
+    return gdaldem_compat.hillshade_gdal(
+        _base_grid8(spark, sf_dir), _GDALDEM_GT, 25, 20,
+        z=30.0, scale=111120.0,
+    ).select("bx", "by", "shade")
 
 
 def _q_interp_bilinear(spark, sf_dir):
@@ -1385,7 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (1) NEW this round (webtext: PII redaction, eval decontamination,
         Gopher rules, URL canonicalization; warp convolution family,
         viewshed parity modes, invdistnn, contour polygonize,
-        translate -scale);
+        translate -scale; byte-exact gdaldem hillshade);
     (2) CHANGED this round — every formerly-rows-only query that gained
         an exact oracle (polygonize/sieve CC, composed minhash_dedup,
         multimodal synthesis-replay, Euler-quad polygonize_rings,
@@ -1399,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- (1) new this round ----
+        "gdaldem_hillshade": _q_gdaldem_hillshade,
         "pii_redact": _q_pii_redact,
         "contamination_check": _q_contamination,
         "gopher_rules": _q_gopher_rules,
@@ -1456,8 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mode": _q_zonal_mode,
         "zonal_weighted": _q_zonal_weighted,
         "events_sliding": _q_events_sliding,
-        "rasterize_rects": _q_rasterize,
         # -------- 50-cap boundary: positions 51+ below --------
+        "rasterize_rects": _q_rasterize,
         "footprint_boundary": _q_footprint,
         "raster_calc": _q_raster_calc,
         "histogram": _q_histogram,
@@ -1811,6 +1831,52 @@ SELECT bx, "by",
                       + {s} * sin(slope_r) * cos({az} - aspect_r)))), 4)
            AS hillshade
 FROM h2
+"""
+
+
+def _o_gdaldem_hillshade() -> str:
+    # constants repr-injected from the ENGINE's own fold (CLAUDE.md rule:
+    # never hardcode rounded constants); the float32 steps mirror via
+    # duckdb REAL arithmetic (REAL + REAL stays float32 — verified)
+    c = gdaldem_compat.hillshade_constants(_GDALDEM_GT, z=30.0,
+                                           scale=111120.0)
+    slots = ("(0,-1,1),(1,0,1),(2,1,1),(3,-1,0),(4,0,0),(5,1,0),"
+             "(6,-1,-1),(7,0,-1),(8,1,-1)")
+    cases = ", ".join(f"max(CASE WHEN k={i} THEN v END) AS w{i}"
+                      for i in range(9))
+    return f"""
+WITH {_PAGES_CTE},
+{_dd_base8_cte()},
+contrib AS (
+  SELECT b.bx - o.dx AS bx, b."by" - o.dy AS "by", o.k AS k,
+         CAST(b.value AS BIGINT) AS v
+  FROM base b, (VALUES {slots}) o(k, dx, dy)
+  WHERE b.bx - o.dx BETWEEN 0 AND 24 AND b."by" - o.dy BETWEEN 0 AND 19
+),
+w9 AS (
+  SELECT bx, "by", {cases}, count(*) AS n FROM contrib GROUP BY 1, 2
+),
+acc AS (
+  SELECT bx, "by", n,
+         CAST((w0 - w8) + 2*(w3 - w5) + (w6 - w2) AS DOUBLE) AS x,
+         CAST((w0 - w8) + 2*(w1 - w7) - (w6 - w2) AS DOUBLE) AS y
+  FROM w9
+),
+shade AS (
+  SELECT bx, "by", n,
+         ({c['sin_alt254']!r} + (x * {c['sin254inv']!r}
+                                 + y * {c['cos254inv']!r}))
+           / sqrt(1 + {c['sqz_inv2']!r} * (x*x + y*y)) AS v254
+  FROM acc
+)
+SELECT bx, "by",
+  CASE WHEN n = 9 AND bx BETWEEN 1 AND 23 AND "by" BETWEEN 1 AND 18 THEN
+    CAST(least(255.0, greatest(0.0, floor(CAST(
+      (CASE WHEN v254 <= 0 THEN CAST(1.0 AS REAL)
+            ELSE CAST(1.0 + v254 AS REAL) END) + CAST(0.5 AS REAL)
+      AS DOUBLE)))) AS BIGINT)
+  ELSE 0 END AS shade
+FROM shade
 """
 
 
@@ -3984,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
         "events_sliding": _o_events_sliding(),
+        "gdaldem_hillshade": _o_gdaldem_hillshade(),
         "dem_slope": _o_dem_slope(),
         "dem_tpi": _o_dem_tpi(),
         "graph_sssp": _o_graph_sssp(),

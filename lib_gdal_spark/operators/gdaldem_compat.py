@@ -1,0 +1,374 @@
+"""Byte-exact gdaldem replays: hillshade / slope / aspect / color-relief
+with the reference's EXACT numeric pipeline, as distributed Column math.
+
+Reference: apps/gdaldem_lib.cpp —
+- GDALHillshadeAlg_same_res (:1030-1068): the square-pixel fast path
+  (gt[1] == -gt[5], xscale == yscale): integer Horn sums, folded
+  constants, cang_mul_254 = (254*sin(alt) + x*B + y*A) / sqrt(1 +
+  C*(x^2+y^2)), shade = cang <= 0 ? 1 : 1 + cang_mul_254.
+- GDALHillshadeAlg (:1003): the generic path (x,y scaled by
+  1/(res*scale); numerator sin254 - (y*A254 - x*B254)).
+- GDALHillshadeCombinedAlg (:1140): acos shade * atan(slope) combined
+  shading.
+- GDALSlopeHornAlg (:1345): atan(sqrt(key)/8) degrees or 100*sqrt/8
+  percent; GDALAspectAlg (:1452): atan2(dy,-dx) with the
+  float-arithmetic azimuth rotation and flat -> nodata.
+- GDALColorReliefGetRGBA (:1611): sorted-ramp binary search, exact-entry
+  match, linear interpolation with int(0.5 + ...) round-clamp.
+- GDALGeneric3x3Processing (:316): edge semantics — without
+  -compute_edges the outer ring is dst-nodata; with it, edges mirror via
+  INTERPOL(a,b) = 2a - b (column CLAMP on the top/bottom rows, column
+  MIRROR on interior-row ends — asymmetric, replicated exactly), and
+  window nodata values are replaced by the center value.
+- Float discipline: algs return float32 (double math, float cast);
+  RasterIO float->Byte writes floor(f + 0.5f) in FLOAT arithmetic
+  (gcore/gdal_priv_templates.hpp sGDALCopyWord<float, Tout>);
+  GDALChecksumImage reads floats back as floor(double(f) + 0.5)
+  (alg/gdalchecksum.cpp IntFromDouble).
+
+The replays are validated against the reference's own autotest
+checksums on its n43.tif fixture (autotest/utilities/test_gdaldem.py):
+hillshade 45587, -combined 43876, -compute_edges 50239, slope 63748,
+aspect 54885, color-relief 55066/37594/47768 — see
+tests/test_operators.py.
+
+Input contract: a DENSE integer-valued cell grid (bx, by, value) with
+by growing UP (raster row ry = height-1-by, matching sources/tiff);
+GDAL reads Byte/UInt16/Int16 bands as Int32, so values are cast to
+long. Nodata cells must be PRESENT rows carrying src_nodata (integer
+equality, the reference's ARE_REAL_EQUAL on ints).
+
+Scale shape: one explode (x9) + one map-side-combined groupBy — the
+same single-Exchange stencil as operators/dem.py; everything after the
+window build is whole-stage-codegen Column math (plus JVM
+atan/atan2/acos for the transcendental variants, absorbed by the
+float32 cast exactly as the reference's libm is).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+# raster-order window slots (w0=NW .. w8=SE) in (dx, d_by) with by UP:
+# raster row ry-1 (north) = by+1
+_SLOTS = [
+    ("w0", -1, 1), ("w1", 0, 1), ("w2", 1, 1),
+    ("w3", -1, 0), ("w4", 0, 0), ("w5", 1, 0),
+    ("w6", -1, -1), ("w7", 0, -1), ("w8", 1, -1),
+]
+
+_DEG2RAD = math.pi / 180.0
+_RAD2DEG = 180.0 / math.pi
+
+
+def _interpol(a, b, nodata: int | None):
+    """INTERPOL (gdaldem_lib.cpp:300, GInt32 variant): 2a - b, nodata
+    propagates, a result colliding with nodata bumps by one."""
+    v = 2 * a - b
+    if nodata is None:
+        return v
+    nd = F.lit(nodata)
+    return (
+        F.when((a == nd) | (b == nd), nd)
+        .when(v == nd, v + 1)
+        .otherwise(v)
+    )
+
+
+def window9_gdal(cells: DataFrame, width: int, height: int,
+                 value_col: str = "value", compute_edges: bool = False,
+                 src_nodata: int | None = None) -> DataFrame:
+    """Every cell of the width x height grid with its 9-slot window
+    (w0..w8, long) filled per GDALGeneric3x3Processing edge semantics,
+    plus `valid` (false -> the caller emits dst-nodata).
+
+    One explode + one groupBy shuffle; the edge fills are pure
+    Column-math stages on the grouped rows."""
+    offs = F.array(*[
+        F.struct(F.lit(lbl).alias("slot"), F.lit(dx).alias("dx"),
+                 F.lit(dy).alias("dy"))
+        for lbl, dx, dy in _SLOTS
+    ])
+    contrib = cells.select(
+        F.explode(offs).alias("_o"), F.col("bx").alias("_sx"),
+        F.col("by").alias("_sy"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).select(
+        (F.col("_sx") - F.col("_o.dx")).alias("bx"),
+        (F.col("_sy") - F.col("_o.dy")).alias("by"),
+        F.col("_o.slot").alias("slot"), F.col("_v"),
+    ).filter(
+        (F.col("bx") >= 0) & (F.col("bx") < width)
+        & (F.col("by") >= 0) & (F.col("by") < height)
+    )
+    g = contrib.groupBy("bx", "by").agg(*[
+        F.max(F.when(F.col("slot") == lbl, F.col("_v"))).alias(lbl)
+        for lbl, _, _ in _SLOTS
+    ])
+    rx, ry = F.col("bx"), F.lit(height - 1) - F.col("by")
+    g = g.withColumn("_rx", rx).withColumn("_ry", ry)
+    z = {lbl: F.col(lbl) for lbl, _, _ in _SLOTS}
+
+    if not compute_edges:
+        interior = (
+            (F.col("_rx") > 0) & (F.col("_rx") < width - 1)
+            & (F.col("_ry") > 0) & (F.col("_ry") < height - 1)
+        )
+        valid = interior
+        for lbl in z:
+            valid = valid & z[lbl].isNotNull()
+        if src_nodata is not None:
+            nd = F.lit(src_nodata)
+            for lbl in z:
+                valid = valid & (z[lbl] != nd)
+        return g.select("bx", "by", "_rx", "_ry",
+                        *[z[lbl].alias(lbl) for lbl in z],
+                        valid.alias("valid"))
+
+    top = F.col("_ry") == 0
+    bot = F.col("_ry") == height - 1
+    left = F.col("_rx") == 0
+    right = F.col("_rx") == width - 1
+    nd = src_nodata
+
+    # stage 1 — column handling: top/bottom rows CLAMP the missing end
+    # column to the center column (jmin = j / jmax = j in the reference
+    # first/last-row loops); interior-row ends MIRROR via INTERPOL
+    s1 = dict(z)
+    s1["w3"] = (F.when((top | bot) & left, z["w4"])
+                .when(~top & ~bot & left, _interpol(z["w4"], z["w5"], nd))
+                .otherwise(z["w3"]))
+    s1["w6"] = (F.when(top & left, z["w7"])
+                .when(~top & ~bot & left, _interpol(z["w7"], z["w8"], nd))
+                .otherwise(z["w6"]))
+    s1["w0"] = (F.when(bot & left, z["w1"])
+                .when(~top & ~bot & left, _interpol(z["w1"], z["w2"], nd))
+                .otherwise(z["w0"]))
+    s1["w5"] = (F.when((top | bot) & right, z["w4"])
+                .when(~top & ~bot & right, _interpol(z["w4"], z["w3"], nd))
+                .otherwise(z["w5"]))
+    s1["w8"] = (F.when(top & right, z["w7"])
+                .when(~top & ~bot & right, _interpol(z["w7"], z["w6"], nd))
+                .otherwise(z["w8"]))
+    s1["w2"] = (F.when(bot & right, z["w1"])
+                .when(~top & ~bot & right, _interpol(z["w1"], z["w0"], nd))
+                .otherwise(z["w2"]))
+    g1 = g.select("bx", "by", "_rx", "_ry",
+                  *[s1[lbl].alias(lbl) for lbl, _, _ in _SLOTS])
+    z1 = {lbl: F.col(lbl) for lbl, _, _ in _SLOTS}
+
+    # stage 2 — row mirror: ghost row above the top (2*center_row -
+    # next_row) / below the bottom (2*center_row - prev_row)
+    s2 = dict(z1)
+    s2["w0"] = F.when(top, _interpol(z1["w3"], z1["w6"], nd)).otherwise(z1["w0"])
+    s2["w1"] = F.when(top, _interpol(z1["w4"], z1["w7"], nd)).otherwise(z1["w1"])
+    s2["w2"] = F.when(top, _interpol(z1["w5"], z1["w8"], nd)).otherwise(z1["w2"])
+    s2["w6"] = F.when(bot, _interpol(z1["w3"], z1["w0"], nd)).otherwise(z1["w6"])
+    s2["w7"] = F.when(bot, _interpol(z1["w4"], z1["w1"], nd)).otherwise(z1["w7"])
+    s2["w8"] = F.when(bot, _interpol(z1["w5"], z1["w2"], nd)).otherwise(z1["w8"])
+    g2 = g1.select("bx", "by", "_rx", "_ry",
+                   *[s2[lbl].alias(lbl) for lbl, _, _ in _SLOTS])
+
+    # stage 3 — ComputeVal nodata replacement: center nodata -> invalid;
+    # other window nodata -> replaced by the center value
+    zc = {lbl: F.col(lbl) for lbl, _, _ in _SLOTS}
+    if nd is not None:
+        ndl = F.lit(nd)
+        valid = zc["w4"] != ndl
+        out = {lbl: F.when(zc[lbl] == ndl, zc["w4"]).otherwise(zc[lbl])
+               for lbl in zc}
+        out["w4"] = zc["w4"]
+    else:
+        valid = F.lit(True)
+        out = zc
+    return g2.select("bx", "by", "_rx", "_ry",
+                     *[out[lbl].alias(lbl) for lbl, _, _ in _SLOTS],
+                     valid.alias("valid"))
+
+
+def _acc_xy_same_res(w):
+    """Integer Horn sums of GDALHillshadeAlg_same_res (:1049-1063)."""
+    x = (w("w0") - w("w8")) + 2 * (w("w3") - w("w5")) + (w("w6") - w("w2"))
+    y = (w("w0") - w("w8")) + 2 * (w("w1") - w("w7")) - (w("w6") - w("w2"))
+    return x.cast("double"), y.cast("double")
+
+
+def hillshade_constants(geotransform, z: float = 1.0, scale: float = 1.0,
+                        azimuth: float = 315.0, altitude: float = 45.0
+                        ) -> dict:
+    """GDALCreateHillshadeData (:1171) folded constants, as Python
+    doubles (op-order identical to the C, so oracle SQL can repr-inject
+    them)."""
+    inv_ew = 1.0 / (geotransform[1] * scale)
+    inv_ns = 1.0 / (geotransform[5] * scale)
+    zf = z / 8.0
+    sin_alt = math.sin(altitude * _DEG2RAD)
+    cos_alt_z = math.cos(altitude * _DEG2RAD) * zf
+    cos_az_caz = math.cos(azimuth * _DEG2RAD) * cos_alt_z
+    sin_az_caz = math.sin(azimuth * _DEG2RAD) * cos_alt_z
+    sqz = zf * zf
+    return {
+        "inv_ew": inv_ew, "inv_ns": inv_ns, "sin_alt": sin_alt,
+        "sin_alt254": 254.0 * sin_alt,
+        "cos_az_caz": cos_az_caz, "sin_az_caz": sin_az_caz,
+        "cos_az_caz254": 254.0 * cos_az_caz,
+        "sin_az_caz254": 254.0 * sin_az_caz,
+        "sqz": sqz,
+        "sqz_inv2": sqz * inv_ew * inv_ew,
+        "cos254inv": 254.0 * cos_az_caz * -inv_ew,
+        "sin254inv": 254.0 * sin_az_caz * inv_ew,
+        "same_res": geotransform[1] == -geotransform[5],
+    }
+
+
+def _byte_write(fcol):
+    """float32 alg output -> Byte band value: floor(f + 0.5f) in FLOAT
+    arithmetic, clamped (sGDALCopyWord<float, GByte>)."""
+    f32 = (fcol.cast("float") + F.lit(0.5).cast("float")).cast("float")
+    return F.least(F.lit(255.0), F.greatest(F.lit(0.0), F.floor(f32))) \
+        .cast("long")
+
+
+def hillshade_gdal(cells: DataFrame, geotransform, width: int, height: int,
+                   value_col: str = "value", z: float = 1.0,
+                   scale: float = 1.0, azimuth: float = 315.0,
+                   altitude: float = 45.0, combined: bool = False,
+                   compute_edges: bool = False,
+                   src_nodata: int | None = None) -> DataFrame:
+    """gdaldem hillshade, byte-exact: (bx, by, shade) over the full
+    grid; invalid cells (edges without -compute_edges, nodata windows)
+    carry the dst nodata 0."""
+    c = hillshade_constants(geotransform, z, scale, azimuth, altitude)
+    g = window9_gdal(cells, width, height, value_col, compute_edges,
+                     src_nodata)
+    w = F.col
+    if combined:
+        x = ((w("w0") + 2 * w("w3") + w("w6"))
+             - (w("w2") + 2 * w("w5") + w("w8"))).cast("double") \
+            * F.lit(c["inv_ew"])
+        y = ((w("w6") + 2 * w("w7") + w("w8"))
+             - (w("w0") + 2 * w("w1") + w("w2"))).cast("double") \
+            * F.lit(c["inv_ns"])
+        xxyy = x * x + y * y
+        slope = xxyy * F.lit(c["sqz"])
+        inv_sq_half_pi = 1.0 / ((math.pi * math.pi) / 4)
+        cang0 = F.acos(
+            (F.lit(c["sin_alt"]) - (y * F.lit(c["cos_az_caz"])
+                                    - x * F.lit(c["sin_az_caz"])))
+            / F.sqrt(1 + slope))
+        cang = 1 - cang0 * F.atan(F.sqrt(slope)) * F.lit(inv_sq_half_pi)
+        fc = F.when(cang <= 0.0, F.lit(1.0).cast("float")) \
+            .otherwise((1.0 + 254.0 * cang).cast("float"))
+    elif c["same_res"]:
+        x, y = _acc_xy_same_res(w)
+        c254 = (F.lit(c["sin_alt254"])
+                + (x * F.lit(c["sin254inv"]) + y * F.lit(c["cos254inv"]))) \
+            / F.sqrt(1 + F.lit(c["sqz_inv2"]) * (x * x + y * y))
+        fc = F.when(c254 <= 0.0, F.lit(1.0).cast("float")) \
+            .otherwise((1.0 + c254).cast("float"))
+    else:
+        x = ((w("w0") + 2 * w("w3") + w("w6"))
+             - (w("w2") + 2 * w("w5") + w("w8"))).cast("double") \
+            * F.lit(c["inv_ew"])
+        y = ((w("w6") + 2 * w("w7") + w("w8"))
+             - (w("w0") + 2 * w("w1") + w("w2"))).cast("double") \
+            * F.lit(c["inv_ns"])
+        c254 = (F.lit(c["sin_alt254"])
+                - (y * F.lit(c["cos_az_caz254"])
+                   - x * F.lit(c["sin_az_caz254"]))) \
+            / F.sqrt(1 + F.lit(c["sqz"]) * (x * x + y * y))
+        fc = F.when(c254 <= 0.0, F.lit(1.0).cast("float")) \
+            .otherwise((1.0 + c254).cast("float"))
+    shade = F.when(F.col("valid"), _byte_write(fc)).otherwise(F.lit(0))
+    return g.select("bx", "by", shade.alias("shade"))
+
+
+def slope_gdal(cells: DataFrame, geotransform, width: int, height: int,
+               value_col: str = "value", scale: float = 1.0,
+               percent: bool = False, compute_edges: bool = False,
+               src_nodata: int | None = None) -> DataFrame:
+    """gdaldem slope (GDALSlopeHornAlg), float32 degrees (default) or
+    percent: (bx, by, slope); invalid cells carry dst nodata -9999."""
+    ew = geotransform[1] * scale
+    ns = geotransform[5] * scale
+    g = window9_gdal(cells, width, height, value_col, compute_edges,
+                     src_nodata)
+    w = F.col
+    dx = ((w("w0") + 2 * w("w3") + w("w6"))
+          - (w("w2") + 2 * w("w5") + w("w8"))).cast("double") / F.lit(ew)
+    dy = ((w("w6") + 2 * w("w7") + w("w8"))
+          - (w("w0") + 2 * w("w1") + w("w2"))).cast("double") / F.lit(ns)
+    key = dx * dx + dy * dy
+    if percent:
+        val = (100.0 * (F.sqrt(key) / 8.0)).cast("float")
+    else:
+        val = (F.atan(F.sqrt(key) / 8.0) * F.lit(_RAD2DEG)).cast("float")
+    out = F.when(F.col("valid"), val).otherwise(F.lit(-9999.0).cast("float"))
+    return g.select("bx", "by", out.alias("slope"))
+
+
+def aspect_gdal(cells: DataFrame, width: int, height: int,
+                value_col: str = "value", azimuth: bool = True,
+                zero_for_flat: bool = False, compute_edges: bool = False,
+                src_nodata: int | None = None) -> DataFrame:
+    """gdaldem aspect (GDALAspectAlg): float32 azimuth degrees (default)
+    or trigonometric angle; flat cells and invalid cells carry the dst
+    nodata (-9999, or 0 with -zero_for_flat)."""
+    dst_nd = 0.0 if zero_for_flat else -9999.0
+    g = window9_gdal(cells, width, height, value_col, compute_edges,
+                     src_nodata)
+    w = F.col
+    dx = ((w("w2") + 2 * w("w5") + w("w8"))
+          - (w("w0") + 2 * w("w3") + w("w6"))).cast("double")
+    dy = ((w("w6") + 2 * w("w7") + w("w8"))
+          - (w("w0") + 2 * w("w1") + w("w2"))).cast("double")
+    # float aspect = float(atan2(dy, -dx) / (pi/180)); the azimuth
+    # rotation then runs in FLOAT arithmetic (450.0f/90.0f literals)
+    asp = (F.atan2(dy, -dx) / F.lit(_DEG2RAD)).cast("float")
+    if azimuth:
+        asp = F.when(asp > F.lit(90.0).cast("float"),
+                     (F.lit(450.0).cast("float") - asp).cast("float")) \
+            .otherwise((F.lit(90.0).cast("float") - asp).cast("float"))
+    else:
+        asp = F.when(asp < 0.0, (asp + F.lit(360.0).cast("float"))
+                     .cast("float")).otherwise(asp)
+    asp = F.when(asp == F.lit(360.0).cast("float"),
+                 F.lit(0.0).cast("float")).otherwise(asp)
+    flat = (dx == 0.0) & (dy == 0.0)
+    out = F.when(~F.col("valid") | flat, F.lit(dst_nd).cast("float")) \
+        .otherwise(asp)
+    return g.select("bx", "by", out.alias("aspect"))
+
+
+def color_relief_gdal(cells: DataFrame, ramp, value_col: str = "value"
+                      ) -> DataFrame:
+    """gdaldem color-relief with GDALColorReliefGetRGBA semantics
+    (interpolated mode): exact-entry match wins, values at or below the
+    first ramp entry clamp to its color, above the last clamp to its,
+    in-between linearly interpolates each channel with the reference's
+    int(0.5 + c0 + ratio*(c1-c0)) round then 0..255 clamp.
+
+    ramp: [(elev, r, g, b), ...] (any order; sorted here — the
+    reference stable-sorts its color file). Output (bx, by, r, g, b)
+    over ALL cells (color-relief has no 3x3 window, no edge ring)."""
+    ramp = sorted((float(e), int(r), int(g), int(b)) for e, r, g, b in ramp)
+    v = F.col(value_col).cast("double")
+
+    def chan(k):
+        expr = F.lit(ramp[-1][k])  # above the last entry
+        for (e0, *c0), (e1, *c1) in reversed(list(zip(ramp[:-1], ramp[1:]))):
+            ratio = (v - F.lit(e0)) / F.lit(e1 - e0)
+            interp = F.least(
+                F.lit(255), F.greatest(F.lit(0), F.floor(
+                    0.5 + F.lit(c0[k - 1])
+                    + ratio * F.lit(c1[k - 1] - c0[k - 1])).cast("int")))
+            seg = F.when(v == F.lit(e1), F.lit(c1[k - 1])) \
+                .when(v == F.lit(e0), F.lit(c0[k - 1])).otherwise(interp)
+            expr = F.when(v <= F.lit(e1), seg).otherwise(expr)
+        return F.when(v <= F.lit(ramp[0][0]), F.lit(ramp[0][k])) \
+            .otherwise(expr).cast("long")
+
+    return cells.select("bx", "by", chan(1).alias("r"), chan(2).alias("g"),
+                        chan(3).alias("b"))

@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 _TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
-    279: "strip_counts", 339: "sample_format", 42113: "gdal_nodata",
+    279: "strip_counts", 317: "predictor", 339: "sample_format",
+    33550: "pixel_scale", 33922: "tiepoint", 42113: "gdal_nodata",
 }
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8}
@@ -79,12 +80,66 @@ def _read_ifd(buf: bytes):
     return eo, tags
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 spec §13): MSB-first code packing,
+    ClearCode=256, EOI=257, 9->12-bit codes with the spec's "early
+    change" (width bumps when the table reaches 2^width - 1, one entry
+    before the natural boundary — libtiff parity). Pure Python; strips
+    are tiny by format construction (the fixtures this source exists
+    for), and the OUTPUT is what gets distributed."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # ClearCode
+            reset()
+            continue
+        if code == 257:  # EndOfInformation
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+
+
 def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
-    """TIFF bytes -> (2-D array [row 0 = top], meta). Uncompressed
-    single-band striped subset only."""
+    """TIFF bytes -> (2-D array [row 0 = top], meta). Single-band
+    striped subset; Compression none (1) or LZW (5), Predictor none or
+    horizontal differencing (2)."""
     eo, t = _read_ifd(buf)
     comp = t.get("compression", 1)
-    if comp != 1:
+    if comp not in (1, 5):
         raise NotImplementedError(f"TIFF compression {comp} needs libtiff")
     spp = t.get("samples_per_pixel", 1)
     if spp != 1:
@@ -107,12 +162,27 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
     cnts = t["strip_counts"]
     if not isinstance(offs, list):
         offs, cnts = [offs], [cnts]
-    raw = b"".join(buf[o : o + c] for o, c in zip(offs, cnts))
+    strips = [buf[o : o + c] for o, c in zip(offs, cnts)]
+    if comp == 5:
+        strips = [_lzw_decode(s) for s in strips]  # LZW resets per strip
+    raw = b"".join(strips)
     arr = np.frombuffer(raw, dtype, count=w * h).reshape(h, w)
+    if t.get("predictor", 1) == 2:
+        # horizontal differencing: samples after the first in each row
+        # are deltas; integer cumsum with native wraparound restores them
+        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
+    elif t.get("predictor", 1) != 1:
+        raise NotImplementedError(f"TIFF predictor {t['predictor']}")
     meta = {"width": w, "height": h, "bits": int(bits),
             "sample_format": int(sfmt)}
     if "gdal_nodata" in t:
         meta["nodata"] = float(t["gdal_nodata"])
+    # GeoTIFF geotransform: ModelPixelScale + ModelTiepoint (the affine
+    # subset gdaldem needs for its ewres/nsres constants)
+    if "pixel_scale" in t and "tiepoint" in t:
+        sx, sy = t["pixel_scale"][0], t["pixel_scale"][1]
+        i, j, _k, x, y, _z = t["tiepoint"][:6]
+        meta["geotransform"] = (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
     return arr, meta
 
 

@@ -1,0 +1,107 @@
+"""Byte-exact replays of the reference's own gdaldem autotest
+expectations (autotest/utilities/test_gdaldem.py) on its n43.tif
+fixture, through the LZW TIFF source + operators/gdaldem_compat.
+
+Every asserted constant is the reference's own committed checksum."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lib_gdal_spark.operators import gdaldem_compat as gc
+from lib_gdal_spark.operators.raster import checksum
+from lib_gdal_spark.sources.tiff import decode_tiff, read_tiff
+
+N43 = "/root/reference/autotest/gdrivers/data/n43.tif"
+
+# gdaldem color-relief ramp: autotest/utilities/data/color_file.txt
+RAMP = [(-32768, 200, 230, 255), (75, 200, 230, 255), (76, 50, 180, 50),
+        (150, 240, 250, 150), (300, 190, 185, 135), (450, 235, 220, 175),
+        (500, 255, 255, 255)]
+
+
+def test_n43_lzw_decode_checksum():
+    """LZW strip decode: n43.tif is compression=5 (TIFF LZW). Its pixel
+    grid equals the n43.dt0 DTED fixture, whose committed band checksum
+    is 49187 (autotest/gdrivers/dted.py:31)."""
+    arr, meta = decode_tiff(open(N43, "rb").read())
+    assert arr.shape == (121, 121) and arr.dtype == np.int16
+    assert meta["nodata"] == -32767.0
+    gt = meta["geotransform"]
+    assert gt[0] == -80.0 and gt[1] == 0.008333333333333333
+    assert gt[5] == -0.008333333333333333
+    primes = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43])
+    v = arr.flatten().astype(np.int64)
+    cs = int(np.sum(np.fmod(v, primes[np.arange(v.size) % 11]))) & 0xFFFF
+    assert cs == 49187
+
+
+@pytest.fixture(scope="module")
+def n43(spark):
+    cells, meta = read_tiff(spark, N43)
+    return cells.cache(), meta
+
+
+def _cs(df, col, w, h):
+    return checksum(df.withColumnRenamed(col, "value"), 0, 0, w, h) \
+        .collect()[0][0]
+
+
+def test_gdaldem_hillshade_plain(spark, n43):
+    """`gdaldem hillshade -s 111120 -z 30 n43.tif` -> checksum 45587
+    (test_gdaldem.py:51); square pixels route the same-res fast path."""
+    cells, meta = n43
+    out = gc.hillshade_gdal(cells, meta["geotransform"], 121, 121,
+                            z=30, scale=111120, src_nodata=-32767)
+    assert _cs(out, "shade", 121, 121) == 45587
+
+
+def test_gdaldem_hillshade_combined(spark, n43):
+    """`-combined` variant -> checksum 43876 (test_gdaldem.py:112)."""
+    cells, meta = n43
+    out = gc.hillshade_gdal(cells, meta["geotransform"], 121, 121,
+                            z=30, scale=111120, combined=True,
+                            src_nodata=-32767)
+    assert _cs(out, "shade", 121, 121) == 43876
+
+
+def test_gdaldem_hillshade_compute_edges(spark, n43):
+    """`-compute_edges` -> checksum 50239 (test_gdaldem.py:144): edge
+    windows mirror via INTERPOL(2a-b) with the reference's asymmetric
+    clamp-vs-mirror column rules."""
+    cells, meta = n43
+    out = gc.hillshade_gdal(cells, meta["geotransform"], 121, 121,
+                            z=30, scale=111120, compute_edges=True,
+                            src_nodata=-32767)
+    assert _cs(out, "shade", 121, 121) == 50239
+
+
+def test_gdaldem_slope(spark, n43):
+    """`gdaldem slope -s 111120` -> checksum 63748 (test_gdaldem.py:245)
+    on the Float32 band (checksum reads floor(double(f32) + 0.5))."""
+    cells, meta = n43
+    out = gc.slope_gdal(cells, meta["geotransform"], 121, 121,
+                        scale=111120, src_nodata=-32767)
+    assert _cs(out, "slope", 121, 121) == 63748
+
+
+def test_gdaldem_aspect(spark, n43):
+    """`gdaldem aspect` -> checksum 54885 (test_gdaldem.py:275); azimuth
+    rotation runs in float32 arithmetic, flat cells -> -9999."""
+    cells, meta = n43
+    out = gc.aspect_gdal(cells, 121, 121, src_nodata=-32767)
+    assert _cs(out, "aspect", 121, 121) == 54885
+
+
+def test_gdaldem_color_relief(spark, n43):
+    """`gdaldem color-relief n43.tif color_file.txt` -> band checksums
+    55066 / 37594 / 47768 (test_gdaldem.py:312-316)."""
+    cells, _meta = n43
+    out = gc.color_relief_gdal(cells, RAMP).cache()
+    assert _cs(out.select("bx", "by", "r"), "r", 121, 121) == 55066
+    assert _cs(out.select("bx", "by", "g"), "g", 121, 121) == 37594
+    assert _cs(out.select("bx", "by", "b"), "b", 121, 121) == 47768
