@@ -342,30 +342,125 @@ def aspect_gdal(cells: DataFrame, width: int, height: int,
     return g.select("bx", "by", out.alias("aspect"))
 
 
-def color_relief_gdal(cells: DataFrame, ramp, value_col: str = "value"
-                      ) -> DataFrame:
-    """gdaldem color-relief with GDALColorReliefGetRGBA semantics
-    (interpolated mode): exact-entry match wins, values at or below the
-    first ramp entry clamp to its color, above the last clamp to its,
-    in-between linearly interpolates each channel with the reference's
-    int(0.5 + c0 + ratio*(c1-c0)) round then 0..255 clamp.
+_DBL_EPSILON = 2.220446049250313e-16
 
-    ramp: [(elev, r, g, b), ...] (any order; sorted here — the
-    reference stable-sorts its color file). Output (bx, by, r, g, b)
-    over ALL cells (color-relief has no 3x3 window, no edge ring)."""
-    ramp = sorted((float(e), int(r), int(g), int(b)) for e, r, g, b in ramp)
+
+def parse_color_file(text: str, src_nodata: float | None = None):
+    """GDALLoadTextColorMap's plain subset: `value r g b` lines (alpha
+    ignored), `nv` meaning the source nodata value, blank/# lines
+    skipped. Percentages (need band min/max) raise."""
+    out = []
+    for line in text.splitlines():
+        parts = line.replace(",", " ").split()
+        if not parts or parts[0].startswith("#"):
+            continue
+        if parts[0] == "nv":
+            if src_nodata is None:
+                continue
+            val = float(src_nodata)
+        elif parts[0].endswith("%"):
+            raise NotImplementedError("percentage color entries need "
+                                      "band statistics")
+        else:
+            val = float(parts[0])
+        out.append((val, int(parts[1]), int(parts[2]), int(parts[3])))
+    return out
+
+
+def process_colors(ramp, src_nodata: float | None = None,
+                   mode: str = "interpolate"):
+    """GDALColorReliefProcessColors (gdaldem_lib.cpp:1535): stable-sort
+    the ramp, bracket a ramp entry that EQUALS the source nodata with
+    nextafter twins carrying the neighbor colors (so interpolation never
+    leaks across nodata), and nudge runs of repeated values apart by
+    balanced DBL_EPSILON multiples (issue #6422 semantics) — all in
+    driver-side float64, bit-identical to the C."""
+    import numpy as np
+
+    ents = [[float(e), int(r), int(g), int(b)] for e, r, g, b in ramp]
+    ents.sort(key=lambda e: (0, 0.0) if math.isnan(e[0]) else (1, e[0]))
+    n_initial = len(ents)
+    repeated = 0
+    for i in range(1, n_initial):
+        prev, cur = ents[i - 1], ents[i]
+        if (mode != "exact" and src_nodata is not None
+                and cur[0] == src_nodata):
+            new_val = float(np.nextafter(cur[0], -math.inf))
+            if new_val > prev[0]:
+                ents.append([new_val, prev[1], prev[2], prev[3]])
+        elif (mode != "exact" and src_nodata is not None
+                and prev[0] == src_nodata):
+            new_val = float(np.nextafter(prev[0], math.inf))
+            if new_val < cur[0]:
+                ents.append([new_val, cur[1], cur[2], cur[3]])
+        elif repeated == 0 and cur[0] == prev[0]:
+            repeated = i
+        elif repeated != 0 and cur[0] != prev[0]:
+            if repeated >= 2:
+                lower = ents[repeated - 2]
+                total = cur[0] - lower[0]
+                left = prev[0] - lower[0]
+            else:
+                total = cur[0] - prev[0]
+                left = 0.0
+            n_eq = i - repeated + 1
+            if total > abs(prev[0]) * n_eq * _DBL_EPSILON:
+                mult = 0.5 - n_eq * left / total
+                for j in range(repeated - 1, i):
+                    ents[j][0] += (abs(prev[0]) * mult) * _DBL_EPSILON
+                    mult += 1.0
+            repeated = 0
+    if len(ents) != n_initial:
+        ents.sort(key=lambda e: (0, 0.0) if math.isnan(e[0]) else (1, e[0]))
+    return [tuple(e) for e in ents]
+
+
+def color_relief_gdal(cells: DataFrame, ramp, value_col: str = "value",
+                      mode: str = "interpolate",
+                      src_nodata: float | None = None) -> DataFrame:
+    """gdaldem color-relief with GDALColorReliefGetRGBA semantics: the
+    ramp is preprocessed by process_colors, then per pixel the first
+    entry >= value brackets the segment; exact-entry match wins (lower
+    entry first); values at or below the first entry clamp to its color,
+    above the last to its; `interpolate` (default) linearly blends each
+    channel with the reference's int(0.5 + c0 + ratio*(c1-c0)) round and
+    0..255 clamp, `nearest` (-nearest_color_entry) picks the closer
+    entry (ties to the upper), `exact` (-exact_color_entry) yields 0 for
+    any non-entry value.
+
+    ramp: [(elev, r, g, b), ...] (any order). Output (bx, by, r, g, b)
+    over ALL cells (color-relief has no 3x3 window, no edge ring).
+    NaN ramp entries are unsupported (absent cells here model nodata)."""
+    if mode not in ("interpolate", "nearest", "exact"):
+        raise ValueError(f"unknown color mode {mode!r}")
+    ramp = process_colors(ramp, src_nodata, mode)
+    if any(math.isnan(e[0]) for e in ramp):
+        raise NotImplementedError("NaN color entries")
     v = F.col(value_col).cast("double")
 
     def chan(k):
+        if mode == "exact":
+            expr = F.lit(0)
+            for e, *c in reversed(ramp):
+                expr = F.when(v == F.lit(e), F.lit(c[k - 1])).otherwise(expr)
+            return expr.cast("long")
         expr = F.lit(ramp[-1][k])  # above the last entry
         for (e0, *c0), (e1, *c1) in reversed(list(zip(ramp[:-1], ramp[1:]))):
-            ratio = (v - F.lit(e0)) / F.lit(e1 - e0)
-            interp = F.least(
-                F.lit(255), F.greatest(F.lit(0), F.floor(
-                    0.5 + F.lit(c0[k - 1])
-                    + ratio * F.lit(c1[k - 1] - c0[k - 1])).cast("int")))
-            seg = F.when(v == F.lit(e1), F.lit(c1[k - 1])) \
-                .when(v == F.lit(e0), F.lit(c0[k - 1])).otherwise(interp)
+            if e1 == e0:
+                # equal-value pair survived process_colors' fallback:
+                # only exact matches (handled below) can land here
+                seg = F.lit(c0[k - 1])
+            elif mode == "nearest":
+                seg = F.when(v - F.lit(e0) < F.lit(e1) - v,
+                             F.lit(c0[k - 1])).otherwise(F.lit(c1[k - 1]))
+            else:
+                ratio = (v - F.lit(e0)) / F.lit(e1 - e0)
+                seg = F.least(
+                    F.lit(255), F.greatest(F.lit(0), F.floor(
+                        0.5 + F.lit(c0[k - 1])
+                        + ratio * F.lit(c1[k - 1] - c0[k - 1])).cast("int")))
+            seg = F.when(v == F.lit(e0), F.lit(c0[k - 1])) \
+                .when(v == F.lit(e1), F.lit(c1[k - 1])).otherwise(seg)
             expr = F.when(v <= F.lit(e1), seg).otherwise(expr)
         return F.when(v <= F.lit(ramp[0][0]), F.lit(ramp[0][k])) \
             .otherwise(expr).cast("long")

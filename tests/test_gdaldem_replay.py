@@ -105,3 +105,42 @@ def test_gdaldem_color_relief(spark, n43):
     assert _cs(out.select("bx", "by", "r"), "r", 121, 121) == 55066
     assert _cs(out.select("bx", "by", "g"), "g", 121, 121) == 37594
     assert _cs(out.select("bx", "by", "b"), "b", 121, 121) == 47768
+
+
+def test_gdaldem_color_relief_nearest(spark, n43):
+    """`-nearest_color_entry` -> band checksums 57296 / 42926 / 47181
+    (test_gdaldem.py:495-499); ties go to the upper entry."""
+    cells, _meta = n43
+    out = gc.color_relief_gdal(cells, RAMP, mode="nearest",
+                               src_nodata=-32767).cache()
+    assert _cs(out.select("bx", "by", "r"), "r", 121, 121) == 57296
+    assert _cs(out.select("bx", "by", "g"), "g", 121, 121) == 42926
+    assert _cs(out.select("bx", "by", "b"), "b", 121, 121) == 47181
+
+
+def test_gdaldem_color_relief_repeated_entry(spark):
+    """Repeated DEM values in the color table + an `nv` nodata entry
+    (#6422 regression, test_gdaldem.py:583): nodata gets nextafter
+    bracket twins and the duplicate 6-entries are nudged apart by
+    balanced DBL_EPSILON multiples; expected band bytes (1,1,5,10,10,25)
+    are the reference's committed assertion."""
+    rows = [(0, 2, 1.0), (1, 2, 4.9), (0, 1, 5.0), (1, 1, 5.1),
+            (0, 0, 6.0), (1, 0, 7.0)]
+    g = spark.createDataFrame(rows, "bx long, by long, value double")
+    colors = gc.parse_color_file(
+        "1 1 1 1\n6 10 10 10\n6 20 20 20\n8 30 30 30\nnv 5 5 5\n",
+        src_nodata=5.0)
+    got = {(r.bx, r.by): r.r
+           for r in gc.color_relief_gdal(g, colors, src_nodata=5.0).collect()}
+    assert [got[(0, 2)], got[(1, 2)], got[(0, 1)], got[(1, 1)],
+            got[(0, 0)], got[(1, 0)]] == [1, 1, 5, 10, 10, 25]
+
+
+def test_gdaldem_color_relief_exact_mode(spark):
+    """-exact_color_entry: non-entry values map to 0 (the reference's
+    transparent black), exact entries to their color."""
+    g = spark.createDataFrame([(0, 0, 76.0), (1, 0, 77.0)],
+                              "bx long, by long, value double")
+    got = {r.bx: (r.r, r.g, r.b)
+           for r in gc.color_relief_gdal(g, RAMP, mode="exact").collect()}
+    assert got[0] == (50, 180, 50) and got[1] == (0, 0, 0)
