@@ -196,14 +196,19 @@ def _acc_xy_same_res(w):
 
 
 def hillshade_constants(geotransform, z: float = 1.0, scale: float = 1.0,
-                        azimuth: float = 315.0, altitude: float = 45.0
-                        ) -> dict:
+                        azimuth: float = 315.0, altitude: float = 45.0,
+                        xscale: float | None = None,
+                        yscale: float | None = None,
+                        gradient_alg: str = "horn") -> dict:
     """GDALCreateHillshadeData (:1171) folded constants, as Python
     doubles (op-order identical to the C, so oracle SQL can repr-inject
-    them)."""
-    inv_ew = 1.0 / (geotransform[1] * scale)
-    inv_ns = 1.0 / (geotransform[5] * scale)
-    zf = z / 8.0
+    them). `scale` sets both axes (gdaldem -s); xscale/yscale override
+    per axis (the new-CLI options)."""
+    xs = scale if xscale is None else xscale
+    ys = scale if yscale is None else yscale
+    inv_ew = 1.0 / (geotransform[1] * xs)
+    inv_ns = 1.0 / (geotransform[5] * ys)
+    zf = z / (2.0 if gradient_alg == "zt" else 8.0)
     sin_alt = math.sin(altitude * _DEG2RAD)
     cos_alt_z = math.cos(altitude * _DEG2RAD) * zf
     cos_az_caz = math.cos(azimuth * _DEG2RAD) * cos_alt_z
@@ -211,15 +216,21 @@ def hillshade_constants(geotransform, z: float = 1.0, scale: float = 1.0,
     sqz = zf * zf
     return {
         "inv_ew": inv_ew, "inv_ns": inv_ns, "sin_alt": sin_alt,
+        "sin_alt127": 127.0 * sin_alt,
         "sin_alt254": 254.0 * sin_alt,
+        "cos_alt_z": cos_alt_z, "zf": zf,
         "cos_az_caz": cos_az_caz, "sin_az_caz": sin_az_caz,
         "cos_az_caz254": 254.0 * cos_az_caz,
         "sin_az_caz254": 254.0 * sin_az_caz,
+        "cos_alt_z127": 127.0 * cos_alt_z,
+        "cos225_caz127": 127.0 * math.cos(225 * _DEG2RAD) * cos_alt_z,
+        "az_rad": azimuth * _DEG2RAD,
         "sqz": sqz,
         "sqz_inv2": sqz * inv_ew * inv_ew,
         "cos254inv": 254.0 * cos_az_caz * -inv_ew,
         "sin254inv": 254.0 * sin_az_caz * inv_ew,
-        "same_res": geotransform[1] == -geotransform[5],
+        "same_res": (geotransform[1] == -geotransform[5] and xs == ys
+                     and gradient_alg == "horn"),
     }
 
 
@@ -231,26 +242,61 @@ def _byte_write(fcol):
         .cast("long")
 
 
-def hillshade_gdal(cells: DataFrame, geotransform, width: int, height: int,
-                   value_col: str = "value", z: float = 1.0,
-                   scale: float = 1.0, azimuth: float = 315.0,
-                   altitude: float = 45.0, combined: bool = False,
-                   compute_edges: bool = False,
-                   src_nodata: int | None = None) -> DataFrame:
-    """gdaldem hillshade, byte-exact: (bx, by, shade) over the full
-    grid; invalid cells (edges without -compute_edges, nodata windows)
-    carry the dst nodata 0."""
-    c = hillshade_constants(geotransform, z, scale, azimuth, altitude)
-    g = window9_gdal(cells, width, height, value_col, compute_edges,
-                     src_nodata)
-    w = F.col
-    if combined:
+def auto_scale(geotransform, height: int, semi_major: float = 6378137.0,
+               angular_units: float = 0.0174532925199433
+               ) -> tuple[float, float]:
+    """The new-CLI default xscale/yscale for a GEOGRAPHIC source
+    (gdaldem_lib.cpp:3651-3674): yscale = angular-units x semi-major
+    (metres per degree of latitude), xscale = yscale x cos(centre
+    latitude). The angular-units constant is the EPSG 9122 degree
+    literal OSR reports, not math.radians(1)."""
+    yscale = angular_units * semi_major
+    mean_lat = (geotransform[3] + height * geotransform[5] / 2) \
+        * angular_units
+    return yscale * math.cos(mean_lat), yscale
+
+
+def _gradient(w, c, gradient_alg: str):
+    """Gradient<T, alg>::calc (:772): scaled Horn or Zevenbergen-Thorne
+    x/y as double Columns."""
+    if gradient_alg == "zt":
+        x = (w("w3") - w("w5")).cast("double") * F.lit(c["inv_ew"])
+        y = (w("w7") - w("w1")).cast("double") * F.lit(c["inv_ns"])
+    else:
         x = ((w("w0") + 2 * w("w3") + w("w6"))
              - (w("w2") + 2 * w("w5") + w("w8"))).cast("double") \
             * F.lit(c["inv_ew"])
         y = ((w("w6") + 2 * w("w7") + w("w8"))
              - (w("w0") + 2 * w("w1") + w("w2"))).cast("double") \
             * F.lit(c["inv_ns"])
+    return x, y
+
+
+def hillshade_gdal(cells: DataFrame, geotransform, width: int, height: int,
+                   value_col: str = "value", z: float = 1.0,
+                   scale: float = 1.0, azimuth: float = 315.0,
+                   altitude: float = 45.0, variant: str = "regular",
+                   gradient_alg: str = "horn",
+                   xscale: float | None = None, yscale: float | None = None,
+                   compute_edges: bool = False,
+                   src_nodata: int | None = None) -> DataFrame:
+    """gdaldem hillshade, byte-exact: (bx, by, shade) over the full
+    grid; invalid cells (edges without -compute_edges, nodata windows)
+    carry the dst nodata 0. variant: regular | combined |
+    multidirectional (USGS of92-422 4-azimuth blend, az fixed) |
+    igor (soft slope/aspect shadowing, alt fixed);
+    gradient_alg: horn | zt (Zevenbergen-Thorne, z divisor 2)."""
+    if variant not in ("regular", "combined", "multidirectional", "igor"):
+        raise ValueError(f"unknown hillshade variant {variant!r}")
+    if gradient_alg not in ("horn", "zt"):
+        raise ValueError(f"unknown gradient alg {gradient_alg!r}")
+    c = hillshade_constants(geotransform, z, scale, azimuth, altitude,
+                            xscale, yscale, gradient_alg)
+    g = window9_gdal(cells, width, height, value_col, compute_edges,
+                     src_nodata)
+    w = F.col
+    if variant == "combined":
+        x, y = _gradient(w, c, gradient_alg)
         xxyy = x * x + y * y
         slope = xxyy * F.lit(c["sqz"])
         inv_sq_half_pi = 1.0 / ((math.pi * math.pi) / 4)
@@ -261,6 +307,54 @@ def hillshade_gdal(cells: DataFrame, geotransform, width: int, height: int,
         cang = 1 - cang0 * F.atan(F.sqrt(slope)) * F.lit(inv_sq_half_pi)
         fc = F.when(cang <= 0.0, F.lit(1.0).cast("float")) \
             .otherwise((1.0 + 254.0 * cang).cast("float"))
+    elif variant == "multidirectional":
+        # GDALHillshadeMultiDirectionalAlg (:1229): w225/w270/w315/w360
+        # aspect weights, each azimuth clamped at 0 before blending
+        x, y = _gradient(w, c, gradient_alg)
+        xx, yy = x * x, y * y
+        xxyy = xx + yy
+        s127 = F.lit(c["sin_alt127"])
+        v225 = s127 + (x - y) * F.lit(c["cos225_caz127"])
+        v270 = s127 - x * F.lit(c["cos_alt_z127"])
+        v315 = s127 + (x + y) * F.lit(c["cos225_caz127"])
+        v360 = s127 - y * F.lit(c["cos_alt_z127"])
+        clamp = lambda e: F.when(e <= 0.0, F.lit(0.0)).otherwise(e)  # noqa: E731
+        w225 = 0.5 * xxyy - x * y
+        w270 = xx
+        w315 = xxyy - w225
+        w360 = yy
+        c127 = ((w225 * clamp(v225) + w270 * clamp(v270)
+                 + w315 * clamp(v315) + w360 * clamp(v360)) / xxyy) \
+            / F.sqrt(1 + F.lit(c["sqz"]) * xxyy)
+        fc = F.when(xxyy == 0.0,
+                    F.lit(float(1.0 + c["sin_alt254"])).cast("float")) \
+            .otherwise((1.0 + c127).cast("float"))
+    elif variant == "igor":
+        # GDALHillshadeIgorAlg (:944): slope strength x aspect proximity
+        # to the light direction; raw (unscaled) sums feed the aspect
+        x, y = _gradient(w, c, gradient_alg)
+        slope_deg = F.atan(F.sqrt(x * x + y * y) * F.lit(c["zf"])) \
+            * F.lit(_RAD2DEG)
+        if gradient_alg == "zt":
+            dxa = (w("w5") - w("w3")).cast("double")
+            dya = (w("w7") - w("w1")).cast("double")
+        else:
+            dxa = ((w("w2") + 2 * w("w5") + w("w8"))
+                   - (w("w0") + 2 * w("w3") + w("w6"))).cast("double")
+            dya = ((w("w6") + 2 * w("w7") + w("w8"))
+                   - (w("w0") + 2 * w("w1") + w("w2"))).cast("double")
+        aspect = F.atan2(dya, -dxa)
+        two_pi = 2 * math.pi
+        target = (3 * math.pi / 2) - c["az_rad"]
+
+        def norm(e):
+            m = e % F.lit(two_pi)  # Spark % = C fmod (dividend sign)
+            return F.when(m < 0, m + two_pi).otherwise(m)
+
+        diff = F.abs(norm(aspect) - norm(F.lit(target)))
+        diff = F.when(diff > math.pi, two_pi - diff).otherwise(diff)
+        shadow = 1.0 - (slope_deg / 90.0) * (1.0 - diff / math.pi)
+        fc = (255.0 * shadow).cast("float")
     elif c["same_res"]:
         x, y = _acc_xy_same_res(w)
         c254 = (F.lit(c["sin_alt254"])
@@ -269,12 +363,7 @@ def hillshade_gdal(cells: DataFrame, geotransform, width: int, height: int,
         fc = F.when(c254 <= 0.0, F.lit(1.0).cast("float")) \
             .otherwise((1.0 + c254).cast("float"))
     else:
-        x = ((w("w0") + 2 * w("w3") + w("w6"))
-             - (w("w2") + 2 * w("w5") + w("w8"))).cast("double") \
-            * F.lit(c["inv_ew"])
-        y = ((w("w6") + 2 * w("w7") + w("w8"))
-             - (w("w0") + 2 * w("w1") + w("w2"))).cast("double") \
-            * F.lit(c["inv_ns"])
+        x, y = _gradient(w, c, gradient_alg)
         c254 = (F.lit(c["sin_alt254"])
                 - (y * F.lit(c["cos_az_caz254"])
                    - x * F.lit(c["sin_az_caz254"]))) \
@@ -287,43 +376,60 @@ def hillshade_gdal(cells: DataFrame, geotransform, width: int, height: int,
 
 def slope_gdal(cells: DataFrame, geotransform, width: int, height: int,
                value_col: str = "value", scale: float = 1.0,
-               percent: bool = False, compute_edges: bool = False,
+               percent: bool = False, gradient_alg: str = "horn",
+               xscale: float | None = None, yscale: float | None = None,
+               compute_edges: bool = False,
                src_nodata: int | None = None) -> DataFrame:
-    """gdaldem slope (GDALSlopeHornAlg), float32 degrees (default) or
-    percent: (bx, by, slope); invalid cells carry dst nodata -9999."""
-    ew = geotransform[1] * scale
-    ns = geotransform[5] * scale
+    """gdaldem slope (GDALSlopeHornAlg / GDALSlopeZevenbergenThorneAlg),
+    float32 degrees (default) or percent: (bx, by, slope); invalid cells
+    carry dst nodata -9999."""
+    xs = scale if xscale is None else xscale
+    ys = scale if yscale is None else yscale
+    ew = geotransform[1] * xs
+    ns = geotransform[5] * ys
     g = window9_gdal(cells, width, height, value_col, compute_edges,
                      src_nodata)
     w = F.col
-    dx = ((w("w0") + 2 * w("w3") + w("w6"))
-          - (w("w2") + 2 * w("w5") + w("w8"))).cast("double") / F.lit(ew)
-    dy = ((w("w6") + 2 * w("w7") + w("w8"))
-          - (w("w0") + 2 * w("w1") + w("w2"))).cast("double") / F.lit(ns)
+    if gradient_alg == "zt":
+        dx = (w("w3") - w("w5")).cast("double") / F.lit(ew)
+        dy = (w("w7") - w("w1")).cast("double") / F.lit(ns)
+        div = 2.0
+    else:
+        dx = ((w("w0") + 2 * w("w3") + w("w6"))
+              - (w("w2") + 2 * w("w5") + w("w8"))).cast("double") / F.lit(ew)
+        dy = ((w("w6") + 2 * w("w7") + w("w8"))
+              - (w("w0") + 2 * w("w1") + w("w2"))).cast("double") / F.lit(ns)
+        div = 8.0
     key = dx * dx + dy * dy
     if percent:
-        val = (100.0 * (F.sqrt(key) / 8.0)).cast("float")
+        val = (100.0 * (F.sqrt(key) / div)).cast("float")
     else:
-        val = (F.atan(F.sqrt(key) / 8.0) * F.lit(_RAD2DEG)).cast("float")
+        val = (F.atan(F.sqrt(key) / div) * F.lit(_RAD2DEG)).cast("float")
     out = F.when(F.col("valid"), val).otherwise(F.lit(-9999.0).cast("float"))
     return g.select("bx", "by", out.alias("slope"))
 
 
 def aspect_gdal(cells: DataFrame, width: int, height: int,
                 value_col: str = "value", azimuth: bool = True,
-                zero_for_flat: bool = False, compute_edges: bool = False,
+                zero_for_flat: bool = False, gradient_alg: str = "horn",
+                compute_edges: bool = False,
                 src_nodata: int | None = None) -> DataFrame:
-    """gdaldem aspect (GDALAspectAlg): float32 azimuth degrees (default)
-    or trigonometric angle; flat cells and invalid cells carry the dst
-    nodata (-9999, or 0 with -zero_for_flat)."""
+    """gdaldem aspect (GDALAspectAlg / ZevenbergenThorne twin): float32
+    azimuth degrees (default) or trigonometric angle; flat cells and
+    invalid cells carry the dst nodata (-9999, or 0 with
+    -zero_for_flat)."""
     dst_nd = 0.0 if zero_for_flat else -9999.0
     g = window9_gdal(cells, width, height, value_col, compute_edges,
                      src_nodata)
     w = F.col
-    dx = ((w("w2") + 2 * w("w5") + w("w8"))
-          - (w("w0") + 2 * w("w3") + w("w6"))).cast("double")
-    dy = ((w("w6") + 2 * w("w7") + w("w8"))
-          - (w("w0") + 2 * w("w1") + w("w2"))).cast("double")
+    if gradient_alg == "zt":
+        dx = (w("w5") - w("w3")).cast("double")
+        dy = (w("w7") - w("w1")).cast("double")
+    else:
+        dx = ((w("w2") + 2 * w("w5") + w("w8"))
+              - (w("w0") + 2 * w("w3") + w("w6"))).cast("double")
+        dy = ((w("w6") + 2 * w("w7") + w("w8"))
+              - (w("w0") + 2 * w("w1") + w("w2"))).cast("double")
     # float aspect = float(atan2(dy, -dx) / (pi/180)); the azimuth
     # rotation then runs in FLOAT arithmetic (450.0f/90.0f literals)
     asp = (F.atan2(dy, -dx) / F.lit(_DEG2RAD)).cast("float")

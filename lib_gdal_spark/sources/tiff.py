@@ -37,7 +37,8 @@ _TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
     279: "strip_counts", 317: "predictor", 339: "sample_format",
-    33550: "pixel_scale", 33922: "tiepoint", 42113: "gdal_nodata",
+    33550: "pixel_scale", 33922: "tiepoint", 34735: "geo_keys",
+    42113: "gdal_nodata",
 }
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8}
@@ -178,11 +179,21 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
     if "gdal_nodata" in t:
         meta["nodata"] = float(t["gdal_nodata"])
     # GeoTIFF geotransform: ModelPixelScale + ModelTiepoint (the affine
-    # subset gdaldem needs for its ewres/nsres constants)
+    # subset gdaldem needs for its ewres/nsres constants). GeoKey 1025
+    # (GTRasterTypeGeoKey) value 2 = RasterPixelIsPoint: the tiepoint
+    # names a pixel CENTER, so the area-convention origin the reference
+    # reports shifts by half a pixel (frmts/gtiff geotransform logic).
     if "pixel_scale" in t and "tiepoint" in t:
         sx, sy = t["pixel_scale"][0], t["pixel_scale"][1]
         i, j, _k, x, y, _z = t["tiepoint"][:6]
-        meta["geotransform"] = (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
+        gx, gy = x - i * sx, y + j * sy
+        gk = t.get("geo_keys") or []
+        for g in range(0, len(gk) - 3, 4):
+            if gk[g] == 1025 and gk[g + 1] == 0 and gk[g + 3] == 2:
+                gx -= 0.5 * sx
+                gy += 0.5 * sy
+                meta["pixel_is_point"] = True
+        meta["geotransform"] = (gx, sx, 0.0, gy, 0.0, -sy)
     return arr, meta
 
 

@@ -31,9 +31,12 @@ def test_n43_lzw_decode_checksum():
     arr, meta = decode_tiff(open(N43, "rb").read())
     assert arr.shape == (121, 121) and arr.dtype == np.int16
     assert meta["nodata"] == -32767.0
+    # GeoKey 1025 = PixelIsPoint: the origin carries the half-pixel
+    # area-convention shift the reference reports
+    assert meta["pixel_is_point"]
     gt = meta["geotransform"]
-    assert gt[0] == -80.0 and gt[1] == 0.008333333333333333
-    assert gt[5] == -0.008333333333333333
+    assert gt[0] == -80.00416666666666 and gt[1] == 0.008333333333333333
+    assert gt[3] == 44.00416666666666 and gt[5] == -0.008333333333333333
     primes = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43])
     v = arr.flatten().astype(np.int64)
     cs = int(np.sum(np.fmod(v, primes[np.arange(v.size) % 11]))) & 0xFFFF
@@ -64,7 +67,7 @@ def test_gdaldem_hillshade_combined(spark, n43):
     """`-combined` variant -> checksum 43876 (test_gdaldem.py:112)."""
     cells, meta = n43
     out = gc.hillshade_gdal(cells, meta["geotransform"], 121, 121,
-                            z=30, scale=111120, combined=True,
+                            z=30, scale=111120, variant="combined",
                             src_nodata=-32767)
     assert _cs(out, "shade", 121, 121) == 43876
 
@@ -144,3 +147,85 @@ def test_gdaldem_color_relief_exact_mode(spark):
     got = {r.bx: (r.r, r.g, r.b)
            for r in gc.color_relief_gdal(g, RAMP, mode="exact").collect()}
     assert got[0] == (50, 180, 50) and got[1] == (0, 0, 0)
+
+
+# --- the new-CLI (gdalalg) variant matrix: auto-derived geographic
+# xscale/yscale, edges computed by default -----------------------------
+
+_HS_CASES = [
+    ({}, 63031), ({"z": 30}, 50999),
+    ({"xscale": 111120, "yscale": 111120}, 63905),
+    ({"xscale": 90000, "yscale": 111120}, 63319),
+    ({"azimuth": 180}, 2228), ({"altitude": 90}, 48616),
+    ({"gradient_alg": "zt"}, 62530), ({"variant": "combined"}, 51495),
+    ({"variant": "multidirectional"}, 62942), ({"variant": "igor"}, 51362),
+]
+
+
+@pytest.mark.parametrize("opts,want", _HS_CASES)
+def test_gdalalg_hillshade_variants(spark, n43, opts, want):
+    """`gdal raster hillshade` variant matrix on n43.tif
+    (test_gdalalg_raster_hillshade.py:24-39): default scales derive from
+    the geographic CRS (auto_scale), edges are computed by default; the
+    reference itself asserts to within 1 (its SSE rsqrt path)."""
+    cells, meta = n43
+    gt = meta["geotransform"]
+    xs, ys = gc.auto_scale(gt, 121)
+    o = dict(opts)
+    o.setdefault("xscale", xs)
+    o.setdefault("yscale", ys)
+    out = gc.hillshade_gdal(cells, gt, 121, 121, compute_edges=True,
+                            src_nodata=-32767, **o)
+    assert abs(_cs(out, "shade", 121, 121) - want) <= 1
+
+
+def test_gdalalg_hillshade_no_edges(spark, n43):
+    cells, meta = n43
+    gt = meta["geotransform"]
+    xs, ys = gc.auto_scale(gt, 121)
+    out = gc.hillshade_gdal(cells, gt, 121, 121, xscale=xs, yscale=ys,
+                            src_nodata=-32767)
+    assert abs(_cs(out, "shade", 121, 121) - 58409) <= 1
+
+
+_SLOPE_CASES = [
+    ({}, True, 5604), ({"percent": True}, True, 10827),
+    ({"xscale": 111120, "yscale": 111120}, True, 4589),
+    ({"xscale": 90000, "yscale": 111120}, True, 5232),
+    ({"gradient_alg": "zt"}, True, 6378),
+    ({"gradient_alg": "zt"}, False, 65468), ({}, False, 64725),
+]
+
+
+@pytest.mark.parametrize("opts,edges,want", _SLOPE_CASES)
+def test_gdalalg_slope_variants(spark, n43, opts, edges, want):
+    """`gdal raster slope` matrix (test_gdalalg_raster_slope.py:24-36):
+    degrees/percent, per-axis scales, Zevenbergen-Thorne, no-edges —
+    exact checksums."""
+    cells, meta = n43
+    gt = meta["geotransform"]
+    xs, ys = gc.auto_scale(gt, 121)
+    o = dict(opts)
+    o.setdefault("xscale", xs)
+    o.setdefault("yscale", ys)
+    out = gc.slope_gdal(cells, gt, 121, 121, compute_edges=edges,
+                        src_nodata=-32767, **o)
+    assert _cs(out, "slope", 121, 121) == want
+
+
+_ASPECT_CASES = [
+    ({}, True, 63997), ({"gradient_alg": "zt"}, True, 59218),
+    ({"zero_for_flat": True}, True, 53663), ({"azimuth": False}, True, 63627),
+    ({"gradient_alg": "zt"}, False, 50539), ({}, False, 54885),
+]
+
+
+@pytest.mark.parametrize("opts,edges,want", _ASPECT_CASES)
+def test_gdalalg_aspect_variants(spark, n43, opts, edges, want):
+    """`gdal raster aspect` matrix (test_gdalalg_raster_aspect.py:24-33):
+    azimuth/trigonometric, zero-for-flat, Zevenbergen-Thorne, no-edges —
+    exact checksums."""
+    cells, _meta = n43
+    out = gc.aspect_gdal(cells, 121, 121, compute_edges=edges,
+                         src_nodata=-32767, **opts)
+    assert _cs(out, "aspect", 121, 121) == want
