@@ -573,3 +573,64 @@ def color_relief_gdal(cells: DataFrame, ramp, value_col: str = "value",
 
     return cells.select("bx", "by", chan(1).alias("r"), chan(2).alias("g"),
                         chan(3).alias("b"))
+
+
+def tpi_gdal(cells: DataFrame, width: int, height: int,
+             value_col: str = "value", compute_edges: bool = False,
+             src_nodata: int | None = None) -> DataFrame:
+    """gdaldem TPI (GDALTPIAlg, :2324): centre minus the 8-neighbour
+    mean; the 0.125 multiply runs in FLOAT arithmetic (the C's 0.125f),
+    as does the final subtract. (bx, by, tpi); dst nodata -9999."""
+    g = window9_gdal(cells, width, height, value_col, compute_edges,
+                     src_nodata)
+    w = F.col
+    s8 = (w("w0") + w("w1") + w("w2") + w("w3") + w("w5")
+          + w("w6") + w("w7") + w("w8"))
+    mean = (s8.cast("float") * F.lit(0.125).cast("float")).cast("float")
+    val = (w("w4").cast("float") - mean).cast("float")
+    out = F.when(F.col("valid"), val).otherwise(F.lit(-9999.0).cast("float"))
+    return g.select("bx", "by", out.alias("tpi"))
+
+
+def tri_gdal(cells: DataFrame, width: int, height: int,
+             value_col: str = "value", algorithm: str = "riley",
+             compute_edges: bool = False,
+             src_nodata: int | None = None) -> DataFrame:
+    """gdaldem TRI: Riley (default, :2304) sqrt of summed squared
+    centre-neighbour differences in double; Wilson (:2289) mean absolute
+    difference with the float 0.125f multiply. (bx, by, tri); dst
+    nodata -9999."""
+    if algorithm not in ("riley", "wilson"):
+        raise ValueError(f"unknown TRI algorithm {algorithm!r}")
+    g = window9_gdal(cells, width, height, value_col, compute_edges,
+                     src_nodata)
+    w = F.col
+    others = ["w0", "w1", "w2", "w3", "w5", "w6", "w7", "w8"]
+    if algorithm == "wilson":
+        s = None
+        for k in others:
+            t = F.abs(w(k) - w("w4"))
+            s = t if s is None else s + t
+        val = (s.cast("float") * F.lit(0.125).cast("float")).cast("float")
+    else:
+        s = None
+        for k in others:
+            t = (w(k) - w("w4")).cast("double")
+            t = t * t
+            s = t if s is None else s + t
+        val = F.sqrt(s).cast("float")
+    out = F.when(F.col("valid"), val).otherwise(F.lit(-9999.0).cast("float"))
+    return g.select("bx", "by", out.alias("tri"))
+
+
+def roughness_gdal(cells: DataFrame, width: int, height: int,
+                   value_col: str = "value", compute_edges: bool = False,
+                   src_nodata: int | None = None) -> DataFrame:
+    """gdaldem roughness (GDALRoughnessAlg, :2339): window max minus
+    window min, float cast. (bx, by, roughness); dst nodata -9999."""
+    g = window9_gdal(cells, width, height, value_col, compute_edges,
+                     src_nodata)
+    cols = [F.col(lbl) for lbl, _, _ in _SLOTS]
+    val = (F.greatest(*cols) - F.least(*cols)).cast("float")
+    out = F.when(F.col("valid"), val).otherwise(F.lit(-9999.0).cast("float"))
+    return g.select("bx", "by", out.alias("roughness"))

@@ -229,3 +229,25 @@ def test_gdalalg_aspect_variants(spark, n43, opts, edges, want):
     out = gc.aspect_gdal(cells, 121, 121, compute_edges=edges,
                          src_nodata=-32767, **opts)
     assert _cs(out, "aspect", 121, 121) == want
+
+
+_TPI_TRI_ROUGH = [
+    ("tpi", {}, True, 1147), ("tpi", {}, False, 60504),
+    ("tri", {}, True, 51634), ("tri", {"algorithm": "wilson"}, True, 4381),
+    ("tri", {}, False, 41233),
+    ("roughness", {}, True, 48806), ("roughness", {}, False, 38624),
+]
+
+
+@pytest.mark.parametrize("op,opts,edges,want", _TPI_TRI_ROUGH)
+def test_gdalalg_tpi_tri_roughness(spark, n43, op, opts, edges, want):
+    """`gdal raster tpi/tri/roughness` goldens
+    (test_gdalalg_raster_{tpi,tri,roughness}.py): TPI and Wilson-TRI
+    carry the C's float 0.125f multiply; Riley-TRI squares in double —
+    exact checksums."""
+    cells, _meta = n43
+    fn = {"tpi": gc.tpi_gdal, "tri": gc.tri_gdal,
+          "roughness": gc.roughness_gdal}[op]
+    out = fn(cells, 121, 121, compute_edges=edges, src_nodata=-32767,
+             **opts)
+    assert _cs(out, op, 121, 121) == want
