@@ -531,6 +531,24 @@ def _q_gdaldem_hillshade(spark, sf_dir):
     ).select("bx", "by", "shade")
 
 
+def _q_gdaldem_derivatives(spark, sf_dir):
+    """Four byte/float32-exact gdaldem replays in one driver row: TPI
+    and Wilson-free TRI (Riley) and roughness (their float-0.125f /
+    double-square disciplines) plus the MULTIDIRECTIONAL hillshade
+    (USGS of92-422 4-azimuth blend) — all transcendental-free, so the
+    duckdb twin is exact including the float32 casts."""
+    base = _base_grid8(spark, sf_dir)
+    tpi = gdaldem_compat.tpi_gdal(base, 25, 20)
+    tri = gdaldem_compat.tri_gdal(base, 25, 20)
+    rough = gdaldem_compat.roughness_gdal(base, 25, 20)
+    hs = gdaldem_compat.hillshade_gdal(
+        base, _GDALDEM_GT, 25, 20, z=30.0, scale=111120.0,
+        variant="multidirectional")
+    return (tpi.join(tri, ["bx", "by"]).join(rough, ["bx", "by"])
+            .join(hs, ["bx", "by"])
+            .select("bx", "by", "tpi", "tri", "roughness", "shade"))
+
+
 def _q_interp_bilinear(spark, sf_dir):
     cells = _base_grid8(spark, sf_dir)
     # prime denominator (/997, like interp_cubic): /10 grid-aligned points
@@ -1419,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- (1) new this round ----
         "gdaldem_hillshade": _q_gdaldem_hillshade,
+        "gdaldem_derivatives": _q_gdaldem_derivatives,
         "pii_redact": _q_pii_redact,
         "contamination_check": _q_contamination,
         "gopher_rules": _q_gopher_rules,
@@ -1475,8 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "zonal_mode": _q_zonal_mode,
         "zonal_weighted": _q_zonal_weighted,
-        "events_sliding": _q_events_sliding,
         # -------- 50-cap boundary: positions 51+ below --------
+        "events_sliding": _q_events_sliding,
         "rasterize_rects": _q_rasterize,
         "footprint_boundary": _q_footprint,
         "raster_calc": _q_raster_calc,
@@ -1877,6 +1896,90 @@ SELECT bx, "by",
       AS DOUBLE)))) AS BIGINT)
   ELSE 0 END AS shade
 FROM shade
+"""
+
+
+def _o_gdaldem_derivatives() -> str:
+    # float32 steps mirror via duckdb REAL arithmetic; fold orders match
+    # the engine Column expressions term for term
+    c = gdaldem_compat.hillshade_constants(_GDALDEM_GT, z=30.0,
+                                           scale=111120.0)
+    slots = ("(0,-1,1),(1,0,1),(2,1,1),(3,-1,0),(4,0,0),(5,1,0),"
+             "(6,-1,-1),(7,0,-1),(8,1,-1)")
+    cases = ", ".join(f"max(CASE WHEN k={i} THEN v END) AS w{i}"
+                      for i in range(9))
+    sq = " + ".join(
+        f"(CAST(w{k} - w4 AS DOUBLE) * CAST(w{k} - w4 AS DOUBLE))"
+        for k in (0, 1, 2, 3, 5, 6, 7, 8))
+    allw = ", ".join(f"w{k}" for k in range(9))
+    flat_fc = repr(1.0 + c["sin_alt254"])
+    return f"""
+WITH {_PAGES_CTE},
+{_dd_base8_cte()},
+contrib AS (
+  SELECT b.bx - o.dx AS bx, b."by" - o.dy AS "by", o.k AS k,
+         CAST(b.value AS BIGINT) AS v
+  FROM base b, (VALUES {slots}) o(k, dx, dy)
+  WHERE b.bx - o.dx BETWEEN 0 AND 24 AND b."by" - o.dy BETWEEN 0 AND 19
+),
+w9 AS (
+  SELECT bx, "by", {cases}, count(*) AS n FROM contrib GROUP BY 1, 2
+),
+grad AS (
+  SELECT bx, "by", n, {allw},
+         CAST((w0 + 2*w3 + w6) - (w2 + 2*w5 + w8) AS DOUBLE)
+           * {c['inv_ew']!r} AS x,
+         CAST((w6 + 2*w7 + w8) - (w0 + 2*w1 + w2) AS DOUBLE)
+           * {c['inv_ns']!r} AS y
+  FROM w9
+),
+md AS (
+  SELECT bx, "by", n, {allw}, x*x AS xx, y*y AS yy, x, y FROM grad
+),
+vals AS (
+  SELECT bx, "by", n, {allw}, xx, yy, x, y,
+    CASE WHEN {c['sin_alt127']!r} + (x - y) * {c['cos225_caz127']!r} <= 0
+         THEN 0.0 ELSE {c['sin_alt127']!r}
+              + (x - y) * {c['cos225_caz127']!r} END AS v225,
+    CASE WHEN {c['sin_alt127']!r} - x * {c['cos_alt_z127']!r} <= 0
+         THEN 0.0 ELSE {c['sin_alt127']!r}
+              - x * {c['cos_alt_z127']!r} END AS v270,
+    CASE WHEN {c['sin_alt127']!r} + (x + y) * {c['cos225_caz127']!r} <= 0
+         THEN 0.0 ELSE {c['sin_alt127']!r}
+              + (x + y) * {c['cos225_caz127']!r} END AS v315,
+    CASE WHEN {c['sin_alt127']!r} - y * {c['cos_alt_z127']!r} <= 0
+         THEN 0.0 ELSE {c['sin_alt127']!r}
+              - y * {c['cos_alt_z127']!r} END AS v360
+  FROM md
+),
+fc AS (
+  SELECT bx, "by", n, {allw},
+    CASE WHEN xx + yy = 0.0 THEN CAST({flat_fc} AS REAL)
+         ELSE CAST(1.0 + (((0.5*(xx + yy) - x*y) * v225 + xx * v270
+                    + ((xx + yy) - (0.5*(xx + yy) - x*y)) * v315
+                    + yy * v360) / (xx + yy))
+                   / sqrt(1 + {c['sqz']!r} * (xx + yy)) AS REAL)
+    END AS fcv
+  FROM vals
+),
+final AS (
+  SELECT bx, "by",
+    n = 9 AND bx BETWEEN 1 AND 23 AND "by" BETWEEN 1 AND 18 AS ok,
+    CAST(CAST(w4 AS REAL)
+         - CAST(CAST(w0+w1+w2+w3+w5+w6+w7+w8 AS REAL)
+                * CAST(0.125 AS REAL) AS REAL) AS REAL) AS tpi_v,
+    CAST(sqrt({sq}) AS REAL) AS tri_v,
+    CAST(greatest({allw}) - least({allw}) AS REAL) AS rough_v,
+    CAST(least(255.0, greatest(0.0, floor(CAST(
+      fcv + CAST(0.5 AS REAL) AS DOUBLE)))) AS BIGINT) AS shade_v
+  FROM fc
+)
+SELECT bx, "by",
+  CASE WHEN ok THEN tpi_v ELSE CAST(-9999.0 AS REAL) END AS tpi,
+  CASE WHEN ok THEN tri_v ELSE CAST(-9999.0 AS REAL) END AS tri,
+  CASE WHEN ok THEN rough_v ELSE CAST(-9999.0 AS REAL) END AS roughness,
+  CASE WHEN ok THEN shade_v ELSE 0 END AS shade
+FROM final
 """
 
 
@@ -4051,6 +4154,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_weighted": _o_zonal_weighted(),
         "events_sliding": _o_events_sliding(),
         "gdaldem_hillshade": _o_gdaldem_hillshade(),
+        "gdaldem_derivatives": _o_gdaldem_derivatives(),
         "dem_slope": _o_dem_slope(),
         "dem_tpi": _o_dem_tpi(),
         "graph_sssp": _o_graph_sssp(),
