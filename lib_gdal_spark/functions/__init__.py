@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
 
-from ..geo import cells as _cells, geodesic as _geodesic, \
+from ..geo import cells as _cells, clip as _clip, geodesic as _geodesic, \
     mercator as _mercator, wkb as _wkb, wkt as _wkt
 from ..geo.distance import geometry_distance
 from ..geo.hull import convex_hull_np, point_buffer_ring
@@ -239,11 +239,25 @@ def register_all(spark: SparkSession) -> None:
             out.append(_wkb.encode_polygon([convex_hull_np(pts)]))
         return pd.Series(out)
 
+    def _enc_areal(kind, data):
+        """(kind, data) -> WKB, or None for an empty result (the
+        reference returns an EMPTY geometry; SQL-side NULL is this
+        catalog's empty signal)."""
+        if not data:
+            return None
+        if kind == "polygon":
+            return _wkb.encode_polygon(data)
+        return _wkb.encode_multipolygon(data)
+
     @F.pandas_udf(T.BinaryType())
     def st_buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
-        # OGRGeometry::Buffer (ogr_geometry.h:567) for the POINT case:
-        # 8-segments-per-quadrant circle (GEOS's default discretization).
-        # Line/polygon offsetting needs GEOS -> NotImplementedError.
+        # OGRGeometry::Buffer (ogr_geometry.h:565, nQuadSegs=30 default).
+        # Points keep the legacy 8-seg-per-quadrant ring (point_buffer_
+        # ring, GEOS's own default density); lines and areal geometries
+        # go through the geo/clip offset machinery: per-edge round-cap
+        # capsules folded with boolean union (dilate) or difference
+        # (erode) — approximation-equal to GEOS, not bit-equal (arc
+        # vertex phase differs; see geo/clip.buffer_geometry).
         d = float(dist.iloc[0])
         out = []
         for buf in wkb:
@@ -251,13 +265,58 @@ def register_all(spark: SparkSession) -> None:
                 out.append(None)
                 continue
             kind, data = _wkb.decode(bytes(buf))
-            if kind != "point":
-                raise NotImplementedError(
-                    "st_buffer supports POINT geometries only (line/"
-                    "polygon offsetting requires GEOS)")
-            out.append(_wkb.encode_polygon(
-                [point_buffer_ring(data[0], data[1], d)]))
+            if kind == "point":
+                out.append(_wkb.encode_polygon(
+                    [point_buffer_ring(data[0], data[1], d)])
+                    if d > 0 else None)
+                continue
+            rk, rd = _clip.buffer_geometry(kind, data, d)
+            out.append(_enc_areal(rk, rd))
         return pd.Series(out)
+
+    def _overlay(op):
+        @F.pandas_udf(T.BinaryType())
+        def f(wa: pd.Series, wb: pd.Series) -> pd.Series:
+            # OGRGeometry::Intersection/Union/Difference/SymDifference
+            # (ogrgeometry.cpp:4560+, GEOS-delegated there) for the
+            # areal subset, via geo/clip fragment classification.
+            out = []
+            for a, b in zip(wa, wb):
+                if a is None or b is None:
+                    out.append(None)
+                    continue
+                ka, da = _wkb.decode(bytes(a))
+                kb, db = _wkb.decode(bytes(b))
+                rk, rd = _clip.overlay(ka, da, kb, db, op)
+                out.append(_enc_areal(rk, rd))
+            return pd.Series(out)
+        return f
+
+    @F.pandas_udf(T.BinaryType())
+    def st_makevalid(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::MakeValid (ogr_geometry.h:430), STRUCTURE-method
+        # semantics: even-odd reinterpretation of self-intersecting
+        # rings (bowtie -> two triangles, autotest ogr_geom_makevalid).
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            rk, rd = _clip.make_valid(kind, data)
+            out.append(_enc_areal(rk, rd))
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BinaryType())
+    def st_union_agg(wkb: pd.Series) -> bytes:  # Series->scalar: GROUPED_AGG
+        # OGRGeometry::UnionCascaded (ogr_geometry.h:573) as a grouped
+        # aggregate. Grouped-agg pandas UDFs ship each whole group to
+        # one worker — right-sized here because union groups are the
+        # DIMENSION side (admin regions, boundary sets: tens-to-
+        # thousands of parts), never the page corpus.
+        geoms = [_wkb.decode(bytes(b)) for b in wkb if b is not None]
+        rk, rd = _clip.union_all(geoms)
+        return _enc_areal(rk, rd)
 
     @F.pandas_udf(T.DoubleType())
     def st_geodesic_area(wkb: pd.Series) -> pd.Series:
@@ -317,6 +376,12 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_geodesic_length", st_geodesic_length)
     spark.udf.register("st_convexhull", st_convexhull)
     spark.udf.register("st_buffer", st_buffer)
+    spark.udf.register("st_intersection", _overlay("intersection"))
+    spark.udf.register("st_union", _overlay("union"))
+    spark.udf.register("st_difference", _overlay("difference"))
+    spark.udf.register("st_symdifference", _overlay("symdifference"))
+    spark.udf.register("st_makevalid", st_makevalid)
+    spark.udf.register("st_union_agg", st_union_agg)
     spark.udf.register("st_astext", st_astext)
     spark.udf.register("st_geomfromtext", st_geomfromtext)
     spark.udf.register("st_distance", st_distance)

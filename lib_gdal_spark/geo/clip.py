@@ -1,0 +1,420 @@
+"""Polygon boolean algebra: intersection / union / difference /
+symmetric difference, plus Buffer, MakeValid and cascaded union — the
+GEOS-backed slice of the reference's geometry API.
+
+Reference surface (all delegated to GEOS there, re-implemented from
+scratch here):
+- OGRGeometry::Intersection / Union / Difference / SymDifference
+  (ogr/ogrgeometry.cpp:4560+, each a GEOS*_r call)
+- OGRGeometry::Buffer(dist, nQuadSegs=30) (ogr/ogr_geometry.h:565,
+  ogrgeometry.cpp:4498 -> GEOSBuffer_r)
+- OGRGeometry::MakeValid (ogr/ogr_geometry.h:430; GEOS "structure"
+  method = even-odd reinterpretation of self-intersecting rings)
+- OGRGeometry::UnionCascaded (ogr/ogr_geometry.h:573)
+
+This is NOT a port of GEOS's overlay-ng: the execution shape here is a
+per-row NumPy kernel invoked from Arrow pandas UDFs over millions of
+small geometries (admin polygons, buffered features), so the algorithm
+optimizes for uniformity and small constant factors over asymptotics:
+
+1. SPLIT — every boundary edge of A is subdivided at its intersections
+   with B's edges (proper crossings, endpoint touches, and collinear
+   overlaps), and vice versa; edge pairs are intersected vectorized
+   (one NumPy pass per edge against all opposing edges).
+2. CLASSIFY — a fragment lies on the result boundary iff the result
+   region covers exactly one of its two sides.  Sides are sampled at
+   midpoint +- eps * unit-normal and membership is plain boolean algebra
+   on even-odd point-in-polygon tests (inA <op> inB).  This one rule
+   subsumes all the classic special cases (shared edges, tangencies,
+   holes) — degeneracies cost tolerance (eps = 1e-9 * coordinate scale,
+   documented below), not code paths.
+3. STITCH — kept fragments are oriented region-on-the-left and chained
+   end-to-start (leftmost-turn rule at junctions of degree > 2), which
+   makes shells come out CCW and holes CW by construction; each hole is
+   attached to the smallest enclosing shell.
+
+Tolerance contract: features (edge lengths, gaps, sliver widths) smaller
+than ~1e-9 of the coordinate magnitude may be merged or dropped; within
+that tolerance results are exact region algebra.  GEOS instead uses a
+snap-rounding noder — same class of guarantee, different constant.
+
+MakeValid reuses the same machinery with B = the polygon itself: edges
+split against their own edge set, membership = even-odd of the original
+rings — i.e. the GEOS METHOD=STRUCTURE semantics (autotest
+ogr/ogr_geom.py test_ogr_geom_makevalid: bowtie -> two triangles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .pip import point_in_ring_np
+
+_OPS = {
+    "intersection": lambda a, b: a & b,
+    "union": lambda a, b: a | b,
+    "difference": lambda a, b: a & ~b,
+    "symdifference": lambda a, b: a ^ b,
+}
+
+
+# ---------------------------------------------------------------------------
+# normalization
+
+
+def as_polys(kind: str, data) -> list:
+    """Decoded (kind, data) -> list of polygons, each a list of (n, 2)
+    open rings (closing vertex and zero-length edges dropped)."""
+    kind = kind.lower()
+    if kind == "polygon":
+        polys = [data]
+    elif kind == "multipolygon":
+        polys = data
+    else:
+        raise NotImplementedError(f"boolean ops need areal input, got {kind}")
+    out = []
+    for rings in polys:
+        nr = []
+        for r in rings:
+            r = np.asarray(r, dtype=np.float64)
+            if len(r) >= 2 and (r[0] == r[-1]).all():
+                r = r[:-1]
+            keep = np.any(r != np.roll(r, 1, axis=0), axis=1)
+            r = r[keep]
+            if len(r) >= 3:
+                nr.append(r)
+        if nr:
+            out.append(nr)
+    return out
+
+
+def _edges_of(polys: list) -> np.ndarray:
+    """(n, 4) array of boundary edges [x0 y0 x1 y1] over all rings."""
+    segs = []
+    for rings in polys:
+        for r in rings:
+            segs.append(np.hstack([r, np.roll(r, -1, axis=0)]))
+    if not segs:
+        return np.empty((0, 4), dtype=np.float64)
+    return np.vstack(segs)
+
+
+def _scale_of(*edge_sets) -> float:
+    m = 1.0
+    for e in edge_sets:
+        if len(e):
+            m = max(m, float(np.abs(e).max()))
+    return m
+
+
+def _membership(polys: list):
+    """Even-odd membership test over all rings of all member polygons
+    (the same rule geo/pip.point_in_polygon_np applies per polygon)."""
+    rings = [r for rings in polys for r in rings]
+
+    def inside(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        out = np.zeros(np.shape(px), dtype=bool)
+        for r in rings:
+            out ^= point_in_ring_np(px, py, r)
+        return out
+
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# split
+
+
+def _split_against(edges: np.ndarray, others: np.ndarray, scale: float,
+                   skip_self: bool = False) -> np.ndarray:
+    """Subdivide each edge at its intersections with `others`.
+
+    Returns an (m, 4) fragment array.  Proper crossings use the exact
+    parametric solve; collinear overlaps project the other edge's
+    endpoints onto this edge.  skip_self excludes index-equal pairs (for
+    MakeValid, where edges split against their own set).
+    """
+    if len(edges) == 0:
+        return edges
+    frags = []
+    tol_cross = 1e-12 * scale * scale   # cross products scale as length^2
+    q0 = others[:, 0:2]
+    q1 = others[:, 2:4]
+    s = q1 - q0
+    for i, e in enumerate(edges):
+        p0 = e[0:2]
+        r = e[2:4] - p0
+        L2 = float(r @ r)
+        qp = q0 - p0
+        denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+        t_num = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+        u_num = qp[:, 0] * r[1] - qp[:, 1] * r[0]
+        nz = np.abs(denom) > tol_cross
+        if skip_self:
+            nz = nz.copy()
+            nz[i] = False
+        ts = [np.array([0.0, 1.0])]
+        if nz.any():
+            t = t_num[nz] / denom[nz]
+            u = u_num[nz] / denom[nz]
+            ok = (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
+            ts.append(t[ok])
+        col = (~nz) & (np.abs(u_num) <= tol_cross)
+        if skip_self:
+            col[i] = False
+        if col.any():
+            for q in (q0[col], q1[col]):
+                tq = ((q - p0) @ r) / L2
+                ts.append(tq[(tq > 0.0) & (tq < 1.0)])
+        tv = np.concatenate(ts)
+        tv.sort()
+        # merge parameter values closer than fp noise
+        keep = np.empty(len(tv), dtype=bool)
+        keep[0] = True
+        keep[1:] = np.diff(tv) > 1e-12
+        tv = tv[keep]
+        if tv[-1] != 1.0:
+            tv = np.append(tv, 1.0)
+        a = p0 + np.outer(tv[:-1], r)
+        b = p0 + np.outer(tv[1:], r)
+        frags.append(np.hstack([a, b]))
+    return np.vstack(frags)
+
+
+# ---------------------------------------------------------------------------
+# classify + stitch
+
+
+def _resolve(frags: np.ndarray, region, scale: float) -> list:
+    """Fragments + region predicate -> list of polygons [shell, holes..].
+
+    Keeps fragments whose two sides disagree on region membership,
+    oriented region-on-the-left, then stitches rings (leftmost-turn) and
+    nests CW holes inside their smallest CCW shell.
+    """
+    if len(frags) == 0:
+        return []
+    d = frags[:, 2:4] - frags[:, 0:2]
+    ln = np.hypot(d[:, 0], d[:, 1])
+    ok = ln > 1e-12 * scale
+    frags, d, ln = frags[ok], d[ok], ln[ok]
+    if len(frags) == 0:
+        return []
+    eps = 1e-9 * scale
+    mid = (frags[:, 0:2] + frags[:, 2:4]) * 0.5
+    nx, ny = -d[:, 1] / ln, d[:, 0] / ln
+    lx, ly = mid[:, 0] + eps * nx, mid[:, 1] + eps * ny
+    rx, ry = mid[:, 0] - eps * nx, mid[:, 1] - eps * ny
+    left_in = region(lx, ly)
+    right_in = region(rx, ry)
+    keep = left_in != right_in
+    frags = frags[keep]
+    flip = right_in[keep]
+    flipped = frags[flip][:, [2, 3, 0, 1]]
+    frags = np.vstack([frags[~flip], flipped])
+
+    # dedupe identical oriented fragments (collinear overlaps yield one
+    # copy from each input boundary)
+    q = 1e-11 * scale
+    key = np.round(frags / q).astype(np.int64)
+    _, first = np.unique(key, axis=0, return_index=True)
+    frags = frags[np.sort(first)]
+    key = key[np.sort(first)]
+
+    # stitch: out-adjacency keyed on quantized start point
+    starts: dict = {}
+    for i, k in enumerate(key):
+        starts.setdefault((k[0], k[1]), []).append(i)
+    used = np.zeros(len(frags), dtype=bool)
+    rings = []
+    for i0 in range(len(frags)):
+        if used[i0]:
+            continue
+        chain = [i0]
+        used[i0] = True
+        guard = 0
+        while guard <= len(frags):
+            guard += 1
+            cur = frags[chain[-1]]
+            ek = (key[chain[-1]][2], key[chain[-1]][3])
+            cands = [j for j in starts.get(ek, ()) if not used[j]]
+            if not cands:
+                break
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                # leftmost turn: maximize CCW angle from incoming dir
+                vin = cur[2:4] - cur[0:2]
+                ang_in = np.arctan2(vin[1], vin[0])
+                best, best_a = cands[0], -10.0
+                for j in cands:
+                    vout = frags[j][2:4] - frags[j][0:2]
+                    a = np.arctan2(vout[1], vout[0]) - ang_in + np.pi
+                    a = a - 2 * np.pi * np.floor(a / (2 * np.pi))
+                    if a > best_a:
+                        best, best_a = j, a
+                nxt = best
+            chain.append(nxt)
+            used[nxt] = True
+            if (key[nxt][2], key[nxt][3]) == (key[chain[0]][0],
+                                              key[chain[0]][1]):
+                rings.append(frags[chain][:, 0:2])
+                chain = []
+                break
+        # open chain (tolerance casualty): drop silently
+
+    shells, holes = [], []
+    for r in rings:
+        x, y = r[:, 0], r[:, 1]
+        a2 = float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        if abs(a2) <= (1e-12 * scale) ** 2:
+            continue
+        (shells if a2 > 0 else holes).append((abs(a2) * 0.5, r))
+    shells.sort(key=lambda t: t[0])
+    polys = [[s[1]] for s in shells]
+    for _, h in holes:
+        px, py = np.array([h[0, 0]]), np.array([h[0, 1]])
+        for i, (_, srng) in enumerate(shells):   # smallest-first
+            if point_in_ring_np(px, py, srng)[0]:
+                polys[i].append(h)
+                break
+    return polys
+
+
+def _result_kind(polys: list):
+    if not polys:
+        return "polygon", []
+    if len(polys) == 1:
+        return "polygon", [np.vstack([r, r[:1]]) for r in polys[0]]
+    return "multipolygon", [[np.vstack([r, r[:1]]) for r in rings]
+                            for rings in polys]
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def overlay(kind_a: str, data_a, kind_b: str, data_b, op: str):
+    """Binary boolean op on areal geometries -> (kind, data).
+
+    op: 'intersection' | 'union' | 'difference' | 'symdifference'.
+    Inputs must be valid (non-self-intersecting) polygons or
+    multipolygons; run make_valid first otherwise.  Empty results come
+    back as ("polygon", []).
+    """
+    fn = _OPS[op]
+    pa = as_polys(kind_a, data_a)
+    pb = as_polys(kind_b, data_b)
+    ea, eb = _edges_of(pa), _edges_of(pb)
+    scale = _scale_of(ea, eb)
+    in_a, in_b = _membership(pa), _membership(pb)
+
+    def region(px, py):
+        return fn(in_a(px, py), in_b(px, py))
+
+    if len(eb) == 0:
+        frags = ea
+    elif len(ea) == 0:
+        frags = eb
+    else:
+        frags = np.vstack([_split_against(ea, eb, scale),
+                           _split_against(eb, ea, scale)])
+    return _result_kind(_resolve(frags, region, scale))
+
+
+def make_valid(kind: str, data):
+    """The reference's MakeValid(METHOD=STRUCTURE) semantics
+    (autotest/ogr/ogr_geom.py test_ogr_geom_makevalid[_structure]):
+    shells resolve by even-odd parity (bowtie -> two triangles) and
+    holes SUBTRACT from the shell area — a hole leaking outside its
+    shell notches the shell, it does not become area (the
+    ((0 0,0 10,10 10,10 0)),(5 5,15 10,15 0) case -> the notched
+    heptagon, not an extra triangle)."""
+    polys = as_polys(kind, data)
+    shells = [[rings[0]] for rings in polys]
+    holes = [[r] for rings in polys for r in rings[1:]]
+    edges = _edges_of(polys)
+    scale = _scale_of(edges)
+    frags = _split_against(edges, edges, scale, skip_self=True)
+    in_shell = _membership(shells)
+    in_hole = _membership(holes)
+
+    def region(px, py):
+        return in_shell(px, py) & ~in_hole(px, py)
+
+    rk, rd = _result_kind(_resolve(frags, region, scale))
+    if kind.lower() == "multipolygon" and rk == "polygon" and rd:
+        return "multipolygon", [rd]   # the reference keeps multi-ness
+    return rk, rd
+
+
+def union_all(geoms: list):
+    """Cascaded union (OGRGeometry::UnionCascaded): left fold of
+    pairwise union over decoded (kind, data) geometries.  The Spark-side
+    aggregate tree-reduces per partition before this driver-side fold
+    ever sees more than one geometry per group."""
+    acc = None
+    for kind, data in geoms:
+        if acc is None:
+            acc = (kind, data)
+        else:
+            acc = overlay(acc[0], acc[1], kind, data, "union")
+    return acc if acc is not None else ("polygon", [])
+
+
+def _arc(cx: float, cy: float, r: float, a0: float, a1: float,
+         quadsegs: int) -> np.ndarray:
+    """CCW arc from angle a0 to a1 (a1 > a0) with quadsegs segments per
+    quarter circle — GDAL's Buffer nQuadSegs densification contract
+    (ogrgeometry.cpp:4492: 'segments used to approximate a 90 degree
+    quadrant')."""
+    n = max(1, int(np.ceil((a1 - a0) / (np.pi / 2) * quadsegs)))
+    ang = np.linspace(a0, a1, n + 1)
+    return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+
+
+def _capsule(p0, p1, dist: float, quadsegs: int) -> list:
+    """Closed CCW ring buffering segment p0-p1 by `dist` (round caps)."""
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    ln = float(np.hypot(dx, dy))
+    if ln == 0.0:
+        ring = _arc(p0[0], p0[1], dist, 0.0, 2 * np.pi, quadsegs)
+        return [ring]
+    th = float(np.arctan2(dy, dx))
+    cap1 = _arc(p1[0], p1[1], dist, th - np.pi / 2, th + np.pi / 2, quadsegs)
+    cap0 = _arc(p0[0], p0[1], dist, th + np.pi / 2, th + 3 * np.pi / 2,
+                quadsegs)
+    return [np.vstack([cap1, cap0, cap1[:1]])]
+
+
+def buffer_geometry(kind: str, data, dist: float, quadsegs: int = 30):
+    """OGRGeometry::Buffer for linestrings and areal geometries (points
+    already have geo/hull.point_buffer_ring).  Positive distance dilates
+    (union of the geometry with per-edge round-cap capsules); negative
+    distance erodes areal input (difference with the boundary capsules).
+    Arc density follows the reference's nQuadSegs=30 default; vertex
+    phase is this engine's (arcs start on the segment normal), so
+    coordinates are approximation-equal, not bit-equal, to GEOS."""
+    kind = kind.lower()
+    if kind == "point":
+        if dist <= 0:
+            return "polygon", []
+        ring = _arc(data[0], data[1], dist, 0.0, 2 * np.pi, quadsegs)
+        return "polygon", [ring]
+    if kind == "linestring":
+        if dist <= 0:
+            return "polygon", []
+        pts = np.asarray(data, dtype=np.float64)
+        caps = [("polygon", _capsule(pts[i], pts[i + 1], dist, quadsegs))
+                for i in range(len(pts) - 1)]
+        return union_all(caps)
+    polys = as_polys(kind, data)
+    edges = _edges_of(polys)
+    caps = [("polygon", _capsule(e[0:2], e[2:4], abs(dist), quadsegs))
+            for e in edges]
+    if dist > 0:
+        return union_all([(kind, data)] + caps)
+    if dist == 0:
+        return kind, data
+    ck, cd = union_all(caps)
+    return overlay(kind, data, ck, cd, "difference")

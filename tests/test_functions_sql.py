@@ -308,3 +308,60 @@ class TestHullBuffer:
         n = 32
         assert r.a == pytest.approx(0.5 * n * 4.0 * math.sin(2 * math.pi / n))
         assert r.inside
+
+
+class TestOverlayFunctions:
+    """st_intersection / st_union / st_difference / st_symdifference /
+    st_makevalid / st_buffer(line|polygon) / st_union_agg — the
+    formerly-GEOS-only slice (ogrgeometry.cpp:4498+), now geo/clip."""
+
+    def test_overlay_binary(self, sql):
+        rows = sql.sql("""
+            WITH p AS (SELECT
+              st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS a,
+              st_geomfromtext('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') AS b)
+            SELECT st_area(st_intersection(a, b)) AS i,
+                   st_area(st_union(a, b)) AS u,
+                   st_area(st_difference(a, b)) AS d,
+                   st_area(st_symdifference(a, b)) AS s
+            FROM p""").collect()[0]
+        assert (rows.i, rows.u, rows.d, rows.s) == (4.0, 28.0, 12.0, 24.0)
+
+    def test_overlay_empty_is_null(self, sql):
+        r = sql.sql("""
+            SELECT st_intersection(
+              st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+              st_geomfromtext('POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))')) AS g
+            """).collect()[0]
+        assert r.g is None
+
+    def test_st_makevalid_bowtie(self, sql):
+        r = sql.sql("""
+            SELECT st_area(st_makevalid(st_geomfromtext(
+              'POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))'))) AS a,
+                   st_astext(st_makevalid(st_geomfromtext(
+              'POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))'))) AS t
+            """).collect()[0]
+        assert r.a == pytest.approx(8.0)
+        assert r.t.startswith("MULTIPOLYGON")
+
+    def test_st_buffer_line_polygon(self, sql):
+        import math
+        r = sql.sql("""
+            SELECT st_area(st_buffer(st_geomfromtext(
+                     'LINESTRING (0 0, 10 0)'), 1.0d)) AS lb,
+                   st_area(st_buffer(st_geomfromtext(
+                     'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'), -1.0d)) AS er
+            """).collect()[0]
+        assert r.lb == pytest.approx(20 + math.pi, abs=2e-3)
+        assert r.er == pytest.approx(4.0, abs=1e-9)
+
+    def test_st_union_agg(self, sql):
+        # cascaded union: 5 overlapping 3x3 squares stepping by 2
+        rows = ", ".join(
+            f"({i}, 'POLYGON (({2*i} 0, {2*i+3} 0, "
+            f"{2*i+3} 3, {2*i} 3, {2*i} 0))')" for i in range(5))
+        r = sql.sql(f"""
+            SELECT st_area(st_union_agg(st_geomfromtext(w))) AS a
+            FROM (SELECT * FROM VALUES {rows} AS t(i, w))""").collect()[0]
+        assert r.a == pytest.approx(33.0)
