@@ -24,8 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
     contour, dedup, dem, focal, gdaldem_compat, graph, grid, interp, knn,
-    multimodal, mdim, ogrsql, polygonize, proximity, raster, similarity,
-    sjoin, textops, tiles, viewshed as vshed, warp,
+    multimodal, mdim, ogrsql, overlay as ovl, polygonize, proximity, raster,
+    similarity, sjoin, textops, tiles, viewshed as vshed, warp,
 )
 from lib_gdal_spark.streaming import events as ev
 
@@ -547,6 +547,57 @@ def _q_gdaldem_derivatives(spark, sf_dir):
     return (tpi.join(tri, ["bx", "by"]).join(rough, ["bx", "by"])
             .join(hs, ["bx", "by"])
             .select("bx", "by", "tpi", "tri", "roughness", "shade"))
+
+
+_OVL_J = 4.0 / (2.0 ** 52)   # 13 md5 hex digits -> [0, 4), exact pow2 scale
+_OVL_T = 8.0 / (2.0 ** 52)   # -> [0, 8) for the B-quad translation
+
+
+def _ovl_pairs(spark, sf_dir):
+    """md5-synthesized polygon pairs for the overlay query: quad A is a
+    10x10 square with each corner jittered inside its own 4x4 corner box
+    (guarantees simple + CCW: corners stay quadrant-ordered around
+    (5,5)); quad B is the same construction translated by [-1, 7)^2, so
+    the pair population covers crossing / nested / disjoint cases.  md5
+    coordinates are in general position (no collinear overlaps, no
+    shared vertices), the property that makes the clip kernel's
+    eps-free relational twin exact."""
+    h = lambda tag: F.conv(
+        F.substring(F.md5(F.concat(F.lit(tag),
+                                   F.col("p_partkey").cast("string"))),
+                    1, 13), 16, 10).cast("long").cast("double")
+    j = lambda tag: h(tag) * _OVL_J
+    dx = h("tx|") * _OVL_T - 1.0
+    dy = h("ty|") * _OVL_T - 1.0
+    return _tbl(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 7 == 0
+    ).select(
+        F.col("p_partkey").alias("pair_id"),
+        F.array(j("ax0|"), F.lit(10.0) - j("ax1|"),
+                F.lit(10.0) - j("ax2|"), j("ax3|")).alias("xa"),
+        F.array(j("ay0|"), j("ay1|"),
+                F.lit(10.0) - j("ay2|"), F.lit(10.0) - j("ay3|")).alias("ya"),
+        F.array(j("bx0|") + dx, (F.lit(10.0) - j("bx1|")) + dx,
+                (F.lit(10.0) - j("bx2|")) + dx, j("bx3|") + dx).alias("xb"),
+        F.array(j("by0|") + dy, j("by1|") + dy,
+                (F.lit(10.0) - j("by2|")) + dy,
+                (F.lit(10.0) - j("by3|")) + dy).alias("yb"),
+    )
+
+
+def _q_geom_overlay(spark, sf_dir):
+    """Polygon-layer overlay (OGRLayer::Intersection family,
+    ogrlayer.cpp:4063+) over md5 quad pairs: intersection / union /
+    difference areas per pair via the geo/clip boolean kernel.  EXACT
+    oracle: duckdb replays the whole geometry pipeline relationally —
+    split each boundary edge at parametric crossings (same t/u
+    formulas), classify fragments by ray-cast parity of the midpoint
+    (same xint formula as geo/pip), and sum directed Green's-theorem
+    contributions; difference reverses the kept B-fragments.  Fragment
+    sums are float-order dependent across engines -> 6 dp round both
+    sides (CLAUDE.md fold rule)."""
+    return ovl.pairwise_overlay_areas(_ovl_pairs(spark, sf_dir)).select(
+        "pair_id", "inter_area", "union_area", "diff_area")
 
 
 def _q_interp_bilinear(spark, sf_dir):
@@ -1438,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (1) new this round ----
         "gdaldem_hillshade": _q_gdaldem_hillshade,
         "gdaldem_derivatives": _q_gdaldem_derivatives,
+        "geom_overlay": _q_geom_overlay,
         "pii_redact": _q_pii_redact,
         "contamination_check": _q_contamination,
         "gopher_rules": _q_gopher_rules,
@@ -1488,13 +1540,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_nearest": _q_grid_nearest,
         "overview_gauss": _q_overview_gauss,
         "overview_cubic": _q_overview_cubic,
+        # -------- 50-cap boundary: positions 51+ below --------
         "overview_avg": _q_overview_avg,
         "focal_mean": _q_focal_mean,
         "warp_avg": _q_warp_avg,
         "zonal_stats": _q_zonal_stats,
         "zonal_mode": _q_zonal_mode,
         "zonal_weighted": _q_zonal_weighted,
-        # -------- 50-cap boundary: positions 51+ below --------
         "events_sliding": _q_events_sliding,
         "rasterize_rects": _q_rasterize,
         "footprint_boundary": _q_footprint,
@@ -4155,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _o_events_sliding(),
         "gdaldem_hillshade": _o_gdaldem_hillshade(),
         "gdaldem_derivatives": _o_gdaldem_derivatives(),
+        "geom_overlay": _o_geom_overlay(),
         "dem_slope": _o_dem_slope(),
         "dem_tpi": _o_dem_tpi(),
         "graph_sssp": _o_graph_sssp(),
@@ -4278,6 +4331,140 @@ def _tin_incircle(px: str, py: str) -> str:
            f" - ({bx}*{bx} + {by}*{by}) * ({ax}*{cy} - {cx}*{ay})"
            f" + ({cx}*{cx} + {cy}*{cy}) * ({ax}*{by} - {bx}*{ay}))")
     return f"((t.o > 0 AND {det} > 0) OR (t.o < 0 AND {det} < 0))"
+
+
+def _o_geom_overlay() -> str:
+    # Relational replay of geo/clip.overlay on the md5 quad pairs:
+    # every float expression mirrors the engine term for term —
+    # t/u = cross ratios exactly as clip._split_against, fragment
+    # endpoints p0 + t*r, midpoint (a + b) * 0.5, PIP xint exactly as
+    # pip.point_in_ring_np. Generic-position md5 coords guarantee no
+    # collinear overlaps / duplicate t / near-parallel edges, so the
+    # kernel's eps tolerances never fire and midpoint parity == the
+    # engine's side-sampling classification. Green's theorem makes
+    # stitching unnecessary: sum (fx0*fy1 - fx1*fy0)/2 over kept
+    # directed fragments (B-side reversed for difference).
+    hd = (lambda tag: "CAST(('0x' || substr(md5('" + tag
+          + "|' || CAST(p_partkey AS VARCHAR)), 1, 13))::BIGINT"
+          " AS DOUBLE)")
+    jj = lambda tag: f"{hd(tag)} * {_OVL_J!r}"
+
+    def side(own, other):
+        den = ("(((a.x1 - a.x0) * (b.y1 - b.y0)) - "
+               "((a.y1 - a.y0) * (b.x1 - b.x0)))")
+        tnum = ("(((b.x0 - a.x0) * (b.y1 - b.y0)) - "
+                "((b.y0 - a.y0) * (b.x1 - b.x0)))")
+        unum = ("(((b.x0 - a.x0) * (a.y1 - a.y0)) - "
+                "((b.y0 - a.y0) * (a.x1 - a.x0)))")
+        return f"""
+cr_{own} AS (
+  SELECT a.pair_id, a.eid, {tnum} / {den} AS t
+  FROM e{own} a JOIN e{other} b USING (pair_id)
+  WHERE {den} <> 0
+    AND {tnum} / {den} > 0 AND {tnum} / {den} < 1
+    AND {unum} / {den} >= 0 AND {unum} / {den} <= 1
+),
+ts_{own} AS (
+  SELECT pair_id, eid, t FROM cr_{own}
+  UNION ALL SELECT pair_id, eid, CAST(0.0 AS DOUBLE) FROM e{own}
+  UNION ALL SELECT pair_id, eid, CAST(1.0 AS DOUBLE) FROM e{own}
+),
+sg_{own} AS (
+  SELECT pair_id, eid, t AS t0,
+         lead(t) OVER (PARTITION BY pair_id, eid ORDER BY t) AS t1
+  FROM ts_{own}
+),
+fr_{own} AS (
+  SELECT s.pair_id,
+    e.x0 + s.t0 * (e.x1 - e.x0) AS fx0, e.y0 + s.t0 * (e.y1 - e.y0) AS fy0,
+    e.x0 + s.t1 * (e.x1 - e.x0) AS fx1, e.y0 + s.t1 * (e.y1 - e.y0) AS fy1,
+    ((e.x0 + s.t0 * (e.x1 - e.x0)) + (e.x0 + s.t1 * (e.x1 - e.x0))) * 0.5
+      AS mx,
+    ((e.y0 + s.t0 * (e.y1 - e.y0)) + (e.y0 + s.t1 * (e.y1 - e.y0))) * 0.5
+      AS my
+  FROM sg_{own} s
+  JOIN e{own} e ON e.pair_id = s.pair_id AND e.eid = s.eid
+  WHERE s.t1 IS NOT NULL
+),
+cl_{own} AS (
+  SELECT f.pair_id, f.fx0, f.fy0, f.fx1, f.fy1,
+    ((SELECT count(*) FROM e{other} b
+      WHERE b.pair_id = f.pair_id
+        AND ((b.y1 > f.my) <> (b.y0 > f.my))
+        AND f.mx < (b.x0 - b.x1) * (f.my - b.y1) / (b.y0 - b.y1) + b.x1)
+     % 2) = 1 AS in_other
+  FROM fr_{own} f
+)"""
+
+    return f"""
+WITH q AS (
+  SELECT p_partkey AS pair_id,
+    {jj('ax0')} AS jax0, {jj('ax1')} AS jax1,
+    {jj('ax2')} AS jax2, {jj('ax3')} AS jax3,
+    {jj('ay0')} AS jay0, {jj('ay1')} AS jay1,
+    {jj('ay2')} AS jay2, {jj('ay3')} AS jay3,
+    {jj('bx0')} AS jbx0, {jj('bx1')} AS jbx1,
+    {jj('bx2')} AS jbx2, {jj('bx3')} AS jbx3,
+    {jj('by0')} AS jby0, {jj('by1')} AS jby1,
+    {jj('by2')} AS jby2, {jj('by3')} AS jby3,
+    {hd('tx')} * {_OVL_T!r} - 1.0 AS dx,
+    {hd('ty')} * {_OVL_T!r} - 1.0 AS dy
+  FROM part WHERE p_partkey % 7 = 0
+),
+quads AS (
+  SELECT pair_id,
+    jax0 AS ax0v, jay0 AS ay0v,
+    10.0 - jax1 AS ax1v, jay1 AS ay1v,
+    10.0 - jax2 AS ax2v, 10.0 - jay2 AS ay2v,
+    jax3 AS ax3v, 10.0 - jay3 AS ay3v,
+    jbx0 + dx AS bx0v, jby0 + dy AS by0v,
+    (10.0 - jbx1) + dx AS bx1v, jby1 + dy AS by1v,
+    (10.0 - jbx2) + dx AS bx2v, (10.0 - jby2) + dy AS by2v,
+    jbx3 + dx AS bx3v, (10.0 - jby3) + dy AS by3v
+  FROM q
+),
+va AS (
+  SELECT pair_id, 0 AS vid, ax0v AS x, ay0v AS y FROM quads UNION ALL
+  SELECT pair_id, 1, ax1v, ay1v FROM quads UNION ALL
+  SELECT pair_id, 2, ax2v, ay2v FROM quads UNION ALL
+  SELECT pair_id, 3, ax3v, ay3v FROM quads
+),
+vb AS (
+  SELECT pair_id, 0 AS vid, bx0v AS x, by0v AS y FROM quads UNION ALL
+  SELECT pair_id, 1, bx1v, by1v FROM quads UNION ALL
+  SELECT pair_id, 2, bx2v, by2v FROM quads UNION ALL
+  SELECT pair_id, 3, bx3v, by3v FROM quads
+),
+ea AS (
+  SELECT v.pair_id, v.vid AS eid, v.x AS x0, v.y AS y0, w.x AS x1, w.y AS y1
+  FROM va v JOIN va w ON w.pair_id = v.pair_id AND w.vid = (v.vid + 1) % 4
+),
+eb AS (
+  SELECT v.pair_id, v.vid AS eid, v.x AS x0, v.y AS y0, w.x AS x1, w.y AS y1
+  FROM vb v JOIN vb w ON w.pair_id = v.pair_id AND w.vid = (v.vid + 1) % 4
+),{side('a', 'b')},{side('b', 'a')},
+contrib AS (
+  SELECT pair_id,
+    CASE WHEN in_other THEN fx0 * fy1 - fx1 * fy0 END AS ci,
+    CASE WHEN NOT in_other THEN fx0 * fy1 - fx1 * fy0 END AS cu,
+    CASE WHEN NOT in_other THEN fx0 * fy1 - fx1 * fy0 END AS cd
+  FROM cl_a
+  UNION ALL
+  SELECT pair_id,
+    CASE WHEN in_other THEN fx0 * fy1 - fx1 * fy0 END AS ci,
+    CASE WHEN NOT in_other THEN fx0 * fy1 - fx1 * fy0 END AS cu,
+    CASE WHEN in_other THEN fx1 * fy0 - fx0 * fy1 END AS cd
+  FROM cl_b
+)
+SELECT q2.pair_id,
+  round(coalesce(c.si, 0) / 2, 6) AS inter_area,
+  round(coalesce(c.su, 0) / 2, 6) AS union_area,
+  round(coalesce(c.sd, 0) / 2, 6) AS diff_area
+FROM quads q2 LEFT JOIN (
+  SELECT pair_id, sum(ci) AS si, sum(cu) AS su, sum(cd) AS sd
+  FROM contrib GROUP BY pair_id
+) c ON c.pair_id = q2.pair_id
+"""
 
 
 def _o_grid_linear() -> str:

@@ -1,0 +1,184 @@
+"""Polygon-vs-polygon layer overlay — the reference's layer-algebra
+methods on areal layers (OGRLayer::Intersection / Union / Clip /
+Erase ..., ogr/ogrlayer.cpp:4063+, each looping features through
+GEOS-backed OGRGeometry ops). The point-vs-polygon faces live in
+operators/sjoin.py; this module covers polygon pairs, backed by the
+geo/clip fragment-classification kernel.
+
+Distributed shape (the part GDAL runs single-node):
+- `layer_overlay` is the full operator: envelope -> grid-cell explode ->
+  equi-join on cell (pure Catalyst, the same two-phase discipline as
+  sjoin: cheap bbox rejection BEFORE any Python), dedupe multi-cell
+  pairs by the min-cell rule, then ONE Arrow batch pass computes the
+  exact geometric overlay per surviving pair.
+- `pairwise_overlay_areas` is the kernel-only face over pre-paired
+  rows (and the driver-contract query surface: its area sums admit an
+  exact relational twin — split edges at crossings, keep fragments by
+  ray-cast parity of the midpoint, sum directed Green's-theorem
+  contributions — so duckdb can replay the whole geometry pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+_AREA_SCHEMA = ("pair_id long, inter_area double, union_area double, "
+                "diff_area double, n_inter_polys int")
+
+
+def _quad(xs, ys):
+    return [np.column_stack([np.asarray(xs, float), np.asarray(ys, float)])]
+
+
+def pairwise_overlay_areas(pairs: DataFrame, round_dp: int = 6) -> DataFrame:
+    """(pair_id, xa, ya, xb, yb array<double>) -> per-pair overlay areas.
+
+    Columns xa/ya (xb/yb) are the open-ring vertex arrays of polygon
+    A (B).  Output areas are rounded to `round_dp` via F.round, NEVER
+    Python round() (HALF_UP on both engines vs Python's half-even —
+    CLAUDE.md half-rule trap); the rounding exists because the
+    boolean-op area sum is float-order dependent across engines
+    (multi-term-fold rule)."""
+    from ..session import ship_package
+
+    ship_package(pairs.sparkSession)
+
+    def run(batches):
+        import pandas as pd
+
+        from ..geo import clip
+        from ..geo.pip import ring_area_np
+
+        def total_area(k, d):
+            if not d:
+                return 0.0, 0
+            polys = clip.as_polys(k, d)
+            tot = 0.0
+            for rings in polys:
+                tot += ring_area_np(rings[0]) - sum(
+                    ring_area_np(r) for r in rings[1:])
+            return tot, len(polys)
+
+        for pdf in batches:
+            out = []
+            for pid, xa, ya, xb, yb in zip(pdf["pair_id"], pdf["xa"],
+                                           pdf["ya"], pdf["xb"], pdf["yb"]):
+                ra, rb = _quad(xa, ya), _quad(xb, yb)
+                ia, ni = total_area(*clip.overlay(
+                    "polygon", ra, "polygon", rb, "intersection"))
+                ua, _ = total_area(*clip.overlay(
+                    "polygon", ra, "polygon", rb, "union"))
+                da, _ = total_area(*clip.overlay(
+                    "polygon", ra, "polygon", rb, "difference"))
+                out.append((int(pid), ia, ua, da, ni))
+            yield pd.DataFrame(out, columns=["pair_id", "inter_area",
+                                             "union_area", "diff_area",
+                                             "n_inter_polys"])
+
+    raw = pairs.mapInPandas(run, _AREA_SCHEMA)
+    return raw.select(
+        "pair_id",
+        F.round("inter_area", round_dp).alias("inter_area"),
+        F.round("union_area", round_dp).alias("union_area"),
+        F.round("diff_area", round_dp).alias("diff_area"),
+        "n_inter_polys")
+
+
+def layer_overlay(a: DataFrame, b: DataFrame, op: str = "intersection",
+                  cell: float = 64.0) -> DataFrame:
+    """Distributed polygon-layer overlay (OGRLayer::Intersection family)
+    for op in intersection|union|difference|symdifference.
+
+    a, b: (id long, geom binary WKB areal).  Returns (a_id, b_id,
+    geom WKB of the pairwise op result, area double) for every envelope-
+    intersecting pair whose overlay is non-empty.
+
+    Plan: per-side envelope from the WKB (one Arrow pass), explode to
+    `cell`-sized grid cells, equi-join on cell — shuffle volume is
+    |cells|, never |A| x |B| — keep each pair once (both envelopes'
+    overlap region min-cell), exact envelope pre-filter in Catalyst,
+    then the clip kernel on survivors only.  At 100 TB-side inputs the
+    cell join is the same shape the sjoin operator ships; skew on hot
+    cells is the caller's AQE/salting territory."""
+    from ..session import ship_package
+
+    spark = a.sparkSession
+    ship_package(spark)
+
+    def env_side(df, tag):
+        def env(batches):
+            import pandas as pd
+
+            from ..geo import wkb as _wkb
+
+            for pdf in batches:
+                rows = []
+                for gid, buf in zip(pdf["id"], pdf["geom"]):
+                    kind, data = _wkb.decode(bytes(buf))
+                    pts = (np.vstack(data) if kind == "polygon"
+                           else np.vstack([r for rings in data
+                                           for r in rings]))
+                    rows.append((int(gid), bytes(buf),
+                                 float(pts[:, 0].min()),
+                                 float(pts[:, 1].min()),
+                                 float(pts[:, 0].max()),
+                                 float(pts[:, 1].max())))
+                yield pd.DataFrame(rows, columns=["id", "geom", "xmin",
+                                                  "ymin", "xmax", "ymax"])
+
+        e = df.mapInPandas(env, "id long, geom binary, xmin double, "
+                                "ymin double, xmax double, ymax double")
+        return e.select(
+            F.col("id").alias(f"{tag}_id"), F.col("geom").alias(f"{tag}_g"),
+            *[F.col(c).alias(f"{tag}_{c}")
+              for c in ("xmin", "ymin", "xmax", "ymax")],
+            F.explode(F.sequence(
+                F.floor(F.col("xmin") / cell),
+                F.floor(F.col("xmax") / cell))).alias("cx"),
+        ).select("*", F.explode(F.sequence(
+            F.floor(F.col(f"{tag}_ymin") / cell),
+            F.floor(F.col(f"{tag}_ymax") / cell))).alias("cy"))
+
+    ea, eb = env_side(a, "a"), env_side(b, "b")
+    joined = ea.join(eb, ["cx", "cy"]).filter(
+        (F.col("a_xmin") <= F.col("b_xmax"))
+        & (F.col("b_xmin") <= F.col("a_xmax"))
+        & (F.col("a_ymin") <= F.col("b_ymax"))
+        & (F.col("b_ymin") <= F.col("a_ymax"))
+    ).filter(
+        # min-cell rule: emit each surviving pair from exactly one cell
+        # (the SW-most cell of the envelope overlap)
+        (F.col("cx") == F.floor(
+            F.greatest("a_xmin", "b_xmin") / cell))
+        & (F.col("cy") == F.floor(
+            F.greatest("a_ymin", "b_ymin") / cell))
+    ).select("a_id", "a_g", "b_id", "b_g")
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..geo import clip, wkb as _wkb
+        from ..geo.pip import ring_area_np
+
+        for pdf in batches:
+            rows = []
+            for aid, ag, bid, bg in zip(pdf["a_id"], pdf["a_g"],
+                                        pdf["b_id"], pdf["b_g"]):
+                ka, da = _wkb.decode(bytes(ag))
+                kb, db = _wkb.decode(bytes(bg))
+                rk, rd = clip.overlay(ka, da, kb, db, op)
+                if not rd:
+                    continue
+                enc = (_wkb.encode_polygon(rd) if rk == "polygon"
+                       else _wkb.encode_multipolygon(rd))
+                tot = 0.0
+                for rings in clip.as_polys(rk, rd):
+                    tot += ring_area_np(rings[0]) - sum(
+                        ring_area_np(r) for r in rings[1:])
+                rows.append((int(aid), int(bid), enc, tot))
+            yield pd.DataFrame(rows, columns=["a_id", "b_id", "geom",
+                                              "area"])
+
+    return joined.mapInPandas(
+        kernel, "a_id long, b_id long, geom binary, area double")
