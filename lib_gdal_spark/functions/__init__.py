@@ -292,6 +292,22 @@ def register_all(spark: SparkSession) -> None:
             return pd.Series(out)
         return f
 
+    def _predicate(name):
+        @F.pandas_udf(T.BooleanType())
+        def f(wa: pd.Series, wb: pd.Series) -> pd.Series:
+            # OGRGeometry predicate set (ogr_geometry.h:546-553),
+            # re-derived from the clip/distance kernels (geo/clip.relate)
+            out = []
+            for a, b in zip(wa, wb):
+                if a is None or b is None:
+                    out.append(None)
+                    continue
+                ka, da = _wkb.decode(bytes(a))
+                kb, db = _wkb.decode(bytes(b))
+                out.append(_clip.relate(ka, da, kb, db, name))
+            return pd.Series(out, dtype="object")
+        return f
+
     @F.pandas_udf(T.BinaryType())
     def st_makevalid(wkb: pd.Series) -> pd.Series:
         # OGRGeometry::MakeValid (ogr_geometry.h:430), STRUCTURE-method
@@ -382,6 +398,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_symdifference", _overlay("symdifference"))
     spark.udf.register("st_makevalid", st_makevalid)
     spark.udf.register("st_union_agg", st_union_agg)
+    for _p in ("intersects", "disjoint", "touches", "within", "contains",
+               "overlaps", "crosses"):
+        spark.udf.register(f"st_{_p}", _predicate(_p))
     spark.udf.register("st_astext", st_astext)
     spark.udf.register("st_geomfromtext", st_geomfromtext)
     spark.udf.register("st_distance", st_distance)

@@ -362,6 +362,104 @@ def union_all(geoms: list):
     return acc if acc is not None else ("polygon", [])
 
 
+def _line_in_out(pts: np.ndarray, polys: list) -> tuple:
+    """Split a polyline's segments at polygon-boundary crossings and
+    classify fragment midpoints: returns (any_inside, any_outside)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    segs = np.hstack([pts[:-1], pts[1:]])
+    edges = _edges_of(polys)
+    scale = _scale_of(segs, edges)
+    frags = _split_against(segs, edges, scale)
+    mid = (frags[:, 0:2] + frags[:, 2:4]) * 0.5
+    inside = _membership(polys)(mid[:, 0], mid[:, 1])
+    return bool(inside.any()), bool((~inside).any())
+
+
+def relate(kind_a: str, data_a, kind_b: str, data_b, predicate: str) -> bool:
+    """The reference's geometry predicates (ogr_geometry.h:546-553
+    Intersects/Within/Contains/Overlaps/Touches/Crosses, GEOS-delegated
+    there) re-derived from this module's exact kernels:
+
+    - interiors intersect  <=> boolean intersection is non-empty (a
+      boundary-only touch keeps no fragments, so no area threshold);
+    - any contact          <=> geo/distance.geometry_distance == 0
+      (covers crossing, touching, containment);
+    - within/contains      <=> interiors intersect and the difference
+      in the right direction is empty (OGC: shared boundary allowed);
+    - overlaps             <=> interiors intersect and neither
+      difference is empty (equal-dimension inputs);
+    - touches              <=> contact without interior intersection;
+    - crosses              <=> line/line proper crossing, or line/area
+      with split fragments on both sides (lower-dimension common part).
+
+    Points and lines participate through the distance/PIP kernels;
+    boundary-incidence follows the half-open ray-cast rule."""
+    from .distance import geometry_distance, segments_cross_np
+
+    areal = ("polygon", "multipolygon")
+    ka, kb = kind_a.lower(), kind_b.lower()
+
+    def interiors_intersect():
+        if ka in areal and kb in areal:
+            return bool(overlay(ka, data_a, kb, data_b, "intersection")[1])
+        if ka == "point" and kb in areal:
+            return bool(_membership(as_polys(kb, data_b))(
+                np.array([data_a[0]]), np.array([data_a[1]]))[0])
+        if kb == "point" and ka in areal:
+            return bool(_membership(as_polys(ka, data_a))(
+                np.array([data_b[0]]), np.array([data_b[1]]))[0])
+        if ka == "linestring" and kb in areal:
+            return _line_in_out(data_a, as_polys(kb, data_b))[0]
+        if kb == "linestring" and ka in areal:
+            return _line_in_out(data_b, as_polys(ka, data_a))[0]
+        # point/point, point/line, line/line: interiors meet only on
+        # exact coincidence/crossing — distance-0 is the usable proxy
+        return geometry_distance(ka, data_a, kb, data_b) == 0.0
+
+    if predicate == "intersects":
+        return geometry_distance(ka, data_a, kb, data_b) == 0.0
+    if predicate == "disjoint":
+        return geometry_distance(ka, data_a, kb, data_b) != 0.0
+    if predicate == "touches":
+        return (geometry_distance(ka, data_a, kb, data_b) == 0.0
+                and not interiors_intersect())
+    if predicate in ("within", "contains"):
+        if predicate == "contains":
+            ka, kb, data_a, data_b = kb, ka, data_b, data_a
+        # A within B
+        if ka == "point" and kb in areal:
+            return bool(_membership(as_polys(kb, data_b))(
+                np.array([data_a[0]]), np.array([data_a[1]]))[0])
+        if ka == "linestring" and kb in areal:
+            ins, outs = _line_in_out(data_a, as_polys(kb, data_b))
+            return ins and not outs
+        if ka in areal and kb in areal:
+            return (not overlay(ka, data_a, kb, data_b, "difference")[1]
+                    and interiors_intersect())
+        raise NotImplementedError(
+            f"within/contains for {ka} in {kb} is not defined")
+    if predicate == "overlaps":
+        if ka in areal and kb in areal:
+            return (interiors_intersect()
+                    and bool(overlay(ka, data_a, kb, data_b,
+                                     "difference")[1])
+                    and bool(overlay(kb, data_b, ka, data_a,
+                                     "difference")[1]))
+        return False
+    if predicate == "crosses":
+        if ka == "linestring" and kb == "linestring":
+            return segments_cross_np(np.asarray(data_a, float),
+                                     np.asarray(data_b, float))
+        if ka == "linestring" and kb in areal:
+            ins, outs = _line_in_out(data_a, as_polys(kb, data_b))
+            return ins and outs
+        if kb == "linestring" and ka in areal:
+            ins, outs = _line_in_out(data_b, as_polys(ka, data_a))
+            return ins and outs
+        return False
+    raise ValueError(f"unknown predicate {predicate}")
+
+
 def _arc(cx: float, cy: float, r: float, a0: float, a1: float,
          quadsegs: int) -> np.ndarray:
     """CCW arc from angle a0 to a1 (a1 > a0) with quadsegs segments per

@@ -365,3 +365,18 @@ class TestOverlayFunctions:
             SELECT st_area(st_union_agg(st_geomfromtext(w))) AS a
             FROM (SELECT * FROM VALUES {rows} AS t(i, w))""").collect()[0]
         assert r.a == pytest.approx(33.0)
+
+    def test_predicates_sql(self, sql):
+        r = sql.sql("""
+            WITH p AS (SELECT
+              st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS a,
+              st_geomfromtext('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))') AS b,
+              st_geomfromtext('POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))') AS i,
+              st_geomfromtext('LINESTRING (-1 2, 5 2)') AS l)
+            SELECT st_intersects(a, b) AS ab_i, st_overlaps(a, b) AS ab_o,
+                   st_within(i, a) AS i_w, st_contains(a, i) AS a_c,
+                   st_touches(a, b) AS ab_t, st_crosses(l, a) AS l_c,
+                   st_disjoint(a, b) AS ab_d
+            FROM p""").collect()[0]
+        assert (r.ab_i, r.ab_o, r.i_w, r.a_c) == (True, True, True, True)
+        assert (r.ab_t, r.l_c, r.ab_d) == (False, True, False)

@@ -459,3 +459,38 @@ class TestClip:
         k, d = clip.make_valid(*wkt.from_wkt(
             "MULTIPOLYGON (((0 0,1 0,1 1,0 1,0 0)))"))
         assert k == "multipolygon" and len(d) == 1
+
+    def test_relate_predicates(self):
+        """OGRGeometry predicate set via clip.relate, incl. the
+        reference's own test_ogr_geom_polygon_intersects_point case
+        (autotest/ogr/ogr_geom.py:3919: vertex point intersects but is
+        not contained)."""
+        from lib_gdal_spark.geo import clip
+
+        sq = lambda x0, y0, s: ("polygon", self._sq(x0, y0, s))
+        a, b = sq(0, 0, 4), sq(2, 2, 4)
+        far, inner = sq(10, 10, 1), sq(1, 1, 1)
+        R = clip.relate
+        assert R(*a, *b, "intersects") and R(*a, *b, "overlaps")
+        assert not R(*a, *b, "within") and not R(*a, *b, "touches")
+        assert R(*a, *far, "disjoint") and not R(*a, *far, "intersects")
+        assert R(*inner, *a, "within") and R(*a, *inner, "contains")
+        assert not R(*inner, *a, "overlaps")
+        # edge-adjacent squares: touch, don't overlap
+        c = sq(4, 0, 4)
+        assert R(*a, *c, "touches") and R(*a, *c, "intersects")
+        assert not R(*a, *c, "overlaps")
+        # reference autotest: vertex point intersects, is not contained
+        tri = ("polygon",
+               [np.array([[0, 0], [5, 5], [10, 0], [0, 0]], float)])
+        pt = ("point", (10.0, 0.0))
+        assert R(*tri, *pt, "intersects")
+        assert not R(*tri, *pt, "contains")
+        # line predicates
+        ln = ("linestring", np.array([[-1, 2], [5, 2]], float))
+        assert R(*ln, *a, "crosses") and R(*ln, *a, "intersects")
+        ln_in = ("linestring", np.array([[1, 1], [3, 3]], float))
+        assert R(*ln_in, *a, "within") and not R(*ln_in, *a, "crosses")
+        l2 = ("linestring", np.array([[0, 0], [4, 4]], float))
+        l3 = ("linestring", np.array([[0, 4], [4, 0]], float))
+        assert R(*l2, *l3, "crosses")
