@@ -292,6 +292,38 @@ def register_all(spark: SparkSession) -> None:
             return pd.Series(out)
         return f
 
+    @F.pandas_udf(T.BinaryType())
+    def st_delaunay(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::DelaunayTriangulation (ogr_geometry.h:585,
+        # GEOS-delegated there): triangulate ALL vertices of the input,
+        # return the triangles as a multipolygon — geo/delaunay's
+        # Bowyer-Watson kernel (the one the TIN gridding oracle
+        # validated against brute force)
+        from ..geo.delaunay import delaunay as _delaunay
+
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "point":
+                pts = np.array([data], dtype=np.float64)
+            elif kind == "linestring":
+                pts = np.asarray(data, dtype=np.float64)
+            elif kind == "polygon":
+                pts = np.vstack(data)
+            else:
+                pts = np.vstack([r for rings in data for r in rings])
+            pts = np.unique(pts, axis=0)
+            tris = _delaunay(pts)
+            if len(tris) == 0:
+                out.append(None)
+                continue
+            out.append(_wkb.encode_multipolygon(
+                [[np.vstack([pts[t], pts[t[:1]]])] for t in tris]))
+        return pd.Series(out)
+
     def _predicate(name):
         @F.pandas_udf(T.BooleanType())
         def f(wa: pd.Series, wb: pd.Series) -> pd.Series:
@@ -401,6 +433,7 @@ def register_all(spark: SparkSession) -> None:
     for _p in ("intersects", "disjoint", "touches", "within", "contains",
                "overlaps", "crosses"):
         spark.udf.register(f"st_{_p}", _predicate(_p))
+    spark.udf.register("st_delaunay", st_delaunay)
     spark.udf.register("st_astext", st_astext)
     spark.udf.register("st_geomfromtext", st_geomfromtext)
     spark.udf.register("st_distance", st_distance)

@@ -380,3 +380,15 @@ class TestOverlayFunctions:
             FROM p""").collect()[0]
         assert (r.ab_i, r.ab_o, r.i_w, r.a_c) == (True, True, True, True)
         assert (r.ab_t, r.l_c, r.ab_d) == (False, True, False)
+
+    def test_st_delaunay(self, sql):
+        # triangulating a square's 4 corners -> 2 triangles, total area
+        # equals the square's
+        r = sql.sql("""
+            SELECT st_area(st_delaunay(st_geomfromtext(
+              'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS a,
+                   st_astext(st_delaunay(st_geomfromtext(
+              'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS t
+            """).collect()[0]
+        assert r.a == 16.0
+        assert r.t.count("((") == 2  # two triangles

@@ -215,3 +215,31 @@ class TestWarpTriPlans:
         plan = grid.grid_movavg(pts, 2.0, 3.0)._jdf \
             .queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+class TestLayerOverlayPlan:
+    def test_cell_join_no_cartesian_envelope_prefilter(self, spark):
+        """layer_overlay's candidate generation must be an equi-join on
+        (cx, cy) — never a cartesian/BNL product of the two layers —
+        with the exact-envelope pre-test as a Catalyst Filter ABOVE the
+        join (cheap rejection before the Python kernel)."""
+        from lib_gdal_spark.geo import wkb
+        from lib_gdal_spark.operators import overlay
+
+        def rect(x0, y0, s):
+            return wkb.encode_polygon(
+                [[(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s),
+                  (x0, y0)]])
+
+        a = spark.createDataFrame(
+            [(i, bytearray(rect(i * 3.0, 0.0, 5.0))) for i in range(20)],
+            "id long, geom binary")
+        b = spark.createDataFrame(
+            [(i, bytearray(rect(i * 4.0, 2.0, 5.0))) for i in range(20)],
+            "id long, geom binary")
+        plan = explain_str(overlay.layer_overlay(a, b, cell=64.0))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "hashpartitioning(cx" in plan or "Join" in plan
+        # envelope pre-test stays JVM-side (a Filter on the env columns)
+        assert "a_xmin" in plan and "b_xmax" in plan
