@@ -182,3 +182,115 @@ def layer_overlay(a: DataFrame, b: DataFrame, op: str = "intersection",
 
     return joined.mapInPandas(
         kernel, "a_id long, b_id long, geom binary, area double")
+
+
+def layer_clip(a: DataFrame, b: DataFrame, cell: float = 64.0) -> DataFrame:
+    """OGRLayer::Clip (ogrlayer.cpp Clip method): each A feature cut to
+    the union of B — pairwise intersections re-merged per a_id via the
+    cascaded-union aggregate (one groupBy on a_id after the pair
+    kernel)."""
+    from ..session import ship_package
+
+    ship_package(a.sparkSession)
+    pairs = layer_overlay(a, b, "intersection", cell=cell)
+
+    def merge(key, pdf):
+        import pandas as pd
+
+        from ..geo import clip as _clip, wkb as _wkb
+        from ..geo.pip import ring_area_np
+
+        geoms = [_wkb.decode(bytes(g)) for g in pdf["geom"]]
+        rk, rd = _clip.union_all(geoms)
+        if not rd:
+            return pd.DataFrame(columns=["a_id", "geom", "area"])
+        enc = (_wkb.encode_polygon(rd) if rk == "polygon"
+               else _wkb.encode_multipolygon(rd))
+        tot = 0.0
+        for rings in _clip.as_polys(rk, rd):
+            tot += ring_area_np(rings[0]) - sum(
+                ring_area_np(r) for r in rings[1:])
+        return pd.DataFrame([(int(key[0]), enc, tot)],
+                            columns=["a_id", "geom", "area"])
+
+    return pairs.groupBy("a_id").applyInPandas(
+        merge, "a_id long, geom binary, area double")
+
+
+def layer_erase(a: DataFrame, b: DataFrame, cell: float = 64.0) -> DataFrame:
+    """OGRLayer::Erase: A features minus the union of every B they
+    touch; A features touching no B pass through whole.  Returns
+    (a_id, geom, area)."""
+    from ..session import ship_package
+
+    spark = a.sparkSession
+    ship_package(spark)
+
+    # candidate pairs (same cell join), grouped per a_id with ALL its
+    # B partners; subtract their union from the A geometry
+    pairs = layer_overlay(a, b, "intersection", cell=cell) \
+        .select("a_id", F.col("geom").alias("cut"))
+    joined = a.join(pairs, a.id == pairs.a_id, "left") \
+        .select(F.col("id").alias("a_id"), "geom", "cut")
+
+    def erase(key, pdf):
+        import pandas as pd
+
+        from ..geo import clip as _clip, wkb as _wkb
+        from ..geo.pip import ring_area_np
+
+        ka, da = _wkb.decode(bytes(pdf["geom"].iloc[0]))
+        cuts = [_wkb.decode(bytes(c)) for c in pdf["cut"]
+                if c is not None]
+        if cuts:
+            uk, ud = _clip.union_all(cuts)
+            ka, da = _clip.overlay(ka, da, uk, ud, "difference")
+        if not da:
+            return pd.DataFrame(columns=["a_id", "geom", "area"])
+        enc = (_wkb.encode_polygon(da) if ka == "polygon"
+               else _wkb.encode_multipolygon(da))
+        tot = 0.0
+        for rings in _clip.as_polys(ka, da):
+            tot += ring_area_np(rings[0]) - sum(
+                ring_area_np(r) for r in rings[1:])
+        return pd.DataFrame([(int(key[0]), enc, tot)],
+                            columns=["a_id", "geom", "area"])
+
+    return joined.groupBy("a_id").applyInPandas(
+        erase, "a_id long, geom binary, area double")
+
+
+def layer_update(a: DataFrame, b: DataFrame, cell: float = 64.0) -> DataFrame:
+    """OGRLayer::Update: B features replace the parts of A they cover —
+    erase(A, B) plus B passed through, with source marked."""
+    erased = layer_erase(a, b, cell=cell).select(
+        F.col("a_id").alias("id"), "geom", "area",
+        F.lit("input").alias("src"))
+
+    def area_of(df):
+        from ..session import ship_package
+
+        ship_package(df.sparkSession)
+
+        def f(batches):
+            import pandas as pd
+
+            from ..geo import clip as _clip, wkb as _wkb
+            from ..geo.pip import ring_area_np
+
+            for pdf in batches:
+                rows = []
+                for gid, g in zip(pdf["id"], pdf["geom"]):
+                    k, d = _wkb.decode(bytes(g))
+                    tot = 0.0
+                    for rings in _clip.as_polys(k, d):
+                        tot += ring_area_np(rings[0]) - sum(
+                            ring_area_np(r) for r in rings[1:])
+                    rows.append((int(gid), bytes(g), tot))
+                yield pd.DataFrame(rows, columns=["id", "geom", "area"])
+
+        return df.mapInPandas(f, "id long, geom binary, area double")
+
+    method = area_of(b).select("id", "geom", "area",
+                               F.lit("method").alias("src"))
+    return erased.unionByName(method)

@@ -224,3 +224,37 @@ class TestLayerOverlay:
         b = q(spark, "/root/testdata/sf0.01").repartition(7).toPandas() \
             .sort_values("pair_id").reset_index(drop=True)
         assert a.equals(b)
+
+    def test_layer_clip_erase_update(self, spark):
+        """OGRLayer Clip/Erase/Update faces on polygon layers: area
+        conservation against hand-computed values."""
+        import numpy as np
+
+        from lib_gdal_spark.geo import wkb
+        from lib_gdal_spark.operators import overlay
+
+        def rect(x0, y0, w, h):
+            return wkb.encode_polygon(
+                [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h),
+                  (x0, y0)]])
+
+        # A: two 4x4 squares; B: two 2x4 rects each covering the right
+        # half of one A square, plus one far-away rect
+        a = spark.createDataFrame(
+            [(1, bytearray(rect(0, 0, 4, 4))),
+             (2, bytearray(rect(10, 0, 4, 4)))], "id long, geom binary")
+        b = spark.createDataFrame(
+            [(21, bytearray(rect(2, 0, 2, 4))),
+             (22, bytearray(rect(12, 0, 2, 4))),
+             (23, bytearray(rect(50, 50, 1, 1)))], "id long, geom binary")
+        clip = {r.a_id: r.area for r in
+                overlay.layer_clip(a, b).collect()}
+        assert clip == {1: pytest.approx(8.0), 2: pytest.approx(8.0)}
+        erase = {r.a_id: r.area for r in
+                 overlay.layer_erase(a, b).collect()}
+        assert erase == {1: pytest.approx(8.0), 2: pytest.approx(8.0)}
+        upd = overlay.layer_update(a, b).collect()
+        tot = sum(r.area for r in upd)
+        # erased halves (8+8) + all of B (8+8+1)
+        assert tot == pytest.approx(33.0)
+        assert {r.src for r in upd} == {"input", "method"}
