@@ -549,6 +549,41 @@ def _q_gdaldem_derivatives(spark, sf_dir):
             .select("bx", "by", "tpi", "tri", "roughness", "shade"))
 
 
+def _q_raster_mosaic(spark, sf_dir):
+    """gdal_merge paint-over mosaic (raster.mosaic): three layers with
+    different coverage masks; later layers overwrite wherever present.
+    All-integer values -> exact oracle (duckdb arg_max on the distinct
+    layer rank mirrors max_by)."""
+    d = _tbl(spark, sf_dir, "documents")
+
+    def layer(i):
+        return (
+            d.filter(F.col("doc_id") % (i + 2) == 0)
+            .select(
+                (F.col("doc_id") % 25).cast("long").alias("bx"),
+                (F.floor(F.col("doc_id") / 25) % 20).cast("long")
+                .alias("by"),
+                F.col("n_chars"))
+            .groupBy("bx", "by")
+            .agg((F.sum("n_chars") * (i + 1)).cast("double").alias("value"))
+        )
+
+    return raster.mosaic([layer(0), layer(1), layer(2)])
+
+
+def _o_raster_mosaic() -> str:
+    layers = "\nUNION ALL\n".join(f"""
+  SELECT CAST(doc_id % 25 AS BIGINT) AS bx,
+         CAST(floor(doc_id/25) AS BIGINT) % 20 AS "by",
+         CAST(sum(n_chars) * {i + 1} AS DOUBLE) AS v, {i} AS r
+  FROM documents WHERE doc_id % {i + 2} = 0 GROUP BY 1, 2"""
+                                  for i in range(3))
+    return f"""
+WITH u AS ({layers})
+SELECT bx, "by", arg_max(v, r) AS value FROM u GROUP BY bx, "by"
+"""
+
+
 _OVL_J = 4.0 / (2.0 ** 52)   # 13 md5 hex digits -> [0, 4), exact pow2 scale
 _OVL_T = 8.0 / (2.0 ** 52)   # -> [0, 8) for the B-quad translation
 
@@ -1490,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdaldem_hillshade": _q_gdaldem_hillshade,
         "gdaldem_derivatives": _q_gdaldem_derivatives,
         "geom_overlay": _q_geom_overlay,
+        "raster_mosaic": _q_raster_mosaic,
         "pii_redact": _q_pii_redact,
         "contamination_check": _q_contamination,
         "gopher_rules": _q_gopher_rules,
@@ -1539,8 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_metrics": _q_grid_metrics,
         "grid_nearest": _q_grid_nearest,
         "overview_gauss": _q_overview_gauss,
-        "overview_cubic": _q_overview_cubic,
         # -------- 50-cap boundary: positions 51+ below --------
+        "overview_cubic": _q_overview_cubic,
         "overview_avg": _q_overview_avg,
         "focal_mean": _q_focal_mean,
         "warp_avg": _q_warp_avg,
@@ -4208,6 +4244,7 @@ def oracle_sql() -> dict[str, str]:
         "gdaldem_hillshade": _o_gdaldem_hillshade(),
         "gdaldem_derivatives": _o_gdaldem_derivatives(),
         "geom_overlay": _o_geom_overlay(),
+        "raster_mosaic": _o_raster_mosaic(),
         "dem_slope": _o_dem_slope(),
         "dem_tpi": _o_dem_tpi(),
         "graph_sssp": _o_graph_sssp(),

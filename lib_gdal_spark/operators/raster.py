@@ -590,3 +590,26 @@ def footprint_cells(cells: DataFrame) -> DataFrame:
         .filter(F.coalesce(F.col("_n"), F.lit(0)) < 4)
         .drop("_n")
     )
+
+
+def mosaic(layers: list, value_col: str = "value") -> DataFrame:
+    """gdal_merge.py semantics (swig/python/gdal-utils/osgeo_utils/
+    gdal_merge.py: files copied in order, later files PAINT OVER earlier
+    ones wherever they have data): union the cell tables with their
+    input rank and keep, per (bx, by), the value from the highest-ranked
+    layer present.  Absent cells (nodata) in a later layer leave the
+    earlier value visible — exactly the copy-over-window behavior.
+
+    One union + ONE map-side-combinable aggregate (max_by on the rank —
+    deterministic because ranks are distinct); scales as the sum of the
+    layer sizes with a single exchange on the cell key."""
+    tagged = [
+        df.select("bx", "by", F.col(value_col).alias("_v"),
+                  F.lit(i).alias("_rank"))
+        for i, df in enumerate(layers)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("bx", "by").agg(
+        F.max_by("_v", "_rank").alias(value_col))
