@@ -342,7 +342,7 @@ def _bspline_sql(a: str) -> str:
 
 def warp_affine(src: DataFrame, src_size: tuple, dst_size: tuple,
                 src_gt: tuple, dst_gt: tuple, kernel: str = "near",
-                out_byte: bool = True) -> DataFrame:
+                out_byte: bool = True, masked: bool = False) -> DataFrame:
     """gdalwarp on a same-CRS affine grid, replaying GDAL's exact chain
     for the single-band NoMasks paths — the warp analog of the
     gdaldem_compat byte-exact replays:
@@ -494,8 +494,45 @@ def warp_affine(src: DataFrame, src_size: tuple, dst_size: tuple,
         f" WHEN ({div}) = 1.0 THEN ({acc})"
         f" ELSE ({acc}) / ({div}) END")
 
+    if masked:
+        # GWKBilinearResample4Sample (gdalwarpkernel.cpp:2815), the
+        # -srcnodata path: a tap participates only when its source cell
+        # EXISTS (absent row = nodata); iSrc == -1 clamps to column/row
+        # 0 with ratio 1 (the kernel's edge-shift rule); accumulate
+        # valid taps UL,UR then LL,LR; divisor 1e-5 miss -> dst nodata
+        # (row absent), divisor == 1 -> exact, else normalize.
+        def pres(ii, jj):
+            return (f"({inb(ii, jj)}"
+                    f" AND v_{names[ii]}_{names[jj]} IS NOT NULL)")
+
+        def mb(xs: int, ys: int):
+            rxs = "1.0" if xs else rx
+            rys = "1.0" if ys else ry
+            terms = [
+                (xs, ys, f"({rxs} * {rys})"),
+                (xs + 1, ys, f"((1.0 - {rxs}) * {rys})"),
+                (xs, ys + 1, f"({rxs} * (1.0 - {rys}))"),
+                (xs + 1, ys + 1, f"((1.0 - {rxs}) * (1.0 - {rys}))"),
+            ]
+            a = " + ".join(
+                f"(CASE WHEN {pres(ii, jj)} THEN {v(ii, jj)} * {wt}"
+                f" ELSE 0.0 END)" for ii, jj, wt in terms)
+            dv = " + ".join(
+                f"(CASE WHEN {pres(ii, jj)} THEN {wt} ELSE 0.0 END)"
+                for ii, jj, wt in terms)
+            return (f"CASE WHEN ({dv}) < 1e-5 THEN NULL"
+                    f" WHEN ({dv}) = 1.0 THEN ({a})"
+                    f" ELSE ({a}) / ({dv}) END")
+
+        vbil = (f"CASE WHEN ixf = -1 AND iyf = -1 THEN {mb(1, 1)}"
+                f" WHEN ixf = -1 THEN {mb(1, 0)}"
+                f" WHEN iyf = -1 THEN {mb(0, 1)}"
+                f" ELSE {mb(0, 0)} END")
+
     if kernel == "bilinear":
         out = g.select("xd", "yd", finish(vbil).alias("value"))
+        if masked:
+            out = out.filter(F.col("value").isNotNull())
     elif kernel == "cubic":
         dxx = "(sx - 0.5 - ixf)"
         dyy = "(sy - 0.5 - iyf)"
@@ -520,12 +557,27 @@ def warp_affine(src: DataFrame, src_size: tuple, dst_size: tuple,
             f"({f1} + 0.5 * ({dyy} * ({f2} - {f0})"
             f" + {d2s} * (2.0 * {f0} - 5.0 * {f1} + 4.0 * {f2} - {f3})"
             f" + {d3s} * (3.0 * ({f1} - {f2}) + {f3} - {f0})))")
-        expr = (
-            f"CASE WHEN ixf - 1 >= 0 AND ixf + 2 < {W}"
-            f" AND iyf - 1 >= 0 AND iyf + 2 < {H}"
-            f" THEN {vcub} ELSE {vbil} END")
+        interior = (f"ixf - 1 >= 0 AND ixf + 2 < {W}"
+                    f" AND iyf - 1 >= 0 AND iyf + 2 < {H}")
+        if masked:
+            # GWKCubicResample4Sample (:3141): any missing tap in the
+            # 4x4 support -> fall back to the masked bilinear
+            all16 = " AND ".join(
+                f"v_{names[ii]}_{names[jj]} IS NOT NULL"
+                for jj in (-1, 0, 1, 2) for ii in (-1, 0, 1, 2))
+            expr = (f"CASE WHEN {interior} AND {all16} THEN {vcub}"
+                    f" ELSE {vbil} END")
+        else:
+            expr = f"CASE WHEN {interior} THEN {vcub} ELSE {vbil} END"
         out = g.select("xd", "yd", finish(expr).alias("value"))
+        if masked:
+            out = out.filter(F.col("value").isNotNull())
     else:  # cubicspline
+        if masked:
+            raise NotImplementedError(
+                "warp_affine masked mode covers near/bilinear/cubic"
+                " (the reference's cubicspline masked path does density"
+                " weight adjustment, GWKResample — out of scope)")
         if DW < W or DH < H:
             raise NotImplementedError(
                 "warp_affine cubicspline: downsampling widens the kernel"

@@ -87,3 +87,64 @@ class TestGdalwarpReplay:
                                       (40, 40), sgt, _dst_gt(sgt),
                                       "cubicspline"), 40, 40)
         assert (a == b).all()
+
+
+class TestMaskedWarp:
+    """-srcnodata semantics (GWKBilinearResample4Sample /
+    GWKCubicResample4Sample): nodata cells are absent rows; valid taps
+    renormalize, fully-missing support yields no output row."""
+
+    def test_identity_srcnodata_checksum(self, spark, byte_cells):
+        # test_gdalwarp_lib_127: srcNodata=1 on byte.tif (which has no
+        # 1-valued pixels) must leave the identity warp at checksum 4672
+        cells, sgt = byte_cells
+        assert cells.filter("value = 1").count() == 0
+        same = warp.warp_affine(cells, (20, 20), (20, 20), sgt, sgt,
+                                "near", masked=True)
+        cs = raster.checksum(same, 0, 0, 20, 20).collect()[0].checksum
+        assert cs == 4672
+
+    def test_hole_renormalizes_bilinear(self, spark):
+        # 4x4 grid of value 100 with one nodata hole; 2x upsample.
+        # Interior dst pixels around the hole average the remaining
+        # valid taps of a constant field -> still exactly 100; pixels
+        # whose entire support is the hole do not exist (none here).
+        rows = [(x, y, 100.0) for x in range(4) for y in range(4)
+                if not (x == 1 and y == 1)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        gt = (0.0, 1.0, 0.0, 4.0, 0.0, -1.0)
+        dgt = (0.0, 0.5, 0.0, 4.0, 0.0, -0.5)
+        out = warp.warp_affine(cells, (4, 4), (8, 8), gt, dgt,
+                               "bilinear", masked=True).collect()
+        vals = {(r.bx, r.by): r.value for r in out}
+        assert len(vals) == 64          # constant field: every dst pixel
+        assert set(v for v in vals.values()) == {100.0}
+        # unmasked treats the hole as value 0 and bleeds it in
+        out2 = warp.warp_affine(cells, (4, 4), (8, 8), gt, dgt,
+                                "bilinear", masked=False).collect()
+        assert min(r.value for r in out2) < 100.0
+
+    def test_all_missing_support_drops_row(self, spark):
+        # single valid cell far from most dst pixels: dst rows whose
+        # 2x2 support holds no valid tap must be ABSENT, not zero
+        cells = spark.createDataFrame([(0, 3, 50.0)],
+                                      "bx long, by long, value double")
+        gt = (0.0, 1.0, 0.0, 4.0, 0.0, -1.0)
+        dgt = (0.0, 0.5, 0.0, 4.0, 0.0, -0.5)
+        out = warp.warp_affine(cells, (4, 4), (8, 8), gt, dgt,
+                               "bilinear", masked=True).collect()
+        assert 0 < len(out) < 64
+        assert all(r.value == 50.0 for r in out)
+
+    def test_masked_cubic_fallback(self, spark):
+        # constant field with a hole: masked cubic falls back to masked
+        # bilinear near the hole -> still exactly constant
+        rows = [(x, y, 7.0) for x in range(6) for y in range(6)
+                if not (x == 2 and y == 3)]
+        cells = spark.createDataFrame(rows, "bx long, by long, value double")
+        gt = (0.0, 1.0, 0.0, 6.0, 0.0, -1.0)
+        dgt = (0.0, 0.5, 0.0, 6.0, 0.0, -0.5)
+        out = warp.warp_affine(cells, (6, 6), (12, 12), gt, dgt,
+                               "cubic", masked=True).collect()
+        assert {r.value for r in out} == {7.0}
+        assert len(out) == 144
