@@ -148,3 +148,30 @@ class TestMaskedWarp:
                                "cubic", masked=True).collect()
         assert {r.value for r in out} == {7.0}
         assert len(out) == 144
+
+
+class TestGdalGridReplay:
+    """gdal_grid golden replay (autotest/utilities/test_gdal_grid_lib.py
+    test_gdal_grid_lib_1): n43.tif exploded to its pixel-center point
+    cloud and re-gridded with algorithm=nearest must reproduce the
+    raster — the autotest asserts checksum equality with the source.
+    Re-expressed in pixel units (nearest assignment is similarity-
+    invariant), driven through the distributed grid_nearest operator."""
+
+    def test_grid_lib_1_nearest_roundtrip(self, spark):
+        from lib_gdal_spark.operators import grid
+        from lib_gdal_spark.sources import tiff as tsrc
+
+        n43 = "/root/reference/autotest/gdrivers/data/n43.tif"
+        cells, _ = tsrc.read_tiff(spark, n43)
+        src_cs = raster.checksum(cells, 0, 0, 121, 121) \
+            .collect()[0].checksum
+        pts = cells.select(
+            (cells.bx + 0.5).alias("x"), (cells.by + 0.5).alias("y"),
+            cells.value.alias("z"))
+        gridded = grid.grid_nearest(pts, cell_size=1.0, radius=1.0) \
+            .filter("bx BETWEEN 0 AND 120 AND by BETWEEN 0 AND 120")
+        got_cs = raster.checksum(gridded, 0, 0, 121, 121) \
+            .collect()[0].checksum
+        assert got_cs == src_cs
+        assert gridded.count() == 121 * 121
