@@ -292,6 +292,50 @@ def register_all(spark: SparkSession) -> None:
             return pd.Series(out)
         return f
 
+    def _accessor(what):
+        @F.pandas_udf(T.DoubleType())
+        def f(wkb: pd.Series) -> pd.Series:
+            # ST_X/ST_Y/ST_NumPoints/ST_NumGeometries — the SQLite
+            # dialect's accessor set (ogrsqlitesqlfunctions.cpp; OGR
+            # core getters ogr/ogrpoint.cpp, ogrgeometrycollection.cpp)
+            out = []
+            for buf in wkb:
+                if buf is None:
+                    out.append(None)
+                    continue
+                kind, data = _wkb.decode(bytes(buf))
+                if what in ("x", "y"):
+                    out.append(float(data[0 if what == "x" else 1])
+                               if kind == "point" else None)
+                elif what == "npoints":
+                    if kind == "point":
+                        n = 1
+                    elif kind == "linestring":
+                        n = len(data)
+                    elif kind == "polygon":
+                        n = sum(len(r) for r in data)
+                    else:
+                        n = sum(len(r) for rings in data for r in rings)
+                    out.append(float(n))
+                else:  # ngeometries
+                    out.append(float(len(data))
+                               if kind == "multipolygon" else 1.0)
+            return pd.Series(out, dtype="float64")
+        return f
+
+    @F.pandas_udf(T.StringType())
+    def st_geometrytype(wkb: pd.Series) -> pd.Series:
+        # OGR_GEOMETRY special field / GeometryType() — WKT-style names
+        names_ = {"point": "POINT", "linestring": "LINESTRING",
+                  "polygon": "POLYGON", "multipolygon": "MULTIPOLYGON"}
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+            else:
+                out.append(names_[_wkb.decode(bytes(buf))[0]])
+        return pd.Series(out)
+
     @F.pandas_udf(T.BinaryType())
     def st_delaunay(wkb: pd.Series) -> pd.Series:
         # OGRGeometry::DelaunayTriangulation (ogr_geometry.h:585,
@@ -434,6 +478,11 @@ def register_all(spark: SparkSession) -> None:
                "overlaps", "crosses"):
         spark.udf.register(f"st_{_p}", _predicate(_p))
     spark.udf.register("st_delaunay", st_delaunay)
+    spark.udf.register("st_x", _accessor("x"))
+    spark.udf.register("st_y", _accessor("y"))
+    spark.udf.register("st_npoints", _accessor("npoints"))
+    spark.udf.register("st_ngeometries", _accessor("ngeometries"))
+    spark.udf.register("st_geometrytype", st_geometrytype)
     spark.udf.register("st_astext", st_astext)
     spark.udf.register("st_geomfromtext", st_geomfromtext)
     spark.udf.register("st_distance", st_distance)

@@ -392,3 +392,15 @@ class TestOverlayFunctions:
             """).collect()[0]
         assert r.a == 16.0
         assert r.t.count("((") == 2  # two triangles
+
+    def test_accessors(self, sql):
+        r = sql.sql("""
+            SELECT st_x(st_point(2.5d, -3d)) AS x,
+                   st_y(st_point(2.5d, -3d)) AS y,
+                   st_npoints(st_geomfromtext(
+                     'LINESTRING (0 0, 1 1, 2 0)')) AS np,
+                   st_ngeometries(geom) AS ng,
+                   st_geometrytype(geom) AS gt
+            FROM geoms WHERE gid = 3""").collect()[0]
+        assert (r.x, r.y, r.np) == (2.5, -3.0, 3.0)
+        assert (r.ng, r.gt) == (2.0, "MULTIPOLYGON")
