@@ -44,6 +44,8 @@ HEADLINE = [
     "contour_segments",
     "warp_avg",
     "interp_bilinear",
+    # round 3: the geometry boolean-kernel family (pandas-UDF path)
+    "geom_overlay",
 ]
 
 
