@@ -635,6 +635,15 @@ def _q_geom_overlay(spark, sf_dir):
         "pair_id", "inter_area", "union_area", "diff_area")
 
 
+def _q_geom_predicates(spark, sf_dir):
+    """The OGR geometry predicate set (Intersects/Within/Contains/
+    Overlaps, ogr_geometry.h:546-553) evaluated by geo/clip.relate over
+    the same md5 quad pairs; the oracle derives each truth value from
+    the relational fragment classification (generic position makes
+    predicate truth == fragment-set emptiness tests)."""
+    return ovl.pairwise_predicates(_ovl_pairs(spark, sf_dir))
+
+
 def _q_interp_bilinear(spark, sf_dir):
     cells = _base_grid8(spark, sf_dir)
     # prime denominator (/997, like interp_cubic): /10 grid-aligned points
@@ -1526,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdaldem_derivatives": _q_gdaldem_derivatives,
         "geom_overlay": _q_geom_overlay,
         "raster_mosaic": _q_raster_mosaic,
+        "geom_predicates": _q_geom_predicates,
         "pii_redact": _q_pii_redact,
         "contamination_check": _q_contamination,
         "gopher_rules": _q_gopher_rules,
@@ -1574,8 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idw": _q_grid_idw,
         "grid_metrics": _q_grid_metrics,
         "grid_nearest": _q_grid_nearest,
-        "overview_gauss": _q_overview_gauss,
         # -------- 50-cap boundary: positions 51+ below --------
+        "overview_gauss": _q_overview_gauss,
         "overview_cubic": _q_overview_cubic,
         "overview_avg": _q_overview_avg,
         "focal_mean": _q_focal_mean,
@@ -4245,6 +4255,7 @@ def oracle_sql() -> dict[str, str]:
         "gdaldem_derivatives": _o_gdaldem_derivatives(),
         "geom_overlay": _o_geom_overlay(),
         "raster_mosaic": _o_raster_mosaic(),
+        "geom_predicates": _o_geom_predicates(),
         "dem_slope": _o_dem_slope(),
         "dem_tpi": _o_dem_tpi(),
         "graph_sssp": _o_graph_sssp(),
@@ -4370,7 +4381,7 @@ def _tin_incircle(px: str, py: str) -> str:
     return f"((t.o > 0 AND {det} > 0) OR (t.o < 0 AND {det} < 0))"
 
 
-def _o_geom_overlay() -> str:
+def _o_geom_body() -> str:
     # Relational replay of geo/clip.overlay on the md5 quad pairs:
     # every float expression mirrors the engine term for term —
     # t/u = cross ratios exactly as clip._split_against, fragment
@@ -4479,7 +4490,12 @@ ea AS (
 eb AS (
   SELECT v.pair_id, v.vid AS eid, v.x AS x0, v.y AS y0, w.x AS x1, w.y AS y1
   FROM vb v JOIN vb w ON w.pair_id = v.pair_id AND w.vid = (v.vid + 1) % 4
-),{side('a', 'b')},{side('b', 'a')},
+),{side('a', 'b')},{side('b', 'a')}
+"""
+
+
+def _o_geom_overlay() -> str:
+    return _o_geom_body() + """,
 contrib AS (
   SELECT pair_id,
     CASE WHEN in_other THEN fx0 * fy1 - fx1 * fy0 END AS ci,
@@ -4501,6 +4517,41 @@ FROM quads q2 LEFT JOIN (
   SELECT pair_id, sum(ci) AS si, sum(cu) AS su, sum(cd) AS sd
   FROM contrib GROUP BY pair_id
 ) c ON c.pair_id = q2.pair_id
+"""
+
+
+def _o_geom_predicates() -> str:
+    # Predicate truth from the same fragment classification: in generic
+    # position (md5 quads: no boundary touching, no identical
+    # geometries) interiors intersect iff ANY kept intersection
+    # fragment exists, A within B iff additionally the A-minus-B
+    # boundary is empty (a_out = 0 AND b_in = 0), and symmetrically.
+    # This mirrors clip.relate's emptiness-of-overlay criterion.
+    return _o_geom_body() + """,
+stats_a AS (
+  SELECT pair_id,
+    sum(CASE WHEN in_other THEN 1 ELSE 0 END) AS a_in,
+    sum(CASE WHEN NOT in_other THEN 1 ELSE 0 END) AS a_out
+  FROM cl_a GROUP BY pair_id
+),
+stats_b AS (
+  SELECT pair_id,
+    sum(CASE WHEN in_other THEN 1 ELSE 0 END) AS b_in,
+    sum(CASE WHEN NOT in_other THEN 1 ELSE 0 END) AS b_out
+  FROM cl_b GROUP BY pair_id
+)
+SELECT q2.pair_id,
+  (coalesce(a_in, 0) + coalesce(b_in, 0)) > 0 AS intersects,
+  ((coalesce(a_in, 0) + coalesce(b_in, 0)) > 0)
+    AND coalesce(a_out, 0) = 0 AND coalesce(b_in, 0) = 0 AS within_ab,
+  ((coalesce(a_in, 0) + coalesce(b_in, 0)) > 0)
+    AND coalesce(b_out, 0) = 0 AND coalesce(a_in, 0) = 0 AS contains_ab,
+  ((coalesce(a_in, 0) + coalesce(b_in, 0)) > 0)
+    AND (coalesce(a_out, 0) > 0 OR coalesce(b_in, 0) > 0)
+    AND (coalesce(b_out, 0) > 0 OR coalesce(a_in, 0) > 0) AS overlaps
+FROM quads q2
+LEFT JOIN stats_a sa ON sa.pair_id = q2.pair_id
+LEFT JOIN stats_b sb ON sb.pair_id = q2.pair_id
 """
 
 

@@ -35,6 +35,16 @@ def point_segments_dist_np(px: float, py: float, pts: np.ndarray) -> float:
     return float(np.min(np.hypot(px - cx, py - cy)))
 
 
+def _close_ring(r) -> np.ndarray:
+    """Rings may arrive open (no repeated closing vertex); the boundary
+    polyline must include the closing edge or crossings through it are
+    invisible to the distance/crossing sweep."""
+    r = np.asarray(r, dtype=np.float64)
+    if len(r) >= 3 and not (r[0] == r[-1]).all():
+        r = np.vstack([r, r[:1]])
+    return r
+
+
 def _boundaries(kind: str, data):
     """Geometry -> list of polylines forming its boundary (or the point)."""
     if kind == "point":
@@ -42,10 +52,9 @@ def _boundaries(kind: str, data):
     if kind == "linestring":
         return [np.asarray(data, dtype=np.float64)]
     if kind == "polygon":
-        return [np.asarray(r, dtype=np.float64) for r in data]
+        return [_close_ring(r) for r in data]
     if kind == "multipolygon":
-        return [np.asarray(r, dtype=np.float64)
-                for rings in data for r in rings]
+        return [_close_ring(r) for rings in data for r in rings]
     raise NotImplementedError(f"distance: geometry kind {kind}")
 
 

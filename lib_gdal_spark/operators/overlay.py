@@ -85,6 +85,41 @@ def pairwise_overlay_areas(pairs: DataFrame, round_dp: int = 6) -> DataFrame:
         "n_inter_polys")
 
 
+def pairwise_predicates(pairs: DataFrame) -> DataFrame:
+    """(pair_id, xa, ya, xb, yb) -> the OGR predicate set per pair via
+    geo/clip.relate (Intersects / Within / Contains / Overlaps — the
+    equal-dimension subset meaningful for polygon pairs)."""
+    from ..session import ship_package
+
+    ship_package(pairs.sparkSession)
+
+    def run(batches):
+        import pandas as pd
+
+        from ..geo import clip
+
+        for pdf in batches:
+            out = []
+            for pid, xa, ya, xb, yb in zip(pdf["pair_id"], pdf["xa"],
+                                           pdf["ya"], pdf["xb"], pdf["yb"]):
+                ra, rb = _quad(xa, ya), _quad(xb, yb)
+                args = ("polygon", ra, "polygon", rb)
+                out.append((
+                    int(pid),
+                    clip.relate(*args, "intersects"),
+                    clip.relate(*args, "within"),
+                    clip.relate(*args, "contains"),
+                    clip.relate(*args, "overlaps"),
+                ))
+            yield pd.DataFrame(out, columns=[
+                "pair_id", "intersects", "within_ab", "contains_ab",
+                "overlaps"])
+
+    return pairs.mapInPandas(
+        run, "pair_id long, intersects boolean, within_ab boolean, "
+             "contains_ab boolean, overlaps boolean")
+
+
 def layer_overlay(a: DataFrame, b: DataFrame, op: str = "intersection",
                   cell: float = 64.0) -> DataFrame:
     """Distributed polygon-layer overlay (OGRLayer::Intersection family)

@@ -494,3 +494,14 @@ class TestClip:
         l2 = ("linestring", np.array([[0, 0], [4, 4]], float))
         l3 = ("linestring", np.array([[0, 4], [4, 0]], float))
         assert R(*l2, *l3, "crosses")
+
+    def test_distance_open_ring_closing_edge(self):
+        """Regression: an OPEN polygon ring (no repeated closing vertex)
+        must still expose its closing edge to the distance sweep —
+        overlapping quads that cross only through closing edges were
+        reporting positive distance."""
+        from lib_gdal_spark.geo.distance import geometry_distance
+
+        a = [np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)]   # open
+        b = [np.array([[3, 3], [7, 3], [7, 7], [3, 7]], float)]   # open
+        assert geometry_distance("polygon", a, "polygon", b) == 0.0
