@@ -155,6 +155,35 @@ def register_all(spark: SparkSession) -> None:
         return _per_ring(wkb, float(tol.iloc[0]), douglas_peucker_np)
 
     @F.pandas_udf(T.BinaryType())
+    def st_simplifypreservetopology(wkb: pd.Series,
+                                    tol: pd.Series) -> pd.Series:
+        # OGRGeometry::SimplifyPreserveTopology (ogr_geometry.h:583):
+        # per-POLYGON kernel (rings interact via the hole-containment
+        # guarantee), linestrings plain-DP
+        from ..geo.simplify import simplify_preserve_topology_np
+
+        t = float(tol.iloc[0])
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, coords = _wkb.decode(bytes(buf))
+            if kind == "polygon":
+                out.append(_wkb.encode_polygon(
+                    simplify_preserve_topology_np(coords, t)))
+            elif kind == "multipolygon":
+                out.append(_wkb.encode_multipolygon(
+                    [simplify_preserve_topology_np(rings, t)
+                     for rings in coords]))
+            elif kind == "linestring":
+                out.append(_wkb.encode_linestring(
+                    douglas_peucker_np(np.asarray(coords, float), t)))
+            else:
+                out.append(bytes(buf))
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BinaryType())
     def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
         # OGRGeometry::segmentize on every ring
         return _per_ring(wkb, float(max_len.iloc[0]), segmentize_np)
@@ -385,6 +414,25 @@ def register_all(spark: SparkSession) -> None:
         return f
 
     @F.pandas_udf(T.BinaryType())
+    def st_unaryunion(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::UnaryUnion (ogr_geometry.h:570s, GEOS-delegated):
+        # dissolve the parts of one geometry (overlapping multipolygon
+        # parts merge); polygons just re-validate
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "multipolygon":
+                rk, rd = _clip.union_all(
+                    [("polygon", rings) for rings in data])
+            else:
+                rk, rd = _clip.make_valid(kind, data)
+            out.append(_enc_areal(rk, rd))
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BinaryType())
     def st_makevalid(wkb: pd.Series) -> pd.Series:
         # OGRGeometry::MakeValid (ogr_geometry.h:430), STRUCTURE-method
         # semantics: even-odd reinterpretation of self-intersecting
@@ -473,6 +521,7 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_difference", _overlay("difference"))
     spark.udf.register("st_symdifference", _overlay("symdifference"))
     spark.udf.register("st_makevalid", st_makevalid)
+    spark.udf.register("st_unaryunion", st_unaryunion)
     spark.udf.register("st_union_agg", st_union_agg)
     for _p in ("intersects", "disjoint", "touches", "within", "contains",
                "overlaps", "crosses"):
@@ -489,6 +538,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_centroid_x", _centroid(0))
     spark.udf.register("st_centroid_y", _centroid(1))
     spark.udf.register("st_simplify", st_simplify)
+    spark.udf.register("st_simplifypreservetopology",
+                       st_simplifypreservetopology)
     spark.udf.register("st_segmentize", st_segmentize)
     spark.udf.register("st_area", st_area)
     spark.udf.register("st_contains_point", st_contains_point)

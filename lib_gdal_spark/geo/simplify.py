@@ -75,3 +75,59 @@ def douglas_peucker_np(pts: np.ndarray, tolerance: float) -> np.ndarray:
             stack.append((i0, jj))
             stack.append((jj, i1))
     return pts[keep]
+
+
+def _ring_is_simple(ring: np.ndarray) -> bool:
+    """No proper self-intersection and no repeated interior vertex
+    (closed ring input; adjacent-edge sharing of endpoints is fine)."""
+    from .clip import _split_against, _scale_of
+
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and (r[0] == r[-1]).all():
+        r = r[:-1]
+    if len(r) < 3:
+        return False
+    if len(np.unique(r, axis=0)) != len(r):
+        return False
+    edges = np.hstack([r, np.roll(r, -1, axis=0)])
+    frags = _split_against(edges, edges, _scale_of(edges), skip_self=True)
+    # a simple ring's edges survive self-splitting untouched (endpoint
+    # contacts between ADJACENT edges split nothing: t in (0,1) only)
+    return len(frags) == len(edges)
+
+
+def simplify_preserve_topology_np(rings: list, tolerance: float,
+                                  max_halvings: int = 8) -> list:
+    """OGRGeometry::SimplifyPreserveTopology's CONTRACT (GEOS
+    TopologyPreservingSimplifier there — this is an original algorithm
+    with the same guarantees, not a port): every output ring is simple
+    and non-degenerate, holes stay inside the shell, vertices are a
+    subset of the input's.  Method: Douglas-Peucker per ring; if the
+    simplified ring self-intersects or collapses, retry with halved
+    tolerance (bounded), falling back to the original ring; a hole whose
+    representative vertex escapes the simplified shell is kept
+    unsimplified."""
+    from .pip import point_in_ring_np
+
+    def simp(ring):
+        r = np.asarray(ring, dtype=np.float64)
+        closed = len(r) >= 2 and (r[0] == r[-1]).all()
+        tol = float(tolerance)
+        for _ in range(max_halvings + 1):
+            out = douglas_peucker_np(r, tol)
+            if len(out) >= (4 if closed else 3) and _ring_is_simple(out):
+                return out
+            tol *= 0.5
+        return r.copy()
+
+    if not rings:
+        return []
+    shell = simp(rings[0])
+    sh = shell[:-1] if (shell[0] == shell[-1]).all() else shell
+    out = [shell]
+    for hole in rings[1:]:
+        h = simp(hole)
+        hx, hy = np.array([h[0, 0]]), np.array([h[0, 1]])
+        out.append(h if point_in_ring_np(hx, hy, sh)[0]
+                   else np.asarray(hole, dtype=np.float64).copy())
+    return out

@@ -404,3 +404,16 @@ class TestOverlayFunctions:
             FROM geoms WHERE gid = 3""").collect()[0]
         assert (r.x, r.y, r.np) == (2.5, -3.0, 3.0)
         assert (r.ng, r.gt) == (2.0, "MULTIPOLYGON")
+
+    def test_st_simplifypreservetopology(self, sql):
+        # a ring that plain DP at tolerance 10 would collapse/self-cross
+        # must stay simple and areal under the preserve-topology variant
+        r = sql.sql("""
+            SELECT st_area(st_simplifypreservetopology(st_geomfromtext(
+              'POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))'), 10.0d)) AS a,
+                   st_area(st_unaryunion(st_geomfromtext(
+              'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)),
+                             ((2 2, 6 2, 6 6, 2 6, 2 2)))'))) AS u
+            """).collect()[0]
+        assert r.a > 0.0       # not collapsed
+        assert r.u == pytest.approx(28.0)  # overlapping parts dissolved
