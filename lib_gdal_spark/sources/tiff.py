@@ -7,8 +7,9 @@ uncompressed striped TIFFs. This source parses exactly that subset
 natively — no codec library:
 
 - classic TIFF (not BigTIFF), II or MM byte order;
-- Compression=1 (none), striped layout (StripOffsets/StripByteCounts/
-  RowsPerStrip), single sample per pixel;
+- Compression 1 (none), 5 (LZW), 8/32946 (Deflate via zlib); striped
+  layout (StripOffsets/StripByteCounts/RowsPerStrip); single- or
+  multi-band (chunky or separate planes);
 - BitsPerSample 8/16/32 unsigned, or 32/64-bit IEEE float
   (SampleFormat=3);
 - the GDAL_NODATA ASCII tag (42113) — nodata cells become ABSENT rows,
@@ -36,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 _TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
-    279: "strip_counts", 317: "predictor", 339: "sample_format",
+    279: "strip_counts", 284: "planar", 317: "predictor",
+    339: "sample_format",
     33550: "pixel_scale", 33922: "tiepoint", 34735: "geo_keys",
     42113: "gdal_nodata",
 }
@@ -140,11 +142,9 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
     horizontal differencing (2)."""
     eo, t = _read_ifd(buf)
     comp = t.get("compression", 1)
-    if comp not in (1, 5):
+    if comp not in (1, 5, 8, 32946):
         raise NotImplementedError(f"TIFF compression {comp} needs libtiff")
-    spp = t.get("samples_per_pixel", 1)
-    if spp != 1:
-        raise NotImplementedError(f"multi-band TIFF (spp={spp}) unsupported")
+    spp = int(t.get("samples_per_pixel", 1))
     w, h = int(t["width"]), int(t["height"])
     bits = t.get("bits", 8)
     if isinstance(bits, list):
@@ -166,16 +166,38 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
     strips = [buf[o : o + c] for o, c in zip(offs, cnts)]
     if comp == 5:
         strips = [_lzw_decode(s) for s in strips]  # LZW resets per strip
+    elif comp in (8, 32946):
+        import zlib                               # Deflate / old Deflate
+
+        strips = [zlib.decompress(s) for s in strips]
     raw = b"".join(strips)
-    arr = np.frombuffer(raw, dtype, count=w * h).reshape(h, w)
-    if t.get("predictor", 1) == 2:
+    pred = t.get("predictor", 1)
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred}")
+
+    def undiff(a2d):
         # horizontal differencing: samples after the first in each row
         # are deltas; integer cumsum with native wraparound restores them
-        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(dtype)
-    elif t.get("predictor", 1) != 1:
-        raise NotImplementedError(f"TIFF predictor {t['predictor']}")
+        return np.cumsum(a2d.astype(np.int64), axis=-1).astype(dtype)
+
+    if spp == 1:
+        arr = np.frombuffer(raw, dtype, count=w * h).reshape(h, w)
+        if pred == 2:
+            arr = undiff(arr)
+    else:
+        planar = int(t.get("planar", 1))
+        if planar == 2:
+            # separate planes: strips run band-major
+            arr = np.frombuffer(raw, dtype, count=spp * w * h) \
+                .reshape(spp, h, w)
+        else:
+            # chunky: pixel-interleaved; differencing strides per sample
+            arr = np.frombuffer(raw, dtype, count=spp * w * h) \
+                .reshape(h, w, spp).transpose(2, 0, 1)
+        if pred == 2:
+            arr = np.stack([undiff(b) for b in arr])
     meta = {"width": w, "height": h, "bits": int(bits),
-            "sample_format": int(sfmt)}
+            "sample_format": int(sfmt), "bands": spp}
     if "gdal_nodata" in t:
         meta["nodata"] = float(t["gdal_nodata"])
     # GeoTIFF geotransform: ModelPixelScale + ModelTiepoint (the affine
@@ -197,14 +219,24 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
     return arr, meta
 
 
-def read_tiff(spark: SparkSession, path: str):
-    """-> (cells DataFrame (bx, by, value), meta). Grid convention
-    matches the AAIGrid source: by increases UPWARD (raster row 0 = max
-    by); GDAL_NODATA cells are absent rows."""
+def read_tiff(spark: SparkSession, path: str, band: int | None = None):
+    """-> (cells DataFrame, meta). Grid convention matches the AAIGrid
+    source: by increases UPWARD (raster row 0 = max by); GDAL_NODATA
+    cells are absent rows. Single-band files (or an explicit 1-based
+    `band` selection) yield (bx, by, value); multi-band files yield
+    (bx, by, vals array<double>) pixel-interleaved."""
     with open(path, "rb") as f:
         arr, meta = decode_tiff(f.read())
-    h, w = arr.shape
     nodata = meta.get("nodata")
+    if arr.ndim == 3 and band is not None:
+        arr = arr[band - 1]
+    if arr.ndim == 3:
+        nb, h, w = arr.shape
+        rows = [(c, h - 1 - r, [float(arr[b, r, c]) for b in range(nb)])
+                for r in range(h) for c in range(w)]
+        return (spark.createDataFrame(
+            rows, "bx long, by long, vals array<double>"), meta)
+    h, w = arr.shape
     rows = []
     for r in range(h):
         for c in range(w):
