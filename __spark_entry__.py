@@ -1573,6 +1573,48 @@ FROM ranked WHERE rn = 1
 """
 
 
+# Fixed GCP set for the driver query (the gdaltransform_4 utm box plus
+# two interior ties so order 2 is determined): fit happens driver-side
+# exactly as GDALCreateGCPTransformer does; the duckdb twin replays the
+# SAME fitted coefficients through GCPPolynomialTransform.sql().
+_GCP6 = [(0.0, 0.0, 440720.0, 3751320.0), (20.0, 0.0, 441920.0, 3751320.0),
+         (20.0, 20.0, 441920.0, 3750120.0), (0.0, 20.0, 440720.0, 3750120.0),
+         (10.0, 5.0, 441320.0, 3751020.0), (5.0, 15.0, 441020.0, 3750420.0)]
+
+
+def _gcp6_transform():
+    from lib_gdal_spark.geo.gcptransform import GCPPolynomialTransform
+    return GCPPolynomialTransform(_GCP6, order=2)
+
+
+def _q_gcp_polywarp(spark, sf_dir):
+    # GCP polynomial transformer (alg/gdal_crs.cpp GDALGCPTransform):
+    # order-2 fit applied as pure Column arithmetic — same op order as
+    # the NumPy twin and the oracle SQL, so all three are bit-identical
+    tr = _gcp6_transform()
+    k = F.col("o_orderkey")
+    pts = _tbl(spark, sf_dir, "orders").select(
+        k.alias("pixel_id"),
+        (k % 100).cast("double").alias("e"),
+        ((k / 100).cast("long") % 100).cast("double").alias("n"))
+    gx, gy = tr.columns(F.col("e"), F.col("n"))
+    return pts.select("pixel_id", gx.alias("gx"), gy.alias("gy"))
+
+
+def _o_gcp_polywarp():
+    tr = _gcp6_transform()
+    sx, sy = tr.sql("p.e", "p.n")
+    return f"""
+WITH p AS (
+  SELECT o_orderkey AS pixel_id,
+         CAST(o_orderkey % 100 AS DOUBLE) AS e,
+         CAST((o_orderkey // 100) % 100 AS DOUBLE) AS n
+  FROM orders
+)
+SELECT pixel_id, {sx} AS gx, {sy} AS gy FROM p
+"""
+
+
 def _q_hist_equalize(spark, sf_dir):
     # gdalenhance -equalize (apps/gdalenhance.cpp): byte band synthesized
     # from document text lengths; histogram -> half-bin cumulative ->
@@ -1636,9 +1678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         plane/centroid-replay ANN, circumcircle-Delaunay grid_linear)
         needs a fresh hash row;
     (3) the round-1-verified set, now one round stale. Its 10 cheapest
-        pure-Catalyst ogr_* entries plus grid_metrics/grid_nearest
-        (displaced when rgb2pct and hist_equalize were added mid-round)
-        sit just past the 50 cap: they are
+        pure-Catalyst ogr_* entries plus grid_idw/grid_metrics/
+        grid_nearest (displaced when rgb2pct, hist_equalize and
+        gcp_polywarp were added mid-round) sit just past the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
         sweep) and rotate FIRST in round 4;
     (4) the round-2-verified set, expensive/headline first.
@@ -1647,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (1) new this round ----
         "rgb2pct": _q_rgb2pct,
         "hist_equalize": _q_hist_equalize,
+        "gcp_polywarp": _q_gcp_polywarp,
         "gdaldem_hillshade": _q_gdaldem_hillshade,
         "gdaldem_derivatives": _q_gdaldem_derivatives,
         "geom_overlay": _q_geom_overlay,
@@ -1697,8 +1740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": _q_graph_components,
         "fillnodata_idw": _q_fillnodata,
         "proximity_dist": _q_proximity,
-        "grid_idw": _q_grid_idw,
         # -------- 50-cap boundary: positions 51+ below --------
+        "grid_idw": _q_grid_idw,
         "grid_metrics": _q_grid_metrics,
         "grid_nearest": _q_grid_nearest,
         "overview_gauss": _q_overview_gauss,
@@ -4395,6 +4438,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_line_burn": _o_rasterize_lines(),
         "rgb2pct": _o_rgb2pct(),
         "hist_equalize": _o_hist_equalize(),
+        "gcp_polywarp": _o_gcp_polywarp(),
         "raster_calc": _o_raster_calc(),
         "sjoin_left": _o_sjoin_left(),
         "sjoin_update": _o_sjoin_update(),
