@@ -38,7 +38,8 @@ _TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     273: "strip_offsets", 277: "samples_per_pixel", 278: "rows_per_strip",
     279: "strip_counts", 284: "planar", 317: "predictor",
-    339: "sample_format",
+    322: "tile_width", 323: "tile_length", 324: "tile_offsets",
+    325: "tile_counts", 339: "sample_format",
     33550: "pixel_scale", 33922: "tiepoint", 34735: "geo_keys",
     42113: "gdal_nodata",
 }
@@ -136,13 +137,55 @@ def _lzw_decode(data: bytes) -> bytes:
             width += 1
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 spec §9): n in 0..127 copies n+1 literal
+    bytes; n in -127..-1 repeats the next byte 1-n times; -128 is a
+    no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(blob: bytes, comp: int) -> bytes:
+    if comp == 5:
+        return _lzw_decode(blob)  # LZW resets per strip/tile
+    if comp in (8, 32946):
+        import zlib
+
+        return zlib.decompress(blob)
+    if comp == 32773:
+        return _packbits_decode(blob)
+    return blob
+
+
+def _fit(blob: bytes, size: int) -> bytes:
+    """Clamp a decoded strip/tile to its expected byte size: partial
+    final blocks may come up SHORT (gdal #1179 — the contig/separate
+    strip+tile fixtures) or padded long; absent trailing bytes read as
+    zero, exactly like libtiff's fill behavior."""
+    if len(blob) == size:
+        return blob
+    return blob[:size] + b"\0" * max(0, size - len(blob))
+
+
 def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
-    """TIFF bytes -> (2-D array [row 0 = top], meta). Single-band
-    striped subset; Compression none (1) or LZW (5), Predictor none or
-    horizontal differencing (2)."""
+    """TIFF bytes -> (array [row 0 = top], meta). Classic TIFF, striped
+    or tiled, chunky or separate planes; Compression none (1), LZW (5),
+    Deflate (8/32946) or PackBits (32773); Predictor none or horizontal
+    differencing (2)."""
     eo, t = _read_ifd(buf)
     comp = t.get("compression", 1)
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(f"TIFF compression {comp} needs libtiff")
     spp = int(t.get("samples_per_pixel", 1))
     w, h = int(t["width"]), int(t["height"])
@@ -159,43 +202,78 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
     if dt is None:
         raise NotImplementedError(f"TIFF bits/format {key} unsupported")
     dtype = np.dtype(eo + dt)
-    offs = t["strip_offsets"]
-    cnts = t["strip_counts"]
-    if not isinstance(offs, list):
-        offs, cnts = [offs], [cnts]
-    strips = [buf[o : o + c] for o, c in zip(offs, cnts)]
-    if comp == 5:
-        strips = [_lzw_decode(s) for s in strips]  # LZW resets per strip
-    elif comp in (8, 32946):
-        import zlib                               # Deflate / old Deflate
-
-        strips = [zlib.decompress(s) for s in strips]
-    raw = b"".join(strips)
     pred = t.get("predictor", 1)
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
+    planar = int(t.get("planar", 1))
+    isz = dtype.itemsize
 
     def undiff(a2d):
         # horizontal differencing: samples after the first in each row
         # are deltas; integer cumsum with native wraparound restores them
         return np.cumsum(a2d.astype(np.int64), axis=-1).astype(dtype)
 
-    if spp == 1:
-        arr = np.frombuffer(raw, dtype, count=w * h).reshape(h, w)
-        if pred == 2:
-            arr = undiff(arr)
+    if "tile_offsets" in t:
+        # tiled layout: tiles are always full tile_width x tile_length
+        # (short final blocks zero-fill via _fit), chunky or plane-major
+        tw, th = int(t["tile_width"]), int(t["tile_length"])
+        offs, cnts = t["tile_offsets"], t["tile_counts"]
+        if not isinstance(offs, list):
+            offs, cnts = [offs], [cnts]
+        ntx = (w + tw - 1) // tw
+        nty = (h + th - 1) // th
+        cpp = spp if planar == 1 else 1  # samples per pixel per tile
+        arr = np.zeros((spp, h, w), dtype)
+        i = 0
+        for plane in range(spp if planar == 2 else 1):
+            for ty in range(nty):
+                for tx in range(ntx):
+                    raw = _fit(_decompress(buf[offs[i]: offs[i] + cnts[i]],
+                                           comp), tw * th * cpp * isz)
+                    i += 1
+                    ta = np.frombuffer(raw, dtype).reshape(th, tw, cpp)
+                    ta = ta.transpose(2, 0, 1)  # (bands, th, tw)
+                    if pred == 2:
+                        ta = np.stack([undiff(bnd) for bnd in ta])
+                    ys, xs = ty * th, tx * tw
+                    ch = min(th, h - ys)
+                    cw = min(tw, w - xs)
+                    if planar == 2:
+                        arr[plane, ys:ys + ch, xs:xs + cw] = \
+                            ta[0, :ch, :cw]
+                    else:
+                        arr[:, ys:ys + ch, xs:xs + cw] = ta[:, :ch, :cw]
+        if spp == 1:
+            arr = arr[0]
     else:
-        planar = int(t.get("planar", 1))
-        if planar == 2:
-            # separate planes: strips run band-major
-            arr = np.frombuffer(raw, dtype, count=spp * w * h) \
-                .reshape(spp, h, w)
+        offs, cnts = t["strip_offsets"], t["strip_counts"]
+        if not isinstance(offs, list):
+            offs, cnts = [offs], [cnts]
+        rps = int(t.get("rows_per_strip", h))
+        spp_strip = spp if planar == 1 else 1
+        spl = (h + rps - 1) // rps  # strips per plane
+        strips = []
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            nrows = min(rps, h - (i % spl) * rps)
+            strips.append(_fit(_decompress(buf[o : o + c], comp),
+                               nrows * w * spp_strip * isz))
+        raw = b"".join(strips)
+        if spp == 1:
+            arr = np.frombuffer(raw, dtype, count=w * h).reshape(h, w)
+            if pred == 2:
+                arr = undiff(arr)
         else:
-            # chunky: pixel-interleaved; differencing strides per sample
-            arr = np.frombuffer(raw, dtype, count=spp * w * h) \
-                .reshape(h, w, spp).transpose(2, 0, 1)
-        if pred == 2:
-            arr = np.stack([undiff(b) for b in arr])
+            if planar == 2:
+                # separate planes: strips run band-major
+                arr = np.frombuffer(raw, dtype, count=spp * w * h) \
+                    .reshape(spp, h, w)
+            else:
+                # chunky: pixel-interleaved; differencing strides per
+                # sample
+                arr = np.frombuffer(raw, dtype, count=spp * w * h) \
+                    .reshape(h, w, spp).transpose(2, 0, 1)
+            if pred == 2:
+                arr = np.stack([undiff(b) for b in arr])
     meta = {"width": w, "height": h, "bits": int(bits),
             "sample_format": int(sfmt), "bands": spp}
     if "gdal_nodata" in t:

@@ -243,3 +243,36 @@ class TestLayerOverlayPlan:
         assert "hashpartitioning(cx" in plan or "Join" in plan
         # envelope pre-test stays JVM-side (a Filter on the env columns)
         assert "a_xmin" in plan and "b_xmax" in plan
+
+    def test_rgb2pct_broadcast_lut_join(self, spark):
+        """rgb2pct's undithered mapping must broadcast the 32768-row LUT
+        — never shuffle the pixel side (at 100 TB the pixel table is the
+        corpus; the LUT is a constant)."""
+        from lib_gdal_spark.operators import pct
+
+        cells = spark.range(500).select(
+            F.col("id").alias("pid"),
+            F.array((F.col("id") * 7 % 256).cast("double"),
+                    (F.col("id") * 13 % 256).cast("double"),
+                    (F.col("id") * 29 % 256).cast("double")).alias("vals"))
+        pal = [(36, 48, 32), (0, 0, 0), (164, 164, 108)]
+        plan = explain_str(pct.rgb2pct(cells, pal))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_gcp_polywarp_zero_exchange(self, spark):
+        """The polynomial GCP application is pure projection arithmetic:
+        no exchange, no Python."""
+        from lib_gdal_spark.geo.gcptransform import GCPPolynomialTransform
+
+        tr = GCPPolynomialTransform(
+            [(0, 0, 440720.0, 3751320.0), (20, 0, 441920.0, 3751320.0),
+             (20, 20, 441920.0, 3750120.0), (0, 20, 440720.0, 3750120.0)],
+            order=1)
+        df = spark.range(100).select(
+            F.col("id").cast("double").alias("px"),
+            (F.col("id") % 7).cast("double").alias("py"))
+        gx, gy = tr.columns(F.col("px"), F.col("py"))
+        plan = explain_str(df.select(gx.alias("x"), gy.alias("y")))
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -282,3 +282,36 @@ class TestXYZ:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Scan csv" in plan or "FileScan csv" in plan, plan
         assert "Exchange" not in plan
+
+
+class TestTiledPackbitsTiff:
+    """The gdal #1179 partial-final-block quartet: the same 35x37 RGB
+    image as PackBits tiles/strips, chunky and separate-plane — all four
+    must decode identically with the reference's checksum (tiff_read.py
+    init_list: band 2 -> 15234)."""
+
+    QUARTET = ["separate_tiled.tif", "contig_tiled.tif",
+               "contig_strip.tif", "seperate_strip.tif"]
+
+    def test_band2_checksum_15234(self, spark):
+        from pyspark.sql import functions as F
+
+        from lib_gdal_spark.operators.raster import checksum
+        from lib_gdal_spark.sources.tiff import decode_tiff, read_tiff
+
+        first = None
+        for name in self.QUARTET:
+            path = f"/root/reference/autotest/gcore/data/{name}"
+            arr, meta = decode_tiff(open(path, "rb").read())
+            assert arr.shape == (3, 37, 35) and meta["bands"] == 3
+            if first is None:
+                first = arr
+            else:
+                assert (arr == first).all(), name
+        # one of them through the full distributed source + checksum agg
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/contig_tiled.tif")
+        cs = checksum(
+            cells.select("bx", "by", F.col("vals")[1].alias("value")),
+            0, 0, 35, 37).head()[0]
+        assert cs == 15234
