@@ -322,6 +322,35 @@ def overlay(kind_a: str, data_a, kind_b: str, data_b, op: str):
     return _result_kind(_resolve(frags, region, scale))
 
 
+def overlay_multi(kind_a: str, data_a, kind_b: str, data_b, ops):
+    """Several boolean ops on ONE pair sharing the expensive work: the
+    edge split and membership classification run once, only the cheap
+    region predicate + ring stitch differ per op.  -> {op: (kind, data)},
+    bit-identical to separate overlay() calls (fragments are
+    deterministic and _resolve never mutates its input)."""
+    pa = as_polys(kind_a, data_a)
+    pb = as_polys(kind_b, data_b)
+    ea, eb = _edges_of(pa), _edges_of(pb)
+    scale = _scale_of(ea, eb)
+    in_a, in_b = _membership(pa), _membership(pb)
+    if len(eb) == 0:
+        frags = ea
+    elif len(ea) == 0:
+        frags = eb
+    else:
+        frags = np.vstack([_split_against(ea, eb, scale),
+                           _split_against(eb, ea, scale)])
+    out = {}
+    for op in ops:
+        fn = _OPS[op]
+
+        def region(px, py, fn=fn):
+            return fn(in_a(px, py), in_b(px, py))
+
+        out[op] = _result_kind(_resolve(frags, region, scale))
+    return out
+
+
 def make_valid(kind: str, data):
     """The reference's MakeValid(METHOD=STRUCTURE) semantics
     (autotest/ogr/ogr_geom.py test_ogr_geom_makevalid[_structure]):
