@@ -633,3 +633,105 @@ def warp_affine(src: DataFrame, src_size: tuple, dst_size: tuple,
         F.col("xd").alias("bx"),
         (F.lit(DH - 1) - F.col("yd")).alias("by"),
         F.col("value").cast("double").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp from GCPs: -tps / -order N (apps/gdalwarp_lib.cpp transformer
+# options; alg/gdal_tps.cpp, alg/gdal_crs.cpp)
+# ---------------------------------------------------------------------------
+
+def suggested_output(to_geo, src_size: tuple):
+    """GDALSuggestedWarpOutput (alg/gdaltransformer.cpp:1070-1146),
+    corner-sampled: bbox of the transformed source corners, pixel size =
+    transformed diagonal / source diagonal, size = int(extent/ps + 0.5),
+    gt anchored top-left.  The reference walks 21 samples per edge; for
+    the affine-consistent GCP sets its own warp autotests use the corner
+    bbox is identical (a curved TPS could bulge past the corners — use
+    an explicit dst grid then)."""
+    W, H = int(src_size[0]), int(src_size[1])
+    import numpy as np
+
+    cx, cy = zip(*[(0.0, 0.0), (W, 0.0), (0.0, H), (W, H)])
+    gx, gy = to_geo(np.asarray(cx), np.asarray(cy))
+    minx, maxx = float(gx.min()), float(gx.max())
+    miny, maxy = float(gy.min()), float(gy.max())
+    dx = float(gx[3] - gx[0])
+    dy = float(gy[3] - gy[0])
+    if dx == 0.0 or dy == 0.0:
+        dx, dy = maxx - minx, maxy - miny
+    ps = math.sqrt(dx * dx + dy * dy) / math.sqrt(
+        float(W) * W + float(H) * H)
+    dw = int((maxx - minx) / ps + 0.5)
+    dh = int((maxy - miny) / ps + 0.5)
+    return (dw, dh), (minx, ps, 0.0, maxy, 0.0, -ps)
+
+
+def warp_gcp(src: DataFrame, src_size: tuple, gcps, method: str = "tps",
+             dst_size: tuple | None = None, dst_gt: tuple | None = None,
+             out_byte: bool = True) -> DataFrame:
+    """gdalwarp -tps / -order N from a GCP set, nearest resampling:
+    dst pixel centers -> dst geo (output geotransform) -> the GCP
+    transformer's REVERSE fit (geo -> source pixel) -> GWK near pick
+    (trunc(src + 1e-10), bounds skip — gdalwarpkernel.cpp:5189).
+
+    method: 'tps' (alg/gdal_tps.cpp) or 'poly1'/'poly2'/'poly3'
+    (alg/gdal_crs.cpp).  Replays test_gdalwarp_lib_5/_6 and warp_26
+    (checksum 4672 + the byte.tif geotransform to 1e-9).
+
+    Distributed shape: the fitted transformer is a broadcast constant;
+    polynomial application is pure Column math, TPS runs the Arrow
+    pandas kernel (geo/gcptransform.py) — then ONE equi-join against
+    the source cells.  src: (bx, by, value), by increasing upward."""
+    from ..geo.gcptransform import GCPPolynomialTransform, TPSTransform
+
+    spark = src.sparkSession
+    W, H = int(src_size[0]), int(src_size[1])
+    if method == "tps":
+        tr = TPSTransform(gcps)
+        to_geo = tr.to_geo
+    elif method.startswith("poly"):
+        tr = GCPPolynomialTransform(gcps, order=int(method[4:]))
+        to_geo = tr.to_geo
+    else:
+        raise ValueError(f"method must be tps/poly1/poly2/poly3: {method}")
+    if dst_size is None or dst_gt is None:
+        dst_size, dst_gt = suggested_output(to_geo, src_size)
+    DW, DH = int(dst_size[0]), int(dst_size[1])
+    g0, g1, g2, g3, g4, g5 = [float(v) for v in dst_gt]
+
+    d = spark.range(DW * DH).select(
+        (F.col("id") % DW).cast("double").alias("xd"),
+        (F.col("id") / DW).cast("long").cast("double").alias("yd"))
+    gx = F.lit(g0) + (F.col("xd") + 0.5) * g1 + (F.col("yd") + 0.5) * g2
+    gy = F.lit(g3) + (F.col("xd") + 0.5) * g4 + (F.col("yd") + 0.5) * g5
+    d = d.select("xd", "yd", gx.alias("_gx"), gy.alias("_gy"))
+
+    if method == "tps":
+        d = tr.transform_df(d, "_gx", "_gy", inverse=True,
+                            out_cols=("_sx", "_sy"))
+    else:
+        sx, sy = tr.columns(F.col("_gx"), F.col("_gy"), inverse=True)
+        d = d.select("xd", "yd", sx.alias("_sx"), sy.alias("_sy"))
+
+    # GWK near: integer pick + bounds skip
+    ix = F.floor(F.col("_sx") + F.lit(1.0e-10)).cast("long")
+    iy = F.floor(F.col("_sy") + F.lit(1.0e-10)).cast("long")
+    d = d.select(
+        F.col("xd").cast("long").alias("xd"),
+        F.col("yd").cast("long").alias("yd"),
+        ix.alias("_ix"), iy.alias("_iy"),
+    ).filter((F.col("_ix") >= 0) & (F.col("_ix") < W)
+             & (F.col("_iy") >= 0) & (F.col("_iy") < H))
+    cells = src.select(
+        F.col("bx").alias("_ix"),
+        (F.lit(H - 1) - F.col("by")).alias("_iy"),
+        F.col("value").alias("_v"))
+    out = d.join(cells, on=["_ix", "_iy"], how="inner")
+    v = F.col("_v")
+    if out_byte:
+        v = F.floor(F.least(F.lit(255.0), F.greatest(F.lit(0.0), v))
+                    + F.lit(0.5))
+    return out.select(
+        F.col("xd").alias("bx"),
+        (F.lit(DH - 1) - F.col("yd")).alias("by"),
+        v.cast("double").alias("value"))

@@ -175,3 +175,37 @@ class TestGdalGridReplay:
             .collect()[0].checksum
         assert got_cs == src_cs
         assert gridded.count() == 121 * 121
+
+
+class TestWarpFromGcps:
+    """gdalwarp -tps / -order from GCPs (test_gdalwarp_lib_5/_6 and
+    alg/warp.py test_warp_26): warping byte.tif through its own corner
+    GCPs reproduces checksum 4672 and the original geotransform."""
+
+    GCPS = [(0, 0, 440720.0, 3751320.0), (20, 0, 441920.0, 3751320.0),
+            (20, 20, 441920.0, 3750120.0), (0, 20, 440720.0, 3750120.0)]
+
+    def test_lib_5_6_tps_and_polynomial(self, spark, byte_cells):
+        from lib_gdal_spark.operators.raster import checksum
+        from lib_gdal_spark.geo.gcptransform import TPSTransform
+
+        cells, _ = byte_cells
+        for method in ("tps", "poly1"):
+            out = warp.warp_gcp(cells, (20, 20), self.GCPS,
+                                method=method)
+            assert checksum(out, 0, 0, 20, 20).head()[0] == 4672, method
+        size, gt = warp.suggested_output(
+            TPSTransform(self.GCPS).to_geo, (20, 20))
+        assert size == (20, 20)
+        # byte.tif's own geotransform, to 1e-9 (check_geotransform rule)
+        exp = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        assert all(abs(a - b) <= 1e-9 for a, b in zip(gt, exp))
+
+    def test_warp_26_flip_gcps(self, spark, byte_cells):
+        from lib_gdal_spark.operators.raster import checksum
+
+        cells, _ = byte_cells
+        gcps = [(0, 0, 0.0, 20.0), (0, 20, 0.0, 0.0),
+                (20, 0, 20.0, 20.0), (20, 20, 20.0, 0.0)]
+        out = warp.warp_gcp(cells, (20, 20), gcps, method="tps")
+        assert checksum(out, 0, 0, 20, 20).head()[0] == 4672
