@@ -1,0 +1,139 @@
+"""Training-data assembly operators: deterministic splits, per-domain
+quotas, and sequence packing.
+
+These have no single reference counterpart — they are the assembly
+stage a 100 TB crawl-to-training pipeline needs AFTER the GDAL-style
+filtering/dedup operators (SURVEY §2 + the dedup/textops family). All
+three follow the repo's exactness discipline:
+
+- `dataset_split`: md5-derived uniform in [0, 1) (13 hex digits ->
+  exact 52-bit integer / 2^52 — the same bit-identical construction the
+  geometry queries use) compared against cumulative weights. Pure JVM
+  column math; no shuffle at all.
+- `host_quota`: cap rows per key with a deterministic row_number
+  (orderBy given column THEN id — partition-count independent per
+  CLAUDE.md tie-break rule). One shuffle on the key, as any top-k per
+  group must.
+- `sequence_pack`: greedy first-fit document packing into fixed token
+  budgets — the recurrence acc' = acc+t if acc+t <= B else t is
+  inherently sequential, so packing runs PER HASH BUCKET
+  (applyInPandas); buckets are independent and count scales with the
+  cluster. The duckdb twin replays the recurrence as a recursive CTE,
+  so even this sequential op is hash-verified exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_POW52 = float(2 ** 52)
+
+
+def _unit_hash(col, seed: str):
+    """md5(seed || key) -> exact double in [0, 1): 13 hex digits are a
+    52-bit integer, and division by 2^52 is an exact power-of-two
+    scale — Spark, duckdb and Python produce identical bits."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed),
+                                          col.cast("string"))), 1, 13),
+               16, 10).cast("long").cast("double")
+    return h / F.lit(_POW52)
+
+
+def dataset_split(df: DataFrame, key_col: str, weights=None,
+                  seed: str = "split|",
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by key hash. weights:
+    ordered {name: fraction} (defaults 0.9/0.05/0.05); the last split
+    absorbs any remainder. Same key -> same split across runs, engines
+    and partitionings."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = _unit_hash(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += float(weights[name])
+        branch = (expr.when if expr is not None else F.when)
+        expr = branch(u < F.lit(acc), F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def split_thresholds_sql(key_expr: str, weights=None,
+                         seed: str = "split|") -> str:
+    """The duckdb twin of dataset_split's CASE, sharing constants."""
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = (f"CAST(('0x' || substr(md5('{seed}' || CAST({key_expr} AS "
+         f"VARCHAR)), 1, 13))::BIGINT AS DOUBLE) / {_POW52!r}")
+    names = list(weights)
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += float(weights[name])
+        cases.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def host_quota(df: DataFrame, key_col: str, quota: int, order_col: str,
+               id_col: str, out_col: str = "key_rank") -> DataFrame:
+    """Keep at most `quota` rows per key (domain caps, crawl budgets).
+    Deterministic rank: (order_col, id_col) — the id tie-break makes the
+    kept set partition-count independent."""
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col),
+                                            F.col(id_col))
+    return (df.withColumn(out_col, F.row_number().over(w))
+            .filter(F.col(out_col) <= quota))
+
+
+def sequence_pack(df: DataFrame, id_col: str, tokens_col: str,
+                  budget: int, n_buckets: int = 64,
+                  seed: str = "pack|") -> DataFrame:
+    """Greedy first-fit packing of documents into fixed token budgets
+    (training context windows): within each hash bucket, documents in
+    id order accumulate into the current bin while they fit; a doc that
+    would overflow starts the next bin (an over-budget doc gets a bin
+    of its own). -> (id, tokens, bucket, bin, off) where `off` is the
+    doc's start offset inside its bin.
+
+    Scale shape: the recurrence is sequential per bucket but buckets
+    are independent — n_buckets bounds task granularity, not
+    correctness (any bucket count gives a valid packing; the CHOSEN
+    count is part of the deterministic result)."""
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    b = F.conv(F.substring(F.md5(F.concat(F.lit(seed),
+                                          F.col(id_col).cast("string"))),
+                           1, 13), 16, 10).cast("long") % n_buckets
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(tokens_col).cast("long").alias("tokens"),
+                    b.alias("bucket"))
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bins = []
+        offs = []
+        cur_bin = 0
+        acc = 0
+        first = True
+        for t in pdf["tokens"]:
+            t = int(t)
+            if first or acc + t <= budget:
+                offs.append(acc)
+                acc += t
+                first = False
+            else:
+                cur_bin += 1
+                offs.append(0)
+                acc = t
+            bins.append(cur_bin)
+        return pd.DataFrame({"id": pdf["id"], "tokens": pdf["tokens"],
+                             "bucket": pdf["bucket"], "bin": bins,
+                             "off": offs})
+
+    return src.groupBy("bucket").applyInPandas(
+        pack, "id long, tokens long, bucket long, bin long, off long")
