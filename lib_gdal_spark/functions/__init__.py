@@ -512,6 +512,43 @@ def register_all(spark: SparkSession) -> None:
                 vals.append(0.0 if kind == "point" else float("nan"))
         return pd.Series(vals)
 
+    @F.pandas_udf(T.DoubleType())
+    def st_utm_easting(lon: pd.Series, lat: pd.Series,
+                       epsg: pd.Series) -> pd.Series:
+        # geo/tmerc Krueger forward, per-row zone (EPSG 326xx/327xx)
+        from ..geo import tmerc as _tm
+
+        out = np.empty(len(lon))
+        lo = lon.to_numpy()
+        la = lat.to_numpy()
+        for code in np.unique(epsg.to_numpy()):
+            m = epsg.to_numpy() == code
+            out[m] = _tm.utm_forward(lo[m], la[m], int(code))[0]
+        return pd.Series(out)
+
+    @F.pandas_udf(T.DoubleType())
+    def st_utm_northing(lon: pd.Series, lat: pd.Series,
+                        epsg: pd.Series) -> pd.Series:
+        from ..geo import tmerc as _tm
+
+        out = np.empty(len(lon))
+        lo = lon.to_numpy()
+        la = lat.to_numpy()
+        for code in np.unique(epsg.to_numpy()):
+            m = epsg.to_numpy() == code
+            out[m] = _tm.utm_forward(lo[m], la[m], int(code))[1]
+        return pd.Series(out)
+
+    @F.pandas_udf(T.IntegerType())
+    def st_utm_zone_epsg(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        # the reference's midpoint zone pick (ogrlineref.cpp:559-569)
+        zone = (30 + (lon.to_numpy() + 3.0) / 6.0 + 0.5).astype(int)
+        base = np.where(lat.to_numpy() > 0, 32600, 32700)
+        return pd.Series((base + zone).astype("int32"))
+
+    spark.udf.register("st_utm_easting", st_utm_easting)
+    spark.udf.register("st_utm_northing", st_utm_northing)
+    spark.udf.register("st_utm_zone_epsg", st_utm_zone_epsg)
     spark.udf.register("st_geodesic_area", st_geodesic_area)
     spark.udf.register("st_geodesic_length", st_geodesic_length)
     spark.udf.register("st_convexhull", st_convexhull)

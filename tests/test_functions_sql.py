@@ -417,3 +417,28 @@ class TestOverlayFunctions:
             """).collect()[0]
         assert r.a > 0.0       # not collapsed
         assert r.u == pytest.approx(28.0)  # overlapping parts dissolved
+
+
+class TestUtmFunctions:
+    def test_utm_forward_matches_kernel(self, spark):
+        from lib_gdal_spark.functions import register_all
+        from lib_gdal_spark.geo import tmerc
+
+        register_all(spark)
+        rows = spark.sql("""
+            SELECT st_utm_zone_epsg(lon, lat) AS epsg,
+                   st_utm_easting(lon, lat, st_utm_zone_epsg(lon, lat)) AS e,
+                   st_utm_northing(lon, lat, st_utm_zone_epsg(lon, lat)) AS n
+            FROM VALUES (0.0D, 0.0D), (-1.44D, 51.95D), (13.4D, -22.9D)
+                 AS t(lon, lat)
+        """).collect()
+        import numpy as np
+        for (lon, lat), r in zip([(0.0, 0.0), (-1.44, 51.95),
+                                  (13.4, -22.9)], rows):
+            epsg = tmerc.utm_zone_epsg(lon, lat)
+            assert r["epsg"] == epsg
+            e, n = tmerc.utm_forward(np.array([lon]), np.array([lat]), epsg)
+            assert r["e"] == e[0] and r["n"] == n[0]
+        # the published zone-31 example: (0,0) -> easting 166021.443
+        assert abs(rows[0]["e"] - 166021.4430805395) < 1e-6
+        assert rows[2]["n"] > 7_000_000  # southern false northing applied
