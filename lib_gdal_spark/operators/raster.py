@@ -613,3 +613,38 @@ def mosaic(layers: list, value_col: str = "value") -> DataFrame:
         u = u.unionByName(t)
     return u.groupBy("bx", "by").agg(
         F.max_by("_v", "_rank").alias(value_col))
+
+
+def retile(cells: DataFrame, width: int, height: int, tile_w: int,
+           tile_h: int, overlap: int = 0) -> DataFrame:
+    """gdal_retile.py tiling scheme (osgeo_utils/gdal_retile.py:87-103,
+    :408-424): 1-based tile grid with origins stepping (tile - overlap),
+    last tiles clipped to the raster; overlap cells belong to EVERY
+    covering tile.
+
+    Adds (tx, ty) to each cell row via a bounded sequence explode (a
+    cell covers at most ceil(tile/step) tiles per axis — pure Catalyst
+    integer math, no shuffle, no Python; the duplication factor is the
+    overlap policy itself). Cell rows: (bx, by, ...) with by increasing
+    upward, like every raster operator here."""
+    if overlap >= min(tile_w, tile_h):
+        raise ValueError("overlap must be smaller than the tile size")
+    step_x = tile_w - overlap
+    step_y = tile_h - overlap
+    count_x = 1 + max(0, -(-(width - tile_w) // step_x)) \
+        if width > tile_w else 1
+    count_y = 1 + max(0, -(-(height - tile_h) // step_y)) \
+        if height > tile_h else 1
+    rx = F.col("bx")
+    ry = F.lit(height - 1) - F.col("by")
+    lo_x = F.greatest(F.lit(0), F.ceil((rx - tile_w + 1) / F.lit(step_x)))
+    hi_x = F.least(F.lit(count_x - 1), F.floor(rx / F.lit(step_x)))
+    lo_y = F.greatest(F.lit(0), F.ceil((ry - tile_h + 1) / F.lit(step_y)))
+    hi_y = F.least(F.lit(count_y - 1), F.floor(ry / F.lit(step_y)))
+    out = cells.withColumn(
+        "_xi", F.explode(F.sequence(lo_x.cast("long"), hi_x.cast("long"))))
+    out = out.withColumn(
+        "_yi", F.explode(F.sequence(lo_y.cast("long"), hi_y.cast("long"))))
+    return out.select(
+        (F.col("_xi") + 1).alias("tx"), (F.col("_yi") + 1).alias("ty"),
+        *cells.columns)

@@ -315,3 +315,35 @@ class TestTiledPackbitsTiff:
             cells.select("bx", "by", F.col("vals")[1].alias("value")),
             0, 0, 35, 37).head()[0]
         assert cs == 15234
+
+
+class TestRetile:
+    def test_tile_counts_and_overlap_membership(self, spark):
+        from pyspark.sql import functions as F
+
+        from lib_gdal_spark.operators.raster import retile
+
+        # 101-wide, 32 tiles, overlap 8 -> step 24 -> 4 tiles
+        # (gdal_retile.py:93-96 count formula)
+        w, h, tw, ov = 101, 97, 32, 8
+        cells = spark.range(w * h).select(
+            (F.col("id") % w).alias("bx"),
+            (F.col("id") / w).cast("long").alias("by"),
+            F.lit(1.0).alias("value"))
+        out = retile(cells, w, h, tw, tw, ov).cache()
+        tiles = {(r["tx"], r["ty"]) for r in
+                 out.select("tx", "ty").distinct().collect()}
+        assert tiles == {(i, j) for i in range(1, 5) for j in range(1, 5)}
+        # raster column rx=24..31 sits in BOTH tile 1 (0..31) and
+        # tile 2 (24..55)
+        got = sorted(r["tx"] for r in out.filter(
+            (F.col("bx") == 28) & (F.col("by") == h - 1)).collect())
+        assert got == [1, 2]
+        # last tile is clipped: its cells reach rx = 100 (offset 72)
+        mx = out.filter(F.col("tx") == 4).agg(
+            F.max("bx"), F.min("bx")).head()
+        assert (mx[0], mx[1]) == (100, 72)
+        # total duplication = sum over cells of covering-tile counts
+        per_cell = out.groupBy("bx", "by").count()
+        assert per_cell.agg(F.max("count")).head()[0] == 4  # corner overlap
+        out.unpersist()
