@@ -276,3 +276,29 @@ class TestLayerOverlayPlan:
         plan = explain_str(df.select(gx.alias("x"), gy.alias("y")))
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_lineref_locate_zero_exchange(self, spark):
+        """Point location against broadcast parts is a pure Arrow
+        projection — no shuffle of the point table."""
+        from lib_gdal_spark.operators import lineref
+
+        parts = lineref.create_parts(
+            [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (20.0, 10.0)],
+            [(100.0, (2.0, 0.0)), (130.0, (10.0, 8.0))],
+            step=10.0, geographic=False)
+        df = spark.range(100).select(
+            (F.col("id") % 19).cast("double").alias("x"),
+            (F.col("id") % 11).cast("double").alias("y"))
+        plan = explain_str(lineref.locate_df(df, parts))
+        assert "Exchange" not in plan, plan
+
+    def test_sequence_pack_single_exchange(self, spark):
+        """Packing shuffles ONCE on the bucket key; the sequential
+        recurrence runs inside each bucket's task."""
+        from lib_gdal_spark.operators import sampling
+
+        df = spark.range(200).select(
+            F.col("id"), (F.col("id") % 97 + 1).alias("tokens"))
+        plan = sampling.sequence_pack(df, "id", "tokens", 512) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
