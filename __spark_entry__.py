@@ -1740,6 +1740,46 @@ FROM e2
 """
 
 
+def _q_raster_compare(spark, sf_dir):
+    # gdalcompare.py's pixel diff as one aggregate: band A vs a
+    # perturbed twin (every 7th cell shifted, every 11th cell dropped)
+    k = F.col("o_orderkey")
+    base = _tbl(spark, sf_dir, "orders").select(
+        (k % 173).alias("bx"), ((k / 173).cast("long") % 131).alias("by"),
+        k.alias("k")).groupBy("bx", "by").agg(F.min("k").alias("k"))
+    a = base.select("bx", "by", (F.col("k") % 256).cast("double")
+                    .alias("value"))
+    b = base.filter(F.col("k") % 11 != 0).select(
+        "bx", "by",
+        ((F.col("k") + F.when(F.col("k") % 7 == 0, 3).otherwise(0))
+         % 256).cast("double").alias("value"))
+    return raster.compare(a, b)
+
+
+def _o_raster_compare():
+    return """
+WITH base AS (
+  SELECT o_orderkey % 173 AS bx, (o_orderkey // 173) % 131 AS by,
+         min(o_orderkey) AS k
+  FROM orders GROUP BY 1, 2
+), a AS (
+  SELECT bx, by, CAST(k % 256 AS DOUBLE) AS va FROM base
+), b AS (
+  SELECT bx, by,
+         CAST((k + CASE WHEN k % 7 = 0 THEN 3 ELSE 0 END) % 256
+              AS DOUBLE) AS vb
+  FROM base WHERE k % 11 <> 0
+), j AS (
+  SELECT a.va, b.vb FROM a FULL OUTER JOIN b USING (bx, by)
+)
+SELECT count(va) AS cells_a, count(vb) AS cells_b,
+       CAST(sum(CASE WHEN va IS NULL OR vb IS NULL OR va <> vb
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+       max(abs(va - vb)) AS max_abs_diff
+FROM j
+"""
+
+
 def _q_dataset_split(spark, sf_dir):
     # deterministic train/val/test assignment (operators/sampling.py):
     # md5 13-hex -> exact 52-bit integer / 2^52, compared to cumulative
@@ -1888,9 +1928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the round-1-verified set, now one round stale. Its 10 cheapest
         pure-Catalyst ogr_* entries plus dem_hillshade/graph_sssp/
         graph_components/fillnodata_idw/proximity_dist/grid_idw/
-        grid_metrics/grid_nearest (displaced by the eight queries added
+        grid_metrics/grid_nearest (displaced by the nine queries added
         mid-round: rgb2pct, hist_equalize, gcp_polywarp, lineref_locate,
-        dataset_split, source_quota, sequence_pack, retile_assign) sit
+        dataset_split, source_quota, sequence_pack, retile_assign,
+        raster_compare — dem_aspect joins the displaced set) sit
         just past the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
         sweep) and rotate FIRST in round 4;
@@ -1906,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "sequence_pack": _q_sequence_pack,
         "retile_assign": _q_retile_assign,
+        "raster_compare": _q_raster_compare,
         "gdaldem_hillshade": _q_gdaldem_hillshade,
         "gdaldem_derivatives": _q_gdaldem_derivatives,
         "geom_overlay": _q_geom_overlay,
@@ -1950,8 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_slope": _q_dem_slope,
         "dem_tpi": _q_dem_tpi,
         "dem_roughness": _q_dem_roughness,
-        "dem_aspect": _q_dem_aspect,
         # -------- 50-cap boundary: positions 51+ below --------
+        "dem_aspect": _q_dem_aspect,
         "dem_hillshade": _q_dem_hillshade,
         "graph_sssp": _q_graph_sssp,
         "graph_components": _q_graph_components,
@@ -4660,6 +4702,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quota": _o_source_quota(),
         "sequence_pack": _o_sequence_pack(),
         "retile_assign": _o_retile_assign(),
+        "raster_compare": _o_raster_compare(),
         "raster_calc": _o_raster_calc(),
         "sjoin_left": _o_sjoin_left(),
         "sjoin_update": _o_sjoin_update(),

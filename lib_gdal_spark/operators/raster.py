@@ -648,3 +648,24 @@ def retile(cells: DataFrame, width: int, height: int, tile_w: int,
     return out.select(
         (F.col("_xi") + 1).alias("tx"), (F.col("_yi") + 1).alias("ty"),
         *cells.columns)
+
+
+def compare(a: DataFrame, b: DataFrame,
+            value_col: str = "value") -> DataFrame:
+    """gdalcompare.py's pixel comparison as one summary row: cell counts
+    of both bands, the number of differing cells (value mismatch OR a
+    cell present on only one side — gdalcompare counts either as a
+    difference), and the max absolute value difference over the common
+    support. Full outer equi-join on the cell key + one aggregate; no
+    collect, any raster size."""
+    av = a.select("bx", "by", F.col(value_col).alias("_va"))
+    bv = b.select("bx", "by", F.col(value_col).alias("_vb"))
+    j = av.join(bv, on=["bx", "by"], how="full_outer")
+    diff = (F.col("_va").isNull() | F.col("_vb").isNull()
+            | (F.col("_va") != F.col("_vb")))
+    return j.agg(
+        F.count("_va").alias("cells_a"),
+        F.count("_vb").alias("cells_b"),
+        F.sum(diff.cast("long")).alias("n_diff"),
+        F.max(F.abs(F.col("_va") - F.col("_vb"))).alias("max_abs_diff"),
+    )
