@@ -1863,6 +1863,98 @@ SELECT id, tokens, bucket, bin, off FROM rec
 """
 
 
+_BM25_TERMS = ["spark", "join", "window", "vector"]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    # Okapi BM25 top-10 over documents (operators/relevance.py): explode
+    # filtered to the 4 probe terms, broadcast docfreq + 1-row corpus
+    # stats, FIXED-order per-doc fold (conditional-agg slots — one
+    # shuffle), global top-k via orderBy().limit = TakeOrderedAndProject.
+    # Only ln() is transcendental -> score rounded 6 dp both sides and
+    # the rank ordered on the ROUNDED score then doc_id (CLAUDE.md).
+    from lib_gdal_spark.operators import relevance
+    return relevance.bm25_topk(_tbl(spark, sf_dir, "documents"),
+                               _BM25_TERMS, 10)
+
+
+def _o_bm25_topk():
+    from lib_gdal_spark.operators.relevance import B, K1, K1P1, ONE_MINUS_B
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    slots = "\n      + ".join(
+        f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN c END), 0.0)"
+        for t in _BM25_TERMS)
+    # constants repr-injected so duckdb parses the engine's exact doubles
+    return f"""
+WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                       AS t FROM documents),
+d AS (SELECT doc_id, len(t) AS dl FROM base),
+tok AS (SELECT doc_id, dl, unnest(t) AS tok
+        FROM (SELECT doc_id, len(t) AS dl, t FROM base)),
+tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM tok
+       WHERE tok IN ({in_list}) GROUP BY ALL),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
+dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+c AS (SELECT tf.doc_id, tf.tok,
+        ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+        * (tf * {K1P1!r}) / (tf + {K1!r} * ({ONE_MINUS_B!r}
+          + {B!r} * (dl / (CAST(tot_dl AS DOUBLE) / n_docs)))) AS c
+      FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN stats),
+per_doc AS (SELECT doc_id, ROUND({slots}, 6) AS score
+            FROM c GROUP BY doc_id)
+SELECT doc_id, score,
+       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM per_doc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _q_ngram_topk(spark, sf_dir):
+    # corpus-wide top-25 word trigrams (boilerplate detection): staged
+    # token array -> transform() n-gram lambda -> explode -> partial-agg
+    # count; integer counts + lexicographic tie-break = exact
+    from lib_gdal_spark.operators import relevance
+    return relevance.ngram_topk(_tbl(spark, sf_dir, "documents"), 3, 25)
+
+
+def _o_ngram_topk():
+    return """
+WITH base AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+ix AS (SELECT t, unnest(generate_series(0, len(t) - 3)) AS i
+       FROM base WHERE len(t) >= 3),
+g AS (SELECT t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram FROM ix),
+cnts AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+SELECT gram, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, gram) AS rank
+FROM cnts ORDER BY cnt DESC, gram LIMIT 25
+"""
+
+
+def _q_doc_chunks(spark, sf_dir):
+    # sliding-window context chunking (operators/sampling.py): windows of
+    # 64 tokens every 48, built INSIDE a transform() lambda over a staged
+    # token array so exploded rows stay narrow; md5 window fingerprints
+    # are bit-identical cross-engine -> fully exact, zero shuffles
+    from lib_gdal_spark.operators import sampling
+    return sampling.chunk_documents(_tbl(spark, sf_dir, "documents"),
+                                    chunk=64, stride=48)
+
+
+def _o_doc_chunks():
+    return """
+WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                       AS t FROM documents),
+d AS (SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0),
+s AS (SELECT doc_id, t, n,
+             unnest(generate_series(0, n - 1, 48)) AS start_tok FROM d)
+SELECT doc_id, (start_tok // 48) AS chunk_idx, start_tok,
+       LEAST(64, n - start_tok) AS n_chunk_tokens,
+       md5(array_to_string(t[start_tok + 1 : start_tok
+                             + LEAST(64, n - start_tok)], ' '))
+         AS chunk_fp
+FROM s
+"""
+
+
 def _q_hist_equalize(spark, sf_dir):
     # gdalenhance -equalize (apps/gdalenhance.cpp): byte band synthesized
     # from document text lengths; histogram -> half-bin cumulative ->
@@ -1916,7 +2008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict order and caps at 50/round (proven rounds 1-2). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
     driver row is OLDEST. Round-3 order:
-    (1) NEW this round (webtext: PII redaction, eval decontamination,
+    (1) NEW this round (webtext: BM25 top-k, corpus n-gram top-k,
+        sliding-window chunking, PII redaction, eval decontamination,
         Gopher rules, URL canonicalization; warp convolution family,
         viewshed parity modes, invdistnn, contour polygonize,
         translate -scale; byte-exact gdaldem hillshade);
@@ -1928,17 +2021,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the round-1-verified set, now one round stale. Its 10 cheapest
         pure-Catalyst ogr_* entries plus dem_hillshade/graph_sssp/
         graph_components/fillnodata_idw/proximity_dist/grid_idw/
-        grid_metrics/grid_nearest (displaced by the nine queries added
-        mid-round: rgb2pct, hist_equalize, gcp_polywarp, lineref_locate,
-        dataset_split, source_quota, sequence_pack, retile_assign,
-        raster_compare — dem_aspect joins the displaced set) sit
-        just past the 50 cap: they are
+        grid_metrics/grid_nearest (displaced by the twelve queries added
+        mid-round: bm25_topk, ngram_topk, doc_chunks, rgb2pct,
+        hist_equalize, gcp_polywarp, lineref_locate, dataset_split,
+        source_quota, sequence_pack, retile_assign, raster_compare —
+        dem_slope/dem_tpi/dem_roughness/dem_aspect join the displaced
+        set) sit just past the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
         sweep) and rotate FIRST in round 4;
     (4) the round-2-verified set, expensive/headline first.
     """
     return {
         # ---- (1) new this round ----
+        "bm25_topk": _q_bm25_topk,
+        "ngram_topk": _q_ngram_topk,
+        "doc_chunks": _q_doc_chunks,
         "rgb2pct": _q_rgb2pct,
         "hist_equalize": _q_hist_equalize,
         "gcp_polywarp": _q_gcp_polywarp,
@@ -1989,10 +2086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_cubic": _q_interp_cubic,
         "interp_bilinear": _q_interp_bilinear,
         "interp_nearest": _q_interp_nearest,
+        # -------- 50-cap boundary: positions 51+ below --------
         "dem_slope": _q_dem_slope,
         "dem_tpi": _q_dem_tpi,
         "dem_roughness": _q_dem_roughness,
-        # -------- 50-cap boundary: positions 51+ below --------
         "dem_aspect": _q_dem_aspect,
         "dem_hillshade": _q_dem_hillshade,
         "graph_sssp": _q_graph_sssp,
@@ -4659,6 +4756,9 @@ FROM r WHERE rnk <= 3
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_topk": _o_bm25_topk(),
+        "ngram_topk": _o_ngram_topk(),
+        "doc_chunks": _o_doc_chunks(),
         "tile_assign": _o_tile_assign(),
         "tile_pyramid": _o_tile_pyramid(),
         "pip_rect_join": _o_pip_rect_join(),

@@ -1,0 +1,144 @@
+"""Corpus relevance / analysis operators: BM25 scoring and corpus-wide
+n-gram statistics.
+
+These are the retrieval/quality-analysis stage of a crawl-to-training
+pipeline (rank documents against a probe query; surface the dominant
+n-grams for boilerplate detection). No single reference counterpart —
+they sit beside the dedup/textops family (SURVEY §2, LLM-pipeline
+block) and follow the repo's exactness discipline:
+
+- `bm25_topk`: Okapi BM25 (Robertson/Sparck Jones idf). Everything up
+  to the ln() is integer/rational and bit-identical cross-engine; the
+  ln itself is transcendental, so the final score is rounded to 6 dp on
+  BOTH sides and ranking uses the ROUNDED score (then doc_id) so order
+  is deterministic given agreed rounded values — the CLAUDE.md
+  transcendental rule. The per-doc fold over query terms is a FIXED
+  order sum (conditional aggregation, one term per slot), never a
+  data-ordered SUM, so there is no fold-order drift.
+- `ngram_topk`: pure integer counts + lexicographic tie-break — exact.
+
+Scale notes (100 TB):
+- bm25: explode is filtered to the query terms immediately (token
+  volume drops to matches only); docfreq and the 1-row corpus stats are
+  broadcast; one groupBy(doc) shuffle; the global top-k is
+  orderBy().limit(k) = TakeOrderedAndProject (per-partition heaps +
+  driver merge of k rows), NOT a single-partition row_number window.
+- ngram: transform() over a STAGED token-array column (CLAUDE.md:
+  arrays consumed by higher-order lambdas must be real projected
+  columns, or Catalyst re-evaluates the producing expression per
+  element), then explode + partial-agg count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens_col
+
+# BM25 free parameters (Robertson et al.; the values every engine
+# defaults to). Derived doubles are computed ONCE here in Python so the
+# Spark plan and any oracle SQL can share the exact same 64-bit
+# constants (repr-injection pattern, CLAUDE.md).
+K1 = 1.2
+B = 0.75
+K1P1 = K1 + 1.0          # 2.2000000000000002
+ONE_MINUS_B = 1.0 - B    # 0.25 (exact)
+
+
+def idf(n_docs: int, df: int) -> float:
+    """BM25+ idf: ln(1 + (N - df + 0.5) / (df + 0.5)) — always > 0."""
+    return math.log(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+
+
+def bm25_scores(df: DataFrame, terms: list[str], *,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = K1, b: float = B) -> DataFrame:
+    """Per-document BM25 score for an OR-query over `terms`.
+
+    Returns (doc_id, score) with score rounded to 6 dp (see module
+    docstring), one row per document containing >= 1 query term.
+    """
+    terms = list(terms)
+    # ONE scan of the corpus: tokenize once, keep only (doc_id, full
+    # token count, query-term matches) — a narrow int/short-array row —
+    # and persist it so the three consumers (corpus stats, tf, docfreq)
+    # don't each re-scan and re-tokenize 100 TB of text. (CLAUDE.md's
+    # no-wide-string-cache rule doesn't apply: the text column is
+    # dropped before the persist.)
+    t = tokens_col(text_col)
+    narrow = (df.select(F.col(id_col).alias("doc_id"),
+                        F.size(t).alias("dl"), t.alias("t"))
+                .select("doc_id", "dl",
+                        F.filter("t", lambda x: x.isin(terms)).alias("mt"))
+                .persist())
+    tok = narrow.select("doc_id", "dl", F.explode("mt").alias("tok"))
+    tf = tok.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
+
+    stats = narrow.agg(F.count("*").alias("n_docs"),
+                       F.sum("dl").alias("tot_dl"))
+    docfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    scored = tf.join(F.broadcast(docfreq), "tok") \
+               .crossJoin(F.broadcast(stats))
+    # op order mirrored verbatim by the oracle SQL: avgdl is one exact
+    # integer division (BIGINT sums are order-independent), idf's
+    # argument is rational, only ln() itself is transcendental.
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    idf_c = F.log(F.lit(1.0) + ((F.col("n_docs") - F.col("df")) + 0.5)
+                  / (F.col("df") + 0.5))
+    contrib = idf_c * (F.col("tf") * k1p1) / (
+        F.col("tf") + k1 * (omb + b * (F.col("dl") / avgdl)))
+    scored = scored.select("doc_id", "tok", contrib.alias("c"))
+
+    # fixed-order per-doc fold: one conditional-agg slot per term
+    # (groupBy().pivot() would plan TWO shuffles — CLAUDE.md)
+    slots = [F.coalesce(F.max(F.when(F.col("tok") == t, F.col("c"))),
+                        F.lit(0.0)).alias(f"_c{i}")
+             for i, t in enumerate(terms)]
+    per_doc = scored.groupBy("doc_id").agg(*slots)
+    total = per_doc["_c0"]
+    for i in range(1, len(terms)):
+        total = total + per_doc[f"_c{i}"]
+    return per_doc.select("doc_id", F.round(total, 6).alias("score"))
+
+
+def bm25_topk(df: DataFrame, terms: list[str], k: int = 10, *,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Global top-k documents by BM25 score (rounded-score desc, doc_id
+    asc — total order, partition-count independent). The limit runs as
+    TakeOrderedAndProject; the rank window then sees only k rows."""
+    from pyspark.sql import Window
+    top = (bm25_scores(df, terms, id_col=id_col, text_col=text_col)
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select("doc_id", "score",
+                      F.row_number().over(w).alias("rank"))
+
+
+def ngram_topk(df: DataFrame, n: int = 3, k: int = 25, *,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k word n-grams: (gram, cnt, rank), count desc then
+    gram asc (total order — exact cross-engine)."""
+    from pyspark.sql import Window
+    base = df.select(tokens_col(text_col).alias("t")) \
+             .filter(F.size("t") >= n)
+    parts = " , ' ', ".join(f"t[i+{j}]" for j in range(n))
+    # the expression must stay total even though short docs are filtered
+    # out above: codegen can evaluate the projection on rows the
+    # collapsed filter is about to drop, and sequence(0, -k) counts DOWN
+    # into out-of-bounds indexes — gate on size inside the expression
+    grams = base.select(F.expr(
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), i -> concat({parts})) "
+        f"ELSE array() END"
+    ).alias("g"))
+    counts = (grams.select(F.explode("g").alias("gram"))
+                   .groupBy("gram").agg(F.count("*").alias("cnt"))
+                   .orderBy(F.desc("cnt"), F.asc("gram")).limit(k))
+    w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
+    return counts.select("gram", "cnt",
+                         F.row_number().over(w).alias("rank"))

@@ -137,3 +137,47 @@ def sequence_pack(df: DataFrame, id_col: str, tokens_col: str,
 
     return src.groupBy("bucket").applyInPandas(
         pack, "id long, tokens long, bucket long, bin long, off long")
+
+
+def chunk_documents(df: DataFrame, chunk: int = 64, stride: int = 48, *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window token chunking (the context-window splitter that
+    feeds `sequence_pack`): windows of `chunk` tokens starting every
+    `stride` tokens, last window truncated at the document end.
+
+    -> (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_fp) with
+    chunk_fp = md5 of the space-joined window tokens — md5 of identical
+    strings is bit-identical cross-engine, so the whole output is
+    exactly oracle-able (integers + md5 hex, no floats at all).
+
+    Scale shape: chunk hashes are built INSIDE a transform() lambda
+    over the start sequence against a STAGED token-array column
+    (CLAUDE.md higher-order-fn rule), so the exchange never carries
+    token arrays duplicated per chunk: per-doc work is
+    O(n_tokens * chunk / stride) and the exploded rows are narrow
+    (ints + one 32-char hex string). Zero shuffles — fully map-side."""
+    from .dedup import tokens_col as _toks
+
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      _toks(text_col).alias("t"))
+              .filter(F.size("t") > 0)
+              .select("doc_id", "t", F.size("t").alias("n")))
+    pairs = base.select(
+        "doc_id", "n",
+        F.expr(
+            f"transform(sequence(0, n - 1, {stride}), s -> struct("
+            f"  s AS start_tok,"
+            f"  least({chunk}, n - s) AS n_chunk_tokens,"
+            f"  md5(concat_ws(' ', slice(t, s + 1, least({chunk}, n - s))))"
+            f"    AS chunk_fp))"
+        ).alias("chunks"))
+    out = pairs.select("doc_id", F.posexplode("chunks").alias("chunk_idx",
+                                                              "c"))
+    return out.select("doc_id", F.col("chunk_idx").cast("long"),
+                      F.col("c.start_tok").cast("long").alias("start_tok"),
+                      F.col("c.n_chunk_tokens").cast("long")
+                       .alias("n_chunk_tokens"),
+                      F.col("c.chunk_fp").alias("chunk_fp"))

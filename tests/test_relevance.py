@@ -1,0 +1,103 @@
+"""BM25 / n-gram / chunking goldens — hand-computed, partition-invariant."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from lib_gdal_spark.operators import relevance, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBM25:
+    ROWS = [(1, "a b a c"), (2, "a d"), (3, "e f g")]
+
+    def _expected(self):
+        # N=3, dl = 4/2/3, avgdl = 9/3 = 3, df(a)=2, df(b)=1
+        idf_a = math.log(1.0 + ((3 - 2) + 0.5) / (2 + 0.5))
+        idf_b = math.log(1.0 + ((3 - 1) + 0.5) / (1 + 0.5))
+        k1, b, k1p1, omb = relevance.K1, relevance.B, relevance.K1P1, \
+            relevance.ONE_MINUS_B
+
+        def c(tf, dl, idf):
+            return idf * (tf * k1p1) / (tf + k1 * (omb + b * (dl / 3.0)))
+
+        s1 = round(c(2, 4, idf_a) + c(1, 4, idf_b), 6)
+        s2 = round(c(1, 2, idf_a) + 0.0, 6)
+        return s1, s2
+
+    def test_hand_computed_scores(self, spark):
+        out = relevance.bm25_topk(_docs(spark, self.ROWS), ["a", "b"], 10)
+        rows = {r.doc_id: (r.score, r.rank) for r in out.collect()}
+        s1, s2 = self._expected()
+        assert set(rows) == {1, 2}          # doc 3 matches no term
+        assert rows[1] == (s1, 1)
+        assert rows[2] == (s2, 2)
+        assert s1 > s2
+
+    def test_tie_break_on_doc_id(self, spark):
+        # identical docs -> identical scores -> rank by doc_id
+        out = relevance.bm25_topk(
+            _docs(spark, [(7, "a b"), (3, "a b"), (5, "x")]), ["a"], 10)
+        assert [(r.doc_id, r.rank) for r in out.collect()] == [(3, 1), (7, 2)]
+
+    def test_partition_invariant(self, spark):
+        d = _docs(spark, [(i, f"a b {'c ' * (i % 5)}") for i in range(40)])
+        a = relevance.bm25_topk(d.repartition(1), ["a", "c"], 10).collect()
+        b = relevance.bm25_topk(d.repartition(16), ["a", "c"], 10).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_plan_shape(self, spark):
+        # pin the 100 TB shape: corpus tokenized ONCE (persisted narrow
+        # projection feeds stats/tf/docfreq), global top-k is
+        # TakeOrderedAndProject (never a single-partition sort)
+        d = _docs(spark, [(1, "a b"), (2, "b c")])
+        plan = relevance.bm25_topk(d, ["a", "b"], 5)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "InMemoryTableScan" in plan
+        assert "BroadcastHashJoin" in plan  # docfreq side broadcast
+
+
+class TestNgramTopk:
+    def test_hand_computed(self, spark):
+        d = _docs(spark, [(1, "x y z x y"), (2, "x y z")])
+        out = relevance.ngram_topk(d, 3, 10).collect()
+        # trigrams: doc1 -> "x y z", "y z x", "z x y"; doc2 -> "x y z"
+        assert [(r.gram, r.cnt, r.rank) for r in out] == [
+            ("x y z", 2, 1), ("y z x", 1, 2), ("z x y", 1, 3)]
+
+    def test_short_docs_skipped(self, spark):
+        d = _docs(spark, [(1, "only two"), (2, "")])
+        assert relevance.ngram_topk(d, 3, 10).count() == 0
+
+
+class TestChunkDocuments:
+    def test_hand_computed(self, spark):
+        d = _docs(spark, [(1, "t0 t1 t2 t3 t4")])
+        out = sampling.chunk_documents(d, chunk=3, stride=2)
+        rows = sorted((r.chunk_idx, r.start_tok, r.n_chunk_tokens,
+                       r.chunk_fp) for r in out.collect())
+
+        def fp(s):
+            return hashlib.md5(s.encode()).hexdigest()
+
+        assert rows == [
+            (0, 0, 3, fp("t0 t1 t2")),
+            (1, 2, 3, fp("t2 t3 t4")),
+            (2, 4, 1, fp("t4")),
+        ]
+
+    def test_empty_docs_dropped(self, spark):
+        d = _docs(spark, [(1, "..."), (2, "a")])
+        out = sampling.chunk_documents(d, chunk=4, stride=4).collect()
+        assert [(r.doc_id, r.n_chunk_tokens) for r in out] == [(2, 1)]
+
+    def test_no_shuffle(self, spark):
+        d = _docs(spark, [(1, "a b c d e f")])
+        plan = sampling.chunk_documents(d, 4, 2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
