@@ -19,12 +19,16 @@ fixtures and the streaming-text shape Spark natively distributes:
   raise honestly (libtiff territory).
 - BMP (frmts/bmp/) — via the multimodal pure-NumPy codec, one band to
   a cell table.
+- PNG (frmts/png/) — stdlib zlib inflate + NumPy unfiltering; depths
+  1/2/4/8/16, color types 0/2/3/4/6, Adam7 interlace. Replays the
+  reference's own png.py checksums (57921 / 4672 / stefan quartet).
 """
 
 from .aaigrid import read_aaigrid, write_aaigrid
+from .png import decode_png, encode_png, read_png
 from .tiff import decode_tiff, encode_tiff, read_bmp, read_tiff, write_tiff
 from .xyz import read_xyz, write_xyz
 
 __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_tiff", "write_tiff", "read_bmp", "decode_tiff",
-           "encode_tiff"]
+           "encode_tiff", "decode_png", "encode_png", "read_png"]

@@ -347,3 +347,93 @@ class TestRetile:
         per_cell = out.groupBy("bx", "by").count()
         assert per_cell.agg(F.max("count")).head()[0] == 4  # corner overlap
         out.unpersist()
+
+
+class TestPng:
+    """Pure-stdlib PNG source vs the reference's OWN autotest goldens
+    (autotest/gdrivers/png.py + gcore/tiff_read.py:215 — the PNG and
+    TIFF stefan fixtures hold identical pixels)."""
+
+    REF = "/root/reference/autotest/gdrivers/data/png"
+
+    def _cs(self, band):
+        from lib_gdal_spark.operators.raster import CHECKSUM_PRIMES
+        p = np.array(CHECKSUM_PRIMES, dtype=np.int64)
+        h, w = band.shape
+        idx = (np.arange(h * w) % 11).reshape(h, w)
+        return int((band.astype(np.int64) % p[idx]).sum() & 0xFFFF)
+
+    def test_palette_checksum_57921(self, spark):
+        # GDALTest("PNG", "png/test.png", 1, 57921): 8-bit palette,
+        # band 1 = indices — through the DISTRIBUTED checksum aggregate
+        from lib_gdal_spark.operators import raster
+        from lib_gdal_spark.sources import read_png
+
+        cells, meta = read_png(spark, f"{self.REF}/test.png")
+        assert (meta["width"], meta["height"]) == (400, 400)
+        assert meta["color_type"] == 3 and meta["palette"] is not None
+        cs = raster.checksum(cells, 0, 0, 400, 400).collect()[0].checksum
+        assert cs == 57921
+
+    def test_uint16_interlaced_checksum_4672(self):
+        # test_png_read_interlace_16_bit: 16-bit + Adam7 in one golden
+        from lib_gdal_spark.sources import decode_png
+
+        arr, meta = decode_png(
+            open(f"{self.REF}/uint16_interlaced.png", "rb").read())
+        assert meta["depth"] == 16 and meta["interlace"] == 1
+        assert self._cs(arr) == 4672
+
+    def test_stefan_rgba_quartet(self):
+        # gcore/tiff_read.py:215 expects [12603, 58561, 36064, 10807]
+        # for stefan_full_rgba — the PNG twin must decode identically
+        # (8-bit RGBA, Adam7, all five filter types exercised)
+        from lib_gdal_spark.sources import decode_png
+
+        arr, meta = decode_png(open(
+            "/root/reference/autotest/gcore/data/stefan_full_rgba.png",
+            "rb").read())
+        assert arr.shape == (4, 150, 162) and meta["interlace"] == 1
+        assert [self._cs(arr[b]) for b in range(4)] == \
+            [12603, 58561, 36064, 10807]
+
+    def test_roundtrip_rgba_and_gray16(self):
+        from lib_gdal_spark.sources import decode_png, encode_png
+
+        rng = np.random.RandomState(7)
+        rgba = rng.randint(0, 255, (13, 17, 4)).astype(np.uint8)
+        back, meta = decode_png(encode_png(rgba))
+        assert meta["color_type"] == 6
+        np.testing.assert_array_equal(np.transpose(back, (1, 2, 0)), rgba)
+
+        g16 = rng.randint(0, 65535, (9, 5)).astype(np.uint16)
+        b16, meta16 = decode_png(encode_png(g16))
+        assert meta16["depth"] == 16
+        np.testing.assert_array_equal(b16, g16)
+
+    def test_subbyte_gray(self):
+        # 1/2/4-bit unpacking against hand-built scanlines
+        import struct
+        import zlib
+
+        from lib_gdal_spark.sources import decode_png
+
+        def make(depth, w, h, packed_rows):
+            sig = b"\x89PNG\r\n\x1a\n"
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + r for r in packed_rows)
+
+            def chunk(t, p):
+                return (struct.pack(">I", len(p)) + t + p
+                        + struct.pack(">I", zlib.crc32(t + p)))
+            return (sig + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        # 1-bit, 10 px wide: bits 1100110011 -> 0b11001100 0b11......
+        arr, _ = decode_png(make(1, 10, 1, [bytes([0b11001100, 0b11000000])]))
+        np.testing.assert_array_equal(
+            arr[0], [1, 1, 0, 0, 1, 1, 0, 0, 1, 1])
+        # 4-bit, 3 px: 0xA 0x5 0xF
+        arr4, _ = decode_png(make(4, 3, 1, [bytes([0xA5, 0xF0])]))
+        np.testing.assert_array_equal(arr4[0], [10, 5, 15])
