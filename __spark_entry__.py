@@ -1955,6 +1955,54 @@ FROM s
 """
 
 
+def _q_blend_srcover(spark, sf_dir):
+    # gdal raster blend -operator src-over (apps/gdalalg_raster_blend.cpp
+    # :1176-1212 general scalar path): RGBA bytes synthesized from doc_id,
+    # opacity 60. Pure integer math -> exact oracle; one equi-join.
+    from lib_gdal_spark.operators import blend
+    d = _tbl(spark, sf_dir, "documents")
+    color = d.select(F.col("doc_id").alias("pid"),
+                     (F.col("doc_id") * 37 % 256).alias("r"),
+                     (F.col("doc_id") * 59 % 256).alias("g"),
+                     (F.col("doc_id") * 83 % 256).alias("b"),
+                     (F.col("doc_id") * 29 % 256).alias("a"))
+    over = d.select(F.col("doc_id").alias("pid"),
+                    (F.col("doc_id") * 41 % 256).alias("r"),
+                    (F.col("doc_id") * 67 % 256).alias("g"),
+                    (F.col("doc_id") * 97 % 256).alias("b"),
+                    (F.col("doc_id") * 31 % 256).alias("a"))
+    return blend.blend_srcover(color, over, opacity=60, key="pid")
+
+
+def _o_blend_srcover():
+    from lib_gdal_spark.operators.blend import opacity_255
+    op255 = opacity_255(60)
+    bands = []
+    for name, cm, om in (("r", 37, 41), ("g", 59, 67), ("b", 83, 97)):
+        num = (f"((doc_id * {om} % 256) * oa + (doc_id * {cm} % 256) * samul"
+               f" + 255) // 256")
+        bands.append(
+            f"LEAST(CASE WHEN dsta <> 0 AND dsta <> 255 "
+            f"THEN (({num}) * 255 + dsta // 2) // dsta "
+            f"ELSE ({num}) END, 255) AS {name}")
+    sel = ",\n       ".join(bands)
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         ((doc_id * 31 % 256) * {op255} + 255) // 256 AS oa
+  FROM documents
+), t AS (
+  SELECT doc_id, oa,
+         ((doc_id * 29 % 256) * (255 - oa) + 255) // 256 AS samul
+  FROM px
+), u AS (SELECT doc_id, oa, samul, oa + samul AS dsta FROM t)
+SELECT doc_id AS pid,
+       {sel},
+       dsta AS a
+FROM u
+"""
+
+
 def _q_hist_equalize(spark, sf_dir):
     # gdalenhance -equalize (apps/gdalenhance.cpp): byte band synthesized
     # from document text lengths; histogram -> half-bin cumulative ->
@@ -2010,9 +2058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver row is OLDEST. Round-3 order:
     (1) NEW this round (webtext: BM25 top-k, corpus n-gram top-k,
         sliding-window chunking, PII redaction, eval decontamination,
-        Gopher rules, URL canonicalization; warp convolution family,
-        viewshed parity modes, invdistnn, contour polygonize,
-        translate -scale; byte-exact gdaldem hillshade);
+        Gopher rules, URL canonicalization; raster blend src-over;
+        warp convolution family, viewshed parity modes, invdistnn,
+        contour polygonize, translate -scale; byte-exact gdaldem
+        hillshade);
     (2) CHANGED this round — every formerly-rows-only query that gained
         an exact oracle (polygonize/sieve CC, composed minhash_dedup,
         multimodal synthesis-replay, Euler-quad polygonize_rings,
@@ -2021,11 +2070,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the round-1-verified set, now one round stale. Its 10 cheapest
         pure-Catalyst ogr_* entries plus dem_hillshade/graph_sssp/
         graph_components/fillnodata_idw/proximity_dist/grid_idw/
-        grid_metrics/grid_nearest (displaced by the twelve queries added
-        mid-round: bm25_topk, ngram_topk, doc_chunks, rgb2pct,
-        hist_equalize, gcp_polywarp, lineref_locate, dataset_split,
-        source_quota, sequence_pack, retile_assign, raster_compare —
-        dem_slope/dem_tpi/dem_roughness/dem_aspect join the displaced
+        grid_metrics/grid_nearest (displaced by the thirteen queries
+        added mid-round: bm25_topk, ngram_topk, doc_chunks,
+        blend_srcover, rgb2pct, hist_equalize, gcp_polywarp,
+        lineref_locate, dataset_split, source_quota, sequence_pack,
+        retile_assign, raster_compare — dem_slope/dem_tpi/
+        dem_roughness/dem_aspect/interp_nearest join the displaced
         set) sit just past the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
         sweep) and rotate FIRST in round 4;
@@ -2036,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "ngram_topk": _q_ngram_topk,
         "doc_chunks": _q_doc_chunks,
+        "blend_srcover": _q_blend_srcover,
         "rgb2pct": _q_rgb2pct,
         "hist_equalize": _q_hist_equalize,
         "gcp_polywarp": _q_gcp_polywarp,
@@ -2085,8 +2136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_multi": _q_contour_multi,
         "interp_cubic": _q_interp_cubic,
         "interp_bilinear": _q_interp_bilinear,
-        "interp_nearest": _q_interp_nearest,
         # -------- 50-cap boundary: positions 51+ below --------
+        "interp_nearest": _q_interp_nearest,
         "dem_slope": _q_dem_slope,
         "dem_tpi": _q_dem_tpi,
         "dem_roughness": _q_dem_roughness,
@@ -4757,6 +4808,7 @@ FROM r WHERE rnk <= 3
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _o_bm25_topk(),
+        "blend_srcover": _o_blend_srcover(),
         "ngram_topk": _o_ngram_topk(),
         "doc_chunks": _o_doc_chunks(),
         "tile_assign": _o_tile_assign(),
