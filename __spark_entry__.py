@@ -1955,6 +1955,59 @@ FROM s
 """
 
 
+def _q_neighbors_median(spark, sf_dir):
+    # gdal raster neighbors -kernel gaussian-3x3 -method median
+    # (vrtfilters.cpp nth_element semantics: lower middle / mean of the
+    # two middles over the WEIGHTED window values). Grid: DENSE 16x16
+    # doc-count raster (the lat/lon lattice never forms complete 3x3
+    # windows — degenerate-constant trap); integer counts x integer
+    # coefficients -> exact; complete interior windows only (14x14
+    # rows at every sf).
+    base = (_tbl(spark, sf_dir, "documents")
+            .groupBy((F.col("doc_id") % 16).alias("bx"),
+                     F.expr("(doc_id div 16) % 16").alias("by"))
+            .agg(F.count("*").cast("double").alias("value")))
+    return focal.neighbors(base, "gaussian-3x3", "median")
+
+
+def _o_neighbors_median():
+    from lib_gdal_spark.operators.focal import NEIGHBOR_KERNELS
+    size, coefs = NEIGHBOR_KERNELS["gaussian-3x3"]
+    r = size // 2
+    taps = ", ".join(
+        f"({jj}, {-ii}, {coefs[(ii + r) * size + (jj + r)]})"
+        for ii in range(-r, r + 1) for jj in range(-r, r + 1))
+    return f"""
+WITH base AS (
+  SELECT doc_id % 16 AS bx, (doc_id // 16) % 16 AS "by",
+         CAST(count(*) AS DOUBLE) AS value
+  FROM documents GROUP BY 1, 2
+),
+taps(dx, dy, coef) AS (VALUES {taps}),
+contrib AS (
+  SELECT b.bx - t.dx AS bx, b."by" - t.dy AS "by",
+         b.value * t.coef AS v
+  FROM base b, taps t
+),
+ranked AS (
+  SELECT bx, "by", v,
+         row_number() OVER (PARTITION BY bx, "by" ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY bx, "by") AS n
+  FROM contrib
+),
+med AS (
+  SELECT bx, "by", avg(v) AS neighbors_median, max(n) AS n
+  FROM ranked
+  WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+  GROUP BY bx, "by"
+)
+SELECT b.bx, b."by", b.value, m.neighbors_median
+FROM base b JOIN med m ON b.bx = m.bx AND b."by" = m."by"
+WHERE m.n = 9
+"""
+
+
 def _q_blend_srcover(spark, sf_dir):
     # gdal raster blend -operator src-over (apps/gdalalg_raster_blend.cpp
     # :1176-1212 general scalar path): RGBA bytes synthesized from doc_id,
@@ -2087,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": _q_ngram_topk,
         "doc_chunks": _q_doc_chunks,
         "blend_srcover": _q_blend_srcover,
+        "neighbors_median": _q_neighbors_median,
         "rgb2pct": _q_rgb2pct,
         "hist_equalize": _q_hist_equalize,
         "gcp_polywarp": _q_gcp_polywarp,
@@ -2135,8 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_erase": _q_sjoin_erase,
         "contour_multi": _q_contour_multi,
         "interp_cubic": _q_interp_cubic,
-        "interp_bilinear": _q_interp_bilinear,
         # -------- 50-cap boundary: positions 51+ below --------
+        "interp_bilinear": _q_interp_bilinear,
         "interp_nearest": _q_interp_nearest,
         "dem_slope": _q_dem_slope,
         "dem_tpi": _q_dem_tpi,
@@ -4809,6 +4863,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _o_bm25_topk(),
         "blend_srcover": _o_blend_srcover(),
+        "neighbors_median": _o_neighbors_median(),
         "ngram_topk": _o_ngram_topk(),
         "doc_chunks": _o_doc_chunks(),
         "tile_assign": _o_tile_assign(),

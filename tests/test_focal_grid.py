@@ -476,3 +476,85 @@ class TestLineOfSightReferenceGolden:
             "bx long, by long, value double")
         assert not line_of_sight(wall, (0, 0, 1), (2, 0, 1))
         assert line_of_sight(wall, (0, 0, 11), (2, 0, 11))
+
+
+class TestNeighbors:
+    """gdal raster neighbors (vrtfilters.cpp kernel-filter semantics)."""
+
+    def _grid3(self, spark):
+        # by=2: 1 2 3 / by=1: 4 5 6 / by=0: 7 8 9
+        rows = [(bx, by, float((2 - by) * 3 + bx + 1))
+                for by in range(3) for bx in range(3)]
+        return spark.createDataFrame(rows, "bx long, by long, value double")
+
+    def test_gaussian_mean_center(self, spark):
+        from lib_gdal_spark.operators.focal import neighbors
+        out = neighbors(self._grid3(spark), "gaussian-3x3", "mean").collect()
+        assert [(r.bx, r.by, r.neighbors_mean) for r in out] == [(1, 1, 5.0)]
+
+    def test_u_v_derivative_kernels(self, spark):
+        from lib_gdal_spark.operators.focal import neighbors
+        g = self._grid3(spark)
+        # u's 2 nonzero taps are horizontal: every middle-column cell
+        # qualifies under complete=True; d/dx = +1 step everywhere = 2
+        u = neighbors(g, "u", "sum").collect()
+        assert sorted((r.bx, r.by, r.neighbors_sum) for r in u) == \
+            [(1, 0, 2.0), (1, 1, 2.0), (1, 2, 2.0)]
+        # v's taps are vertical: middle-row cells; d/d(raster row) = 6
+        v = neighbors(g, "v", "sum").collect()
+        assert sorted((r.bx, r.by, r.neighbors_sum) for r in v) == \
+            [(0, 1, 6.0), (1, 1, 6.0), (2, 1, 6.0)]
+
+    def test_min_max_stddev_median(self, spark):
+        import math
+
+        from lib_gdal_spark.operators.focal import neighbors
+        g = self._grid3(spark)
+        assert neighbors(g, "equal-3x3", "min").collect()[0] \
+            .neighbors_min == 1.0
+        assert neighbors(g, "equal-3x3", "max").collect()[0] \
+            .neighbors_max == 9.0
+        sd = neighbors(g, "equal-3x3", "stddev").collect()[0] \
+            .neighbors_stddev
+        assert abs(sd - math.sqrt(60.0 / 9.0)) < 1e-12
+        assert neighbors(g, "equal-3x3", "median").collect()[0] \
+            .neighbors_median == 5.0
+        # even count -> average of the two middles (vrtfilters.cpp:658-671)
+        assert neighbors(g, "u", "median").collect()[0] \
+            .neighbors_median == 1.0  # {-4, 6} -> (-4+6)/2
+
+    def test_mode_first_to_reach_count_wins(self, spark):
+        from lib_gdal_spark.operators.focal import neighbors
+        # window rows (north->south): [2,1,1] [2,5,2] [1,1,2]
+        # counts: 1 -> 4 (last tap 7), 2 -> 4 (last tap 8); value 1
+        # reaches its final count FIRST -> the reference's `>`-only
+        # maxCount update keeps 1
+        vals = {(0, 2): 2, (1, 2): 1, (2, 2): 1,
+                (0, 1): 2, (1, 1): 5, (2, 1): 2,
+                (0, 0): 1, (1, 0): 1, (2, 0): 2}
+        g = spark.createDataFrame(
+            [(bx, by, float(v)) for (bx, by), v in vals.items()],
+            "bx long, by long, value double")
+        out = neighbors(g, "equal-3x3", "mode").collect()
+        assert [(r.bx, r.by, r.neighbors_mode) for r in out] == [(1, 1, 1.0)]
+
+    def test_zero_coef_taps_skipped_and_complete(self, spark):
+        from lib_gdal_spark.operators.focal import neighbors
+        # "u" has only 2 nonzero taps: a cell with both horizontal
+        # neighbors qualifies even at the top/bottom edge
+        g = self._grid3(spark)
+        out = neighbors(g, "u", "sum", complete=True).collect()
+        assert sorted((r.bx, r.by) for r in out) == [(1, 0), (1, 1), (1, 2)]
+        # zero kern-sum mean (sum(coef)==0) -> 0.0, vrtfilters.cpp:681
+        m = neighbors(g, "u", "mean").collect()
+        assert all(r.neighbors_mean == 0.0 for r in m)
+
+    def test_partition_invariance(self, spark):
+        from lib_gdal_spark.operators.focal import neighbors
+        rows = [(bx, by, float((bx * 7 + by * 13) % 5))
+                for by in range(8) for bx in range(8)]
+        g = spark.createDataFrame(rows, "bx long, by long, value double")
+        for method in ("mode", "median", "stddev"):
+            a = neighbors(g.repartition(1), "gaussian-3x3", method).collect()
+            b = neighbors(g.repartition(16), "gaussian-3x3", method).collect()
+            assert sorted(map(tuple, a)) == sorted(map(tuple, b)), method
