@@ -1955,6 +1955,34 @@ FROM s
 """
 
 
+def _q_lm_xent(spark, sf_dir):
+    # CCNet-style LM quality proxy: per-doc cross-entropy under the
+    # corpus's own add-one bigram model (operators/textops.py). Integer
+    # counts -> bit-identical ln arguments; per-doc fold rounded 6 dp.
+    return textops.lm_crossentropy(_tbl(spark, sf_dir, "documents"))
+
+
+def _o_lm_xent():
+    return """
+WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                       AS t FROM documents),
+d AS (SELECT doc_id, t FROM base WHERE len(t) >= 2),
+ix AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 2)) AS i FROM d),
+bg AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2 FROM ix),
+big AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg GROUP BY ALL),
+c12 AS (SELECT w1, w2, SUM(n) AS c12 FROM big GROUP BY ALL),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT COUNT(*) AS vocab FROM
+       (SELECT w1 AS w FROM c12 UNION SELECT w2 FROM c12)),
+lm AS (SELECT c12.w1, c12.w2,
+              ln((c12 + 1.0) / (c1 + CAST(vocab AS DOUBLE))) AS logp
+       FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, SUM(n) AS n_bigrams,
+       ROUND(-SUM(n * logp) / SUM(n), 6) AS xent
+FROM big JOIN lm USING (w1, w2) GROUP BY doc_id
+"""
+
+
 def _q_neighbors_median(spark, sf_dir):
     # gdal raster neighbors -kernel gaussian-3x3 -method median
     # (vrtfilters.cpp nth_element semantics: lower middle / mean of the
@@ -2110,8 +2138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-swept or changed queries first, then the queries whose newest
     driver row is OLDEST. Round-3 order:
     (1) NEW this round (webtext: BM25 top-k, corpus n-gram top-k,
-        sliding-window chunking, PII redaction, eval decontamination,
-        Gopher rules, URL canonicalization; raster blend src-over;
+        sliding-window chunking, corpus-bigram LM cross-entropy, PII
+        redaction, eval decontamination, Gopher rules, URL
+        canonicalization; raster blend src-over + neighbors kernels;
         warp convolution family, viewshed parity modes, invdistnn,
         contour polygonize, translate -scale; byte-exact gdaldem
         hillshade);
@@ -2141,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "blend_srcover": _q_blend_srcover,
         "neighbors_median": _q_neighbors_median,
+        "lm_xent": _q_lm_xent,
         "rgb2pct": _q_rgb2pct,
         "hist_equalize": _q_hist_equalize,
         "gcp_polywarp": _q_gcp_polywarp,
@@ -2188,8 +2218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_clip": _q_sjoin_clip,
         "sjoin_erase": _q_sjoin_erase,
         "contour_multi": _q_contour_multi,
-        "interp_cubic": _q_interp_cubic,
         # -------- 50-cap boundary: positions 51+ below --------
+        "interp_cubic": _q_interp_cubic,
         "interp_bilinear": _q_interp_bilinear,
         "interp_nearest": _q_interp_nearest,
         "dem_slope": _q_dem_slope,
@@ -4864,6 +4894,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _o_bm25_topk(),
         "blend_srcover": _o_blend_srcover(),
         "neighbors_median": _o_neighbors_median(),
+        "lm_xent": _o_lm_xent(),
         "ngram_topk": _o_ngram_topk(),
         "doc_chunks": _o_doc_chunks(),
         "tile_assign": _o_tile_assign(),

@@ -343,3 +343,60 @@ def corpus_clean(df: DataFrame, id_col: str = "doc_id",
     keep = dedup.exact_dedup(keep, id_col, text_col)
     return dedup.minhash_dedup(keep, id_col, text_col,
                                threshold=float(neardup_threshold))
+
+
+def lm_crossentropy(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document
+    cross-entropy under an add-one-smoothed corpus bigram model,
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1,*) + V).
+
+    (CCNet scores with a pretrained KenLM; with no external model, the
+    corpus's own bigram statistics are the self-contained equivalent —
+    boilerplate-heavy and word-soup documents separate the same way.)
+
+    -> (doc_id, n_bigrams, xent) with xent = -mean bigram ln-prob,
+    rounded 6 dp (ln is the only transcendental; everything upstream is
+    integer counts so the ratio inside ln is bit-identical cross-engine;
+    the per-doc fold is an order-dependent double sum -> 6 dp rule).
+
+    Scale shape: ONE tokenize pass staged as a persisted narrow bigram
+    table feeding corpus counts and per-doc joins; c(w1,*) derives from
+    the aggregated bigram table (never a second corpus scan); V is one
+    distinct-count; the scoring join is a plain shuffle join on the
+    bigram key (skew-safe: smoothing keeps every key finite)."""
+    from .dedup import tokens_col
+
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      tokens_col(text_col).alias("t"))
+              .filter(F.size("t") >= 2))
+    # total even for the <2-token docs the filter drops: codegen can
+    # evaluate the projection before the collapsed filter, and
+    # sequence(0, -1) counts DOWN into out-of-bounds indexes
+    big = (base.select(
+        "doc_id",
+        F.expr("CASE WHEN size(t) >= 2 THEN "
+               "transform(sequence(0, size(t) - 2),"
+               " i -> struct(t[i] AS w1, t[i+1] AS w2)) "
+               "ELSE array() END").alias("bg"))
+        .select("doc_id", F.explode("bg").alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"),
+                F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+        .persist())
+
+    c12 = big.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # vocabulary: distinct tokens in bigram positions (w1 union w2)
+    vocab = (c12.select("w1").union(c12.select(F.col("w2").alias("w1")))
+             .distinct().count())
+
+    lm = c12.join(c1, "w1").select(
+        "w1", "w2",
+        F.log((F.col("c12") + 1.0) / (F.col("c1") + float(vocab)))
+         .alias("logp"))
+    scored = big.join(lm, ["w1", "w2"])
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("n").alias("n_bigrams"),
+                 F.round(-F.sum(F.col("n") * F.col("logp"))
+                         / F.sum("n"), 6).alias("xent")))

@@ -101,3 +101,27 @@ class TestChunkDocuments:
         plan = sampling.chunk_documents(d, 4, 2)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestLmCrossentropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from lib_gdal_spark.operators import textops
+        d = _docs(spark, [(1, "a b a"), (2, "b a"), (3, "x")])
+        out = {r.doc_id: (r.n_bigrams, r.xent)
+               for r in textops.lm_crossentropy(d).collect()}
+        # c12: (a,b)=1, (b,a)=2; c1: a=1, b=2; V=2
+        # p(b|a) = 2/3, p(a|b) = 3/4
+        x1 = round(-(math.log(2.0 / 3.0) + math.log(3.0 / 4.0)) / 2, 6)
+        x2 = round(-math.log(3.0 / 4.0), 6)
+        assert set(out) == {1, 2}  # the 1-token doc has no bigrams
+        assert out[1] == (2, x1)
+        assert out[2] == (1, x2)
+
+    def test_repetitive_docs_score_lower_xent(self, spark):
+        from lib_gdal_spark.operators import textops
+        d = _docs(spark, [(1, "spam " * 50), (2, "a b c d e f g h i j")])
+        out = {r.doc_id: r.xent
+               for r in textops.lm_crossentropy(d).collect()}
+        assert out[1] < out[2]
