@@ -1955,6 +1955,33 @@ FROM s
 """
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    # BPE tokenizer training, iteration-1 window (operators/bpe.py):
+    # top-20 adjacent char-pair counts over the word vocabulary (chars +
+    # the </w> end-of-word marker), (cnt desc, a, b) total order. The
+    # full iterative trainer replays the Sennrich toy-corpus merges in
+    # tests/test_bpe.py; the first iteration is the oracle-able window.
+    from lib_gdal_spark.operators import bpe
+    return bpe.pair_counts_topk(_tbl(spark, sf_dir, "documents"), 20)
+
+
+def _o_bpe_pairs():
+    return """
+WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS word FROM documents),
+v AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+ix AS (SELECT word, freq,
+              unnest(generate_series(1, length(word))) AS i FROM v),
+p AS (SELECT substr(word, i, 1) AS a,
+             CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+                  ELSE '</w>' END AS b,
+             freq FROM ix),
+c AS (SELECT a, b, SUM(freq) AS cnt FROM p GROUP BY a, b)
+SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rank
+FROM c ORDER BY cnt DESC, a, b LIMIT 20
+"""
+
+
 def _q_lm_xent(spark, sf_dir):
     # CCNet-style LM quality proxy: per-doc cross-entropy under the
     # corpus's own add-one bigram model (operators/textops.py). Integer
@@ -2138,7 +2165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never-swept or changed queries first, then the queries whose newest
     driver row is OLDEST. Round-3 order:
     (1) NEW this round (webtext: BM25 top-k, corpus n-gram top-k,
-        sliding-window chunking, corpus-bigram LM cross-entropy, PII
+        sliding-window chunking, corpus-bigram LM cross-entropy, BPE
+        pair counts (trainer unit-replays the Sennrich merges), PII
         redaction, eval decontamination, Gopher rules, URL
         canonicalization; raster blend src-over + neighbors kernels;
         warp convolution family, viewshed parity modes, invdistnn,
@@ -2171,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blend_srcover": _q_blend_srcover,
         "neighbors_median": _q_neighbors_median,
         "lm_xent": _q_lm_xent,
+        "bpe_pairs": _q_bpe_pairs,
         "rgb2pct": _q_rgb2pct,
         "hist_equalize": _q_hist_equalize,
         "gcp_polywarp": _q_gcp_polywarp,
@@ -2217,8 +2246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_update": _q_sjoin_update,
         "sjoin_clip": _q_sjoin_clip,
         "sjoin_erase": _q_sjoin_erase,
-        "contour_multi": _q_contour_multi,
         # -------- 50-cap boundary: positions 51+ below --------
+        "contour_multi": _q_contour_multi,
         "interp_cubic": _q_interp_cubic,
         "interp_bilinear": _q_interp_bilinear,
         "interp_nearest": _q_interp_nearest,
@@ -4895,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
         "blend_srcover": _o_blend_srcover(),
         "neighbors_median": _o_neighbors_median(),
         "lm_xent": _o_lm_xent(),
+        "bpe_pairs": _o_bpe_pairs(),
         "ngram_topk": _o_ngram_topk(),
         "doc_chunks": _o_doc_chunks(),
         "tile_assign": _o_tile_assign(),
