@@ -49,31 +49,45 @@ HEADLINE = [
 ]
 
 
+_PAGES_SRC: dict = {}
+
+
 def flagship_pipeline(spark, n_pages: int):
     """The north-star job over the synthetic pages table. Returns
     (n_pages, join_rows, tiles, engine_sec): synthesis is MATERIALIZED
-    FIRST and excluded from engine_sec — the metric is the engine's
-    throughput over an existing pages table (matching scripts/
-    scaling_job.py), not the generator's."""
+    ONCE per session and excluded from engine_sec — the metric is the
+    engine's throughput over an existing pages table (matching scripts/
+    scaling_job.py), not the generator's. (Re-synthesizing per rep made
+    best-of-N measure the cold file listing, not the engine.)
+
+    The geocoded point table is persisted NARROW (text dropped) so the
+    join and the pyramid share ONE extraction pass — the wide-string
+    column never enters the cache (CLAUDE.md cache rule)."""
     import tempfile
 
     import __spark_entry__ as em
     from lib_gdal_spark.operators import sjoin, tiles
     from lib_gdal_spark.pages.synth import pages_df
 
-    src = tempfile.mkdtemp(prefix="bench_pages_")
-    pages_df(spark, n_pages).write.mode("overwrite").parquet(src)
+    src = _PAGES_SRC.get(n_pages)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bench_pages_")
+        pages_df(spark, n_pages).write.mode("overwrite").parquet(src)
+        _PAGES_SRC[n_pages] = src
     pages = spark.read.parquet(src)
 
     t0 = time.time()
     pts = sjoin.with_tile(
         sjoin.geocode(pages.select("url", "text"), fast=True), zoom=12)
+    pts = pts.drop("text").persist()
     joined = sjoin.spatial_join(pts, em._rect_polyset(), zoom=7, how="inner")
     join_rows = joined.count()
     pyr = tiles.tile_pyramid(pts.select("url", "tile_x", "tile_y"),
                              max_zoom=12, min_zoom=0)
     n_tiles = pyr.count()
-    return n_pages, join_rows, n_tiles, round(time.time() - t0, 3)
+    sec = round(time.time() - t0, 3)
+    pts.unpersist()
+    return n_pages, join_rows, n_tiles, sec
 
 
 def refshape_benchmarks(spark, tmp_dir: str) -> dict:
@@ -135,12 +149,17 @@ def main():
             samples.append(round(time.time() - t0, 3))
         runs[name] = samples
         times[name] = min(samples)
+        # several queries persist() intermediates by design; drop them so
+        # later queries aren't measured under the accumulated cache/GC
+        # pressure (flagship read 2-3x slower before this)
+        spark.catalog.clearCache()
 
     import tempfile
     refshapes = refshape_benchmarks(spark, tempfile.mkdtemp(prefix="refshape_"))
 
     fl_samples = []
     for _ in range(REPS):
+        spark.catalog.clearCache()
         n_pages, join_rows, n_tiles, s = flagship_pipeline(spark, PAGES_N)
         fl_samples.append(s)
     flagship_sec = min(fl_samples)
