@@ -1955,6 +1955,35 @@ FROM s
 """
 
 
+def _q_exact_substr(spark, sf_dir):
+    # ExactSubstr dedup (Lee et al. 2022) at 5-gram resolution: maximal
+    # corpus-duplicated token spans per document (operators/dedup.py).
+    # md5-hash k-grams -> corpus counts -> duplicated positions ->
+    # gaps-and-islands merge. All integers + md5 -> exact oracle.
+    return dedup.exact_substr_spans(_tbl(spark, sf_dir, "documents"), k=5)
+
+
+def _o_exact_substr():
+    return """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                    AS tk FROM documents),
+g AS (SELECT doc_id, tk, len(tk) - 4 AS ng FROM t WHERE len(tk) >= 5),
+ix AS (SELECT doc_id, tk, unnest(generate_series(0, ng - 1)) AS pos FROM g),
+h AS (SELECT doc_id, pos,
+        ('0x' || substr(md5(array_to_string(tk[pos + 1 : pos + 5], ' ')),
+                        1, 13))::BIGINT AS h
+      FROM ix),
+c AS (SELECT h, COUNT(*) AS occ FROM h GROUP BY h),
+dup AS (SELECT doc_id, pos FROM h JOIN c USING (h) WHERE occ >= 2),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM dup)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) - MIN(pos) + 5 AS span_len
+FROM isl GROUP BY doc_id, grp
+"""
+
+
 def _q_bpe_pairs(spark, sf_dir):
     # BPE tokenizer training, iteration-1 window (operators/bpe.py):
     # top-20 adjacent char-pair counts over the word vocabulary (chars +
@@ -2166,7 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver row is OLDEST. Round-3 order:
     (1) NEW this round (webtext: BM25 top-k, corpus n-gram top-k,
         sliding-window chunking, corpus-bigram LM cross-entropy, BPE
-        pair counts (trainer unit-replays the Sennrich merges), PII
+        pair counts (trainer unit-replays the Sennrich merges),
+        ExactSubstr duplicated-span detection, PII
         redaction, eval decontamination, Gopher rules, URL
         canonicalization; raster blend src-over + neighbors kernels;
         warp convolution family, viewshed parity modes, invdistnn,
@@ -2200,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors_median": _q_neighbors_median,
         "lm_xent": _q_lm_xent,
         "bpe_pairs": _q_bpe_pairs,
+        "exact_substr": _q_exact_substr,
         "rgb2pct": _q_rgb2pct,
         "hist_equalize": _q_hist_equalize,
         "gcp_polywarp": _q_gcp_polywarp,
@@ -2245,8 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_left": _q_sjoin_left,
         "sjoin_update": _q_sjoin_update,
         "sjoin_clip": _q_sjoin_clip,
-        "sjoin_erase": _q_sjoin_erase,
         # -------- 50-cap boundary: positions 51+ below --------
+        "sjoin_erase": _q_sjoin_erase,
         "contour_multi": _q_contour_multi,
         "interp_cubic": _q_interp_cubic,
         "interp_bilinear": _q_interp_bilinear,
@@ -4925,6 +4956,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_median": _o_neighbors_median(),
         "lm_xent": _o_lm_xent(),
         "bpe_pairs": _o_bpe_pairs(),
+        "exact_substr": _o_exact_substr(),
         "ngram_topk": _o_ngram_topk(),
         "doc_chunks": _o_doc_chunks(),
         "tile_assign": _o_tile_assign(),

@@ -236,3 +236,54 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
              / F.col("n_grams").cast("double")).alias("contam_frac"),
         )
     )
+
+
+def exact_substr_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_dup: int = 2) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): find every maximal token span that
+    appears at least `min_dup` times across the corpus, per document.
+
+    Method (relational recast of the suffix-array scan): hash every
+    k-gram of tokens (md5 13-hex -> exact 52-bit int, the engine's
+    cross-engine hash); count corpus-wide occurrences per hash; keep
+    each doc's positions whose k-gram is duplicated; merge consecutive
+    duplicated positions into maximal spans with the gaps-and-islands
+    window (pos - row_number() is constant inside an island). A span
+    [start, start+n_grams+k-1) then shares >= k tokens with another
+    occurrence everywhere along its length — the paper's "duplicated
+    substring of length >= k" set, at k-gram resolution.
+
+    Output: (doc_id, span_start, span_len) in token offsets (0-based),
+    one row per maximal duplicated span. All integers + md5 -> exactly
+    oracle-able.
+
+    Scale shape: one tokenize pass (STAGED projections, the winnowing
+    rule), one groupBy(hash) for corpus counts, one broadcast-or-shuffle
+    join back on the hash key, one per-doc window. No all-pairs
+    anything; the hash-count table is the only corpus-global state."""
+    t = df.select(F.col(id_col).alias("doc_id"),
+                  tokens_col(text_col).alias("_t"))
+    n_grams = F.greatest(F.size("_t") - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.conv(F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, k))),
+            1, 13), 16, 10).cast("long"),
+    )
+    g = (t.select("doc_id", n_grams.alias("_ng"), grams.alias("_g"))
+          .filter(F.col("_ng") > 0))
+    pos = g.select(
+        "doc_id",
+        F.posexplode("_g").alias("pos", "h"))
+    counts = pos.groupBy("h").agg(F.count("*").alias("occ"))
+    dup = (pos.join(counts.filter(F.col("occ") >= min_dup), "h")
+              .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+    return (islands.groupBy("doc_id", "_isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") - F.min("pos") + k).alias("span_len"))
+            .drop("_isl")
+            .select("doc_id", "span_start", F.col("span_len")))

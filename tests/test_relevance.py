@@ -125,3 +125,38 @@ class TestLmCrossentropy:
         out = {r.doc_id: r.xent
                for r in textops.lm_crossentropy(d).collect()}
         assert out[1] < out[2]
+
+
+class TestExactSubstrSpans:
+    def test_cross_doc_shared_run(self, spark):
+        from lib_gdal_spark.operators import dedup
+        d = _docs(spark, [(1, "a b c d e f g h"), (2, "x y a b c d e z")])
+        out = {r.doc_id: (r.span_start, r.span_len)
+               for r in dedup.exact_substr_spans(d, k=4).collect()}
+        # shared run "a b c d e" (len 5): d1 tokens 0-4, d2 tokens 2-6
+        assert out == {1: (0, 5), 2: (2, 5)}
+
+    def test_self_repetition_whole_doc(self, spark):
+        from lib_gdal_spark.operators import dedup
+        d = _docs(spark, [(1, "p q p q p q")])
+        out = dedup.exact_substr_spans(d, k=2).collect()
+        assert [(r.doc_id, r.span_start, r.span_len) for r in out] == \
+            [(1, 0, 6)]
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        from lib_gdal_spark.operators import dedup
+        d = _docs(spark, [(1, "a b c q q q q q a b c"),
+                          (2, "z z a b c z a b c z")])
+        out = sorted((r.doc_id, r.span_start, r.span_len)
+                     for r in dedup.exact_substr_spans(d, k=3).collect())
+        # doc 1 dup grams: "a b c" at 0 and 8 (4x corpus-wide), the
+        # q-run at 3..5 -> three separate islands; doc 2: "z a b",
+        # "a b c", "b c z" chain twice -> grams 1-3 and 5-7 merge into
+        # two 5-token spans
+        assert out == [(1, 0, 3), (1, 3, 5), (1, 8, 3),
+                       (2, 1, 5), (2, 5, 5)]
+
+    def test_unique_corpus_no_spans(self, spark):
+        from lib_gdal_spark.operators import dedup
+        d = _docs(spark, [(1, "one two three four five six")])
+        assert dedup.exact_substr_spans(d, k=3).count() == 0
