@@ -175,9 +175,20 @@ def decode_real(payload: bytes, kind: str | None = None):
         return _decode_ppm(p)
     if p[:4] == b"RIFF":
         return _decode_wav(p)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        # stdlib zlib IS the PNG codec — full decode in sources/png.py
+        from ..sources.png import decode_png
+
+        arr, meta = decode_png(p)
+        if arr.ndim == 3:  # (bands, h, w) -> (h, w, c) image convention
+            arr = np.transpose(arr, (1, 2, 0))
+        return arr, {"codec": "png", **{k: meta[k] for k in
+                                        ("width", "height", "depth",
+                                         "color_type")}}
     raise NotImplementedError(
         "decode requires a codec library (PIL/ffmpeg) for compressed "
-        "formats; only uncompressed BMP/PPM/PGM/WAV parse natively"
+        "formats; uncompressed BMP/PPM/PGM/WAV and PNG (stdlib zlib) "
+        "parse natively"
     )
 
 

@@ -313,9 +313,19 @@ class TestMultimodal:
         assert all(np.allclose(x, y) for x, y in zip(a.feat, b.feat))
 
     def test_real_decode_unknown_format_raises(self):
-        # compressed/unknown formats still raise with the dependency note
+        # unknown formats still raise with the dependency note
         with pytest.raises(NotImplementedError):
-            multimodal.decode_real(b"\x89PNG\r\n\x1a\nrest", "image")
+            multimodal.decode_real(b"\xff\xd8\xff\xe0jpeg...", "image")
+
+    def test_png_decodes_via_sources_codec(self):
+        # stdlib zlib IS the PNG codec: the media path reuses
+        # sources/png.py (reference goldens replayed in test_sources.py)
+        from lib_gdal_spark.sources.png import encode_png
+
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        arr, meta = multimodal.decode_real(encode_png(img))
+        assert meta["codec"] == "png" and meta["color_type"] == 2
+        np.testing.assert_array_equal(arr, img)
 
     def test_bmp_roundtrip_hand_golden(self):
         # 2x2 RGB image, hand-laid pixels; BMP is bottom-up BGR with
