@@ -46,6 +46,10 @@ HEADLINE = [
     "interp_bilinear",
     # round 3: the geometry boolean-kernel family (pandas-UDF path)
     "geom_overlay",
+    # round 3 late: the webtext retrieval/dedup/quality family
+    "bm25_topk",
+    "exact_substr",
+    "lm_xent",
 ]
 
 

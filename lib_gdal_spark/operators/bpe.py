@@ -121,7 +121,11 @@ def pair_counts_topk(df: DataFrame, k: int = 20,
     """First-iteration adjacent char-pair counts, top-k by (cnt desc,
     a asc, b asc) — the oracle-able window into the trainer."""
     from pyspark.sql import Window
-    counts = (_pair_counts(_init_symbols(word_vocab(df, text_col)))
+
+    # checkpoint the (tiny) symbolized vocab so the pair explode reads
+    # it instead of re-running the corpus scan inside its own plan
+    sym = _init_symbols(word_vocab(df, text_col)).localCheckpoint()
+    counts = (_pair_counts(sym)
               .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(k))
     w = Window.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
     return counts.select("a", "b", "cnt",

@@ -263,20 +263,24 @@ def exact_substr_spans(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     rule), one groupBy(hash) for corpus counts, one broadcast-or-shuffle
     join back on the hash key, one per-doc window. No all-pairs
     anything; the hash-count table is the only corpus-global state."""
-    t = df.select(F.col(id_col).alias("doc_id"),
-                  tokens_col(text_col).alias("_t"))
-    n_grams = F.greatest(F.size("_t") - (k - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.conv(F.substring(
-            F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, k))),
-            1, 13), 16, 10).cast("long"),
-    )
-    g = (t.select("doc_id", n_grams.alias("_ng"), grams.alias("_g"))
-          .filter(F.col("_ng") > 0))
-    pos = g.select(
-        "doc_id",
-        F.posexplode("_g").alias("pos", "h"))
+    # k-grams via posexplode + k-1 leads, NOT a slice inside a
+    # transform() lambda (Catalyst inlines the token-array expression
+    # into the lambda and re-runs the tokenizer per element — the
+    # CLAUDE.md HOF trap); one doc_id window shuffle, md5 once per gram
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(tokens_col(text_col)).alias("pos", "w"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # materialize the leads BEFORE filtering — recomputing a lead over
+    # the filtered frame would shift the neighbors
+    g = tok.select("doc_id", "pos", F.col("w").alias("_w0"),
+                   *[F.lead("w", j).over(w).alias(f"_w{j}")
+                     for j in range(1, k)])
+    pos = (g.filter(F.col(f"_w{k - 1}").isNotNull())
+            .select("doc_id", "pos",
+                    F.conv(F.substring(
+                        F.md5(F.concat_ws(
+                            " ", *[F.col(f"_w{j}") for j in range(k)])),
+                        1, 13), 16, 10).cast("long").alias("h")))
     counts = pos.groupBy("h").agg(F.count("*").alias("occ"))
     dup = (pos.join(counts.filter(F.col("occ") >= min_dup), "h")
               .select("doc_id", "pos"))

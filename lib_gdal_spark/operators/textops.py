@@ -365,25 +365,22 @@ def lm_crossentropy(df: DataFrame, id_col: str = "doc_id",
     the aggregated bigram table (never a second corpus scan); V is one
     distinct-count; the scoring join is a plain shuffle join on the
     bigram key (skew-safe: smoothing keeps every key finite)."""
+    from pyspark.sql import Window
+
     from .dedup import tokens_col
 
-    base = (df.select(F.col(id_col).alias("doc_id"),
-                      tokens_col(text_col).alias("t"))
-              .filter(F.size("t") >= 2))
-    # total even for the <2-token docs the filter drops: codegen can
-    # evaluate the projection before the collapsed filter, and
-    # sequence(0, -1) counts DOWN into out-of-bounds indexes
-    big = (base.select(
-        "doc_id",
-        F.expr("CASE WHEN size(t) >= 2 THEN "
-               "transform(sequence(0, size(t) - 2),"
-               " i -> struct(t[i] AS w1, t[i+1] AS w2)) "
-               "ELSE array() END").alias("bg"))
-        .select("doc_id", F.explode("bg").alias("b"))
-        .select("doc_id", F.col("b.w1").alias("w1"),
-                F.col("b.w2").alias("w2"))
-        .groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
-        .persist())
+    # Bigrams via posexplode + lead, NOT a transform() lambda: Catalyst
+    # inlined the token-array expression into the lambda and re-ran the
+    # tokenizer regex per element (the CLAUDE.md HOF trap, measured 13x
+    # slower at sf0.1). The window's doc_id clustering also satisfies
+    # the following groupBy, so the whole build is ONE shuffle.
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(tokens_col(text_col)).alias("pos", "w1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (tok.withColumn("w2", F.lead("w1").over(w))
+              .filter(F.col("w2").isNotNull())
+              .groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+              .persist())
 
     c12 = big.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
