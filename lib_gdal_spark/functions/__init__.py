@@ -413,6 +413,31 @@ def register_all(spark: SparkSession) -> None:
             return pd.Series(out, dtype="object")
         return f
 
+    @F.pandas_udf(T.BooleanType())
+    def st_isvalid(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::IsValid / gdal vector check-geometry
+        # (geo/clip.is_valid; rule subset documented there)
+        out = []
+        for a in wkb:
+            if a is None:
+                out.append(None)
+                continue
+            k, d = _wkb.decode(bytes(a))
+            out.append(_clip.is_valid(k, d)[0])
+        return pd.Series(out, dtype="object")
+
+    @F.pandas_udf(T.StringType())
+    def st_isvalidreason(wkb: pd.Series) -> pd.Series:
+        out = []
+        for a in wkb:
+            if a is None:
+                out.append(None)
+                continue
+            k, d = _wkb.decode(bytes(a))
+            ok, reason = _clip.is_valid(k, d)
+            out.append("Valid Geometry" if ok else reason)
+        return pd.Series(out)
+
     @F.pandas_udf(T.BinaryType())
     def st_unaryunion(wkb: pd.Series) -> pd.Series:
         # OGRGeometry::UnaryUnion (ogr_geometry.h:570s, GEOS-delegated):
@@ -558,6 +583,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_difference", _overlay("difference"))
     spark.udf.register("st_symdifference", _overlay("symdifference"))
     spark.udf.register("st_makevalid", st_makevalid)
+    spark.udf.register("st_isvalid", st_isvalid)
+    spark.udf.register("st_isvalidreason", st_isvalidreason)
     spark.udf.register("st_unaryunion", st_unaryunion)
     spark.udf.register("st_union_agg", st_union_agg)
     for _p in ("intersects", "disjoint", "touches", "within", "contains",

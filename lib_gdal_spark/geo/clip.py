@@ -545,3 +545,93 @@ def buffer_geometry(kind: str, data, dist: float, quadsegs: int = 30):
         return kind, data
     ck, cd = union_all(caps)
     return overlay(kind, data, ck, cd, "difference")
+
+
+def _segment_grid_tests(pa: np.ndarray, pb: np.ndarray):
+    """Orientation products for every segment pair of closed polylines
+    pa x pb -> (proper, touch, collinear_overlap) boolean grids."""
+    a1 = pa[:-1][:, None, :]
+    a2 = pa[1:][:, None, :]
+    b1 = pb[None, :-1, :]
+    b2 = pb[None, 1:, :]
+
+    def cross(o, p, q):
+        return ((p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1])
+                - (p[..., 1] - o[..., 1]) * (q[..., 0] - o[..., 0]))
+
+    d1 = cross(a1, a2, b1)
+    d2 = cross(a1, a2, b2)
+    d3 = cross(b1, b2, a1)
+    d4 = cross(b1, b2, a2)
+    lo_a = np.minimum(a1, a2)
+    hi_a = np.maximum(a1, a2)
+    lo_b = np.minimum(b1, b2)
+    hi_b = np.maximum(b1, b2)
+    boxes = ((lo_a[..., 0] <= hi_b[..., 0]) & (lo_b[..., 0] <= hi_a[..., 0])
+             & (lo_a[..., 1] <= hi_b[..., 1]) & (lo_b[..., 1] <= hi_a[..., 1]))
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    touch = boxes & ~proper & (d1 * d2 <= 0) & (d3 * d4 <= 0) & (
+        (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0))
+    allzero = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    # collinear segments sharing more than a point: 1-D interval overlap
+    # along the dominant axis has positive length
+    ov_lo = np.maximum(lo_a, lo_b)
+    ov_hi = np.minimum(hi_a, hi_b)
+    overlap_len = np.maximum(ov_hi - ov_lo, 0.0).sum(axis=-1)
+    collinear_overlap = allzero & boxes & (overlap_len > 0)
+    return proper, touch, collinear_overlap
+
+
+def is_valid(kind: str, data) -> tuple[bool, str]:
+    """OGRGeometry::IsValid / `gdal vector check-geometry` semantics for
+    areal geometries (ogr/ogrgeometry.cpp IsValid -> GEOS isvalid; rule
+    set per OGC SFA 6.1.11.1):
+
+    - every ring simple: no proper self-crossing, no non-adjacent
+      self-touch, no collinear self-overlap (bowties, figure-8s);
+    - rings may touch at points but never cross or share a boundary
+      stretch (shell/hole collinear overlap is invalid);
+    - each hole inside its shell; holes not nested in each other.
+
+    (Interior-connectedness via chains of point-touches — GEOS's
+    "disconnected interior" — is not checked; it needs the full
+    topology graph and none of the replayed fixtures exercise it.)
+
+    -> (valid, reason): reason '' when valid, else the first failing
+    rule in GEOS-style wording."""
+    polys = as_polys(kind, data)
+    for rings in polys:
+        closed = [np.vstack([r, r[:1]]) for r in rings]
+        # ring simplicity
+        for r in closed:
+            n = len(r) - 1
+            if n < 3:
+                return False, "fewer than 3 distinct points in ring"
+            proper, touch, _ = _segment_grid_tests(r, r)
+            i = np.arange(n)[:, None]
+            j = np.arange(n)[None, :]
+            adj = (np.abs(i - j) <= 1) | (np.abs(i - j) == n - 1)
+            if (proper & ~adj).any() or (touch & ~adj).any():
+                return False, "ring self-intersection"
+        shell = closed[0]
+        holes = closed[1:]
+        # ring-vs-ring inside one polygon
+        for ai in range(len(closed)):
+            for bi in range(ai + 1, len(closed)):
+                proper, _, coll = _segment_grid_tests(closed[ai],
+                                                      closed[bi])
+                if proper.any():
+                    return False, "self-intersection (rings cross)"
+                if coll.any():
+                    return False, "rings share a boundary stretch"
+        from .pip import point_in_polygon_np
+        for hi_, h in enumerate(holes):
+            inside = point_in_polygon_np(h[:-1, 0], h[:-1, 1], [shell])
+            if not inside.any():
+                return False, "hole lies outside shell"
+            for hj, h2 in enumerate(holes):
+                if hj == hi_:
+                    continue
+                if point_in_polygon_np(h[:-1, 0], h[:-1, 1], [h2]).all():
+                    return False, "holes are nested"
+    return True, ""

@@ -505,3 +505,70 @@ class TestClip:
         a = [np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)]   # open
         b = [np.array([[3, 3], [7, 3], [7, 7], [3, 7]], float)]   # open
         assert geometry_distance("polygon", a, "polygon", b) == 0.0
+
+
+class TestIsValid:
+    """OGRGeometry::IsValid rule subset (geo/clip.is_valid docstring)."""
+
+    def _p(self, *rings):
+        return "polygon", [list(map(list, r)) for r in rings]
+
+    SQUARE = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    BOWTIE = [(0, 0), (10, 10), (10, 0), (0, 10), (0, 0)]
+
+    def test_simple_square_valid(self):
+        from lib_gdal_spark.geo.clip import is_valid
+        ok, why = is_valid(*self._p(self.SQUARE))
+        assert ok and why == ""
+
+    def test_bowtie_invalid(self):
+        from lib_gdal_spark.geo.clip import is_valid
+        ok, why = is_valid(*self._p(self.BOWTIE))
+        assert not ok and "self-intersection" in why
+
+    def test_donut_valid_and_hole_outside_invalid(self):
+        from lib_gdal_spark.geo.clip import is_valid
+        hole = [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]
+        ok, _ = is_valid(*self._p(self.SQUARE, hole))
+        assert ok
+        far = [(20, 20), (22, 20), (22, 22), (20, 22), (20, 20)]
+        ok, why = is_valid(*self._p(self.SQUARE, far))
+        assert not ok and "outside" in why
+
+    def test_hole_crossing_shell_invalid(self):
+        from lib_gdal_spark.geo.clip import is_valid
+        leak = [(5, 5), (15, 5), (15, 8), (5, 8), (5, 5)]
+        ok, why = is_valid(*self._p(self.SQUARE, leak))
+        assert not ok and "cross" in why
+
+    def test_nested_holes_invalid(self):
+        from lib_gdal_spark.geo.clip import is_valid
+        outer = [(1, 1), (8, 1), (8, 8), (1, 8), (1, 1)]
+        inner = [(3, 3), (5, 3), (5, 5), (3, 5), (3, 3)]
+        ok, why = is_valid(*self._p(self.SQUARE, outer, inner))
+        assert not ok and "nested" in why
+
+    def test_hole_touching_shell_at_point_valid(self):
+        from lib_gdal_spark.geo.clip import is_valid
+        # GEOS: a hole may touch the shell at a finite point set
+        touch = [(0, 0), (3, 1), (1, 3), (0, 0)]
+        ok, why = is_valid(*self._p(self.SQUARE, touch))
+        assert ok, why
+
+    def test_repeated_interior_vertex_invalid(self):
+        from lib_gdal_spark.geo.clip import is_valid
+        # figure-8 through a repeated vertex
+        fig8 = [(0, 0), (4, 0), (2, 2), (4, 4), (0, 4), (2, 2), (0, 0)]
+        ok, why = is_valid(*self._p(fig8))
+        assert not ok and "self-intersection" in why
+
+    def test_sql_function(self, spark):
+        from lib_gdal_spark.functions import register_all
+        register_all(spark)
+        rows = spark.sql(
+            "SELECT st_isvalid(st_geomfromtext("
+            "'POLYGON((0 0,10 0,10 10,0 10,0 0))')) AS ok, "
+            "st_isvalidreason(st_geomfromtext("
+            "'POLYGON((0 0,10 10,10 0,0 10,0 0))')) AS why").collect()
+        assert rows[0].ok is True
+        assert "self-intersection" in rows[0].why
