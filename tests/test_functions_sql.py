@@ -442,3 +442,24 @@ class TestUtmFunctions:
         # the published zone-31 example: (0,0) -> easting 166021.443
         assert abs(rows[0]["e"] - 166021.4430805395) < 1e-6
         assert rows[2]["n"] > 7_000_000  # southern false northing applied
+
+
+class TestTransformGeoloc:
+    def test_reference_transformgeoloc_expectations(self):
+        # autotest/alg/transformgeoloc.py test_transformgeoloc_1: WGS84
+        # geolocation arrays -> UTM zone 11. The reference computes via
+        # PROJ; geo/tmerc's Krueger series matches its printed
+        # expectations to < 1e-8 m (allclose tolerance there is 1e-5).
+        import numpy as np
+
+        from lib_gdal_spark.geo import tmerc
+
+        lon = np.array([-117.0, -116.0, -116.5, -115.5])
+        lat = np.array([45.0, 45.5, 44.0, 44.5])
+        e, n = tmerc.utm_forward(lon, lat, 32611)
+        exp_e = [500000.0, 578126.73752062, 540087.07398217,
+                 619246.88515195]
+        exp_n = [4982950.40022655, 5038982.81207855, 4871994.34702622,
+                 4928503.38229753]
+        assert np.abs(e - exp_e).max() < 1e-7
+        assert np.abs(n - exp_n).max() < 1e-7
