@@ -1833,3 +1833,31 @@ class TestUrlCanonicalize:
             "id", F.col("canonical_url").alias("url"))
         twice = pops.url_canonicalize(once).toPandas()
         assert twice.canonical_url[0] == twice.url[0]
+
+
+class TestCutline:
+    """gdalwarp -cutline replays: autotest/alg/cutline.py on the
+    reference's own utmsmall.tif (identity warp -> the cutline is the
+    only transform, so the checksum isolates the masker)."""
+
+    def _utmsmall(self, spark):
+        from lib_gdal_spark.sources import read_tiff
+        cells, meta = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/utmsmall.tif")
+        return cells
+
+    def test_cutline_noblend_11409(self, spark):
+        from lib_gdal_spark.operators.raster import checksum, cutline_mask
+        tri = [(1, [[(10, 10), (10, 50), (60, 50), (10, 10)]])]
+        out = cutline_mask(spark, self._utmsmall(spark), tri, 100, 100)
+        cs = checksum(out, 0, 0, 100, 100).collect()[0].checksum
+        assert cs == 11409  # test_cutline_1
+
+    def test_cutline_multipolygon_hole_20827(self, spark):
+        from lib_gdal_spark.operators.raster import checksum, cutline_mask
+        mp = [(1, [[(10, 10), (10, 50), (60, 50), (10, 10)]]),
+              (2, [[(70, 70), (70, 100), (100, 100), (100, 70), (70, 70)],
+                   [(80, 80), (80, 90), (90, 90), (90, 80), (80, 80)]])]
+        out = cutline_mask(spark, self._utmsmall(spark), mp, 100, 100)
+        cs = checksum(out, 0, 0, 100, 100).collect()[0].checksum
+        assert cs == 20827  # test_cutline_3
