@@ -696,3 +696,29 @@ def cutline_mask(spark, cells: DataFrame, polys_pixel: list, width: int,
             .select("bx", "by",
                     F.when(F.col("_in"), F.col(value_col))
                      .otherwise(float(init)).alias(value_col)))
+
+
+def apply_vshift(src: DataFrame, grid: DataFrame, factor: float = 1.0,
+                 inverse: bool = False, dtype: str = "byte",
+                 src_nodata: float | None = None,
+                 value_col: str = "value") -> DataFrame:
+    """GDALApplyVerticalShiftGrid (alg/gdalapplyverticalshiftgrid.cpp):
+    out = src + (inverse ? -1 : +1) * factor * grid, sampled on the
+    source grid. Byte output rounds floor(x + 0.5) and clamps 0..255
+    (the GDT_Byte write path); src nodata passes through untouched and
+    absent grid cells shift by 0 (the reference's missing-vert-shift
+    default). One equi-join on the pixel key — replays the
+    autotest/alg/applyverticalshiftgrid.py cs 10038 / inverse-zero /
+    1-pixel nodata cases in tests/test_operators.py."""
+    sign = -1.0 if inverse else 1.0
+    g = grid.select("bx", "by", F.col(value_col).alias("_shift"))
+    j = src.join(g, ["bx", "by"], "left")
+    shifted = F.col(value_col) + sign * factor * F.coalesce(
+        F.col("_shift"), F.lit(0.0))
+    if src_nodata is not None:
+        shifted = F.when(F.col(value_col) == float(src_nodata),
+                         F.col(value_col)).otherwise(shifted)
+    if dtype == "byte":
+        shifted = F.least(F.greatest(F.floor(shifted + 0.5), F.lit(0)),
+                          F.lit(255)).cast("double")
+    return j.select("bx", "by", shifted.alias(value_col))

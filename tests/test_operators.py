@@ -1861,3 +1861,50 @@ class TestCutline:
         out = cutline_mask(spark, self._utmsmall(spark), mp, 100, 100)
         cs = checksum(out, 0, 0, 100, 100).collect()[0].checksum
         assert cs == 20827  # test_cutline_3
+
+
+class TestVerticalShiftGrid:
+    """GDALApplyVerticalShiftGrid replays
+    (autotest/alg/applyverticalshiftgrid.py)."""
+
+    def _byte_20x40(self, spark):
+        # byte.tif upsampled 20x20 -> 20x40 nearest (each row twice) —
+        # the autotest's gdal.Translate(width=20, height=40)
+        import numpy as np
+
+        from lib_gdal_spark.sources.tiff import decode_tiff
+        arr, _ = decode_tiff(open(
+            "/root/reference/autotest/gcore/data/byte.tif", "rb").read())
+        up = np.repeat(arr, 2, axis=0)
+        h, w = up.shape
+        rows = [(c, h - 1 - r, float(up[r, c]))
+                for r in range(h) for c in range(w)]
+        return spark.createDataFrame(rows, "bx long, by long, value double")
+
+    def test_shift_by_self_10038(self, spark):
+        from lib_gdal_spark.operators.raster import apply_vshift, checksum
+        src = self._byte_20x40(spark)
+        out = apply_vshift(src, src)  # grid == src, Byte saturation
+        cs = checksum(out, 0, 0, 20, 40).collect()[0].checksum
+        assert cs == 10038  # test_applyverticalshiftgrid_1
+
+    def test_inverse_self_is_zero(self, spark):
+        from lib_gdal_spark.operators.raster import apply_vshift, checksum
+        src = self._byte_20x40(spark)
+        out = apply_vshift(src, src, inverse=True, dtype="float32")
+        cs = checksum(out, 0, 0, 20, 40).collect()[0].checksum
+        assert cs == 0
+
+    def test_nodata_cases(self, spark):
+        from lib_gdal_spark.operators.raster import apply_vshift, checksum
+        one = spark.createDataFrame([(0, 0, 1.0)],
+                                    "bx long, by long, value double")
+        grid30 = spark.createDataFrame([(0, 0, 30.0)],
+                                       "bx long, by long, value double")
+        # nodata on source: the nodata pixel passes through -> cs 1
+        out = apply_vshift(one, grid30, src_nodata=1.0)
+        assert checksum(out, 0, 0, 1, 1).collect()[0].checksum == 1
+        # nodata on grid (modeled as absent cell): shift 0 -> cs 1
+        empty = grid30.filter("value < 0")
+        out2 = apply_vshift(one, empty)
+        assert checksum(out2, 0, 0, 1, 1).collect()[0].checksum == 1
