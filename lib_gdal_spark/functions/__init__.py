@@ -352,6 +352,50 @@ def register_all(spark: SparkSession) -> None:
             return pd.Series(out, dtype="float64")
         return f
 
+    @F.pandas_udf(T.BinaryType())
+    def st_geometryn(wkb: pd.Series, idx: pd.Series) -> pd.Series:
+        # OGRGeometryCollection::getGeometryRef (1-based like the SQL
+        # dialect's ST_GeometryN) — with explode(sequence(1,
+        # st_ngeometries(g))) this IS `gdal vector explode-collections`
+        out = []
+        for buf, i in zip(wkb, idx):
+            if buf is None or i is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            i = int(i)
+            if kind == "multipolygon":
+                out.append(_wkb.encode_polygon(data[i - 1])
+                           if 1 <= i <= len(data) else None)
+            else:
+                out.append(bytes(buf) if i == 1 else None)
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BinaryType())
+    def st_swapxy(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::swapXY / `gdal vector swap-xy`
+        # (gdalalg_vector_swap_xy.cpp)
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "point":
+                out.append(_wkb.encode_point(float(data[1]),
+                                             float(data[0])))
+            elif kind == "linestring":
+                out.append(_wkb.encode_linestring(
+                    np.asarray(data, np.float64)[:, ::-1]))
+            elif kind == "polygon":
+                out.append(_wkb.encode_polygon(
+                    [np.asarray(r, np.float64)[:, ::-1] for r in data]))
+            else:  # multipolygon
+                out.append(_wkb.encode_multipolygon(
+                    [[np.asarray(r, np.float64)[:, ::-1] for r in rings]
+                     for rings in data]))
+        return pd.Series(out)
+
     @F.pandas_udf(T.StringType())
     def st_geometrytype(wkb: pd.Series) -> pd.Series:
         # OGR_GEOMETRY special field / GeometryType() — WKT-style names
@@ -596,6 +640,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_npoints", _accessor("npoints"))
     spark.udf.register("st_ngeometries", _accessor("ngeometries"))
     spark.udf.register("st_geometrytype", st_geometrytype)
+    spark.udf.register("st_geometryn", st_geometryn)
+    spark.udf.register("st_swapxy", st_swapxy)
     spark.udf.register("st_astext", st_astext)
     spark.udf.register("st_geomfromtext", st_geomfromtext)
     spark.udf.register("st_distance", st_distance)

@@ -463,3 +463,38 @@ class TestTransformGeoloc:
                  4928503.38229753]
         assert np.abs(e - exp_e).max() < 1e-7
         assert np.abs(n - exp_n).max() < 1e-7
+
+
+class TestGeometryNSwapXY:
+    def test_explode_collections_pattern(self, spark):
+        from lib_gdal_spark.functions import register_all
+        register_all(spark)
+        wkt = ("MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),"
+               "((10 10,12 10,12 12,10 12,10 10)))")
+        rows = spark.sql(f"""
+            WITH g AS (SELECT st_geomfromtext('{wkt}') AS geom)
+            SELECT st_astext(st_geometryn(geom, i)) AS part
+            FROM g LATERAL VIEW explode(sequence(1, int(st_ngeometries(geom)))) AS i
+            ORDER BY part""").collect()
+        assert [r.part for r in rows] == [
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"]
+
+    def test_swapxy(self, spark):
+        from lib_gdal_spark.functions import register_all
+        register_all(spark)
+        rows = spark.sql(
+            "SELECT st_astext(st_swapxy(st_geomfromtext('POINT (3 7)'))) AS p, "
+            "st_astext(st_swapxy(st_geomfromtext("
+            "'LINESTRING (1 2,3 4)'))) AS l").collect()
+        assert rows[0].p == "POINT (7 3)"
+        assert rows[0].l == "LINESTRING (2 1, 4 3)"
+
+    def test_swapxy_involution(self, spark):
+        from lib_gdal_spark.functions import register_all
+        register_all(spark)
+        wkt = "POLYGON ((0 0, 4 1, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 1))"
+        rows = spark.sql(
+            f"SELECT st_astext(st_swapxy(st_swapxy(st_geomfromtext('{wkt}')))) AS g"
+        ).collect()
+        assert rows[0].g == wkt
