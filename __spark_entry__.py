@@ -2210,13 +2210,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (3) the round-1-verified set, now one round stale. Its 10 cheapest
         pure-Catalyst ogr_* entries plus dem_hillshade/graph_sssp/
         graph_components/fillnodata_idw/proximity_dist/grid_idw/
-        grid_metrics/grid_nearest (displaced by the thirteen queries
+        grid_metrics/grid_nearest (displaced by the seventeen queries
         added mid-round: bm25_topk, ngram_topk, doc_chunks,
-        blend_srcover, rgb2pct, hist_equalize, gcp_polywarp,
+        blend_srcover, neighbors_median, lm_xent, bpe_pairs,
+        exact_substr, rgb2pct, hist_equalize, gcp_polywarp,
         lineref_locate, dataset_split, source_quota, sequence_pack,
-        retile_assign, raster_compare — dem_slope/dem_tpi/
-        dem_roughness/dem_aspect/interp_nearest join the displaced
-        set) sit just past the 50 cap: they are
+        retile_assign, raster_compare — sjoin_erase/contour_multi/
+        interp_cubic/interp_bilinear/interp_nearest/dem_slope/dem_tpi/
+        dem_roughness/dem_aspect join the displaced set) sit just past
+        the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
         sweep) and rotate FIRST in round 4;
     (4) the round-2-verified set, expensive/headline first.
