@@ -134,6 +134,78 @@ def k_shortest_paths(edges: DataFrame, source, target, k: int,
     )
 
 
+def pagerank(edges: DataFrame, iterations: int = 6, *,
+             scale: int = 10 ** 12, damping_pct: int = 85) -> DataFrame:
+    """Integer PageRank: (vertex, rank) after a FIXED number of power
+    iterations over a directed edge table (src, dst).
+
+    The GNM family (gnm/gnmgraph.h:162-211) stops at shortest paths and
+    components; link-based ranking is the webtext extension of the same
+    edge-table model (host/document graphs from a crawl). The classic
+    float formulation is fold-order sensitive (summing in-neighbor
+    contributions is a data-ordered float sum), so this implementation
+    uses SCALED INTEGER arithmetic — the form large systems used for
+    exactly this reproducibility reason:
+
+        r_0(v)     = scale
+        r_{k+1}(v) = (scale*(100-d)) div 100
+                     + SUM over in-edges (u,v) of
+                       (r_k(u) * d) div (100 * outdeg(u))
+
+    with d = damping_pct. Every operation is BIGINT (+, *, truncating
+    div); integer sums are order-independent, so the result is
+    bit-identical on any engine / partitioning — exactly oracle-able as
+    unrolled GROUP-BY SQL (duckdb `//` == Spark `div` for positives).
+    Quantization: each division truncates, so total mass leaks a few
+    units per round — bounded by |E| ulps of the scale, irrelevant at
+    scale=1e12, and identically reproduced by the oracle.
+
+    Dangling vertices (no out-edges) keep receiving the base term but
+    distribute nothing — the "sink mass drops out" convention; callers
+    wanting the redistribute convention add self-loops.
+
+    Scale notes (100 TB / 10^11-edge graphs): per iteration ONE
+    rank⋈edges equi-join on src (edges pre-joined once with outdeg and
+    persisted; at cluster scale bucket both sides by src to make every
+    round shuffle-free) + ONE map-side-combinable integer groupBy(dst);
+    iteration count is fixed (6 default), and each round
+    localCheckpoints — the iterative-lineage discipline of sssp.
+    Overflow headroom: ranks are bounded by total mass ≈ |V|*scale, so
+    rank*damping_pct stays < 2^63 for |V|*scale < 1e17 (choose a smaller
+    scale for larger graphs).
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    esrc = e.join(deg, "src").persist()
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.select("vertex", F.lit(scale).cast("long").alias("rank"))
+    contrib_expr = F.expr(
+        f"(rank * {damping_pct}L) div (100L * outdeg)")
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(esrc, ranks.vertex == esrc.src)
+            .select(F.col("dst").alias("vertex"), contrib_expr.alias("c"))
+        )
+        agg = contrib.groupBy("vertex").agg(F.sum("c").alias("c"))
+        ranks = (
+            nodes.join(agg, "vertex", "left")
+            .select("vertex",
+                    (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+                    .cast("long").alias("rank"))
+            .localCheckpoint()  # truncate lineage per round (sssp rule)
+        )
+    nodes.unpersist()
+    esrc.unpersist()
+    return ranks
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
     """(vertex, component) with component = min vertex id in the component
     (deterministic under any partitioning)."""

@@ -119,6 +119,53 @@ def bm25_topk(df: DataFrame, terms: list[str], k: int = 10, *,
                       F.row_number().over(w).alias("rank"))
 
 
+def inverted_postings(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The scalable inverted-index form: one (term, doc_id) row per
+    distinct term occurrence. This is what a 100 TB index build actually
+    materializes (bucketed/sorted by term at the sink so term lookups
+    are partition-pruned); `inverted_index` below folds it into
+    one-row-per-term posting strings for small result sets / oracles.
+
+    `array_distinct` runs BEFORE the explode so the shuffle carries one
+    row per (doc, term), not one per token occurrence."""
+    tok = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    tokens_col(text_col).alias("t"))
+    return tok.select(
+        "doc_id", F.explode(F.array_distinct("t")).alias("term"))
+
+
+def inverted_index(df: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 2,
+                   k: int = 100) -> DataFrame:
+    """Top-k index terms with document frequency and full posting list:
+    (term, df, postings, rank), df desc then term asc — a total order.
+
+    postings is the comma-joined ASCENDING doc_id list — deterministic
+    under any partitioning (collect_list order is not, sort_array fixes
+    it) and bit-exact cross-engine (integer ids, no floats anywhere).
+
+    Scale: ONE groupBy(term) shuffle over the distinct (doc, term)
+    pairs; the global top-k is orderBy().limit(k) =
+    TakeOrderedAndProject. The posting STRING per term is bounded by
+    that term's df — fine for the capped top-k result this returns, but
+    a full-corpus index should persist `inverted_postings` instead
+    (pairs, bucketed by term), never one giant row per stopword."""
+    from pyspark.sql import Window
+
+    pairs = inverted_postings(df, id_col=id_col, text_col=text_col)
+    agg = pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string")), ",").alias("postings"))
+    top = (agg.filter(F.col("df") >= min_df)
+              .orderBy(F.desc("df"), F.asc("term")).limit(k))
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return top.select("term", "df", "postings",
+                      F.row_number().over(w).alias("rank"))
+
+
 def ngram_topk(df: DataFrame, n: int = 3, k: int = 25, *,
                text_col: str = "text") -> DataFrame:
     """Corpus-wide top-k word n-grams: (gram, cnt, rank), count desc then

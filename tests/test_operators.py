@@ -755,6 +755,57 @@ class TestGraph:
         got = {r.vertex: r.dist for r in graph.sssp(e, 0).collect()}
         assert got[20] == 20.0 and len(got) == 21
 
+    @staticmethod
+    def _pagerank_oracle(edges, iterations, scale=10 ** 12, d=85):
+        """Independent dict-based integer PageRank (same recurrence)."""
+        edges = sorted(set(edges))
+        nodes = sorted({u for e in edges for u in e})
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        base = (scale * (100 - d)) // 100
+        r = {v: scale for v in nodes}
+        for _ in range(iterations):
+            nxt = {v: base for v in nodes}
+            for s, t in edges:
+                nxt[t] += (r[s] * d) // (100 * outdeg[s])
+            r = nxt
+        return r
+
+    PR_EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4), (4, 1)]
+
+    def test_pagerank_matches_reference_loop(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame(self.PR_EDGES, "src long, dst long")
+        got = {r.vertex: r.rank
+               for r in graph.pagerank(e, iterations=5).collect()}
+        assert got == self._pagerank_oracle(self.PR_EDGES, 5)
+
+    def test_pagerank_hand_golden_two_cycle(self, spark):
+        # 1 <-> 2, scale 100, d=85: r0 = (100, 100);
+        # r1(v) = 15 + (100*85)//100 = 15 + 85 = 100 — exact fixed point
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        got = {r.vertex: r.rank
+               for r in graph.pagerank(e, iterations=3, scale=100).collect()}
+        assert got == {1: 100, 2: 100}
+
+    def test_pagerank_dangling_and_partitioning(self, spark):
+        # 1->2, 2 dangling: 2's mass drops out each round; partition-count
+        # independent because all math is integer
+        from lib_gdal_spark.operators import graph
+
+        edges = [(1, 2), (3, 2), (3, 1)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        a = {r.vertex: r.rank
+             for r in graph.pagerank(e, iterations=4).collect()}
+        b = {r.vertex: r.rank
+             for r in graph.pagerank(e.repartition(7),
+                                     iterations=4).collect()}
+        assert a == b == self._pagerank_oracle(edges, 4)
+
 
 class TestZonalWeighted:
     def test_weighted_stats(self, spark):

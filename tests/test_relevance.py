@@ -160,3 +160,30 @@ class TestExactSubstrSpans:
         from lib_gdal_spark.operators import dedup
         d = _docs(spark, [(1, "one two three four five six")])
         assert dedup.exact_substr_spans(d, k=3).count() == 0
+
+
+class TestInvertedIndex:
+    ROWS = [(3, "cat dog cat"), (1, "dog emu"), (2, "cat emu emu")]
+
+    def test_hand_golden(self, spark):
+        # df: cat=2 (docs 2,3), dog=2 (1,3), emu=2 (1,2) — rank breaks
+        # the df tie lexicographically; postings ascend by doc_id
+        out = relevance.inverted_index(_docs(spark, self.ROWS),
+                                       min_df=2, k=10).collect()
+        assert [(r.term, r.df, r.postings, r.rank) for r in out] == [
+            ("cat", 2, "2,3", 1),
+            ("dog", 2, "1,3", 2),
+            ("emu", 2, "1,2", 3),
+        ]
+
+    def test_min_df_filters_singletons(self, spark):
+        out = relevance.inverted_index(_docs(spark, [(1, "a b"), (2, "b")]),
+                                       min_df=2, k=10).collect()
+        assert [(r.term, r.postings) for r in out] == [("b", "1,2")]
+
+    def test_postings_partition_invariant(self, spark):
+        d = _docs(spark, self.ROWS)
+        a = relevance.inverted_index(d, min_df=1, k=10).collect()
+        b = relevance.inverted_index(d.repartition(5), min_df=1,
+                                     k=10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
