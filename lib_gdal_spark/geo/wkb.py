@@ -19,7 +19,10 @@ import numpy as np
 WKB_POINT = 1
 WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
+WKB_COLLECTION = 7
 _LE = 1
 
 
@@ -53,6 +56,26 @@ def encode_multipolygon(polys: list) -> bytes:
     return out
 
 
+def encode_multipoint(pts) -> bytes:
+    r = np.asarray(pts, dtype=np.float64)
+    out = struct.pack("<BII", _LE, WKB_MULTIPOINT, len(r))
+    for x, y in r:
+        out += encode_point(float(x), float(y))
+    return out
+
+
+def encode_multilinestring(lines) -> bytes:
+    out = struct.pack("<BII", _LE, WKB_MULTILINESTRING, len(lines))
+    for pts in lines:
+        out += encode_linestring(pts)
+    return out
+
+
+def encode_collection(parts: list[bytes]) -> bytes:
+    """parts: already-encoded WKB sub-geometries (nested per spec)."""
+    return struct.pack("<BII", _LE, WKB_COLLECTION, len(parts)) + b"".join(parts)
+
+
 def _decode_ring(buf: bytes, off: int):
     (n,) = struct.unpack_from("<I", buf, off)
     off += 4
@@ -60,19 +83,18 @@ def _decode_ring(buf: bytes, off: int):
     return pts.copy(), off + 16 * n
 
 
-def decode(buf: bytes):
-    """Decode WKB -> ("point", (x, y)) | ("polygon", [rings]) |
-    ("multipolygon", [[rings], ...]) | ("linestring", pts)."""
-    byte_order, gtype = struct.unpack_from("<BI", buf, 0)
+def _decode_at(buf: bytes, off: int):
+    """Decode one geometry at `off` -> (kind, data, next_off)."""
+    byte_order, gtype = struct.unpack_from("<BI", buf, off)
     if byte_order != _LE:
         raise NotImplementedError("big-endian WKB not supported")
-    off = 5
+    off += 5
     if gtype == WKB_POINT:
         x, y = struct.unpack_from("<dd", buf, off)
-        return "point", (x, y)
+        return "point", (x, y), off + 16
     if gtype == WKB_LINESTRING:
-        pts, _ = _decode_ring(buf, off)
-        return "linestring", pts
+        pts, off = _decode_ring(buf, off)
+        return "linestring", pts, off
     if gtype == WKB_POLYGON:
         (nrings,) = struct.unpack_from("<I", buf, off)
         off += 4
@@ -80,21 +102,31 @@ def decode(buf: bytes):
         for _ in range(nrings):
             ring, off = _decode_ring(buf, off)
             rings.append(ring)
-        return "polygon", rings
-    if gtype == WKB_MULTIPOLYGON:
-        (npolys,) = struct.unpack_from("<I", buf, off)
+        return "polygon", rings, off
+    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                 WKB_COLLECTION):
+        (n,) = struct.unpack_from("<I", buf, off)
         off += 4
-        polys = []
-        for _ in range(npolys):
-            sub_order, sub_type = struct.unpack_from("<BI", buf, off)
-            assert sub_order == _LE and sub_type == WKB_POLYGON
-            off += 5
-            (nrings,) = struct.unpack_from("<I", buf, off)
-            off += 4
-            rings = []
-            for _ in range(nrings):
-                ring, off = _decode_ring(buf, off)
-                rings.append(ring)
-            polys.append(rings)
-        return "multipolygon", polys
+        subs = []
+        for _ in range(n):
+            kind, data, off = _decode_at(buf, off)
+            subs.append((kind, data))
+        if gtype == WKB_MULTIPOINT:
+            return "multipoint", np.array([d for _, d in subs],
+                                          dtype=np.float64), off
+        if gtype == WKB_MULTILINESTRING:
+            return "multilinestring", [d for _, d in subs], off
+        if gtype == WKB_MULTIPOLYGON:
+            assert all(k == "polygon" for k, _ in subs)
+            return "multipolygon", [d for _, d in subs], off
+        return "collection", subs, off
     raise NotImplementedError(f"wkb geometry type {gtype}")
+
+
+def decode(buf: bytes):
+    """Decode WKB -> ("point", (x, y)) | ("polygon", [rings]) |
+    ("multipolygon", [[rings], ...]) | ("linestring", pts) |
+    ("multipoint", pts) | ("multilinestring", [pts, ...]) |
+    ("collection", [(kind, data), ...])."""
+    kind, data, _ = _decode_at(buf, 0)
+    return kind, data

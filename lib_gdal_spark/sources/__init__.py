@@ -22,13 +22,20 @@ fixtures and the streaming-text shape Spark natively distributes:
 - PNG (frmts/png/) — stdlib zlib inflate + NumPy unfiltering; depths
   1/2/4/8/16, color types 0/2/3/4/6, Adam7 interlace. Replays the
   reference's own png.py checksums (57921 / 4672 / stefan quartet).
+- GeoJSON / GeoJSONSeq (ogr/ogrsf_frmts/geojson/) — the vector-side
+  exception: GeoJSONSeq (one Feature per line, RFC 8142 RS tolerated)
+  line-splits across executors, so the read is fully distributed;
+  whole-file FeatureCollections parallelize per file. Output is the
+  engine's WKB + envelope feature schema; sink writes GeoJSONSeq.
 """
 
 from .aaigrid import read_aaigrid, write_aaigrid
+from .geojson import read_geojson, read_geojson_seq, write_geojson_seq
 from .png import decode_png, encode_png, read_png
 from .tiff import decode_tiff, encode_tiff, read_bmp, read_tiff, write_tiff
 from .xyz import read_xyz, write_xyz
 
 __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_tiff", "write_tiff", "read_bmp", "decode_tiff",
-           "encode_tiff", "decode_png", "encode_png", "read_png"]
+           "encode_tiff", "decode_png", "encode_png", "read_png",
+           "read_geojson", "read_geojson_seq", "write_geojson_seq"]

@@ -437,3 +437,90 @@ class TestPng:
         # 4-bit, 3 px: 0xA 0x5 0xF
         arr4, _ = decode_png(make(4, 3, 1, [bytes([0xA5, 0xF0])]))
         np.testing.assert_array_equal(arr4[0], [10, 5, 15])
+
+
+class TestGeoJSON:
+    FEATS = [
+        '{"type":"Feature","id":7,"geometry":{"type":"Point",'
+        '"coordinates":[1.5,2.5]},"properties":{"name":"a","pop":3}}',
+        '\x1e{"type":"Feature","geometry":{"type":"LineString",'
+        '"coordinates":[[0,0],[2,1],[4,0]]},"properties":{"name":"b"}}',
+        '{"type":"Feature","geometry":{"type":"Polygon","coordinates":'
+        '[[[0,0],[4,0],[4,4],[0,4],[0,0]],[[1,1],[2,1],[2,2],[1,2],[1,1]]]},'
+        '"properties":null}',
+    ]
+
+    def _seq_file(self, tmp_path):
+        p = tmp_path / "feats.geojsonl"
+        p.write_text("\n".join(self.FEATS) + "\n")
+        return str(p)
+
+    def test_seq_read(self, spark, tmp_path):
+        from lib_gdal_spark.geo import wkb as wkbmod
+        from lib_gdal_spark.sources import read_geojson_seq
+
+        df = read_geojson_seq(spark, self._seq_file(tmp_path))
+        rows = {r.kind: r for r in df.collect()}
+        assert set(rows) == {"point", "linestring", "polygon"}
+        pt = rows["point"]
+        assert (pt.fid, pt.xmin, pt.ymax) == (7, 1.5, 2.5)
+        assert wkbmod.decode(bytes(pt.wkb)) == ("point", (1.5, 2.5))
+        ls = rows["linestring"]  # RS-prefixed line parsed fine
+        assert (ls.fid, ls.xmin, ls.xmax, ls.ymin, ls.ymax) == (None, 0, 4, 0, 1)
+        pg = rows["polygon"]
+        kind, ringdata = wkbmod.decode(bytes(pg.wkb))
+        assert kind == "polygon" and len(ringdata) == 2
+        assert pg.properties == "{}"
+        # properties reachable via get_json_object (HSTORE pattern)
+        got = (df.filter(F.col("kind") == "point")
+                 .select(F.get_json_object("properties", "$.name")).first()[0])
+        assert got == "a"
+
+    def test_whole_file_read_orders_fids(self, spark, tmp_path):
+        from lib_gdal_spark.sources import read_geojson
+
+        fc = ('{"type":"FeatureCollection","features":[' +
+              ",".join(f.lstrip("\x1e") for f in self.FEATS) + "]}")
+        p = tmp_path / "fc.geojson"
+        p.write_text(fc)
+        df = read_geojson(spark, str(p))
+        got = sorted((r.fid, r.kind) for r in df.collect())
+        # feature "id" wins where integer, else document order
+        assert got == [(1, "linestring"), (2, "polygon"), (7, "point")]
+
+    def test_seq_roundtrip(self, spark, tmp_path):
+        from lib_gdal_spark.sources import read_geojson_seq, write_geojson_seq
+
+        df = read_geojson_seq(spark, self._seq_file(tmp_path))
+        out = str(tmp_path / "rt")
+        write_geojson_seq(df, out)
+        back = read_geojson_seq(spark, out)
+        a = sorted((r.kind, bytes(r.wkb), r.properties, r.xmin, r.ymax)
+                   for r in df.collect())
+        b = sorted((r.kind, bytes(r.wkb), r.properties, r.xmin, r.ymax)
+                   for r in back.collect())
+        assert a == b
+
+    def test_multi_and_collection_geometries(self):
+        from lib_gdal_spark.geo import wkb as wkbmod
+        from lib_gdal_spark.sources.geojson import geometry_to_wkb
+
+        mp = {"type": "MultiPoint", "coordinates": [[0, 1], [2, 3]]}
+        kind, buf, flat = geometry_to_wkb(mp)
+        k, pts = wkbmod.decode(buf)
+        assert (kind, k) == ("multipoint", "multipoint")
+        np.testing.assert_array_equal(pts, [[0, 1], [2, 3]])
+
+        ml = {"type": "MultiLineString",
+              "coordinates": [[[0, 0], [1, 1]], [[2, 2], [3, 3], [4, 4]]]}
+        kind, buf, flat = geometry_to_wkb(ml)
+        k, lines = wkbmod.decode(buf)
+        assert k == "multilinestring" and [len(l) for l in lines] == [2, 3]
+        assert flat.shape == (5, 2)
+
+        gc = {"type": "GeometryCollection", "geometries": [
+            {"type": "Point", "coordinates": [9, 9]}, mp]}
+        kind, buf, flat = geometry_to_wkb(gc)
+        k, subs = wkbmod.decode(buf)
+        assert k == "collection" and subs[0] == ("point", (9.0, 9.0))
+        assert subs[1][0] == "multipoint" and flat.shape == (3, 2)
