@@ -450,6 +450,30 @@ def _q_translate_scale(spark, sf_dir):
                                dst_min=0.0, dst_max=65535.0)
 
 
+def _q_raster_resize(spark, sf_dir):
+    # gdal raster resize (RasterIO decimation rule, pinned by the
+    # checksum-1192 byte.tif replay in tests): 25x20 -> 37x13 exercises
+    # a non-integer upsample in x AND downsample in y in one pass
+    return raster.resize(_base_grid8(spark, sf_dir), 25, 20, 37, 13)
+
+
+def _o_raster_resize() -> str:
+    rx, ry = 25 / 37, 20 / 13  # SAME python doubles the engine computes
+    return f"""
+WITH {_dd_base8_cte()},
+dst AS (SELECT x.range AS ox, y.range AS orow
+        FROM range(0, 37) x, range(0, 13) y),
+m AS (SELECT ox, orow,
+  LEAST(GREATEST(CAST(floor((ox + 0.5) * {rx!r} + 1e-10) AS BIGINT), 0),
+        24) AS sx,
+  LEAST(GREATEST(CAST(floor((orow + 0.5) * {ry!r} + 1e-10) AS BIGINT), 0),
+        19) AS srow
+  FROM dst)
+SELECT m.ox AS bx, CAST(12 - m.orow AS BIGINT) AS "by", b.value
+FROM m JOIN base b ON b.bx = m.sx AND b."by" = 19 - m.srow
+"""
+
+
 def _q_contour_polygon_bands(spark, sf_dir):
     # gdal_contour -p / POLYGONIZE=TRUE (autotest/alg/contour.py
     # test_contour_polygonize shape): 4 bands at data-derived quarter
@@ -2257,11 +2281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         blend_srcover, neighbors_median, lm_xent, bpe_pairs,
         exact_substr, rgb2pct, hist_equalize, gcp_polywarp,
         lineref_locate, dataset_split, source_quota, sequence_pack,
-        retile_assign, raster_compare, pagerank_docs, inverted_index —
+        retile_assign, raster_compare, pagerank_docs, inverted_index,
+        raster_resize —
         sjoin_erase/contour_multi/
         interp_cubic/interp_bilinear/interp_nearest/dem_slope/dem_tpi/
-        dem_roughness/dem_aspect/sjoin_update/sjoin_clip join the
-        displaced set) sit just past
+        dem_roughness/dem_aspect/sjoin_update/sjoin_clip/sjoin_left
+        join the displaced set) sit just past
         the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
         sweep) and rotate FIRST in round 4;
@@ -2271,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (1) new this round ----
         "pagerank_docs": _q_pagerank_docs,
         "inverted_index": _q_inverted_index,
+        "raster_resize": _q_raster_resize,
         "bm25_topk": _q_bm25_topk,
         "ngram_topk": _q_ngram_topk,
         "doc_chunks": _q_doc_chunks,
@@ -2321,8 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (3) round-1-verified, one round stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
-        "sjoin_left": _q_sjoin_left,
         # -------- 50-cap boundary: positions 51+ below --------
+        "sjoin_left": _q_sjoin_left,
         "sjoin_update": _q_sjoin_update,
         "sjoin_clip": _q_sjoin_clip,
         "sjoin_erase": _q_sjoin_erase,
@@ -5052,6 +5078,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_docs": _o_pagerank_docs(),
         "inverted_index": _o_inverted_index(),
+        "raster_resize": _o_raster_resize(),
         "bm25_topk": _o_bm25_topk(),
         "blend_srcover": _o_blend_srcover(),
         "neighbors_median": _o_neighbors_median(),

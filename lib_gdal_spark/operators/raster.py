@@ -411,6 +411,55 @@ def scale_linear(cells: DataFrame, src_min: float, src_max: float,
     return cells.select("bx", "by", out.alias(value_col))
 
 
+def resize(cells: DataFrame, src_w: int, src_h: int, out_w: int,
+           out_h: int, method: str = "near",
+           value_col: str = "value") -> DataFrame:
+    """gdal raster resize / gdal_translate -outsize, nearest kernel —
+    (bx, by, value) resampled to an out_w x out_h grid.
+
+    Pixel mapping is the reference's RasterIO decimation rule
+    (gcore/rasterio.cpp:784,799: dfSrc = (iDst + 0.5) * ratio + 1e-10,
+    then clamp and truncate), NOT the overview rule (overview.cpp:125
+    rounds 0.5 + iDst*ratio — a different sample for even factors; the
+    two paths genuinely differ in the reference, pinned by the
+    checksum-1192 replay in tests). Ratios are precomputed Python
+    doubles so oracle SQL shares the exact 64-bit constants (CLAUDE.md
+    op-order rule). `by` increases upward here while the reference
+    samples in top-down rows, so rows convert at both ends.
+
+    Scale: the dst lattice is spark.range(out_w*out_h) — embarrassingly
+    parallel — and the only data movement is ONE equi-join against the
+    source cells on the sampled (col, row); with AQE the small side
+    broadcasts. Other kernels route elsewhere by design: integer-factor
+    convolutions -> overview_* (anti-aliased widths), arbitrary affine
+    -> warp.warp_affine.
+    """
+    if method != "near":
+        raise NotImplementedError(
+            "resize implements the nearest path; use overview_*/warp_* "
+            "for convolution kernels")
+    spark = cells.sparkSession
+    rx = src_w / out_w  # python doubles — repr-share with any oracle
+    ry = src_h / out_h
+    dst = spark.range(out_w * out_h).select(
+        (F.col("id") % out_w).alias("_ox"),
+        F.expr(f"id div {out_w}").alias("_orow"))
+    sx = F.least(F.greatest(
+        F.floor((F.col("_ox") + 0.5) * rx + 1e-10), F.lit(0)),
+        F.lit(src_w - 1))
+    srow = F.least(F.greatest(
+        F.floor((F.col("_orow") + 0.5) * ry + 1e-10), F.lit(0)),
+        F.lit(src_h - 1))
+    dst = dst.select("_ox", "_orow", sx.alias("_sx"), srow.alias("_srow"))
+    src = cells.select(F.col("bx").alias("_sx"),
+                       (F.lit(src_h - 1) - F.col("by")).alias("_srow"),
+                       F.col(value_col))
+    return dst.join(src, ["_sx", "_srow"]).select(
+        F.col("_ox").alias("bx"),
+        (F.lit(out_h - 1) - F.col("_orow")).alias("by"),
+        value_col)
+
+
 def reclassify(cells: DataFrame, breaks: list, classes: list,
                value_col: str = "value") -> DataFrame:
     """gdal raster reclassify (gdalalg_raster_pipeline.cpp:204): map value

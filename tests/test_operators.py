@@ -1959,3 +1959,41 @@ class TestVerticalShiftGrid:
         empty = grid30.filter("value < 0")
         out2 = apply_vshift(one, empty)
         assert checksum(out2, 0, 0, 1, 1).collect()[0].checksum == 1
+
+
+class TestResize:
+    def test_reference_resize_checksum_1192(self, spark):
+        # autotest/utilities/test_gdalalg_raster_resize.py: byte.tif
+        # (20x20) --size=10,10 nearest -> Checksum() == 1192; pins the
+        # RasterIO decimation rule (2i+1 child), NOT the overview rule
+        from lib_gdal_spark.operators import raster
+        from lib_gdal_spark.sources import read_tiff
+
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/byte.tif")
+        out = raster.resize(cells, 20, 20, 10, 10)
+        assert out.count() == 100
+        cs = raster.checksum(out, 0, 0, 10, 10).collect()[0].checksum
+        assert cs == 1192
+
+    def test_identity_resize_is_identity(self, spark):
+        from lib_gdal_spark.operators import raster
+
+        cells = spark.createDataFrame(
+            [(x, y, float(10 * y + x)) for x in range(4) for y in range(3)],
+            "bx long, by long, value double")
+        out = raster.resize(cells, 4, 3, 4, 3)
+        assert sorted(map(tuple, out.collect())) == \
+            sorted(map(tuple, cells.collect()))
+
+    def test_upsample_rows_hand_golden(self, spark):
+        # 2x1 -> 4x2: sx = floor((ox+0.5)*0.5 + eps) = [0,0,1,1]; both
+        # output rows copy the single source row
+        from lib_gdal_spark.operators import raster
+
+        cells = spark.createDataFrame([(0, 0, 5.0), (1, 0, 9.0)],
+                                      "bx long, by long, value double")
+        got = sorted((r.bx, r.by, r.value)
+                     for r in raster.resize(cells, 2, 1, 4, 2).collect())
+        assert got == [(0, 0, 5.0), (0, 1, 5.0), (1, 0, 5.0), (1, 1, 5.0),
+                       (2, 0, 9.0), (2, 1, 9.0), (3, 0, 9.0), (3, 1, 9.0)]
