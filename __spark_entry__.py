@@ -1974,6 +1974,42 @@ FROM per_doc ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _q_pmi_topk(spark, sf_dir):
+    # top-25 collocations by PMI (operators/relevance.py:pmi_topk):
+    # counts + fixed-parenthesization double ratios, 6-dp-rounded ln on
+    # both sides, rank on the ROUNDED score then gram (CLAUDE.md)
+    from lib_gdal_spark.operators import relevance
+    return relevance.pmi_topk(_tbl(spark, sf_dir, "documents"),
+                              25, min_count=5)
+
+
+def _o_pmi_topk():
+    return """
+WITH base AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+uni AS (SELECT u AS w, COUNT(*) AS c
+        FROM (SELECT unnest(t) AS u FROM base) GROUP BY u),
+totn AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+ix AS (SELECT t, unnest(generate_series(0, len(t) - 2)) AS i
+       FROM base WHERE len(t) >= 2),
+big AS (SELECT t[i+1] AS w0, t[i+2] AS w1, COUNT(*) AS cnt
+        FROM ix GROUP BY 1, 2),
+totm AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_big FROM big),
+j AS (SELECT b.w0, b.w1, b.cnt, u0.c AS c0, u1.c AS c1, n_big, n_tok
+      FROM big b JOIN uni u0 ON u0.w = b.w0
+                 JOIN uni u1 ON u1.w = b.w1, totm, totn
+      WHERE b.cnt >= 5),
+s AS (SELECT w0 || ' ' || w1 AS gram, cnt,
+             ROUND(ln((CAST(cnt AS DOUBLE) / n_big) /
+                      ((CAST(c0 AS DOUBLE) / n_tok)
+                       * (CAST(c1 AS DOUBLE) / n_tok))), 6) AS pmi
+      FROM j)
+SELECT gram, cnt, pmi,
+       ROW_NUMBER() OVER (ORDER BY pmi DESC, gram) AS rank
+FROM s ORDER BY pmi DESC, gram LIMIT 25
+"""
+
+
 def _q_ngram_topk(spark, sf_dir):
     # corpus-wide top-25 word trigrams (boilerplate detection): staged
     # token array -> transform() n-gram lambda -> explode -> partial-agg
@@ -2282,11 +2318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact_substr, rgb2pct, hist_equalize, gcp_polywarp,
         lineref_locate, dataset_split, source_quota, sequence_pack,
         retile_assign, raster_compare, pagerank_docs, inverted_index,
-        raster_resize —
+        raster_resize, pmi_topk —
         sjoin_erase/contour_multi/
         interp_cubic/interp_bilinear/interp_nearest/dem_slope/dem_tpi/
-        dem_roughness/dem_aspect/sjoin_update/sjoin_clip/sjoin_left
-        join the displaced set) sit just past
+        dem_roughness/dem_aspect/sjoin_update/sjoin_clip/sjoin_left/
+        pip_triangle_join join the displaced set) sit just past
         the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
         sweep) and rotate FIRST in round 4;
@@ -2297,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": _q_pagerank_docs,
         "inverted_index": _q_inverted_index,
         "raster_resize": _q_raster_resize,
+        "pmi_topk": _q_pmi_topk,
         "bm25_topk": _q_bm25_topk,
         "ngram_topk": _q_ngram_topk,
         "doc_chunks": _q_doc_chunks,
@@ -2346,8 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                    # the LAST rows-only entry)
         # ---- (3) round-1-verified, one round stale: refresh ----
         "tile_assign": _q_tile_assign,
-        "pip_triangle_join": _q_pip_triangle,
         # -------- 50-cap boundary: positions 51+ below --------
+        "pip_triangle_join": _q_pip_triangle,
         "sjoin_left": _q_sjoin_left,
         "sjoin_update": _q_sjoin_update,
         "sjoin_clip": _q_sjoin_clip,
@@ -5079,6 +5116,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_docs": _o_pagerank_docs(),
         "inverted_index": _o_inverted_index(),
         "raster_resize": _o_raster_resize(),
+        "pmi_topk": _o_pmi_topk(),
         "bm25_topk": _o_bm25_topk(),
         "blend_srcover": _o_blend_srcover(),
         "neighbors_median": _o_neighbors_median(),

@@ -166,6 +166,57 @@ def inverted_index(df: DataFrame, *, id_col: str = "doc_id",
                       F.row_number().over(w).alias("rank"))
 
 
+def pmi_topk(df: DataFrame, k: int = 25, *, min_count: int = 5,
+             text_col: str = "text") -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information: (gram, cnt, pmi, rank).
+
+    PMI = ln( (c_xy/M) / ((c_x/N) * (c_y/N)) ) with c_xy the bigram
+    count, M total bigrams, c_x/c_y unigram counts, N total tokens —
+    the classic phrase-mining score (Church & Hanks 1990). Everything
+    up to the ln is counts and divisions in a FIXED parenthesization
+    (both engines round each double op identically); the ln is
+    transcendental, so the score rounds to 6 dp on BOTH sides and the
+    ranking orders on the ROUNDED score then gram (CLAUDE.md rule).
+    `min_count` drops hapax pairs (classic PMI degenerates to rare
+    pairs; 5 is the usual floor).
+
+    Scale: bigrams via posexplode + lead() (the HOF-trap-safe n-gram
+    build, see ngram_topk); ONE groupBy(pair) + ONE groupBy(word)
+    shuffle; unigram counts and the 1-row totals broadcast to the
+    bigram side; top-k is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.monotonically_increasing_id().alias("_doc"),
+                    tokens_col(text_col).alias("t")) \
+            .select("_doc", F.posexplode("t").alias("pos", "w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot_n = uni.agg(F.sum("c").alias("n_tok"))
+
+    w = Window.partitionBy("_doc").orderBy("pos")
+    pairs = (tok.select(F.col("w").alias("_w0"),
+                        F.lead("w", 1).over(w).alias("_w1"))
+                .filter(F.col("_w1").isNotNull()))
+    big = pairs.groupBy("_w0", "_w1").agg(F.count("*").alias("cnt"))
+    tot_m = big.agg(F.sum("cnt").alias("n_big"))
+
+    u0 = uni.select(F.col("w").alias("_w0"), F.col("c").alias("c0"))
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("c").alias("c1"))
+    j = (big.filter(F.col("cnt") >= min_count)
+            .join(F.broadcast(u0), "_w0").join(F.broadcast(u1), "_w1")
+            .crossJoin(F.broadcast(tot_m)).crossJoin(F.broadcast(tot_n)))
+    ratio = (F.col("cnt").cast("double") / F.col("n_big")) / (
+        (F.col("c0").cast("double") / F.col("n_tok"))
+        * (F.col("c1").cast("double") / F.col("n_tok")))
+    scored = j.select(
+        F.concat_ws(" ", "_w0", "_w1").alias("gram"), "cnt",
+        F.round(F.log(ratio), 6).alias("pmi"))
+    top = scored.orderBy(F.desc("pmi"), F.asc("gram")).limit(k)
+    rw = Window.orderBy(F.desc("pmi"), F.asc("gram"))
+    return top.select("gram", "cnt", "pmi",
+                      F.row_number().over(rw).alias("rank"))
+
+
 def ngram_topk(df: DataFrame, n: int = 3, k: int = 25, *,
                text_col: str = "text") -> DataFrame:
     """Corpus-wide top-k word n-grams: (gram, cnt, rank), count desc then

@@ -187,3 +187,31 @@ class TestInvertedIndex:
         b = relevance.inverted_index(d.repartition(5), min_df=1,
                                      k=10).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestPMI:
+    ROWS = [(1, "a b a b"), (2, "b c b c")]
+
+    def test_hand_golden(self, spark):
+        import math
+        # uni: a=2 b=4 c=2 (N=8); bigrams: (a b)x2 (b a)x1 (b c)x2
+        # (c b)x1 (M=6)
+        def pmi(cxy, cx, cy):
+            return round(math.log((cxy / 6) / ((cx / 8) * (cy / 8))), 6)
+        out = relevance.pmi_topk(_docs(spark, self.ROWS), 10,
+                                 min_count=1).collect()
+        got = [(r.gram, r.cnt, r.pmi, r.rank) for r in out]
+        want = sorted([
+            ("a b", 2, pmi(2, 2, 4)), ("b a", 1, pmi(1, 4, 2)),
+            ("b c", 2, pmi(2, 4, 2)), ("c b", 1, pmi(1, 2, 4)),
+        ], key=lambda t: (-t[2], t[0]))
+        assert got == [(g, c, p, i + 1) for i, (g, c, p) in enumerate(want)]
+
+    def test_min_count_and_partition_invariance(self, spark):
+        d = _docs(spark, self.ROWS)
+        out = relevance.pmi_topk(d, 10, min_count=2).collect()
+        assert sorted(r.gram for r in out) == ["a b", "b c"]
+        a = [tuple(r) for r in relevance.pmi_topk(d, 10, min_count=1).collect()]
+        b = [tuple(r) for r in
+             relevance.pmi_topk(d.repartition(7), 10, min_count=1).collect()]
+        assert a == b
