@@ -460,6 +460,43 @@ def resize(cells: DataFrame, src_w: int, src_h: int, out_w: int,
         value_col)
 
 
+def translate(cells: DataFrame, src_w: int, src_h: int, *,
+              srcwin: tuple | None = None, outsize: tuple | None = None,
+              scale: tuple | None = None,
+              value_col: str = "value") -> DataFrame:
+    """gdal_translate composition (apps/gdal_translate_lib.cpp): crop
+    (-srcwin xoff yoff w h, top-down pixel coords) -> resample
+    (-outsize W H, nearest — the translate default) -> linear stretch
+    (-scale smin smax dmin dmax), applied in the reference's order.
+    Every stage is one of this module's primitives, so the composition
+    stays a single declarative plan: a Catalyst range filter (pushed to
+    the scan), the resize equi-join, and column math. Pinned by
+    replaying the reference's own translate autotests (srcwin checksum
+    2, width/height=40 checksum 18784)."""
+    w, h = src_w, src_h
+    out = cells
+    if srcwin is not None:
+        xo, yo, ww, hh = srcwin
+        # by increases UP; -srcwin rows count top-down: row r in
+        # [yo, yo+hh) <=> by in (src_h-1-yo-hh, src_h-1-yo]; rebase the
+        # window to (0..ww-1, 0..hh-1)
+        out = out.filter(
+            (F.col("bx") >= xo) & (F.col("bx") < xo + ww)
+            & (F.col("by") > src_h - 1 - yo - hh)
+            & (F.col("by") <= src_h - 1 - yo)
+        ).select((F.col("bx") - xo).alias("bx"),
+                 (F.col("by") - (src_h - yo - hh)).alias("by"),
+                 F.col(value_col))
+        w, h = ww, hh
+    if outsize is not None:
+        ow, oh = outsize
+        out = resize(out, w, h, ow, oh, value_col=value_col)
+        w, h = ow, oh
+    if scale is not None:
+        out = scale_linear(out, *scale, value_col=value_col)
+    return out
+
+
 def reclassify(cells: DataFrame, breaks: list, classes: list,
                value_col: str = "value") -> DataFrame:
     """gdal raster reclassify (gdalalg_raster_pipeline.cpp:204): map value

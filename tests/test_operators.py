@@ -1997,3 +1997,45 @@ class TestResize:
                      for r in raster.resize(cells, 2, 1, 4, 2).collect())
         assert got == [(0, 0, 5.0), (0, 1, 5.0), (1, 0, 5.0), (1, 1, 5.0),
                        (2, 0, 9.0), (2, 1, 9.0), (3, 0, 9.0), (3, 1, 9.0)]
+
+
+class TestTranslate:
+    def test_reference_srcwin_checksum_2(self, spark):
+        # autotest test_gdal_translate_lib_10: byte.tif srcWin=(0,0,1,1)
+        # -> Checksum() == 2
+        from lib_gdal_spark.operators import raster
+        from lib_gdal_spark.sources import read_tiff
+
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/byte.tif")
+        out = raster.translate(cells, 20, 20, srcwin=(0, 0, 1, 1))
+        assert out.count() == 1
+        assert raster.checksum(out, 0, 0, 1, 1).collect()[0].checksum == 2
+
+    def test_reference_upsample_checksum_18784(self, spark):
+        # autotest test_gdal_translate_lib_6/7: byte.tif width=40
+        # height=40 (2x nearest upsample) -> Checksum() == 18784
+        from lib_gdal_spark.operators import raster
+        from lib_gdal_spark.sources import read_tiff
+
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/byte.tif")
+        out = raster.translate(cells, 20, 20, outsize=(40, 40))
+        cs = raster.checksum(out, 0, 0, 40, 40).collect()[0].checksum
+        assert cs == 18784
+
+    def test_srcwin_then_outsize_then_scale(self, spark):
+        # 4x2 grid, crop the top-right 2x1, upsample x2, stretch 0..10
+        # to 0..100 — every stage hand-checkable
+        from lib_gdal_spark.operators import raster
+
+        cells = spark.createDataFrame(
+            [(x, y, float(x + 4 * y)) for x in range(4) for y in range(2)],
+            "bx long, by long, value double")
+        # top row is by=1 (values 4..7); srcwin row 0 = that row
+        out = raster.translate(cells, 4, 2, srcwin=(2, 0, 2, 1),
+                               outsize=(4, 1),
+                               scale=(0.0, 10.0, 0.0, 100.0))
+        got = sorted((r.bx, r.by, r.value) for r in out.collect())
+        assert got == [(0, 0, 60.0), (1, 0, 60.0),
+                       (2, 0, 70.0), (3, 0, 70.0)]
