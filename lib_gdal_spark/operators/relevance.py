@@ -217,6 +217,78 @@ def pmi_topk(df: DataFrame, k: int = 25, *, min_count: int = 5,
                       F.row_number().over(rw).alias("rank"))
 
 
+def cosine_pairs(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", threshold: float = 0.9,
+                 ngram: int = 1, max_df: int | None = None,
+                 k: int = 50) -> DataFrame:
+    """Top-k document pairs by COUNT-VECTOR cosine over shared terms:
+    (id_a, id_b, dot, cos, rank) — the lexical near-duplicate verifier
+    (the sparse, exact twin of similarity.embedding_neardup).
+
+    Exactness by construction: the dot product sum(tf_a*tf_b) and both
+    squared norms are INTEGER sums (order-independent), and
+    cos = dot / (sqrt(ss_a) * sqrt(ss_b)) is one exactly-rounded IEEE
+    divide over two exactly-rounded sqrts — bit-identical cross-engine
+    with zero rounding tricks (the CLAUDE.md-sanctioned +-*/ / sqrt
+    set). Ordering: cos desc, then (id_a, id_b) — total.
+
+    Scale: the pair generation is the classic term-pivot self-join —
+    each term with document frequency d contributes d^2 candidate rows,
+    so COMMON terms dominate the shuffle. Two independent throttles:
+    `ngram > 1` switches the vector space to word n-gram shingles
+    (shared shingles are rare outside near-duplicates, so the join
+    degenerates to candidates — the right default for dedup), and
+    `max_df` drops terms above that document frequency BEFORE the join
+    (the standard DIMSUM-style pruning; a dropped term only lowers
+    cosines of pairs it connects, which a near-dup caller accepts — at
+    corpus scale run minhash LSH first and use this as the exact
+    verify stage). The groupBy(pair) dot is map-side combinable."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                    tokens_col(text_col).alias("t"))
+    if ngram > 1:
+        # HOF-safe shingle build: posexplode + lead windows (never a
+        # transform() lambda over the tokenizer — CLAUDE.md HOF trap)
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        pos = tok.select("doc_id", F.posexplode("t").alias("pos", "w"))
+        g = pos.select("doc_id", F.col("w").alias("_w0"),
+                       *[F.lead("w", j).over(w).alias(f"_w{j}")
+                         for j in range(1, ngram)])
+        terms = g.filter(F.col(f"_w{ngram - 1}").isNotNull()).select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"_w{j}") for j in range(ngram)])
+             .alias("term"))
+    else:
+        terms = tok.select("doc_id", F.explode("t").alias("term"))
+    tf = (terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+               .persist())  # reused by the norms and both join sides
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("ss"))
+    joinable = tf
+    if max_df is not None:
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+        joinable = tf.join(F.broadcast(dfreq.filter(F.col("_df") <= max_df)
+                                       .select("term")), "term")
+    a = joinable.select("term", F.col("doc_id").alias("id_a"),
+                        F.col("tf").alias("tf_a"))
+    b = joinable.select("term", F.col("doc_id").alias("id_b"),
+                        F.col("tf").alias("tf_b"))
+    dots = (a.join(b, "term").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ss_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ss_b"))
+    cos = F.col("dot") / (F.sqrt(F.col("ss_a")) * F.sqrt(F.col("ss_b")))
+    scored = (dots.join(na, "id_a").join(nb, "id_b")
+                  .select("id_a", "id_b", "dot", cos.alias("cos"))
+                  .filter(F.col("cos") >= threshold))
+    top = scored.orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b"))
+    return top.select("id_a", "id_b", "dot", "cos",
+                      F.row_number().over(w).alias("rank"))
+
+
 def ngram_topk(df: DataFrame, n: int = 3, k: int = 25, *,
                text_col: str = "text") -> DataFrame:
     """Corpus-wide top-k word n-grams: (gram, cnt, rank), count desc then

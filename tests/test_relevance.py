@@ -215,3 +215,40 @@ class TestPMI:
         b = [tuple(r) for r in
              relevance.pmi_topk(d.repartition(7), 10, min_count=1).collect()]
         assert a == b
+
+
+class TestCosinePairs:
+    def test_hand_golden_unigram(self, spark):
+        import math
+        # d1="a a b", d2="a b", d3="z": tf1=(a:2,b:1) ss=5; tf2=(a:1,b:1)
+        # ss=2; dot(1,2)=2*1+1*1=3; cos=3/(sqrt(5)*sqrt(2))
+        d = _docs(spark, [(1, "a a b"), (2, "a b"), (3, "z")])
+        out = relevance.cosine_pairs(d, threshold=0.0, ngram=1, k=10).collect()
+        assert [(r.id_a, r.id_b, r.dot, r.rank) for r in out] == [(1, 2, 3, 1)]
+        assert out[0].cos == 3 / (math.sqrt(5.0) * math.sqrt(2.0))
+
+    def test_ngram_shingles_separate_reordered_docs(self, spark):
+        # same bag of words, different order: unigram cosine = 1.0 but
+        # trigram cosine = 0 (no shared shingle -> no candidate pair)
+        d = _docs(spark, [(1, "a b c d"), (2, "d c b a")])
+        uni = relevance.cosine_pairs(d, threshold=0.99, ngram=1, k=10)
+        tri = relevance.cosine_pairs(d, threshold=0.0, ngram=3, k=10)
+        assert uni.count() == 1 and tri.count() == 0
+
+    def test_max_df_prunes_stopword(self, spark):
+        # "the" appears in all 3 docs; with max_df=2 it can't create
+        # pairs, so only the docs sharing "cat" remain candidates
+        d = _docs(spark, [(1, "the cat"), (2, "the cat"), (3, "the dog")])
+        out = relevance.cosine_pairs(d, threshold=0.0, ngram=1,
+                                     max_df=2, k=10).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+    def test_partition_invariant(self, spark):
+        d = _docs(spark, [(i, f"w{i % 3} w{(i + 1) % 3} common")
+                          for i in range(12)])
+        a = [tuple(r) for r in
+             relevance.cosine_pairs(d, threshold=0.3, k=20).collect()]
+        b = [tuple(r) for r in
+             relevance.cosine_pairs(d.repartition(7), threshold=0.3,
+                                    k=20).collect()]
+        assert a == b and len(a) > 0
