@@ -1435,6 +1435,70 @@ def _q_minhash_dedup(spark, sf_dir):
     return dedup.minhash_dedup(d, "doc_id", "text", threshold=0.8).select("doc_id")
 
 
+def _q_neardup_clusters(spark, sf_dir):
+    # transitive near-dup clustering (dedup.neardup_clusters): verified
+    # LSH pairs -> connected components -> one survivor per cluster;
+    # oracle composes the minhash_dedup chain with the recursive-CTE
+    # min-label CC (the _dd_cc_label pattern over doc-pair edges)
+    d = _tbl(spark, sf_dir, "documents")
+    return dedup.neardup_clusters(d, "doc_id", "text", threshold=0.8)
+
+
+def _o_neardup_clusters() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
+        for b in range(4))
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE COALESCE(i.i, 0)
+        / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE) >= 0.8
+),
+dedges AS (
+  SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM dup
+  UNION ALL
+  SELECT CAST(id_b AS BIGINT), CAST(id_a AS BIGINT) FROM dup
+),
+dverts AS (SELECT DISTINCT src AS v FROM dedges),
+reach AS (
+  SELECT v AS node, v AS lbl FROM dverts
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN dedges e ON e.src = r.node
+  WHERE r.lbl < e.dst
+),
+lab AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(lab.cluster, CAST(d.doc_id AS BIGINT)) AS cluster,
+       CAST(CASE WHEN COALESCE(lab.cluster, CAST(d.doc_id AS BIGINT))
+                      = d.doc_id THEN 1 ELSE 0 END AS INT) AS kept
+FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+"""
+
+
 def _pz_cells(spark, sf_dir):
     """Shared polygonize input: 40x40 classed grid, one row per cell
     (min-n_chars dedup keeps it well-defined at every sf — doc_id wraps
@@ -2353,12 +2417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact_substr, rgb2pct, hist_equalize, gcp_polywarp,
         lineref_locate, dataset_split, source_quota, sequence_pack,
         retile_assign, raster_compare, pagerank_docs, inverted_index,
-        raster_resize, pmi_topk, doc_cosine_pairs —
+        raster_resize, pmi_topk, doc_cosine_pairs, neardup_clusters —
         sjoin_erase/contour_multi/
         interp_cubic/interp_bilinear/interp_nearest/dem_slope/dem_tpi/
         dem_roughness/dem_aspect/sjoin_update/sjoin_clip/sjoin_left/
-        pip_triangle_join/tile_assign join the displaced set) sit just
-        past the 50 cap: they are
+        pip_triangle_join/tile_assign/grid_linear join the displaced
+        set) sit just past the 50 cap: they are
         double-verified (r01 driver + the every-session local parity
         sweep) and rotate FIRST in round 4;
     (4) the round-2-verified set, expensive/headline first.
@@ -2370,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_resize": _q_raster_resize,
         "pmi_topk": _q_pmi_topk,
         "doc_cosine_pairs": _q_doc_cosine_pairs,
+        "neardup_clusters": _q_neardup_clusters,
         "bm25_topk": _q_bm25_topk,
         "ngram_topk": _q_ngram_topk,
         "doc_chunks": _q_doc_chunks,
@@ -5154,6 +5219,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_resize": _o_raster_resize(),
         "pmi_topk": _o_pmi_topk(),
         "doc_cosine_pairs": _o_doc_cosine_pairs(),
+        "neardup_clusters": _o_neardup_clusters(),
         "bm25_topk": _o_bm25_topk(),
         "blend_srcover": _o_blend_srcover(),
         "neighbors_median": _o_neighbors_median(),

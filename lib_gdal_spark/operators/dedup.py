@@ -143,6 +143,46 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def neardup_clusters(df: DataFrame, id_col: str, text_col: str,
+                     threshold: float = 0.8, n_hashes: int = 8,
+                     bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Transitive near-dup CLUSTERING: (doc_id, cluster, kept) for every
+    document — cluster = min doc id in the connected component of
+    verified duplicate pairs (singletons cluster with themselves),
+    kept = 1 for the cluster representative.
+
+    This is the production dedup semantics (one survivor per transitive
+    cluster — the FineWeb/Gopher-style pipeline shape), vs
+    minhash_dedup's greedy pairwise larger-id drop: on a chain a~b~c
+    with jaccard(a, c) below threshold the greedy rule drops b and c
+    while clustering keeps exactly one of {a, b, c}. Deterministic end
+    to end (md5 minhashes -> band equi-join -> exact Jaccard verify ->
+    min-label components), hence exactly oracle-able.
+
+    Scale: the pair stages are the bucketed minhash_dedup stages; the
+    component pass runs graph.connected_components over ONLY the
+    verified duplicate edges (a vanishing fraction of the corpus), with
+    the per-round localCheckpoint discipline."""
+    from .graph import connected_components
+
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sig, id_col, bands, n_hashes // bands)
+    dup = ngram_jaccard(df, pairs, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    edges = dup.select(F.col("id_a").cast("long").alias("src"),
+                       F.col("id_b").cast("long").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp, F.col("doc_id") == F.col("vertex"), "left")
+        .select("doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("cluster"))
+        .withColumn("kept",
+                    (F.col("doc_id") == F.col("cluster")).cast("int"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
     """SimHash over word tokens: bit i = sign of sum over tokens of
     (bit_i(md5(token)) ? +1 : -1). n_bits<=32, taken from the first 8 hex

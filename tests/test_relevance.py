@@ -252,3 +252,29 @@ class TestCosinePairs:
              relevance.cosine_pairs(d.repartition(7), threshold=0.3,
                                     k=20).collect()]
         assert a == b and len(a) > 0
+
+
+class TestNeardupClusters:
+    def test_chain_keeps_one_per_component(self, spark):
+        from lib_gdal_spark.operators import dedup
+        # a~b and b~c near-identical chains; d unrelated
+        rows = [(10, "the quick brown fox jumps over the lazy dog today"),
+                (11, "the quick brown fox jumps over the lazy dog now"),
+                (12, "a quick brown fox jumps over the lazy dog now"),
+                (20, "completely different text about databases and joins")]
+        d = _docs(spark, rows)
+        out = {r.doc_id: (r.cluster, r.kept) for r in
+               dedup.neardup_clusters(d, "doc_id", "text",
+                                      threshold=0.5).collect()}
+        assert out[20] == (20, 1)          # singleton keeps itself
+        clusters = {out[i][0] for i in (10, 11, 12)}
+        assert clusters == {10}            # one transitive cluster, min id
+        assert [out[i][1] for i in (10, 11, 12)] == [1, 0, 0]
+
+    def test_no_dups_all_kept(self, spark):
+        from lib_gdal_spark.operators import dedup
+        d = _docs(spark, [(1, "alpha beta gamma delta"),
+                          (2, "epsilon zeta eta theta")])
+        out = dedup.neardup_clusters(d, "doc_id", "text").collect()
+        assert sorted((r.doc_id, r.cluster, r.kept) for r in out) == \
+            [(1, 1, 1), (2, 2, 1)]
