@@ -302,3 +302,61 @@ class TestLayerOverlayPlan:
         plan = sampling.sequence_pack(df, "id", "tokens", 512) \
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan
+
+
+class TestWebtextNewPlans:
+    """Plan pins for the round-3 late additions (the shapes we'd want at
+    100 TB: broadcast small sides, one wide exchange per logical stage,
+    global top-k as TakeOrderedAndProject)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, "a b c d e f g h") for i in range(8)],
+            "doc_id long, text string")
+
+    def test_inverted_index_topk_and_single_pair_exchange(self, spark):
+        from lib_gdal_spark.operators import relevance
+        plan = explain_str(relevance.inverted_index(self._docs(spark)))
+        assert "TakeOrderedAndProject" in plan
+        # one groupBy(term) over the distinct (doc, term) pairs: the only
+        # wide exchanges are that hashpartitioning on term
+        ex = [l for l in plan.splitlines()
+              if "Exchange hashpartitioning" in l]
+        assert all("term" in l for l in ex)
+
+    def test_cosine_pairs_broadcasts_norms(self, spark):
+        from lib_gdal_spark.operators import relevance
+        plan = explain_str(relevance.cosine_pairs(self._docs(spark),
+                                                  threshold=0.5, ngram=3))
+        assert "TakeOrderedAndProject" in plan
+        # the tf table is reused (persisted) and the dot agg is partial
+        assert "InMemoryTableScan" in plan
+        assert "partial_sum" in plan
+
+    def test_pmi_broadcasts_unigrams_and_totals(self, spark):
+        from lib_gdal_spark.operators import relevance
+        plan = explain_str(relevance.pmi_topk(self._docs(spark),
+                                              10, min_count=1))
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("BroadcastExchange") >= 3  # u0, u1, totals
+
+    def test_pagerank_round_is_join_plus_partial_agg(self, spark):
+        from lib_gdal_spark.operators import graph
+        e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                  "src long, dst long")
+        out = graph.pagerank(e, iterations=1)
+        plan = explain_str(out)
+        # after localCheckpoint the lineage is truncated: the final plan
+        # must be the flat scan of the checkpointed round, not a
+        # per-round doubling tree
+        assert "Scan ExistingRDD" in plan
+
+    def test_resize_is_one_equijoin(self, spark):
+        from lib_gdal_spark.operators import raster
+        cells = spark.createDataFrame(
+            [(x, y, 1.0) for x in range(4) for y in range(4)],
+            "bx long, by long, value double")
+        plan = explain_str(raster.resize(cells, 4, 4, 8, 8))
+        # dst lattice derives from Range (no data scan); exactly one join
+        assert "Scan Range" in plan or "Range (" in plan
+        assert plan.count("Join") >= 1
