@@ -27,10 +27,16 @@ fixtures and the streaming-text shape Spark natively distributes:
   line-splits across executors, so the read is fully distributed;
   whole-file FeatureCollections parallelize per file. Output is the
   engine's WKB + envelope feature schema; sink writes GeoJSONSeq.
+- CSV vector layers (ogr/ogrsf_frmts/csv/) — spark.read.csv is already
+  a splittable distributed scan; geometry materializes from a WKT
+  column or X/Y point columns (the driver's GEOM/X/Y_POSSIBLE_NAMES
+  modes) into WKB + envelope; sink writes GEOMETRY=AS_WKT CSV.
 """
 
 from .aaigrid import read_aaigrid, write_aaigrid
-from .geojson import read_geojson, read_geojson_seq, write_geojson_seq
+from .geocsv import read_geocsv, write_geocsv
+from .geojson import (read_geojson, read_geojson_seq,
+                      read_geojson_seq_stream, write_geojson_seq)
 from .png import decode_png, encode_png, read_png
 from .tiff import decode_tiff, encode_tiff, read_bmp, read_tiff, write_tiff
 from .xyz import read_xyz, write_xyz
@@ -38,4 +44,5 @@ from .xyz import read_xyz, write_xyz
 __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_tiff", "write_tiff", "read_bmp", "decode_tiff",
            "encode_tiff", "decode_png", "encode_png", "read_png",
-           "read_geojson", "read_geojson_seq", "write_geojson_seq"]
+           "read_geojson", "read_geojson_seq", "read_geojson_seq_stream",
+           "write_geojson_seq", "read_geocsv", "write_geocsv"]

@@ -101,6 +101,25 @@ def _feature_row(feat: dict, fid=None):
 _COLS = ["fid", "kind", "wkb", "xmin", "ymin", "xmax", "ymax", "properties"]
 
 
+def _parse_lines(batches):
+    """Shared GeoJSONSeq line-parse closure (batch + streaming)."""
+    for pdf in batches:
+        rows = []
+        for line in pdf["value"]:
+            s = line.lstrip(_RS).strip()
+            if not s:
+                continue
+            obj = json.loads(s)
+            if obj.get("type") == "FeatureCollection":  # tolerated mix
+                rows.extend(r for f in obj["features"]
+                            if (r := _feature_row(f)) is not None)
+            else:
+                r = _feature_row(obj)
+                if r is not None:
+                    rows.append(r)
+        yield pd.DataFrame(rows, columns=_COLS)
+
+
 def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
     """GeoJSONSeq (newline-delimited Features, optional RS prefix) ->
     feature DataFrame. Fully distributed: text line-split, Arrow-batched
@@ -108,26 +127,22 @@ def read_geojson_seq(spark: SparkSession, path: str) -> DataFrame:
     from ..session import ship_package
 
     ship_package(spark)  # the parse closure imports this module on workers
-    lines = spark.read.text(path)
+    return spark.read.text(path).mapInPandas(_parse_lines,
+                                             schema=FEATURE_SCHEMA)
 
-    def parse(batches):
-        for pdf in batches:
-            rows = []
-            for line in pdf["value"]:
-                s = line.lstrip(_RS).strip()
-                if not s:
-                    continue
-                obj = json.loads(s)
-                if obj.get("type") == "FeatureCollection":  # tolerated mix
-                    rows.extend(r for f in obj["features"]
-                                if (r := _feature_row(f)) is not None)
-                else:
-                    r = _feature_row(obj)
-                    if r is not None:
-                        rows.append(r)
-            yield pd.DataFrame(rows, columns=_COLS)
 
-    return lines.mapInPandas(parse, schema=FEATURE_SCHEMA)
+def read_geojson_seq_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Structured-Streaming twin of read_geojson_seq: readStream.text
+    over a directory new GeoJSONSeq files land in (the crawl-ingest
+    shape — the reference's driver streams the same format one feature
+    at a time, ogrgeojsonseq 'sequence' semantics). Same parse closure,
+    same feature schema; compose with watermarks / stateful dedup
+    downstream (streaming/stateful.py)."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    return spark.readStream.text(path).mapInPandas(_parse_lines,
+                                                   schema=FEATURE_SCHEMA)
 
 
 def read_geojson(spark: SparkSession, path: str) -> DataFrame:

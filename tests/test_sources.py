@@ -524,3 +524,84 @@ class TestGeoJSON:
         k, subs = wkbmod.decode(buf)
         assert k == "collection" and subs[0] == ("point", (9.0, 9.0))
         assert subs[1][0] == "multipoint" and flat.shape == (3, 2)
+
+
+class TestGeoCSV:
+    def test_wkt_mode(self, spark, tmp_path):
+        from lib_gdal_spark.geo import wkb as wkbmod
+        from lib_gdal_spark.sources import read_geocsv
+
+        p = tmp_path / "v.csv"
+        p.write_text(
+            'id,name,wkt\n'
+            '1,a,"POINT (3 4)"\n'
+            '2,b,"POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"\n'
+            '3,c,\n')
+        df = read_geocsv(spark, str(p), wkt_col="wkt")
+        rows = {r.id: r for r in df.collect()}
+        assert rows[1].kind == "point" and rows[1].name == "a"
+        assert wkbmod.decode(bytes(rows[1].wkb)) == ("point", (3.0, 4.0))
+        assert (rows[2].xmin, rows[2].ymin, rows[2].xmax, rows[2].ymax) == \
+            (0.0, 0.0, 2.0, 2.0)
+        assert rows[3].kind is None and rows[3].wkb is None
+
+    def test_xy_mode(self, spark, tmp_path):
+        from lib_gdal_spark.sources import read_geocsv
+
+        p = tmp_path / "pts.csv"
+        p.write_text("station,lon,lat\ns1,10.5,-2.25\ns2,-7.0,44.0\n")
+        df = read_geocsv(spark, str(p), x_col="lon", y_col="lat")
+        rows = {r.station: r for r in df.collect()}
+        assert rows["s1"].kind == "point"
+        assert (rows["s1"].xmin, rows["s1"].ymax) == (10.5, -2.25)
+        assert (rows["s2"].xmin, rows["s2"].ymax) == (-7.0, 44.0)
+
+    def test_wkt_roundtrip(self, spark, tmp_path):
+        from lib_gdal_spark.sources import read_geocsv, write_geocsv
+
+        p = tmp_path / "v.csv"
+        p.write_text('id,wkt\n1,"POINT (3 4)"\n'
+                     '2,"LINESTRING (0 0, 5 5, 10 0)"\n')
+        df = read_geocsv(spark, str(p), wkt_col="wkt")
+        out = str(tmp_path / "rt")
+        write_geocsv(df, out, wkt_col="wkt")
+        back = read_geocsv(spark, out, wkt_col="wkt")
+        a = sorted((r.id, r.kind, bytes(r.wkb)) for r in df.collect())
+        b = sorted((r.id, r.kind, bytes(r.wkb)) for r in back.collect())
+        assert a == b
+
+    def test_mode_arg_validation(self, spark):
+        import pytest as _pt
+        from lib_gdal_spark.sources import read_geocsv
+
+        with _pt.raises(ValueError):
+            read_geocsv(spark, "/nonexistent.csv")
+        with _pt.raises(ValueError):
+            read_geocsv(spark, "/nonexistent.csv", wkt_col="w", x_col="x",
+                        y_col="y")
+
+
+class TestGeoJSONStream:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from lib_gdal_spark.sources import (read_geojson_seq,
+                                            read_geojson_seq_stream)
+
+        src = tmp_path / "seq_src"
+        src.mkdir()
+        (src / "f0.geojsonl").write_text("\n".join(
+            '{"type":"Feature","geometry":{"type":"Point",'
+            f'"coordinates":[{i},{i + 1}]}},"properties":{{"i":{i}}}}}'
+            for i in range(20)) + "\n")
+        batch = read_geojson_seq(spark, str(src)).collect()
+        stream = read_geojson_seq_stream(spark, str(src))
+        assert stream.isStreaming
+        q = (stream.writeStream.format("memory")
+             .queryName("t_geojson_stream").outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM t_geojson_stream").collect()
+        finally:
+            q.stop()
+        a = sorted((r.kind, bytes(r.wkb), r.properties) for r in batch)
+        b = sorted((r.kind, bytes(r.wkb), r.properties) for r in got)
+        assert a == b and len(a) == 20
