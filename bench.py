@@ -50,6 +50,9 @@ HEADLINE = [
     "bm25_topk",
     "exact_substr",
     "lm_xent",
+    # round 3 final session: iterative graph + sparse-similarity paths
+    "pagerank_docs",
+    "doc_cosine_pairs",
 ]
 
 
