@@ -366,6 +366,25 @@ def _q_pagerank_docs(spark, sf_dir):
                  .select("vertex", "rank"))
 
 
+_KM_K = 8
+_KM_ITERS = 4
+_KM_QUANT = 10 ** 6
+
+
+def _q_kmeans_docs(spark, sf_dir):
+    # Lloyd k-means over the embeddings table
+    # (operators/clustering.py:kmeans): k=8, 4 fixed iterations, all
+    # arithmetic integer after the shared floor(x*1e6 + 0.5)
+    # quantization -> bit-exact on any engine/partitioning; the oracle
+    # unrolls the iterations as chained CTEs (pagerank precedent).
+    # Assignments are shuffle-free (literal centroids); each update is
+    # one map-side-combinable groupBy emitting k rows.
+    from lib_gdal_spark.operators import clustering
+    return clustering.kmeans(_tbl(spark, sf_dir, "embeddings"),
+                             k=_KM_K, iterations=_KM_ITERS,
+                             quant=_KM_QUANT)
+
+
 def _q_inverted_index(spark, sf_dir):
     # Inverted-index build (operators/relevance.py:inverted_index):
     # distinct (doc, term) pairs -> one groupBy(term) shuffle; postings
@@ -2394,7 +2413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict order and caps at 50/round (proven rounds 1-2). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
     driver row is OLDEST. Round-3 order:
-    (1) NEW this round (webtext: BM25 top-k, corpus n-gram top-k,
+    (1) NEW this round (integer-exact Lloyd k-means over embeddings;
+        webtext: BM25 top-k, corpus n-gram top-k,
         sliding-window chunking, corpus-bigram LM cross-entropy, BPE
         pair counts (trainer unit-replays the Sennrich merges),
         ExactSubstr duplicated-span detection, PII
@@ -2429,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- (1) new this round ----
+        "kmeans_docs": _q_kmeans_docs,
         "pagerank_docs": _q_pagerank_docs,
         "inverted_index": _q_inverted_index,
         "raster_resize": _q_raster_resize,
@@ -2479,14 +2500,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_rings": _q_polygonize_rings,   # Euler-quad oracle
         "ann_lsh": _q_ann_lsh,                     # plane-replay oracle
         "ann_ivf": _q_ann_ivf,                     # centroid-replay oracle
-        "grid_linear": _q_grid_linear,             # circumcircle oracle (was
-                                                   # the LAST rows-only entry)
         # ---- (3) round-1-verified, one round stale: refresh ----
         # -------- 50-cap boundary: positions 51+ below --------
-        # url_canonical deliberately deferred to round 4 (51 entries
-        # needed rows vs the 50 cap; it is the lowest-risk deferral —
-        # pure-Catalyst string math, covered by the every-session local
-        # parity sweep) — rotate it FIRST in round 4.
+        # Deliberately deferred to round 4 (52 entries needed rows vs
+        # the 50 cap): grid_linear (oracle upgraded from rows-only, but
+        # it HAS r01/r02 driver rows + local parity) and url_canonical
+        # (pure-Catalyst string math, local parity). New-capability
+        # queries with no row ever outrank oracle upgrades. Rotate BOTH
+        # FIRST in round 4.
+        "grid_linear": _q_grid_linear,             # circumcircle oracle (was
+                                                   # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -3874,6 +3897,56 @@ ORDER BY rank DESC, v LIMIT 25
 """
 
 
+def _o_kmeans_docs() -> str:
+    # Lloyd k-means unrolled as chained CTEs: quantize (the shared
+    # floor(x*quant + 0.5) half-rule), stride-sample init, then per
+    # iteration assignment (cross join x row_number tie-break on
+    # (d2, ci) == Spark's lexicographic array_min) and update
+    # (per-dimension BIGINT sums, `//` == Spark `div` toward zero,
+    # LEFT JOIN + COALESCE keeps empty clusters). All-integer math:
+    # bit-exact vs the engine.
+    d = 64  # testdata embedding dimension
+    sums = ", ".join(f"CAST(sum(q[{j + 1}]) AS BIGINT)" for j in range(d))
+    assign = """
+  SELECT vec_id, q, ci, d2 FROM (
+    SELECT vec_id, q, ci, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+    FROM (SELECT p.vec_id, p.q, c.ci,
+                 CAST(list_sum(list_transform(list_zip(p.q, c.c),
+                      s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+          FROM qpts p CROSS JOIN c{t} c))
+  WHERE rn = 1"""
+    steps = "".join(f"""
+a{t} AS ({assign.format(t=t)}
+),
+u{t} AS (
+  SELECT ci, CAST(count(*) AS BIGINT) AS n, [{sums}] AS s
+  FROM a{t} GROUP BY ci
+),
+c{t + 1} AS (
+  SELECT c.ci, coalesce(list_transform(u.s, v -> v // u.n), c.c) AS c
+  FROM c{t} c LEFT JOIN u{t} u ON c.ci = u.ci
+),""" for t in range(_KM_ITERS))
+    return f"""
+WITH qpts AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {float(_KM_QUANT)!r} + 0.5)
+                  AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, q AS c
+  FROM qpts
+  WHERE vec_id % (SELECT count(*) // {_KM_K} FROM qpts) = 0
+  ORDER BY vec_id LIMIT {_KM_K}
+),{steps}
+final AS ({assign.format(t=_KM_ITERS)}
+)
+SELECT vec_id, CAST(ci AS BIGINT) AS cluster, d2 AS dist2 FROM final
+"""
+
+
 def _o_inverted_index() -> str:
     return """
 WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
@@ -5218,6 +5291,7 @@ FROM r WHERE rnk <= 3
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kmeans_docs": _o_kmeans_docs(),
         "pagerank_docs": _o_pagerank_docs(),
         "inverted_index": _o_inverted_index(),
         "raster_resize": _o_raster_resize(),

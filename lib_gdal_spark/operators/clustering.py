@@ -1,0 +1,143 @@
+"""Distributed Lloyd k-means over embedding columns — exact, integer.
+
+A training-data-curation operator (semantic clustering ahead of
+cluster-balanced sampling / semantic near-dup grouping), first-class in
+the same family as operators/dedup.py and operators/similarity.py. The
+reference has no k-means; its nearest analog is the coarse quantizer
+inside this repo's IVF ANN (similarity.py:ann_ivf), whose deterministic
+stride-sample init this reuses (and which itself stands in for the
+reference's gridded-NN machinery, alg/gdalgrid.cpp).
+
+Exactness design (CLAUDE.md cross-engine rules):
+- float32 embeddings are quantized ONCE to int64 with the shared
+  half-rule `floor(x * quant + 0.5)` (float32 -> double is exact and a
+  single IEEE multiply is identical in every engine); ALL subsequent
+  distances / sums / means are integer arithmetic, so results are
+  bit-exact under any partitioning and any engine. The duckdb oracle
+  unrolls the fixed iteration count as chained CTEs (the pagerank
+  precedent in __spark_entry__.py).
+- assignment tie-break: (dist2 asc, centroid index asc), realized as
+  array_min over (d, i) structs (lexicographic struct ordering) ==
+  the oracle's row_number ORDER BY d2, ci.
+- centroid update: per-dimension sum `div` count. Spark `div` and
+  duckdb `//` both truncate toward zero (verified for negatives); the
+  driver-side Python update below uses an explicit trunc-div helper
+  because Python's `//` floors instead.
+- empty clusters keep their previous centroid (oracle: LEFT JOIN +
+  COALESCE).
+
+Scale notes (100 TB): per iteration the ASSIGNMENT is shuffle-free —
+centroids ride along as literal arrays (k*d longs of plan, not data),
+argmin is a JVM-side fold — and the UPDATE is ONE map-side-combinable
+integer groupBy emitting exactly k rows, of which the driver holds k*d
+longs. Iteration count is fixed and every round re-derives from the
+persisted quantized base, so lineage does not grow (no checkpoint
+discipline needed, unlike sssp/cc). Overflow headroom: |q| <= quant,
+dist2 <= d * (2*quant)^2 (6.4e14 at quant=1e6, d=64) and per-cluster
+sums <= n_cluster * quant — int64-safe far past 1e9 rows per cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark `div`, duckdb `//`).
+    Python's `//` floors, which differs on negative numerators."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def quantize_vec(vec_col, quant: int):
+    """float array -> int64 array via the shared half-rule
+    floor(x * quant + 0.5) (identical in duckdb; CLAUDE.md)."""
+    qd = float(quant)
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * qd + F.lit(0.5)).cast("long"),
+    )
+
+
+def _dist2(qcol, cent: list) -> "F.Column":
+    """Squared L2 distance between an int64 array column and a literal
+    integer centroid — pure JVM fold, stays long."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    return F.aggregate(
+        F.zip_with(qcol, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _best(qcol, cents: list) -> "F.Column":
+    """struct(d: long, i: int) of the nearest centroid; lexicographic
+    array_min == (dist2 asc, index asc) tie-break."""
+    return F.array_min(F.array(*[
+        F.struct(_dist2(qcol, c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(cents)
+    ]))
+
+
+def kmeans(points: DataFrame, k: int = 8, iterations: int = 4, *,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           quant: int = 10 ** 6, return_centroids: bool = False):
+    """Lloyd k-means: (id, cluster: long, dist2: long) after a FIXED
+    number of iterations, deterministic and engine-exact (module
+    docstring).
+
+    Init = the ann_ivf stride sample: points with ``id % (n div k) == 0``
+    ordered by id, first k — a distributed filter that prunes to ~k rows
+    executor-side before the bounded collect (never ``limit(n)`` on the
+    raw corpus). Assumes reasonably dense ids starting at 0 (the
+    testdata contract); a sparse id space falls back to the first k ids
+    (still bounded — but then the duckdb twin in __spark_entry__ no
+    longer mirrors the init; keep ids dense where parity is claimed).
+
+    The returned frame is shuffle-free on top of the persisted quantized
+    base (plan-pinned in tests/test_plans.py); the base stays persisted
+    under it — callers that are done with the result clear it with
+    ``spark.catalog.clearCache()`` (the bench does).
+    """
+    q = points.select(
+        F.col(id_col).cast("long").alias(id_col),
+        quantize_vec(F.col(vec_col), quant).alias("_q"),
+    ).persist()
+    n = q.count()  # bounded scalar fetch; also materializes the persist
+    stride = max(1, n // k)
+    init = (
+        q.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col).limit(k).select("_q").collect()
+    )
+    if len(init) < k:  # sparse/offset id space starved the stride filter
+        init = q.orderBy(id_col).limit(k).select("_q").collect()
+    cents = [list(r["_q"]) for r in init]
+    if len(cents) < k:
+        raise ValueError(f"k={k} exceeds the {len(cents)} input points")
+    d = len(cents[0])
+
+    for _ in range(iterations):
+        assigned = q.select(
+            _best(F.col("_q"), cents)["i"].alias("_c"), "_q")
+        upd = (
+            assigned.groupBy("_c")
+            .agg(F.count("*").alias("_n"),
+                 *[F.sum(F.col("_q")[j]).alias(f"_s{j}") for j in range(d)])
+            .collect()  # exactly k rows (k*d longs) — bounded
+        )
+        nxt = list(cents)  # empty clusters keep their previous centroid
+        for r in upd:
+            nxt[r["_c"]] = [_tdiv(int(r[f"_s{j}"]), int(r["_n"]))
+                            for j in range(d)]
+        cents = nxt
+
+    out = q.select(
+        F.col(id_col), _best(F.col("_q"), cents).alias("_best")
+    ).select(
+        F.col(id_col),
+        F.col("_best")["i"].cast("long").alias("cluster"),
+        F.col("_best")["d"].alias("dist2"),
+    )
+    if return_centroids:
+        return out, cents
+    return out

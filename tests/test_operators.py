@@ -1607,8 +1607,14 @@ class TestKeepLatestStreaming:
         src.mkdir()
 
         def land(name, rows):
-            pd.DataFrame(rows, columns=["url", "warc_ts", "doc_id"]).to_parquet(
-                src / f"{name}.parquet")
+            # Spark file sources require files to be placed ATOMICALLY
+            # in the watched dir; a direct to_parquet races the stream's
+            # listing against the footer write (flaked under full-suite
+            # CPU load). Write outside, then rename in.
+            import os
+            staged = tmp_path / f"{name}.parquet.tmp"
+            pd.DataFrame(rows, columns=["url", "warc_ts", "doc_id"]).to_parquet(staged)
+            os.rename(staged, src / f"{name}.parquet")
 
         q = sf.latest_snapshot_stream(spark, str(src), n_buckets=4,
                                       query_name="t_latest")

@@ -360,3 +360,18 @@ class TestWebtextNewPlans:
         # dst lattice derives from Range (no data scan); exactly one join
         assert "Scan Range" in plan or "Range (" in plan
         assert plan.count("Join") >= 1
+
+    def test_kmeans_final_assignment_is_shuffle_free(self, spark):
+        # clustering.kmeans: the returned assignment projects literal
+        # centroids over the persisted quantized base — NO Exchange
+        # anywhere in the final plan (the per-iteration update groupBys
+        # are separate bounded jobs, not part of this frame)
+        from lib_gdal_spark.operators import clustering
+        pts = spark.createDataFrame(
+            [(i, [float(i % 5), float(i % 3)]) for i in range(20)],
+            "vec_id long, embedding array<float>")
+        out = clustering.kmeans(pts, k=2, iterations=1, quant=10)
+        plan = explain_str(out)
+        assert "Exchange" not in plan, plan
+        assert "InMemoryTableScan" in plan, plan
+        spark.catalog.clearCache()
