@@ -369,6 +369,13 @@ def _q_pagerank_docs(spark, sf_dir):
 _KM_K = 8
 _KM_ITERS = 4
 _KM_QUANT = 10 ** 6
+# SemDeDup threshold 0.40: the synthetic embeddings have no true
+# near-dups (within-cluster cosine maxes at 0.51/0.60), so the
+# threshold targets the measured ~0.1% pair tail — 26/500 dups at
+# sf0.01, 289/2000 at sf0.1 (nonzero at BOTH scales per CLAUDE.md's
+# fixed-constant rule)
+_SD_TAU_NUM = 40
+_SD_TAU_DEN = 100
 
 
 def _q_kmeans_docs(spark, sf_dir):
@@ -383,6 +390,17 @@ def _q_kmeans_docs(spark, sf_dir):
     return clustering.kmeans(_tbl(spark, sf_dir, "embeddings"),
                              k=_KM_K, iterations=_KM_ITERS,
                              quant=_KM_QUANT)
+
+
+def _q_semdedup_docs(spark, sf_dir):
+    # SemDeDup (operators/clustering.py:semantic_dedup): kmeans clusters
+    # bound the pair search; within a cluster, keep-first (lowest id)
+    # under an integer-exact cosine >= 0.40 test in DECIMAL(38,0).
+    from lib_gdal_spark.operators import clustering
+    return clustering.semantic_dedup(
+        _tbl(spark, sf_dir, "embeddings"), k=_KM_K,
+        iterations=_KM_ITERS, tau_num=_SD_TAU_NUM, tau_den=_SD_TAU_DEN,
+        quant=_KM_QUANT)
 
 
 def _q_inverted_index(spark, sf_dir):
@@ -2502,12 +2520,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,                     # centroid-replay oracle
         # ---- (3) round-1-verified, one round stale: refresh ----
         # -------- 50-cap boundary: positions 51+ below --------
-        # Deliberately deferred to round 4 (52 entries needed rows vs
-        # the 50 cap): grid_linear (oracle upgraded from rows-only, but
-        # it HAS r01/r02 driver rows + local parity) and url_canonical
-        # (pure-Catalyst string math, local parity). New-capability
-        # queries with no row ever outrank oracle upgrades. Rotate BOTH
-        # FIRST in round 4.
+        # Deliberately deferred to round 4 (53 entries needed rows vs
+        # the 50 cap): semdedup_docs (added after the front filled; its
+        # kmeans substrate IS swept this round and the full pair logic
+        # is in the local parity sweep), grid_linear (oracle upgraded
+        # from rows-only, but it HAS r01/r02 driver rows + local
+        # parity) and url_canonical (pure-Catalyst string math, local
+        # parity). Rotate ALL THREE FIRST in round 4.
+        "semdedup_docs": _q_semdedup_docs,
         "grid_linear": _q_grid_linear,             # circumcircle oracle (was
                                                    # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
@@ -3897,14 +3917,15 @@ ORDER BY rank DESC, v LIMIT 25
 """
 
 
-def _o_kmeans_docs() -> str:
+def _km_chain() -> str:
     # Lloyd k-means unrolled as chained CTEs: quantize (the shared
     # floor(x*quant + 0.5) half-rule), stride-sample init, then per
     # iteration assignment (cross join x row_number tie-break on
     # (d2, ci) == Spark's lexicographic array_min) and update
     # (per-dimension BIGINT sums, `//` == Spark `div` toward zero,
     # LEFT JOIN + COALESCE keeps empty clusters). All-integer math:
-    # bit-exact vs the engine.
+    # bit-exact vs the engine. Returns the WITH-body up through the
+    # `final` assignment CTE — shared by kmeans_docs and semdedup_docs.
     d = 64  # testdata embedding dimension
     sums = ", ".join(f"CAST(sum(q[{j + 1}]) AS BIGINT)" for j in range(d))
     assign = """
@@ -3942,8 +3963,48 @@ c0 AS (
   ORDER BY vec_id LIMIT {_KM_K}
 ),{steps}
 final AS ({assign.format(t=_KM_ITERS)}
-)
+)"""
+
+
+def _o_kmeans_docs() -> str:
+    return _km_chain() + """
 SELECT vec_id, CAST(ci AS BIGINT) AS cluster, d2 AS dist2 FROM final
+"""
+
+
+def _o_semdedup_docs() -> str:
+    # SemDeDup keep-first rule on top of the kmeans chain: within a
+    # cluster, a is a dup iff some b with b.vec_id < a.vec_id has
+    # cos(a,b) >= tau. Integer-exact: dot > 0 AND tau_den^2*dot^2 >=
+    # tau_num^2*nsq_a*nsq_b in HUGEINT (Spark twin: DECIMAL(38,0));
+    # list_sum returns double but all values <= ~1.8e13 < 2^53, exact.
+    t2n, t2d = _SD_TAU_NUM ** 2, _SD_TAU_DEN ** 2
+    return _km_chain() + f""",
+nsqs AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+  FROM qpts
+),
+dotp AS (
+  SELECT a.vec_id AS aid,
+         CAST(list_sum(list_transform(list_zip(qa.q, qb.q),
+              s -> s[1]*s[2])) AS BIGINT) AS dot,
+         na.nsq AS ansq, nb.nsq AS bnsq
+  FROM final a JOIN final b ON a.ci = b.ci AND b.vec_id < a.vec_id
+  JOIN qpts qa ON qa.vec_id = a.vec_id
+  JOIN qpts qb ON qb.vec_id = b.vec_id
+  JOIN nsqs na ON na.vec_id = a.vec_id
+  JOIN nsqs nb ON nb.vec_id = b.vec_id
+),
+dup AS (
+  SELECT DISTINCT aid AS vec_id FROM dotp
+  WHERE dot > 0
+    AND CAST({t2d} AS HUGEINT) * dot * dot
+        >= CAST({t2n} AS HUGEINT) * ansq * bnsq
+)
+SELECT a.vec_id, CAST(a.ci AS BIGINT) AS cluster,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM final a LEFT JOIN dup d ON d.vec_id = a.vec_id
 """
 
 
@@ -5292,6 +5353,7 @@ FROM r WHERE rnk <= 3
 def oracle_sql() -> dict[str, str]:
     return {
         "kmeans_docs": _o_kmeans_docs(),
+        "semdedup_docs": _o_semdedup_docs(),
         "pagerank_docs": _o_pagerank_docs(),
         "inverted_index": _o_inverted_index(),
         "raster_resize": _o_raster_resize(),

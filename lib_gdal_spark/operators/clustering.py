@@ -141,3 +141,78 @@ def kmeans(points: DataFrame, k: int = 8, iterations: int = 4, *,
     if return_centroids:
         return out, cents
     return out
+
+
+def _idot(a, b):
+    """Integer dot product of two int64 array columns (left fold —
+    element-order deterministic, partition-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def semantic_dedup(points: DataFrame, k: int = 8, iterations: int = 4, *,
+                   tau_num: int = 40, tau_den: int = 100,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   quant: int = 10 ** 6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) recast to
+    DataFrames: k-means clusters bound the pair search, then within each
+    cluster a vector is a duplicate iff some LOWER-id member has
+    cosine >= tau (keep-first rule — deterministic, no connected
+    components needed). Returns (id, cluster: long, is_dup: boolean).
+
+    The cosine threshold test is INTEGER-exact, never a float compare at
+    the knife edge: on the quantized vectors,
+        cos(u, v) >= tau_num/tau_den
+    <=> dot > 0 AND tau_den^2 * dot^2 >= tau_num^2 * |u|^2 * |v|^2,
+    evaluated in DECIMAL(38,0) (duckdb twin: HUGEINT). Headroom: dot,
+    |u|^2 <= d*quant^2 ~ 1.8e13 at d=64 (int64-safe); the squared
+    comparison peaks ~3e30 << 1e38.
+
+    Scale notes (100 TB): the all-pairs step is an equi-join on the
+    cluster key — pair volume is sum over clusters of s^2/2, bounded by
+    choosing k proportional to n (SemDeDup's own regime; the paper uses
+    ~sqrt(n)-to-n/100 clusters) — never |corpus|^2. The assignment
+    side reuses kmeans' shuffle-free literal-centroid argmin over the
+    persisted quantized base.
+    """
+    _, cents = kmeans(points, k, iterations, id_col=id_col,
+                      vec_col=vec_col, quant=quant,
+                      return_centroids=True)
+    # re-derive (id, cluster, _q, _nsq): the select below is plan-equal
+    # to kmeans' internal persisted base, so the cache manager
+    # substitutes the InMemoryRelation — one cached scan, no re-fit
+    q = points.select(
+        F.col(id_col).cast("long").alias(id_col),
+        quantize_vec(F.col(vec_col), quant).alias("_q"),
+    )
+    a = q.select(
+        F.col(id_col), F.col("_q"),
+        _best(F.col("_q"), cents)["i"].cast("long").alias("cluster"),
+        _idot(F.col("_q"), F.col("_q")).alias("_nsq"),
+    )
+    dec = "decimal(38,0)"
+    left = a.select(F.col(id_col).alias("_aid"), F.col("_q").alias("_aq"),
+                    "cluster", F.col("_nsq").alias("_ansq"))
+    right = a.select(F.col(id_col).alias("_bid"), F.col("_q").alias("_bq"),
+                     "cluster", F.col("_nsq").alias("_bnsq"))
+    pairs = (
+        left.join(right, on="cluster")
+        .filter(F.col("_bid") < F.col("_aid"))
+        .withColumn("_dot", _idot(F.col("_aq"), F.col("_bq")))
+    )
+    d = F.col("_dot").cast(dec)
+    cond = (F.col("_dot") > 0) & (
+        F.lit(tau_den * tau_den).cast(dec) * d * d
+        >= F.lit(tau_num * tau_num).cast(dec)
+        * F.col("_ansq").cast(dec) * F.col("_bnsq").cast(dec))
+    dups = (pairs.filter(cond)
+            .select(F.col("_aid").alias(id_col)).distinct()
+            .withColumn("is_dup", F.lit(True)))
+    return (
+        a.select(id_col, "cluster").join(dups, on=id_col, how="left")
+        .select(F.col(id_col), F.col("cluster"),
+                F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
+    )

@@ -85,3 +85,56 @@ class TestKmeansGolden:
         q2 = df.select(clustering.quantize_vec(
             F.col("embedding"), 10).alias("q")).first()["q"]
         assert list(q) == list(q2)
+
+
+class TestSemanticDedup:
+    def test_identical_vectors_keep_first(self, spark):
+        # ids 0..3 identical, ids 4..5 identical but far away; stride=3
+        # inits c0=q(0), c1=q(3) -> iteration collapses to two clusters;
+        # keep-first leaves exactly one survivor per identical group
+        rows = [(0, (1.0, 0.0)), (1, (1.0, 0.0)), (2, (1.0, 0.0)),
+                (3, (1.0, 0.0)), (4, (-5.0, 4.0)), (5, (-5.0, 4.0))]
+        out = clustering.semantic_dedup(
+            _pts(spark, rows), k=2, iterations=2, quant=10,
+            tau_num=99, tau_den=100)
+        got = {r.vec_id: r.is_dup for r in out.collect()}
+        assert got == {0: False, 1: True, 2: True, 3: True,
+                       4: False, 5: True}
+
+    def test_negative_dot_never_dup(self, spark):
+        # u and -u have cos = -1: dot^2 is huge but the dot > 0 guard
+        # must keep them distinct
+        rows = [(0, (1.0, 1.0)), (1, (-1.0, -1.0)),
+                (2, (1.0, 0.9)), (3, (-0.9, -1.0))]
+        out = clustering.semantic_dedup(
+            _pts(spark, rows), k=1, iterations=1, quant=10,
+            tau_num=50, tau_den=100)
+        got = {r.vec_id: r.is_dup for r in out.collect()}
+        assert got[1] is False or got[1] == False  # -u vs u: not a dup
+        assert got[0] == False
+        # 2 matches 0 (cos ~0.999 > 0.5) -> dup; 3 matches 1 -> dup
+        assert got[2] == True and got[3] == True
+
+    def test_exact_threshold_boundary_integer(self, spark):
+        # cos exactly tau: q=(1,0) vs (1,1): cos = 1/sqrt(2); with
+        # tau = 70/99 (tau^2 = 4900/9801 < 1/2) it IS a dup; with
+        # tau = 71/100 (tau^2 = 5041/10000 > 1/2) it is NOT —
+        # the integer compare must resolve both sides of 1/2 exactly
+        rows = [(0, (0.1, 0.0)), (1, (0.1, 0.1))]
+        base = _pts(spark, rows)
+        lo = clustering.semantic_dedup(base, k=1, iterations=0, quant=10,
+                                       tau_num=70, tau_den=99)
+        hi = clustering.semantic_dedup(base, k=1, iterations=0, quant=10,
+                                       tau_num=71, tau_den=100)
+        assert {r.vec_id: r.is_dup for r in lo.collect()}[1] == True
+        assert {r.vec_id: r.is_dup for r in hi.collect()}[1] == False
+
+    def test_partition_count_invariance(self, spark):
+        rows = [(i, (float(i % 7) / 3.0, float(i % 5) / 3.0))
+                for i in range(30)]
+        df = _pts(spark, rows)
+        a = sorted(map(tuple, clustering.semantic_dedup(
+            df.repartition(1), k=3, iterations=2, quant=100).collect()))
+        b = sorted(map(tuple, clustering.semantic_dedup(
+            df.repartition(9), k=3, iterations=2, quant=100).collect()))
+        assert a == b
