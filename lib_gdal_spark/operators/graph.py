@@ -37,15 +37,58 @@ def _sym(edges: DataFrame, directed: bool) -> DataFrame:
     )
 
 
+def _barriers(e: DataFrame, blocked_vertices, blocked_edges,
+              directed: bool) -> DataFrame:
+    """GNM blocking (gnm/gnmgraph.h:139 ChangeBlockState): blocked
+    features are barriers during routing. Exact reference semantics —
+    drop blocked EDGES (gnmgraph.cpp:511) and edges whose TARGET vertex
+    is blocked (gnmgraph.cpp:529); edges OUT of a blocked vertex stay,
+    so a blocked SOURCE still routes (the reference pushes the start
+    vertex unconditionally). Blocked sets are dimension-sized ->
+    broadcast anti-joins; the corpus edge side never re-shuffles.
+
+    connected_components takes no blocking on purpose: with every
+    vertex a start (our all-graph CC), the reference still walks the
+    out-edges of a blocked start (gnmgraph.cpp:589-622 marks the start
+    and pushes its out-edge pairs before the target check), so blocked
+    vertices merge into their neighbours' components anyway — blocking
+    cannot change all-start membership."""
+    spark = e.sparkSession
+    if blocked_vertices is not None:
+        bv = blocked_vertices if isinstance(blocked_vertices, DataFrame) \
+            else spark.createDataFrame([(int(v),) for v in blocked_vertices],
+                                       "bver long")
+        bv = bv.toDF("bver")
+        e = e.join(F.broadcast(bv), e.dst == bv.bver, "left_anti")
+    if blocked_edges is not None:
+        be = blocked_edges if isinstance(blocked_edges, DataFrame) \
+            else spark.createDataFrame(
+                [(int(s), int(d)) for s, d in blocked_edges],
+                "bsrc long, bdst long")
+        be = be.toDF("bsrc", "bdst")
+        if not directed:
+            # an undirected edge is ONE reference FID: blocking it kills
+            # both directions of the symmetrized table
+            be = be.unionByName(be.select(F.col("bdst").alias("bsrc"),
+                                          F.col("bsrc").alias("bdst")))
+        e = e.join(F.broadcast(be),
+                   (e.src == be.bsrc) & (e.dst == be.bdst), "left_anti")
+    return e
+
+
 def sssp(edges: DataFrame, source, directed: bool = False,
-         max_rounds: int = 50) -> DataFrame:
+         max_rounds: int = 50, *, blocked_vertices=None,
+         blocked_edges=None) -> DataFrame:
     """Single-source shortest path distances: (vertex, dist).
 
     edges: (src, dst, w) with non-negative w. Unreachable vertices are
     absent (the reference returns an empty path for them,
-    gnmgraph.h DijkstraShortestPath semantics)."""
+    gnmgraph.h DijkstraShortestPath semantics). blocked_vertices /
+    blocked_edges (list or DataFrame) are routing barriers with the
+    reference's ChangeBlockState semantics — see _barriers."""
     spark = edges.sparkSession
-    e = _sym(edges, directed).persist()
+    e = _barriers(_sym(edges, directed), blocked_vertices, blocked_edges,
+                  directed).persist()
     dist = spark.createDataFrame([(source, 0.0)], "vertex long, dist double")
     frontier = dist
     for r in range(max_rounds):
@@ -76,7 +119,8 @@ def sssp(edges: DataFrame, source, directed: bool = False,
 
 def k_shortest_paths(edges: DataFrame, source, target, k: int,
                      directed: bool = False, max_hops: int = 12,
-                     prune: int | None = None) -> DataFrame:
+                     prune: int | None = None, *, blocked_vertices=None,
+                     blocked_edges=None) -> DataFrame:
     """K shortest SIMPLE paths source -> target: (rank, cost, path).
 
     The reference's GNMGraph::KShortestPaths (gnm/gnmgraph.h:176, Yen's
@@ -93,11 +137,14 @@ def k_shortest_paths(edges: DataFrame, source, target, k: int,
 
     Paths are '|v0|v1|...|' strings; ties on cost break lexicographically
     on the path — deterministic under any partitioning. Each round
-    localCheckpoints (the iterative-lineage discipline of sssp)."""
+    localCheckpoints (the iterative-lineage discipline of sssp).
+    blocked_vertices / blocked_edges: routing barriers with the
+    reference's ChangeBlockState semantics — see _barriers."""
     from pyspark.sql import Window
 
     spark = edges.sparkSession
-    e = _sym(edges, directed).persist()
+    e = _barriers(_sym(edges, directed), blocked_vertices, blocked_edges,
+                  directed).persist()
     src_l = int(source)
     frontier = spark.createDataFrame(
         [(src_l, 0.0, f"|{src_l}|")], "vertex long, cost double, path string")

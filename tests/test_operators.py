@@ -755,6 +755,44 @@ class TestGraph:
         got = {r.vertex: r.dist for r in graph.sssp(e, 0).collect()}
         assert got[20] == 20.0 and len(got) == 21
 
+    def test_sssp_blocked_vertex_reroutes(self, spark):
+        # GNM ChangeBlockState barrier (gnmgraph.cpp:529): blocking 2
+        # forces 1->3 direct (5) instead of 1->2->3 (3); 2 unreachable
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long, w double")
+        got = {r.vertex: r.dist for r in
+               graph.sssp(e, 1, blocked_vertices=[2]).collect()}
+        assert got == {1: 0.0, 3: 5.0, 4: 6.0}
+
+    def test_sssp_blocked_edge_reroutes(self, spark):
+        # blocking the undirected edge (1,2) kills BOTH directions (one
+        # reference FID); 2 is still reachable via 3: 5 + w(3,2)=2 -> 7
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long, w double")
+        got = {r.vertex: r.dist for r in
+               graph.sssp(e, 1, blocked_edges=[(1, 2)]).collect()}
+        assert got == {1: 0.0, 2: 7.0, 3: 5.0, 4: 6.0}
+
+    def test_sssp_blocked_source_still_routes(self, spark):
+        # the reference pushes the start vertex unconditionally — only
+        # TARGET vertices are barrier-checked; a blocked source routes
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long, w double")
+        got = {r.vertex: r.dist for r in
+               graph.sssp(e, 1, blocked_vertices=[1]).collect()}
+        assert got == {1: 0.0, 2: 1.0, 3: 3.0, 4: 4.0}
+
+    def test_kpaths_blocked_vertex(self, spark):
+        from lib_gdal_spark.operators import graph
+
+        e = spark.createDataFrame(self.EDGES, "src long, dst long, w double")
+        rows = graph.k_shortest_paths(
+            e, 1, 4, k=2, blocked_vertices=[2]).collect()
+        assert [(r.cost, r.path) for r in rows] == [(6.0, "|1|3|4|")]
+
     @staticmethod
     def _pagerank_oracle(edges, iterations, scale=10 ** 12, d=85):
         """Independent dict-based integer PageRank (same recurrence)."""
