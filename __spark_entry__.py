@@ -329,6 +329,17 @@ def _q_graph_sssp(spark, sf_dir):
     return out.select("vertex", "dist")
 
 
+def _q_graph_sssp_blocked(spark, sf_dir):
+    # GNM ChangeBlockState barriers (graph._barriers): hub vertex 100
+    # and the chain edge (3,4) blocked — 16 of 29 reachable distances
+    # change vs the unblocked run, so the barrier anti-joins are what
+    # this query actually verifies. Oracle: the same simple-path
+    # recursive CTE as graph_sssp over the barrier-filtered edge table.
+    out = graph.sssp(_kpath_edges(spark, sf_dir), source=0,
+                     blocked_vertices=[100], blocked_edges=[(3, 4)])
+    return out.select("vertex", "dist")
+
+
 def _q_graph_components(spark, sf_dir):
     return graph.connected_components(_graph_edges(spark, sf_dir))
 
@@ -2526,11 +2537,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is in the local parity sweep), grid_linear (oracle upgraded
         # from rows-only, but it HAS r01/r02 driver rows + local
         # parity) and url_canonical (pure-Catalyst string math, local
-        # parity). Rotate ALL THREE FIRST in round 4.
+        # parity). graph_sssp_blocked (GNM barrier option, unit-tested
+        # four ways) joins them. Rotate ALL FOUR FIRST in round 4.
         "semdedup_docs": _q_semdedup_docs,
         "grid_linear": _q_grid_linear,             # circumcircle oracle (was
                                                    # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
+        "graph_sssp_blocked": _q_graph_sssp_blocked,
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
         "sjoin_left": _q_sjoin_left,
@@ -4042,6 +4055,32 @@ edges AS (SELECT * FROM e0 UNION ALL SELECT dst, src, w FROM e0)
 """
 
 
+def _o_graph_sssp_blocked() -> str:
+    # barrier semantics mirrored exactly: drop edges INTO blocked vertex
+    # 100 (dst check only — gnmgraph.cpp:529) and both directions of the
+    # blocked undirected edge (3,4); then min over simple paths (the
+    # optimal blocked paths need <= 6 hops, enumerate to 9 for margin;
+    # weights are small integers, so double sums are exact in any order)
+    return f"""
+WITH RECURSIVE {_DD_KPATH_GRAPH},
+bedges AS (
+  SELECT * FROM edges
+  WHERE dst <> 100
+    AND NOT (src = 3 AND dst = 4) AND NOT (src = 4 AND dst = 3)
+),
+r(vertex, dist, path, hops) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), '|0|', 0
+  UNION ALL
+  SELECT e.dst, r.dist + e.w, r.path || CAST(e.dst AS VARCHAR) || '|',
+         r.hops + 1
+  FROM r JOIN bedges e ON e.src = r.vertex
+  WHERE r.hops < 9
+    AND r.path NOT LIKE '%|' || CAST(e.dst AS VARCHAR) || '|%'
+)
+SELECT vertex, min(dist) AS dist FROM r GROUP BY 1
+"""
+
+
 def _o_graph_kpaths() -> str:
     # same exhaustive simple-path enumeration: extend by one edge per
     # recursion level (8 max), exclude revisits via the path string, stop
@@ -5385,6 +5424,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_slope": _o_dem_slope(),
         "dem_tpi": _o_dem_tpi(),
         "graph_sssp": _o_graph_sssp(),
+        "graph_sssp_blocked": _o_graph_sssp_blocked(),
         "graph_components": _o_graph_components(),
         "graph_kpaths": _o_graph_kpaths(),
         "dem_roughness": _o_dem_roughness(),

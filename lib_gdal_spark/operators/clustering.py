@@ -99,19 +99,14 @@ def kmeans(points: DataFrame, k: int = 8, iterations: int = 4, *,
     under it — callers that are done with the result clear it with
     ``spark.catalog.clearCache()`` (the bench does).
     """
+    from .similarity import stride_sample
+
     q = points.select(
         F.col(id_col).cast("long").alias(id_col),
         quantize_vec(F.col(vec_col), quant).alias("_q"),
     ).persist()
-    n = q.count()  # bounded scalar fetch; also materializes the persist
-    stride = max(1, n // k)
-    init = (
-        q.filter((F.col(id_col) % stride) == 0)
-        .orderBy(id_col).limit(k).select("_q").collect()
-    )
-    if len(init) < k:  # sparse/offset id space starved the stride filter
-        init = q.orderBy(id_col).limit(k).select("_q").collect()
-    cents = [list(r["_q"]) for r in init]
+    # the count inside stride_sample also materializes the persist
+    cents = stride_sample(q, id_col, "_q", k, fallback_below=k)
     if len(cents) < k:
         raise ValueError(f"k={k} exceeds the {len(cents)} input points")
     d = len(cents[0])
@@ -192,7 +187,9 @@ def semantic_dedup(points: DataFrame, k: int = 8, iterations: int = 4, *,
         F.col(id_col), F.col("_q"),
         _best(F.col("_q"), cents)["i"].cast("long").alias("cluster"),
         _idot(F.col("_q"), F.col("_q")).alias("_nsq"),
-    )
+    ).persist()  # scanned 3x (both pair sides + the output leg): persist
+    # the narrow all-integer projection so the k*d argmin fold and the
+    # self dot product run once per row, not three times
     dec = "decimal(38,0)"
     left = a.select(F.col(id_col).alias("_aid"), F.col("_q").alias("_aq"),
                     "cluster", F.col("_nsq").alias("_ansq"))

@@ -256,8 +256,10 @@ def pagerank(edges: DataFrame, iterations: int = 6, *,
             contrib.unionByName(zeros).groupBy("vertex")
             .agg((F.lit(base) + F.sum("c")).cast("long").alias("rank"))
         )
-        # linear lineage: truncate only periodically (module docstring)
-        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+        # linear lineage: truncate only periodically (module docstring);
+        # checkpoint_every <= 0 disables mid-run truncation entirely
+        if (checkpoint_every > 0 and (it + 1) % checkpoint_every == 0
+                and it + 1 < iterations):
             ranks = ranks.localCheckpoint()
     # ONE eager materialization at the end (not per round): the caches
     # populate and get reused inside this single multi-stage job, and

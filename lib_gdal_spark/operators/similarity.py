@@ -46,6 +46,28 @@ def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_unit", unit)
 
 
+def stride_sample(df: DataFrame, id_col: str, vec_col: str, n: int, *,
+                  fallback_below: int) -> list:
+    """Deterministic stride sample of up to n vectors: filter
+    ``id % (count div n) == 0`` -> orderBy id -> limit n. The filter
+    prunes to ~n rows EXECUTOR-side before the bounded collect — never
+    ``limit(count)`` on the raw corpus (a driver OOM at 1e9 rows). For
+    dense ids starting at 0 this is the positional [::stride] slice.
+    If a sparse/offset id space starves the filter below
+    ``fallback_below`` rows, fall back to the first n ids (still a
+    bounded collect) — callers that mirror the stride rule in a SQL twin
+    (ann_ivf centroid replay, kmeans init) must keep ids dense so the
+    fallback never fires where parity is claimed. Shared by
+    ann_ivf and clustering.kmeans."""
+    total = df.count()
+    stride = max(1, total // n)
+    rows = (df.filter((F.col(id_col) % stride) == 0)
+            .orderBy(id_col).limit(n).select(vec_col).collect())
+    if len(rows) < fallback_below:
+        rows = df.orderBy(id_col).limit(n).select(vec_col).collect()
+    return [list(r[vec_col]) for r in rows]
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 qid_col: str = "qid", method: str = "arrow") -> DataFrame:
@@ -300,18 +322,8 @@ def ann_ivf(corpus: DataFrame, queries: DataFrame, k: int,
     """
     c = with_unit_norm(corpus, vec_col)
     q = with_unit_norm(queries, vec_col)
-    n_corpus = corpus.count()
-    stride = max(1, n_corpus // n_lists)
-    cents = [
-        list(r["_unit"]) for r in
-        c.filter((F.col(id_col) % stride) == 0)
-        .orderBy(id_col).limit(n_lists).select("_unit").collect()
-    ]
-    if len(cents) < max(1, n_lists // 2):
-        # sparse/non-dense id space starved the stride filter — fall back
-        # to the first n_lists ids (still a bounded collect, never O(n))
-        cents = [list(r["_unit"]) for r in
-                 c.orderBy(id_col).limit(n_lists).select("_unit").collect()]
+    cents = stride_sample(c, id_col, "_unit", n_lists,
+                          fallback_below=max(1, n_lists // 2))
     cb = c.withColumn("_list", _centroid_dots(F.col("_unit"), cents)[0]["cid"])
     probes = _centroid_dots(F.col("_unit"), cents)
     qb = q.select(

@@ -27,11 +27,13 @@ from lib_gdal_spark.session import get_spark  # noqa: E402
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
-        if pdf[c].dtype == object:
+        if str(pdf[c].dtype).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("int64")  # ns since epoch; NaT -> min
+        elif pdf[c].dtype == object:
             try:
                 pdf[c] = pd.to_numeric(pdf[c])
             except (ValueError, TypeError):
-                pdf[c] = pdf[c].astype(str)
+                pdf[c] = pdf[c].astype(str)  # also arrays/lists -> repr
     return pdf.sort_values(list(pdf.columns), kind="mergesort") \
               .reset_index(drop=True)
 
@@ -67,17 +69,24 @@ def main():
         a, b = lo[name], hi[name]
         if isinstance(a, str) or isinstance(b, str):
             bad.append((name, f"{a!r} vs {b!r}"))
+            print(f"ERR  {name}")
             continue
         if list(a.columns) != list(b.columns) or len(a) != len(b):
             bad.append((name, f"shape {a.shape} vs {b.shape}"))
+            print(f"FAIL {name} (shape {a.shape} vs {b.shape})")
             continue
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
-            if av.dtype.kind == "f":
-                ok = np.array_equal(av, bv, equal_nan=True)  # EXACT
-            else:
-                ok = (pd.Series(av).fillna("<NA>")
-                      == pd.Series(bv).fillna("<NA>")).all()
+            try:
+                if av.dtype.kind == "f":
+                    ok = np.array_equal(av, bv, equal_nan=True)  # EXACT
+                else:
+                    ok = (pd.Series(av).astype(str)
+                          == pd.Series(bv).astype(str)).all()
+            except Exception as exc:  # compare failure = a finding, not a crash
+                ok = False
+                bad.append((name, f"column {c} uncomparable: {exc}"))
+                break
             if not ok:
                 bad.append((name, f"column {c} differs"))
                 break
