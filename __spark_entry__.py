@@ -329,6 +329,46 @@ def _q_graph_sssp(spark, sf_dir):
     return out.select("vertex", "dist")
 
 
+# rpc_project synthesis constants: precomputed quotients (CLAUDE.md
+# op-order rule) spreading doc_ids across 80% of the model's validity
+# box; prime moduli (997/991/983) so lon/lat/z decorrelate and no value
+# sits on a rounding knife edge
+_RPC_T997 = 1.0 / 997.0
+_RPC_T991 = 1.0 / 991.0
+_RPC_T983 = 1.0 / 983.0
+_RPC_LON_SPAN = 0.1096 * 1.6
+_RPC_LAT_SPAN = 0.0900 * 1.6
+_RPC_H_SPAN = 501.0 * 1.6
+
+
+def _rpc_demo_model():
+    from lib_gdal_spark.geo import rpc as rpcmod
+    return rpcmod.RpcModel.from_metadata(rpcmod.RPC_VRT_DEMO)
+
+
+def _q_rpc_project(spark, sf_dir):
+    # Forward RPC camera projection (geo/rpc.py:pixel_line — the
+    # reference's RPCTransformPoint, alg/gdal_rpc.cpp:440) over
+    # synthetic in-domain (lon, lat, z): pure rational column math, so
+    # the duckdb twin (same left-associated even/odd folds, repr-
+    # injected coefficients) is bit-exact. The model is the reference's
+    # own autotest fixture (rpc.vrt); its inverse replays the autotest
+    # goldens in tests/test_rpc.py.
+    from lib_gdal_spark.geo import rpc as rpcmod
+    m = _rpc_demo_model()
+    d = _tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    lon = (F.lit(m.long_off)
+           + ((F.col("doc_id") % 997) * _RPC_T997 - 0.5) * _RPC_LON_SPAN)
+    lat = (F.lit(m.lat_off)
+           + ((F.col("doc_id") % 991) * _RPC_T991 - 0.5) * _RPC_LAT_SPAN)
+    z = (F.lit(m.height_off)
+         + ((F.col("doc_id") % 983) * _RPC_T983 - 0.5) * _RPC_H_SPAN)
+    c = d.select("doc_id", lon.alias("lon"), lat.alias("lat"), z.alias("z"))
+    p, l = rpcmod.pixel_line(m, F.col("lon"), F.col("lat"), F.col("z"))
+    return c.select("doc_id", p.alias("pixel"), l.alias("line"))
+
+
 def _q_graph_sssp_blocked(spark, sf_dir):
     # GNM ChangeBlockState barriers (graph._barriers): hub vertex 100
     # and the chain edge (3,4) blocked — 16 of 29 reachable distances
@@ -2538,12 +2578,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from rows-only, but it HAS r01/r02 driver rows + local
         # parity) and url_canonical (pure-Catalyst string math, local
         # parity). graph_sssp_blocked (GNM barrier option, unit-tested
-        # four ways) joins them. Rotate ALL FOUR FIRST in round 4.
+        # four ways) and rpc_project (forward RPC camera model; inverse
+        # replays the reference autotest goldens in tests/test_rpc.py)
+        # join them. Rotate ALL FIVE FIRST in round 4.
         "semdedup_docs": _q_semdedup_docs,
         "grid_linear": _q_grid_linear,             # circumcircle oracle (was
                                                    # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
         "graph_sssp_blocked": _q_graph_sssp_blocked,
+        "rpc_project": _q_rpc_project,
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
         "sjoin_left": _q_sjoin_left,
@@ -4055,6 +4098,66 @@ edges AS (SELECT * FROM e0 UNION ALL SELECT dst, src, w FROM e0)
 """
 
 
+def _o_rpc_project() -> str:
+    # the forward RPC model with repr-injected coefficients; the folds
+    # mirror geo/rpc.py:_eval exactly — even and odd running sums
+    # (left-associated " + " chains), added last, like the reference's
+    # RPCEvaluate (gdal_rpc.cpp:337)
+    m = _rpc_demo_model()
+
+    def dl(x):
+        # NOT repr: duckdb parses a bare decimal literal as exact
+        # DECIMAL and casts to double afterwards — double rounding that
+        # lands 1 ulp off Python/Spark's direct string->double for some
+        # values (hit: 1/997). E-notation lexes as DOUBLE directly and
+        # %.17e round-trips every float (verified over all 96 model
+        # constants).
+        return f"{x:.17e}::DOUBLE"
+
+    exprs = ["1.0::DOUBLE", "L", "P", "H", "L * P", "L * H", "P * H",
+             "L * L", "P * P", "H * H", "L * P * H", "L * L * L",
+             "L * P * P", "L * H * H", "L * L * P", "P * P * P",
+             "P * H * H", "L * L * H", "P * P * H", "H * H * H"]
+    term_cols = ",\n         ".join(
+        f"{e} AS t{i}" for i, e in enumerate(exprs))
+
+    def fold(coefs):
+        ev = " + ".join(f"(t{i} * {dl(coefs[i])})" for i in range(0, 20, 2))
+        od = " + ".join(f"(t{i} * {dl(coefs[i])})" for i in range(1, 20, 2))
+        return f"(({ev}) + ({od}))"
+
+    return f"""
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         {dl(m.long_off)} + ((doc_id % 997) * {dl(_RPC_T997)} - 0.5::DOUBLE)
+             * {dl(_RPC_LON_SPAN)} AS lon,
+         {dl(m.lat_off)} + ((doc_id % 991) * {dl(_RPC_T991)} - 0.5::DOUBLE)
+             * {dl(_RPC_LAT_SPAN)} AS lat,
+         {dl(m.height_off)} + ((doc_id % 983) * {dl(_RPC_T983)} - 0.5::DOUBLE)
+             * {dl(_RPC_H_SPAN)} AS z
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         (lon - {dl(m.long_off)}) / {dl(m.long_scale)} AS L,
+         (lat - {dl(m.lat_off)}) / {dl(m.lat_scale)} AS P,
+         ((z + 0.0::DOUBLE) - {dl(m.height_off)}) / {dl(m.height_scale)} AS H
+  FROM c
+),
+t AS (
+  SELECT doc_id,
+         {term_cols}
+  FROM n
+)
+SELECT doc_id,
+       ({fold(m.samp_num)} / {fold(m.samp_den)})
+           * {dl(m.samp_scale)} + {dl(m.samp_off)} + 0.5::DOUBLE AS pixel,
+       ({fold(m.line_num)} / {fold(m.line_den)})
+           * {dl(m.line_scale)} + {dl(m.line_off)} + 0.5::DOUBLE AS line
+FROM t
+"""
+
+
 def _o_graph_sssp_blocked() -> str:
     # barrier semantics mirrored exactly: drop edges INTO blocked vertex
     # 100 (dst check only — gnmgraph.cpp:529) and both directions of the
@@ -5425,6 +5528,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_tpi": _o_dem_tpi(),
         "graph_sssp": _o_graph_sssp(),
         "graph_sssp_blocked": _o_graph_sssp_blocked(),
+        "rpc_project": _o_rpc_project(),
         "graph_components": _o_graph_components(),
         "graph_kpaths": _o_graph_kpaths(),
         "dem_roughness": _o_dem_roughness(),
