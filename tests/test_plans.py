@@ -375,3 +375,13 @@ class TestWebtextNewPlans:
         assert "Exchange" not in plan, plan
         assert "InMemoryTableScan" in plan, plan
         spark.catalog.clearCache()
+
+    def test_rpc_forward_is_shuffle_free_codegen(self, spark):
+        # geo/rpc.py pixel_line as Column math: the 40-term rational
+        # model must stay one codegen'd scan+project — no Exchange, no
+        # Python
+        import __spark_entry__ as em
+        plan = explain_str(em._q_rpc_project(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, plan
+        assert "* Project" in plan, plan  # '*' = whole-stage codegen
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
