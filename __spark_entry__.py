@@ -350,8 +350,9 @@ def _q_rpc_project(spark, sf_dir):
     # Forward RPC camera projection (geo/rpc.py:pixel_line — the
     # reference's RPCTransformPoint, alg/gdal_rpc.cpp:440) over
     # synthetic in-domain (lon, lat, z): pure rational column math, so
-    # the duckdb twin (same left-associated even/odd folds, repr-
-    # injected coefficients) is bit-exact. The model is the reference's
+    # the duckdb twin (same left-associated even/odd folds, constants
+    # injected as %.17e::DOUBLE — see dl() and the CLAUDE.md duckdb
+    # literal double-rounding trap) is bit-exact. The model is the reference's
     # own autotest fixture (rpc.vrt); its inverse replays the autotest
     # goldens in tests/test_rpc.py.
     from lib_gdal_spark.geo import rpc as rpcmod
@@ -4099,7 +4100,8 @@ edges AS (SELECT * FROM e0 UNION ALL SELECT dst, src, w FROM e0)
 
 
 def _o_rpc_project() -> str:
-    # the forward RPC model with repr-injected coefficients; the folds
+    # the forward RPC model with %.17e::DOUBLE-injected coefficients
+    # (NOT repr — dl() explains the duckdb double-rounding trap); the folds
     # mirror geo/rpc.py:_eval exactly — even and odd running sums
     # (left-associated " + " chains), added last, like the reference's
     # RPCEvaluate (gdal_rpc.cpp:337)

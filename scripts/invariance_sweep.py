@@ -30,10 +30,12 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if str(pdf[c].dtype).startswith("datetime64"):
             pdf[c] = pdf[c].astype("int64")  # ns since epoch; NaT -> min
         elif pdf[c].dtype == object:
-            try:
-                pdf[c] = pd.to_numeric(pdf[c])
-            except (ValueError, TypeError):
-                pdf[c] = pdf[c].astype(str)  # also arrays/lists -> repr
+            # STRING compare, never pd.to_numeric: both passes are the
+            # same engine, so dtypes already agree, and numeric coercion
+            # would collapse DECIMAL values differing beyond float64's
+            # 53 bits — masking exactly the violations this sweep exists
+            # to catch (also handles arrays/lists via repr)
+            pdf[c] = pdf[c].astype(str)
     return pdf.sort_values(list(pdf.columns), kind="mergesort") \
               .reset_index(drop=True)
 
@@ -74,6 +76,13 @@ def main():
         if list(a.columns) != list(b.columns) or len(a) != len(b):
             bad.append((name, f"shape {a.shape} vs {b.shape}"))
             print(f"FAIL {name} (shape {a.shape} vs {b.shape})")
+            continue
+        if len(a) == 0:
+            # 0 rows passes invariance trivially and proves nothing —
+            # the repo's known degenerate-parameter failure class
+            # (CLAUDE.md); every contract query is nonzero by design
+            bad.append((name, "0 rows (trivial pass; degenerate query)"))
+            print(f"FAIL {name} (0 rows)")
             continue
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
