@@ -127,6 +127,19 @@ def _q_tile_pyramid(spark, sf_dir):
     )
 
 
+def _q_tile_render(spark, sf_dir):
+    # gdal2tiles' actual PNG product with the codec IN the loop
+    # (tiles.render_checksums): render 256x256 grayscale PNGs at z=2
+    # from z=10 subtile counts, decode each tile back engine-side and
+    # emit its GDALChecksumImage — the oracle computes the same checksum
+    # relationally from the counts, so a green hash row certifies
+    # encode_png -> decode_png -> checksum end-to-end, distributed.
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=10)
+    base = tiles.base_tiles(p, zoom=10)
+    return tiles.render_checksums(base, z=2).select(
+        "x", "y", "checksum", "nnz")
+
+
 def _q_pip_rect_join(spark, sf_dir):
     p = sjoin.with_tile(_pages(spark, sf_dir), zoom=6)
     j = sjoin.spatial_join(p, _rect_polyset(), zoom=6, how="inner")
@@ -2581,13 +2594,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity). graph_sssp_blocked (GNM barrier option, unit-tested
         # four ways) and rpc_project (forward RPC camera model; inverse
         # replays the reference autotest goldens in tests/test_rpc.py)
-        # join them. Rotate ALL FIVE FIRST in round 4.
+        # join them, as does tile_render (PNG tile rendering with
+        # the codec inside the verified loop). Rotate ALL SIX FIRST in
+        # round 4.
         "semdedup_docs": _q_semdedup_docs,
         "grid_linear": _q_grid_linear,             # circumcircle oracle (was
                                                    # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
         "graph_sssp_blocked": _q_graph_sssp_blocked,
         "rpc_project": _q_rpc_project,
+        "tile_render": _q_tile_render,
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
         "sjoin_left": _q_sjoin_left,
@@ -2699,6 +2715,34 @@ SELECT z, x, y, count(*) AS n_pages FROM (
          {_dd_tile_y('pages.lat', 'zs.z')} AS y
   FROM pages, zs
 ) GROUP BY z, x, y
+"""
+
+
+def _o_tile_render() -> str:
+    # pixels of render tile (2, x, y) are the z-10 subtile counts:
+    # px = sx % 256, py = sy % 256 (XYZ y grows downward, so py is
+    # already the top-down row), linear index py*256+px == the engine's
+    # row-major ravel; GDALChecksumImage = sum(v % prime[idx % 11]) &
+    # 0xFFFF with absent pixels contributing 0 (0 % p == 0)
+    primes = "[7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]"
+    return f"""
+WITH {_PAGES_CTE},
+sub AS (
+  SELECT {_dd_tile_x('pages.lon', 10)} AS sx,
+         {_dd_tile_y('pages.lat', 10)} AS sy,
+         count(*) AS n
+  FROM pages GROUP BY 1, 2
+),
+px AS (
+  SELECT sx // 256 AS x, sy // 256 AS y,
+         ((sy % 256) * 256 + (sx % 256)) % 11 AS idx,
+         CAST(least(n, 255) AS BIGINT) AS v
+  FROM sub
+)
+SELECT x, y,
+       CAST(sum(v % ({primes})[idx + 1]) AS BIGINT) & 65535 AS checksum,
+       CAST(count(*) AS BIGINT) AS nnz
+FROM px GROUP BY x, y
 """
 
 
@@ -5531,6 +5575,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _o_graph_sssp(),
         "graph_sssp_blocked": _o_graph_sssp_blocked(),
         "rpc_project": _o_rpc_project(),
+        "tile_render": _o_tile_render(),
         "graph_components": _o_graph_components(),
         "graph_kpaths": _o_graph_kpaths(),
         "dem_roughness": _o_dem_roughness(),

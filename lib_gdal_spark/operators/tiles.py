@@ -151,3 +151,90 @@ def resume_filter(pyramid: DataFrame, committed_path: str) -> DataFrame:
     except Exception:
         return pyramid  # nothing committed yet
     return pyramid.join(done, on=["z", "x", "y"], how="left_anti")
+
+
+def render_png(base: DataFrame, z: int, *, pixel_zoom: int = 8,
+               measure: str = "n_pages") -> DataFrame:
+    """gdal2tiles' actual product, distributed: one 2^pz x 2^pz
+    grayscale PNG per tile at `z`, where pixel (px, py) is the clamped
+    (<=255) measure of subtile (z+pz, (x<<pz)+px, (y<<pz)+py) — the
+    heatmap recast of ``generate_base_tiles`` (gdal2tiles.py:2797):
+    instead of resampling source windows per tile in a process pool,
+    ONE groupBy ships each tile's subtile aggregates to its renderer
+    (256x256 = at most 65 536 narrow rows per group).
+
+    base: the tile frame at zoom z+pixel_zoom (z/x/y/<measure>).
+    Returns (z, x, y, png binary, nnz). PNG bytes come from the
+    pure-stdlib encoder (sources/png.py:encode_png); bytes are
+    deterministic for a given zlib but only DECODED PIXELS are the
+    cross-version contract — hash pixels/checksums, never bytes.
+    """
+    from ..session import ship_package
+
+    ship_package(base.sparkSession)
+    n = 1 << pixel_zoom
+    sub = (
+        base.filter(F.col("z") == z + pixel_zoom)
+        .select(
+            F.shiftright(F.col("x"), pixel_zoom).alias("tx"),
+            F.shiftright(F.col("y"), pixel_zoom).alias("ty"),
+            (F.col("x") - (F.shiftright(F.col("x"), pixel_zoom)
+                           * F.lit(n))).cast("int").alias("px"),
+            (F.col("y") - (F.shiftright(F.col("y"), pixel_zoom)
+                           * F.lit(n))).cast("int").alias("py"),
+            F.least(F.col(measure), F.lit(255)).cast("int").alias("v"),
+        )
+    )
+
+    def _render(pdf):
+        import numpy as np
+        import pandas as pd
+        from lib_gdal_spark.sources.png import encode_png
+
+        arr = np.zeros((n, n), dtype=np.uint8)
+        arr[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = \
+            pdf["v"].to_numpy().astype(np.uint8)
+        return pd.DataFrame({
+            "z": [z], "x": [int(pdf["tx"].iloc[0])],
+            "y": [int(pdf["ty"].iloc[0])],
+            "png": [encode_png(arr)],
+            "nnz": [int((arr != 0).sum())],
+        })
+
+    return sub.groupBy("tx", "ty").applyInPandas(
+        _render, "z int, x long, y long, png binary, nnz long")
+
+
+def render_checksums(base: DataFrame, z: int, *, pixel_zoom: int = 8,
+                     measure: str = "n_pages") -> DataFrame:
+    """render_png -> decode each tile back -> GDALChecksumImage over the
+    full pixel grid (the canonical raster.checksum formula: row-major
+    idx % 11 into the prime table, sum of v % prime, & 0xFFFF). The
+    encode/decode cycle runs INSIDE the job, so a green oracle row
+    certifies the whole PNG codec path, not just the aggregation.
+    Returns (x, y, checksum, nnz)."""
+    from ..session import ship_package
+
+    ship_package(base.sparkSession)
+    rendered = render_png(base, z, pixel_zoom=pixel_zoom, measure=measure)
+
+    def _cksum(it):
+        import numpy as np
+        import pandas as pd
+        from lib_gdal_spark.operators.raster import CHECKSUM_PRIMES
+        from lib_gdal_spark.sources.png import decode_png
+
+        primes = np.array(CHECKSUM_PRIMES, dtype=np.int64)
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                arr, _meta = decode_png(bytes(r["png"]))
+                v = arr.astype(np.int64).ravel()  # row-major top-down
+                idx = np.arange(v.size, dtype=np.int64) % 11
+                cs = int((v % primes[idx]).sum()) & 0xFFFF
+                out.append((int(r["x"]), int(r["y"]), cs,
+                            int((v != 0).sum())))
+            yield pd.DataFrame(out, columns=["x", "y", "checksum", "nnz"])
+
+    return rendered.mapInPandas(
+        _cksum, "x long, y long, checksum long, nnz long")

@@ -2083,3 +2083,47 @@ class TestTranslate:
         got = sorted((r.bx, r.by, r.value) for r in out.collect())
         assert got == [(0, 0, 60.0), (1, 0, 60.0),
                        (2, 0, 70.0), (3, 0, 70.0)]
+
+
+class TestTileRender:
+    def test_render_png_pixels_roundtrip(self, spark):
+        # two subtiles of tile (0,0) at z=0, pixel_zoom=2 (4x4 image):
+        # subtile (1,2) count 5 -> pixel (px=1, py=2) value 5; count 300
+        # clamps to 255
+        from lib_gdal_spark.operators import tiles
+        from lib_gdal_spark.sources.png import decode_png
+        import numpy as np
+
+        base = spark.createDataFrame(
+            [(2, 1, 2, 5), (2, 3, 0, 300)],
+            "z int, x long, y long, n_pages long")
+        out = tiles.render_png(base, z=0, pixel_zoom=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.z, r.x, r.y, r.nnz) == (0, 0, 0, 2)
+        arr, meta = decode_png(bytes(r.png))
+        want = np.zeros((4, 4), np.uint8)
+        want[2, 1] = 5
+        want[0, 3] = 255
+        assert np.array_equal(arr, want)
+
+    def test_render_checksum_matches_canonical_aggregate(self, spark):
+        # the decoded-PNG checksum must equal raster.checksum over the
+        # same pixel grid (the canonical aggregate that replays GDAL's
+        # own 364/1941 expectations)
+        from lib_gdal_spark.operators import tiles, raster
+        from pyspark.sql import functions as F
+
+        base = spark.createDataFrame(
+            [(3, x, y, (x * 7 + y * 13) % 20 + 1)
+             for x in range(8) for y in range(8)],
+            "z int, x long, y long, n_pages long")
+        got = tiles.render_checksums(base, z=0, pixel_zoom=3).collect()[0]
+        # same grid as (bx, by) cells: raster.checksum scans top-down,
+        # row 0 = by y0+height-1 -> feed by = 7 - py
+        cells = spark.createDataFrame(
+            [(x, 7 - y, float((x * 7 + y * 13) % 20 + 1))
+             for x in range(8) for y in range(8)],
+            "bx long, by long, value double")
+        want = raster.checksum(cells, 0, 0, 8, 8).collect()[0].checksum
+        assert got.checksum == want and got.nnz == 64
