@@ -116,3 +116,123 @@ def read_points_df(spark: SparkSession, path: str) -> DataFrame:
         f", {k} double" if isinstance(feats[0].get(k), float) else
         f", {k} string" for k in keys)
     return spark.createDataFrame(rows, schema)
+
+
+def _shp_geom_payload(g: dict) -> tuple[bytes, tuple]:
+    """Geometry dict (reader's shape) -> (record payload, bbox)."""
+    t = g["type"]
+    if t == 0:
+        return struct.pack("<i", 0), None
+    if t == 1:
+        x, y = g["points"][0]
+        return struct.pack("<i2d", 1, x, y), (x, y, x, y)
+    if t in (3, 5):
+        parts = g["parts"]
+        pts = [p for part in parts for p in part]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        bbox = (min(xs), min(ys), max(xs), max(ys))
+        starts, acc = [], 0
+        for part in parts:
+            starts.append(acc)
+            acc += len(part)
+        payload = struct.pack("<i4d2i", t, *bbox, len(parts), len(pts))
+        payload += struct.pack(f"<{len(parts)}i", *starts)
+        payload += struct.pack(f"<{2 * len(pts)}d",
+                               *[c for p in pts for c in p])
+        return payload, bbox
+    if t == 8:
+        pts = g["points"]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        bbox = (min(xs), min(ys), max(xs), max(ys))
+        payload = struct.pack("<i4di", 8, *bbox, len(pts))
+        payload += struct.pack(f"<{2 * len(pts)}d",
+                               *[c for p in pts for c in p])
+        return payload, bbox
+    raise NotImplementedError(f"shape type {t}")
+
+
+def write_shapefile(feats: list[dict], path: str) -> None:
+    """Round-trip twin of read_shapefile: [{**attrs, "geom": dict}] ->
+    .shp + .shx + .dbf (ESRI TechDesc layout; dBASE III attributes).
+
+    Field mapping mirrors the reader: float/int attrs -> N(24,15) (the
+    reference OGR shapefile driver's default numeric width/precision,
+    ogrshapelayer defaults — 15 significant digits, so exact for ints
+    < 2^49 and repr-roundtrip for most but not all doubles), str -> C
+    (width = max value length). Single-file assembly runs driver-side —
+    shapefiles are a dimension-sized sidecar format here (the reference
+    writes one serial file too); corpus-scale outputs use parquet/CSV.
+    """
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    geoms = [f["geom"] for f in feats]
+    payloads = []
+    bbox = None
+    stype = 0
+    for g in geoms:
+        payload, b = _shp_geom_payload(g)
+        payloads.append(payload)
+        if g["type"] != 0:
+            stype = g["type"]
+        if b is not None:
+            bbox = b if bbox is None else (
+                min(bbox[0], b[0]), min(bbox[1], b[1]),
+                max(bbox[2], b[2]), max(bbox[3], b[3]))
+    bbox = bbox or (0.0, 0.0, 0.0, 0.0)
+
+    def header(flen_words: int) -> bytes:
+        return (struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, flen_words)
+                + struct.pack("<2i", 1000, stype)
+                + struct.pack("<8d", bbox[0], bbox[1], bbox[2], bbox[3],
+                              0.0, 0.0, 0.0, 0.0))
+
+    shp_body = b""
+    shx_body = b""
+    offset_words = 50  # header = 100 bytes
+    for i, payload in enumerate(payloads):
+        clen = len(payload) // 2
+        shp_body += struct.pack(">2i", i + 1, clen) + payload
+        shx_body += struct.pack(">2i", offset_words, clen)
+        offset_words += 4 + clen
+    with open(base + ".shp", "wb") as f:
+        f.write(header((100 + len(shp_body)) // 2) + shp_body)
+    with open(base + ".shx", "wb") as f:
+        f.write(header((100 + len(shx_body)) // 2) + shx_body)
+
+    # ---- .dbf ----
+    keys = sorted({k for f in feats for k in f if k != "geom"})
+    fields = []  # (name, type, width)
+    for k in keys:
+        vals = [f.get(k) for f in feats]
+        if all(v is None or isinstance(v, (int, float)) for v in vals):
+            fields.append((k, "N", 24))
+        else:
+            w = max([len(str(v)) for v in vals if v is not None] or [1])
+            fields.append((k, "C", min(max(w, 1), 254)))
+    rsize = 1 + sum(w for _, _, w in fields)
+    hsize = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    out += struct.pack("<4B", 0x03, 99, 1, 1)  # dBASE III, Y2K-era stamp
+    out += struct.pack("<iHH", len(feats), hsize, rsize)
+    out += b"\x00" * 20
+    for name, ftype, w in fields:
+        out += name.encode("ascii")[:10].ljust(11, b"\x00")
+        out += ftype.encode("ascii") + b"\x00" * 4
+        out += bytes([w, 15 if ftype == "N" else 0]) + b"\x00" * 14
+    out += b"\x0d"
+    for f in feats:
+        out += b" "
+        for name, ftype, w in fields:
+            v = f.get(name)
+            if v is None:
+                cell = b"*" * w if ftype == "N" else b" " * w
+            elif ftype == "N":
+                cell = f"%{w}.15g" % float(v)
+                cell = cell.encode("ascii")[:w].rjust(w)
+            else:
+                cell = str(v).encode("ascii", "replace")[:w].ljust(w)
+            out += cell
+    out += b"\x1a"
+    with open(base + ".dbf", "wb") as f:
+        f.write(bytes(out))
