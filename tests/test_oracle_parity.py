@@ -13,7 +13,10 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.01"
+# default sf0.01 (the driver's gate scale); override with
+# SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.1 for the both-scales deep
+# sweep (verify skill, surface 4)
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

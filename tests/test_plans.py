@@ -385,3 +385,18 @@ class TestWebtextNewPlans:
         assert "Exchange" not in plan, plan
         assert "* Project" in plan, plan  # '*' = whole-stage codegen
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    def test_semdedup_pair_join_not_cartesian(self, spark):
+        # the pair search must be an equi-join on the cluster key over
+        # the PERSISTED assignment projection — never CartesianProduct,
+        # and the assignment cache must feed both pair sides
+        from lib_gdal_spark.operators import clustering
+        pts = spark.createDataFrame(
+            [(i, [float(i % 5), float(i % 3)]) for i in range(30)],
+            "vec_id long, embedding array<float>")
+        out = clustering.semantic_dedup(pts, k=2, iterations=1, quant=10)
+        plan = explain_str(out)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        spark.catalog.clearCache()
