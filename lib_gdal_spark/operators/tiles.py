@@ -238,3 +238,48 @@ def render_checksums(base: DataFrame, z: int, *, pixel_zoom: int = 8,
 
     return rendered.mapInPandas(
         _cksum, "x long, y long, checksum long, nnz long")
+
+
+def write_png_tiles(base: DataFrame, out_dir: str, zooms,
+                    *, pixel_zoom: int = 8,
+                    measure: str = "n_pages") -> DataFrame:
+    """The gdal2tiles output contract: <out_dir>/<z>/<x>/<y>.png on a
+    shared filesystem, one file per rendered tile (the reference's
+    process-pool writers, gdal2tiles.py:4503 — here each Spark task
+    writes its own tiles). Requires the base tile frame to carry zooms
+    z+pixel_zoom for every requested z (tile_pyramid provides all).
+
+    Returns the MANIFEST (z, x, y, path, n_bytes, nnz) — collected by
+    the caller or anti-joined for resume exactly like resume_filter.
+    Eagerly materialized (the writes are the point); local-mode writes
+    land on the local fs, cluster mode needs out_dir on shared storage,
+    same as gdal2tiles itself."""
+    import pandas as pd
+
+    from ..session import ship_package
+
+    ship_package(base.sparkSession)
+    rendered = None
+    for z in zooms:
+        r = render_png(base, z, pixel_zoom=pixel_zoom, measure=measure)
+        rendered = r if rendered is None else rendered.unionByName(r)
+
+    def _write(it):
+        import os
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = os.path.join(out_dir, str(int(r["z"])), str(int(r["x"])))
+                os.makedirs(d, exist_ok=True)
+                p = os.path.join(d, f"{int(r['y'])}.png")
+                buf = bytes(r["png"])
+                with open(p, "wb") as f:
+                    f.write(buf)
+                rows.append((int(r["z"]), int(r["x"]), int(r["y"]),
+                             p, len(buf), int(r["nnz"])))
+            yield pd.DataFrame(rows, columns=[
+                "z", "x", "y", "path", "n_bytes", "nnz"])
+
+    manifest = rendered.mapInPandas(
+        _write, "z int, x long, y long, path string, n_bytes long, nnz long")
+    return manifest.localCheckpoint()  # eager: perform the writes NOW

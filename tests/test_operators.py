@@ -2127,3 +2127,23 @@ class TestTileRender:
             "bx long, by long, value double")
         want = raster.checksum(cells, 0, 0, 8, 8).collect()[0].checksum
         assert got.checksum == want and got.nnz == 64
+
+    def test_write_png_tiles_gdal2tiles_layout(self, spark, tmp_path):
+        from lib_gdal_spark.operators import tiles
+        from lib_gdal_spark.sources.png import decode_png
+        import numpy as np, os
+
+        # base at z=2 (pixel_zoom=2 -> tiles at z=0 are 4x4 images)
+        base = spark.createDataFrame(
+            [(2, x, y, x + y + 1) for x in range(4) for y in range(4)],
+            "z int, x long, y long, n_pages long")
+        man = tiles.write_png_tiles(base, str(tmp_path), [0],
+                                    pixel_zoom=2).collect()
+        assert len(man) == 1
+        m = man[0]
+        assert m.path == os.path.join(str(tmp_path), "0", "0", "0.png")
+        arr, _ = decode_png(open(m.path, "rb").read())
+        want = np.array([[x + y + 1 for x in range(4)] for y in range(4)],
+                        dtype=np.uint8)
+        assert np.array_equal(arr, want)
+        assert m.nnz == 16 and m.n_bytes == os.path.getsize(m.path)
