@@ -209,3 +209,51 @@ class TestHullWktDelaunayProperties:
 
         d = geometry_distance("point", (x0, y0), "point", (x1, y1))
         assert d == np.hypot(x0 - x1, y0 - y1)
+
+
+class TestRpcProperties:
+    """geo/rpc.py kernel invariants over the reference's rpc.vrt model
+    (the same fixture its autotest goldens use)."""
+
+    from lib_gdal_spark.geo import rpc as _rpcmod
+    _M = _rpcmod.RpcModel.from_metadata(_rpcmod.RPC_VRT_DEMO)
+
+    _pixels = st.floats(min_value=0.0, max_value=2220.0,
+                        allow_nan=False, allow_infinity=False)
+    _lines = st.floats(min_value=0.0, max_value=2920.0,
+                       allow_nan=False, allow_infinity=False)
+    _heights = st.floats(min_value=-100.0, max_value=400.0,
+                         allow_nan=False, allow_infinity=False)
+
+    @given(_pixels, _lines, _heights)
+    @settings(max_examples=150, deadline=None)
+    def test_converged_inverse_roundtrips_within_threshold(self, px, ln, h):
+        from lib_gdal_spark.geo import rpc as rpcmod
+        X, Y, ok = rpcmod.lonlat(self._M, [px], [ln], h)
+        if ok[0]:  # the reference errors out non-converged points too
+            bp, bl = rpcmod.pixel_line(self._M, X[0], Y[0], h)
+            # the iteration froze the moment its error dropped below the
+            # default 0.1 threshold — the roundtrip must honor it
+            assert abs(bp - px) < 0.1 and abs(bl - ln) < 0.1
+
+    @given(st.lists(st.tuples(_pixels, _lines), min_size=1, max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def test_vectorized_inverse_equals_per_element(self, pts):
+        from lib_gdal_spark.geo import rpc as rpcmod
+        px = np.array([p for p, _ in pts])
+        ln = np.array([l for _, l in pts])
+        X, Y, ok = rpcmod.lonlat(self._M, px, ln, 0.0)
+        for i in range(len(pts)):
+            xi, yi, oki = rpcmod.lonlat(self._M, [px[i]], [ln[i]], 0.0)
+            # per-point convergence masking must make batching invisible
+            assert ok[i] == oki[0] and X[i] == xi[0] and Y[i] == yi[0]
+
+    def test_full_image_grid_converges(self):
+        # deterministic sweep: every point of an in-image 15x15 grid
+        # converges at the default threshold (the reference's memo says
+        # its no-DEM path converges across whole images)
+        from lib_gdal_spark.geo import rpc as rpcmod
+        gx, gy = np.meshgrid(np.linspace(0.5, 2219.5, 15),
+                             np.linspace(0.5, 2919.5, 15))
+        _, _, ok = rpcmod.lonlat(self._M, gx.ravel(), gy.ravel(), 0.0)
+        assert ok.all()
