@@ -154,7 +154,7 @@ def resume_filter(pyramid: DataFrame, committed_path: str) -> DataFrame:
 
 
 def render_png(base: DataFrame, z: int, *, pixel_zoom: int = 8,
-               measure: str = "n_pages") -> DataFrame:
+               measure: str = "n_pages", mode: str = "gray") -> DataFrame:
     """gdal2tiles' actual product, distributed: one 2^pz x 2^pz
     grayscale PNG per tile at `z`, where pixel (px, py) is the clamped
     (<=255) measure of subtile (z+pz, (x<<pz)+px, (y<<pz)+py) — the
@@ -164,7 +164,11 @@ def render_png(base: DataFrame, z: int, *, pixel_zoom: int = 8,
     (256x256 = at most 65 536 narrow rows per group).
 
     base: the tile frame at zoom z+pixel_zoom (z/x/y/<measure>).
-    Returns (z, x, y, png binary, nnz). PNG bytes come from the
+    mode="gray" writes 8-bit grayscale; mode="rgba" writes the
+    reference's actual tile format — RGBA with alpha 255 on data pixels
+    and 0 (fully transparent) elsewhere (gdal2tiles adds the alpha band
+    so empty tile area does not paint the map, gdal2tiles.py:2852
+    tilebands = dataBandsCount + 1). Returns (z, x, y, png binary, nnz). PNG bytes come from the
     pure-stdlib encoder (sources/png.py:encode_png); bytes are
     deterministic for a given zlib but only DECODED PIXELS are the
     cross-version contract — hash pixels/checksums, never bytes.
@@ -186,6 +190,9 @@ def render_png(base: DataFrame, z: int, *, pixel_zoom: int = 8,
         )
     )
 
+    if mode not in ("gray", "rgba"):
+        raise ValueError(f"render_png: unknown mode {mode!r}")
+
     def _render(pdf):
         import numpy as np
         import pandas as pd
@@ -194,11 +201,18 @@ def render_png(base: DataFrame, z: int, *, pixel_zoom: int = 8,
         arr = np.zeros((n, n), dtype=np.uint8)
         arr[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = \
             pdf["v"].to_numpy().astype(np.uint8)
+        nnz = int((arr != 0).sum())
+        if mode == "rgba":
+            img = np.zeros((n, n, 4), dtype=np.uint8)
+            img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = arr
+            img[:, :, 3] = np.where(arr != 0, 255, 0).astype(np.uint8)
+        else:
+            img = arr
         return pd.DataFrame({
             "z": [z], "x": [int(pdf["tx"].iloc[0])],
             "y": [int(pdf["ty"].iloc[0])],
-            "png": [encode_png(arr)],
-            "nnz": [int((arr != 0).sum())],
+            "png": [encode_png(img)],
+            "nnz": [nnz],
         })
 
     return sub.groupBy("tx", "ty").applyInPandas(

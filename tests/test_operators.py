@@ -2147,3 +2147,20 @@ class TestTileRender:
                         dtype=np.uint8)
         assert np.array_equal(arr, want)
         assert m.nnz == 16 and m.n_bytes == os.path.getsize(m.path)
+
+    def test_render_png_rgba_transparency(self, spark):
+        # gdal2tiles' actual tile format: RGBA with alpha 0 on empty
+        # pixels, 255 on data pixels (tilebands = dataBandsCount + 1)
+        from lib_gdal_spark.operators import tiles
+        from lib_gdal_spark.sources.png import decode_png
+        import numpy as np
+
+        base = spark.createDataFrame(
+            [(2, 1, 2, 5)], "z int, x long, y long, n_pages long")
+        r = tiles.render_png(base, z=0, pixel_zoom=2, mode="rgba").collect()[0]
+        bands, meta = decode_png(bytes(r.png))  # decoder is band-first
+        assert bands.shape == (4, 4, 4) and meta["color_type"] == 6
+        arr = np.transpose(bands, (1, 2, 0))  # -> (h, w, rgba)
+        assert arr[2, 1].tolist() == [5, 5, 5, 255]
+        assert arr[0, 0].tolist() == [0, 0, 0, 0]
+        assert (arr[:, :, 3] != 0).sum() == 1 and r.nnz == 1
