@@ -457,6 +457,17 @@ def _q_kmeans_docs(spark, sf_dir):
                              quant=_KM_QUANT)
 
 
+def _q_cluster_prune(spark, sf_dir):
+    # Prototypicality pruning (clustering.prototype_prune, Sorscher et
+    # al. 2022): keep the hardest 2/5 per kmeans cluster. Ranking uses
+    # the integer dist2 with (d2 desc, id asc) tie-break; the keep test
+    # is the integer inequality rank*5 <= n*2 — no float fraction.
+    from lib_gdal_spark.operators import clustering
+    return clustering.prototype_prune(
+        _tbl(spark, sf_dir, "embeddings"), k=_KM_K,
+        iterations=_KM_ITERS, keep_num=2, keep_den=5, quant=_KM_QUANT)
+
+
 def _q_semdedup_docs(spark, sf_dir):
     # SemDeDup (operators/clustering.py:semantic_dedup): kmeans clusters
     # bound the pair search; within a cluster, keep-first (lowest id)
@@ -2594,10 +2605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity). graph_sssp_blocked (GNM barrier option, unit-tested
         # four ways) and rpc_project (forward RPC camera model; inverse
         # replays the reference autotest goldens in tests/test_rpc.py)
-        # join them, as does tile_render (PNG tile rendering with
-        # the codec inside the verified loop). Rotate ALL SIX FIRST in
-        # round 4.
+        # join them, as do tile_render (PNG tile rendering with the
+        # codec inside the verified loop) and cluster_prune
+        # (prototypicality pruning). Rotate ALL SEVEN FIRST in round 4.
         "semdedup_docs": _q_semdedup_docs,
+        "cluster_prune": _q_cluster_prune,
         "grid_linear": _q_grid_linear,             # circumcircle oracle (was
                                                    # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
@@ -4073,6 +4085,20 @@ SELECT vec_id, CAST(ci AS BIGINT) AS cluster, d2 AS dist2 FROM final
 """
 
 
+def _o_cluster_prune() -> str:
+    # the kmeans chain + one ranking window; the keep test mirrors the
+    # engine's integer inequality rank * keep_den <= n * keep_num
+    return _km_chain() + """
+SELECT vec_id, cluster, dist2, rank, (rank * 5 <= n * 2) AS kept FROM (
+  SELECT vec_id, CAST(ci AS BIGINT) AS cluster, d2 AS dist2,
+         CAST(row_number() OVER (
+             PARTITION BY ci ORDER BY d2 DESC, vec_id ASC) AS BIGINT)
+             AS rank,
+         count(*) OVER (PARTITION BY ci) AS n
+  FROM final)
+"""
+
+
 def _o_semdedup_docs() -> str:
     # SemDeDup keep-first rule on top of the kmeans chain: within a
     # cluster, a is a dup iff some b with b.vec_id < a.vec_id has
@@ -5542,6 +5568,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kmeans_docs": _o_kmeans_docs(),
         "semdedup_docs": _o_semdedup_docs(),
+        "cluster_prune": _o_cluster_prune(),
         "pagerank_docs": _o_pagerank_docs(),
         "inverted_index": _o_inverted_index(),
         "raster_resize": _o_raster_resize(),

@@ -213,3 +213,43 @@ def semantic_dedup(points: DataFrame, k: int = 8, iterations: int = 4, *,
         .select(F.col(id_col), F.col("cluster"),
                 F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
     )
+
+
+def prototype_prune(points: DataFrame, k: int = 8, iterations: int = 4, *,
+                    keep_num: int = 1, keep_den: int = 2,
+                    hardest: bool = True,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    quant: int = 10 ** 6) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws", arXiv:2206.14486): rank each point by
+    distance to its k-means centroid and keep the keep_num/keep_den
+    fraction per cluster — hardest=True keeps the FARTHEST points (the
+    paper's choice for large data; easy/prototypical examples prune
+    first), hardest=False keeps the nearest.
+
+    Exactness: ranking uses the integer dist2 from the kmeans fit with
+    the (dist2, id) deterministic tie-break; the keep test is the
+    integer inequality rank * keep_den <= cluster_size * keep_num (no
+    float fraction ever computed). The duckdb oracle extends the same
+    unrolled kmeans chain with one window.
+
+    Scale: one extra shuffle over (cluster) for the ranking window on
+    top of the shuffle-free assignment — the same key the SemDeDup pair
+    join uses, so at cluster scale the two curation passes co-partition.
+    Returns (id, cluster, dist2, rank, kept).
+    """
+    asg = kmeans(points, k, iterations, id_col=id_col, vec_col=vec_col,
+                 quant=quant)
+    from pyspark.sql import Window
+    order = (F.col("dist2").desc() if hardest else F.col("dist2").asc())
+    w = Window.partitionBy("cluster").orderBy(order, F.col(id_col).asc())
+    wc = Window.partitionBy("cluster")
+    return (
+        asg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "kept",
+            F.col("rank") * F.lit(int(keep_den))
+            <= F.col("_n") * F.lit(int(keep_num)))
+        .drop("_n")
+    )

@@ -138,3 +138,36 @@ class TestSemanticDedup:
         b = sorted(map(tuple, clustering.semantic_dedup(
             df.repartition(9), k=3, iterations=2, quant=100).collect()))
         assert a == b
+
+
+class TestPrototypePrune:
+    def test_hardest_kept_per_cluster(self, spark):
+        # _SIX converges to clusters {0,1,2} (centroid (1,0)) and
+        # {3,4,5} (centroid (10,10)); final dist2 per id:
+        # 0->1, 1->0, 2->2 | 3->0, 4->2, 5->2. keep 1/3 hardest:
+        # cluster 0 keeps id 2 (d2=2); cluster 1 ties 4 vs 5 at d2=2 ->
+        # lower id 4 wins
+        out = clustering.prototype_prune(
+            _pts(spark, _SIX), k=2, iterations=2, quant=10,
+            keep_num=1, keep_den=3)
+        got = {r.vec_id: (r.rank, r.kept) for r in out.collect()}
+        kept = {v for v, (_, k) in got.items() if k}
+        assert kept == {2, 4}
+        assert got[2][0] == 1 and got[4][0] == 1
+        assert got[5][0] == 2  # tie on d2=2 broken by id asc
+
+    def test_easiest_mode_inverts(self, spark):
+        out = clustering.prototype_prune(
+            _pts(spark, _SIX), k=2, iterations=2, quant=10,
+            keep_num=1, keep_den=3, hardest=False)
+        kept = {r.vec_id for r in out.collect() if r.kept}
+        assert kept == {1, 3}  # d2=0 prototypes
+
+    def test_integer_fraction_boundary(self, spark):
+        # 5 points, keep 2/5: exactly rank<=2 kept (rank*5 <= 5*2), the
+        # boundary rank 2 INCLUDED — an exact integer test, no rounding
+        rows = [(i, (float(i), 0.0)) for i in range(5)]
+        out = clustering.prototype_prune(
+            _pts(spark, rows), k=1, iterations=0, quant=10,
+            keep_num=2, keep_den=5)
+        assert sum(r.kept for r in out.collect()) == 2
