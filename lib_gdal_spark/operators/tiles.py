@@ -168,7 +168,12 @@ def render_png(base: DataFrame, z: int, *, pixel_zoom: int = 8,
     reference's actual tile format — RGBA with alpha 255 on data pixels
     and 0 (fully transparent) elsewhere (gdal2tiles adds the alpha band
     so empty tile area does not paint the map, gdal2tiles.py:2852
-    tilebands = dataBandsCount + 1). Returns (z, x, y, png binary, nnz). PNG bytes come from the
+    tilebands = dataBandsCount + 1). Byte-band semantics: the measure
+    clamps to [0, 255] and a 0-valued pixel is indistinguishable from
+    absent (no nodata != 0 in a Byte band) — nnz counts NONZERO pixels,
+    and a relational twin must count v > 0 rows, not all rows (the
+    tile_render oracle's n_pages >= 1 makes the two coincide).
+    Returns (z, x, y, png binary, nnz). PNG bytes come from the
     pure-stdlib encoder (sources/png.py:encode_png); bytes are
     deterministic for a given zlib but only DECODED PIXELS are the
     cross-version contract — hash pixels/checksums, never bytes.
@@ -186,7 +191,10 @@ def render_png(base: DataFrame, z: int, *, pixel_zoom: int = 8,
                            * F.lit(n))).cast("int").alias("px"),
             (F.col("y") - (F.shiftright(F.col("y"), pixel_zoom)
                            * F.lit(n))).cast("int").alias("py"),
-            F.least(F.col(measure), F.lit(255)).cast("int").alias("v"),
+            # clamp to the Byte range BOTH ways: a negative measure
+            # would otherwise wrap through uint8 (-1 -> 255)
+            F.greatest(F.lit(0), F.least(F.col(measure), F.lit(255)))
+            .cast("int").alias("v"),
         )
     )
 
@@ -256,7 +264,8 @@ def render_checksums(base: DataFrame, z: int, *, pixel_zoom: int = 8,
 
 def write_png_tiles(base: DataFrame, out_dir: str, zooms,
                     *, pixel_zoom: int = 8,
-                    measure: str = "n_pages") -> DataFrame:
+                    measure: str = "n_pages",
+                    mode: str = "gray") -> DataFrame:
     """The gdal2tiles output contract: <out_dir>/<z>/<x>/<y>.png on a
     shared filesystem, one file per rendered tile (the reference's
     process-pool writers, gdal2tiles.py:4503 — here each Spark task
@@ -267,15 +276,28 @@ def write_png_tiles(base: DataFrame, out_dir: str, zooms,
     the caller or anti-joined for resume exactly like resume_filter.
     Eagerly materialized (the writes are the point); local-mode writes
     land on the local fs, cluster mode needs out_dir on shared storage,
-    same as gdal2tiles itself."""
+    same as gdal2tiles itself. mode passes through to render_png
+    ("rgba" = the reference's transparent-alpha tiles)."""
     import pandas as pd
 
     from ..session import ship_package
 
+    zooms = list(zooms)
+    if not zooms:
+        raise ValueError("write_png_tiles: zooms is empty")
     ship_package(base.sparkSession)
+    # each zoom's render branch scans the shared base: persist it for
+    # the union or every branch re-evaluates the whole upstream
+    # (CLAUDE.md rollup_pyramid rule); the manifest's localCheckpoint
+    # below is eager, so the unpersist after it is safe
+    release = False
+    if len(zooms) > 1 and base.storageLevel.useMemory is False:
+        base = base.persist()
+        release = True
     rendered = None
     for z in zooms:
-        r = render_png(base, z, pixel_zoom=pixel_zoom, measure=measure)
+        r = render_png(base, z, pixel_zoom=pixel_zoom, measure=measure,
+                       mode=mode)
         rendered = r if rendered is None else rendered.unionByName(r)
 
     def _write(it):
@@ -296,4 +318,7 @@ def write_png_tiles(base: DataFrame, out_dir: str, zooms,
 
     manifest = rendered.mapInPandas(
         _write, "z int, x long, y long, path string, n_bytes long, nnz long")
-    return manifest.localCheckpoint()  # eager: perform the writes NOW
+    manifest = manifest.localCheckpoint()  # eager: perform the writes NOW
+    if release:
+        base.unpersist()
+    return manifest

@@ -119,9 +119,13 @@ def read_points_df(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _shp_geom_payload(g: dict) -> tuple[bytes, tuple]:
-    """Geometry dict (reader's shape) -> (record payload, bbox)."""
+    """Geometry dict (reader's shape) -> (record payload, bbox).
+    Empty parts/points collapse to a Null shape (type 0) — the spec's
+    convention for absent geometry, and what read_shp can itself parse
+    out of an nparts=0 record."""
     t = g["type"]
-    if t == 0:
+    if t == 0 or (t in (3, 5) and not g.get("parts")) \
+            or (t in (1, 8) and not g.get("points")):
         return struct.pack("<i", 0), None
     if t == 1:
         x, y = g["points"][0]
@@ -161,20 +165,29 @@ def write_shapefile(feats: list[dict], path: str) -> None:
     reference OGR shapefile driver's default numeric width/precision,
     ogrshapelayer defaults — 15 significant digits, so exact for ints
     < 2^49 and repr-roundtrip for most but not all doubles), str -> C
-    (width = max value length). Single-file assembly runs driver-side —
-    shapefiles are a dimension-sized sidecar format here (the reference
-    writes one serial file too); corpus-scale outputs use parquet/CSV.
+    (width = max value length). dBASE limits apply: field names
+    ASCII-ize and truncate to 10 chars, colliding truncations uniquify
+    with a numeric suffix (the OGR driver "laundering" behavior), and
+    string None degrades to '' on read-back (dBASE has no string null;
+    numeric None round-trips via the '*' fill). All non-null geometries
+    must share one shape type (the format's contract) — mixed layers
+    raise. Single-file assembly runs driver-side — shapefiles are a
+    dimension-sized sidecar format here (the reference writes one
+    serial file too); corpus-scale outputs use parquet/CSV.
     """
     base = path[:-4] if path.lower().endswith(".shp") else path
     geoms = [f["geom"] for f in feats]
+    kinds = {g["type"] for g in geoms
+             if g["type"] != 0 and (g.get("parts") or g.get("points"))}
+    if len(kinds) > 1:
+        raise ValueError(
+            f"shapefiles hold ONE shape type; got {sorted(kinds)}")
     payloads = []
     bbox = None
-    stype = 0
+    stype = next(iter(kinds)) if kinds else 0
     for g in geoms:
         payload, b = _shp_geom_payload(g)
         payloads.append(payload)
-        if g["type"] != 0:
-            stype = g["type"]
         if b is not None:
             bbox = b if bbox is None else (
                 min(bbox[0], b[0]), min(bbox[1], b[1]),
@@ -202,29 +215,41 @@ def write_shapefile(feats: list[dict], path: str) -> None:
 
     # ---- .dbf ----
     keys = sorted({k for f in feats for k in f if k != "geom"})
-    fields = []  # (name, type, width)
+    # dBASE names: ASCII, max 10 chars; uniquify truncation collisions
+    # (OGR-style laundering) so no attribute is silently dropped
+    names, seen = {}, set()
+    for k in keys:
+        base10 = k.encode("ascii", "replace").decode("ascii")[:10] or "F"
+        cand, i = base10, 1
+        while cand.upper() in seen:
+            suf = str(i)
+            cand = base10[:10 - len(suf)] + suf
+            i += 1
+        seen.add(cand.upper())
+        names[k] = cand
+    fields = []  # (key, name, type, width)
     for k in keys:
         vals = [f.get(k) for f in feats]
         if all(v is None or isinstance(v, (int, float)) for v in vals):
-            fields.append((k, "N", 24))
+            fields.append((k, names[k], "N", 24))
         else:
             w = max([len(str(v)) for v in vals if v is not None] or [1])
-            fields.append((k, "C", min(max(w, 1), 254)))
-    rsize = 1 + sum(w for _, _, w in fields)
+            fields.append((k, names[k], "C", min(max(w, 1), 254)))
+    rsize = 1 + sum(w for _, _, _, w in fields)
     hsize = 32 + 32 * len(fields) + 1
     out = bytearray()
     out += struct.pack("<4B", 0x03, 99, 1, 1)  # dBASE III, Y2K-era stamp
     out += struct.pack("<iHH", len(feats), hsize, rsize)
     out += b"\x00" * 20
-    for name, ftype, w in fields:
+    for _k, name, ftype, w in fields:
         out += name.encode("ascii")[:10].ljust(11, b"\x00")
         out += ftype.encode("ascii") + b"\x00" * 4
         out += bytes([w, 15 if ftype == "N" else 0]) + b"\x00" * 14
     out += b"\x0d"
     for f in feats:
         out += b" "
-        for name, ftype, w in fields:
-            v = f.get(name)
+        for k, name, ftype, w in fields:
+            v = f.get(k)
             if v is None:
                 cell = b"*" * w if ftype == "N" else b" " * w
             elif ftype == "N":

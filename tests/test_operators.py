@@ -2164,3 +2164,33 @@ class TestTileRender:
         assert arr[2, 1].tolist() == [5, 5, 5, 255]
         assert arr[0, 0].tolist() == [0, 0, 0, 0]
         assert (arr[:, :, 3] != 0).sum() == 1 and r.nnz == 1
+
+    def test_negative_measure_clamps_not_wraps(self, spark):
+        # a negative measure must clamp to 0, never wrap through uint8
+        from lib_gdal_spark.operators import tiles
+        from lib_gdal_spark.sources.png import decode_png
+        import numpy as np
+        base = spark.createDataFrame(
+            [(2, 1, 2, -1), (2, 0, 0, 7)],
+            "z int, x long, y long, n_pages long")
+        r = tiles.render_png(base, z=0, pixel_zoom=2).collect()[0]
+        arr, _ = decode_png(bytes(r.png))
+        assert arr[2, 1] == 0 and arr[0, 0] == 7 and r.nnz == 1
+
+    def test_write_png_tiles_empty_zooms_raises(self, spark, tmp_path):
+        from lib_gdal_spark.operators import tiles
+        import pytest
+        base = spark.createDataFrame(
+            [(2, 0, 0, 1)], "z int, x long, y long, n_pages long")
+        with pytest.raises(ValueError, match="zooms is empty"):
+            tiles.write_png_tiles(base, str(tmp_path), [])
+
+    def test_write_png_tiles_rgba_mode(self, spark, tmp_path):
+        from lib_gdal_spark.operators import tiles
+        from lib_gdal_spark.sources.png import decode_png
+        base = spark.createDataFrame(
+            [(2, 0, 0, 9)], "z int, x long, y long, n_pages long")
+        man = tiles.write_png_tiles(base, str(tmp_path), [0],
+                                    pixel_zoom=2, mode="rgba").collect()
+        bands, meta = decode_png(open(man[0].path, "rb").read())
+        assert meta["color_type"] == 6 and bands.shape == (4, 4, 4)

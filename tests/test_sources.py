@@ -654,3 +654,32 @@ class TestShapefileWriter:
         shp.write_shapefile(orig, out)
         back = shp.read_shapefile(out)
         assert [f["geom"] for f in back] == [f["geom"] for f in orig]
+
+    def test_field_name_laundering_and_collisions(self, tmp_path):
+        # 10-char-truncation collisions uniquify (no silent attr loss);
+        # non-ascii names ASCII-ize instead of crashing mid-write
+        feats = [{"LONGFIELDAA": 1.0, "LONGFIELDAB": 2.0, "naïve": 3.0,
+                  "geom": {"type": 1, "points": [(0.0, 0.0)]}}]
+        back = self._roundtrip(feats, tmp_path)[0]
+        vals = sorted(v for k, v in back.items() if k != "geom")
+        assert vals == [1.0, 2.0, 3.0]
+        assert len([k for k in back if k != "geom"]) == 3
+
+    def test_empty_parts_write_null_shape(self, tmp_path):
+        # read_shp can produce {'type': 5, 'parts': []} from an
+        # nparts=0 record; writing it back must emit a Null shape, not
+        # crash on min() of an empty sequence
+        feats = [{"geom": {"type": 5, "parts": []}},
+                 {"geom": {"type": 1, "points": [(1.0, 2.0)]}}]
+        back = self._roundtrip(feats, tmp_path)
+        assert back[0]["geom"] == {"type": 0}
+        assert back[1]["geom"] == feats[1]["geom"]
+
+    def test_mixed_geometry_types_raise(self, tmp_path):
+        from lib_gdal_spark.sources import shapefile as shp
+        feats = [{"geom": {"type": 1, "points": [(0.0, 0.0)]}},
+                 {"geom": {"type": 5, "parts": [[(0.0, 0.0), (1.0, 0.0),
+                                                 (0.0, 1.0), (0.0, 0.0)]]}}]
+        import pytest
+        with pytest.raises(ValueError, match="ONE shape type"):
+            shp.write_shapefile(feats, str(tmp_path / "mix.shp"))
