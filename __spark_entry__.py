@@ -2106,6 +2106,33 @@ SELECT id, tokens, bucket, bin, off FROM rec
 """
 
 
+def _q_temperature_resample(spark, sf_dir):
+    # mC4/XLM-R temperature rebalancing (operators/sampling.py): per-lang
+    # keep rate min(1, frac * sqrt(n_max/n_g)) (alpha=0.5) — integer
+    # counts -> one division + sqrt + multiply, all correctly-rounded
+    # IEEE ops, so the rate doubles are bit-identical cross-engine; kept
+    # iff md5-unit-hash(doc_id) < rate. One tiny dim aggregate + a
+    # broadcast rate join; no corpus-wide shuffle.
+    from lib_gdal_spark.operators import sampling
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (sampling.temperature_resample(d, "lang", "doc_id",
+                                          alpha=0.5, frac=0.5)
+            .select("doc_id", "lang", "keep_rate"))
+
+
+def _o_temperature_resample():
+    from lib_gdal_spark.operators.sampling import (temperature_rate_sql,
+                                                   unit_hash_sql)
+    ctes = temperature_rate_sql("lang", "documents", alpha=0.5, frac=0.5)
+    u = unit_hash_sql("d.doc_id", "temp|")
+    return f"""
+WITH {ctes}
+SELECT d.doc_id, d.lang, r.keep_rate
+FROM documents d JOIN r ON d.lang = r.grp
+WHERE {u} < r.keep_rate
+"""
+
+
 _BM25_TERMS = ["spark", "join", "window", "vector"]
 
 
@@ -2596,7 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,                     # centroid-replay oracle
         # ---- (3) round-1-verified, one round stale: refresh ----
         # -------- 50-cap boundary: positions 51+ below --------
-        # Deliberately deferred to round 4 (53 entries needed rows vs
+        # Deliberately deferred to round 4 (54 entries needed rows vs
         # the 50 cap): semdedup_docs (added after the front filled; its
         # kmeans substrate IS swept this round and the full pair logic
         # is in the local parity sweep), grid_linear (oracle upgraded
@@ -2606,10 +2633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # four ways) and rpc_project (forward RPC camera model; inverse
         # replays the reference autotest goldens in tests/test_rpc.py)
         # join them, as do tile_render (PNG tile rendering with the
-        # codec inside the verified loop) and cluster_prune
-        # (prototypicality pruning). Rotate ALL SEVEN FIRST in round 4.
+        # codec inside the verified loop), cluster_prune
+        # (prototypicality pruning) and temperature_resample (mC4-style
+        # lang rebalancing). Rotate ALL EIGHT FIRST in round 4.
         "semdedup_docs": _q_semdedup_docs,
         "cluster_prune": _q_cluster_prune,
+        "temperature_resample": _q_temperature_resample,
         "grid_linear": _q_grid_linear,             # circumcircle oracle (was
                                                    # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
@@ -5628,6 +5657,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _o_dataset_split(),
         "source_quota": _o_source_quota(),
         "sequence_pack": _o_sequence_pack(),
+        "temperature_resample": _o_temperature_resample(),
         "retile_assign": _o_retile_assign(),
         "raster_compare": _o_raster_compare(),
         "raster_calc": _o_raster_calc(),

@@ -60,13 +60,19 @@ def dataset_split(df: DataFrame, key_col: str, weights=None,
     return df.withColumn(out_col, expr)
 
 
+def unit_hash_sql(key_expr: str, seed: str) -> str:
+    """The duckdb twin of `_unit_hash` — identical bits by construction
+    (13 hex digits -> exact 52-bit integer, exact power-of-two scale)."""
+    return (f"CAST(('0x' || substr(md5('{seed}' || CAST({key_expr} AS "
+            f"VARCHAR)), 1, 13))::BIGINT AS DOUBLE) / {_POW52!r}")
+
+
 def split_thresholds_sql(key_expr: str, weights=None,
                          seed: str = "split|") -> str:
     """The duckdb twin of dataset_split's CASE, sharing constants."""
     if weights is None:
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
-    u = (f"CAST(('0x' || substr(md5('{seed}' || CAST({key_expr} AS "
-         f"VARCHAR)), 1, 13))::BIGINT AS DOUBLE) / {_POW52!r}")
+    u = unit_hash_sql(key_expr, seed)
     names = list(weights)
     acc = 0.0
     cases = []
@@ -74,6 +80,81 @@ def split_thresholds_sql(key_expr: str, weights=None,
         acc += float(weights[name])
         cases.append(f"WHEN {u} < {acc!r} THEN '{name}'")
     return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def temperature_resample(df: DataFrame, group_col: str, id_col: str, *,
+                         alpha: float = 0.5, frac: float = 0.5,
+                         seed: str = "temp|",
+                         rate_col: str = "keep_rate") -> DataFrame:
+    """Temperature-based corpus rebalancing (the mC4/XLM-R multilingual
+    resampling step): downsample over-represented groups toward
+    ``share^alpha``-proportional balance without upsampling anything.
+
+    Per group g with n_g rows, the keep rate is
+
+        rate_g = min(1, frac * (n_max / n_g) ** (1 - alpha))
+
+    so the LARGEST group keeps exactly ``frac`` of its rows and rarer
+    groups keep progressively more (clamped at 1 — no row is ever
+    duplicated). alpha=1 is uniform ``frac`` sampling, alpha=0 fully
+    flattens the distribution (each group targets n_max * frac rows).
+    A row is kept iff md5-unit-hash(id) < rate_g — deterministic across
+    runs, engines and partitionings.
+
+    Exactness: for alpha in {0.0, 0.5, 1.0} the rate uses only integer
+    division, sqrt and one multiply (all correctly-rounded IEEE ops, so
+    Spark and duckdb produce identical bits — CLAUDE.md op whitelist);
+    other alphas go through pow(), which is NOT in the whitelist — fine
+    for production use, but don't claim an exact oracle for them.
+
+    Scale shape: one count aggregate over the (small) group dimension, a
+    scalar max over it, and a broadcast join of the per-group rates back
+    onto the corpus — no corpus-wide shuffle at all. Output = input
+    columns + ``rate_col`` on the kept rows."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    nmax = counts.agg(F.max("n_g").alias("n_max"))
+    ratio = F.col("n_max").cast("double") / F.col("n_g").cast("double")
+    expo = 1.0 - float(alpha)
+    if expo == 0.5:
+        scaled = F.sqrt(ratio)
+    elif expo == 1.0:
+        scaled = ratio
+    elif expo == 0.0:
+        scaled = F.lit(1.0)
+    else:
+        scaled = F.pow(ratio, F.lit(expo))
+    rates = (counts.crossJoin(F.broadcast(nmax))
+             .select(group_col,
+                     F.least(F.lit(1.0),
+                             F.lit(float(frac)) * scaled).alias(rate_col)))
+    u = _unit_hash(F.col(id_col), seed)
+    return (df.join(F.broadcast(rates), group_col)
+              .filter(u < F.col(rate_col)))
+
+
+def temperature_rate_sql(group_expr: str, table: str = "documents", *,
+                         alpha: float = 0.5, frac: float = 0.5) -> str:
+    """duckdb twin of temperature_resample's per-group rate CTEs: returns
+    ``c AS (...), m AS (...), r AS (...)`` where r = (group, keep_rate)
+    mirroring the engine's op order exactly (alpha in {0, 0.5, 1} only).
+    frac is injected in e-notation (duckdb bare-decimal-literal trap)."""
+    expo = 1.0 - float(alpha)
+    ratio = "CAST(n_max AS DOUBLE) / CAST(n_g AS DOUBLE)"
+    if expo == 0.5:
+        scaled = f"sqrt({ratio})"
+    elif expo == 1.0:
+        scaled = ratio
+    elif expo == 0.0:
+        scaled = "CAST(1.0 AS DOUBLE)"
+    else:
+        raise ValueError("exact oracle only for alpha in {0, 0.5, 1}")
+    return (
+        f"c AS (SELECT {group_expr} AS grp, COUNT(*) AS n_g "
+        f"FROM {table} GROUP BY 1), "
+        f"m AS (SELECT MAX(n_g) AS n_max FROM c), "
+        f"r AS (SELECT grp, LEAST(CAST(1.0 AS DOUBLE), "
+        f"{float(frac):.17e}::DOUBLE * {scaled}) AS keep_rate "
+        f"FROM c CROSS JOIN m)")
 
 
 def host_quota(df: DataFrame, key_col: str, quota: int, order_col: str,

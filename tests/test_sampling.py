@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from lib_gdal_spark.operators.sampling import (
     dataset_split, host_quota, sequence_pack, split_thresholds_sql,
+    temperature_rate_sql, temperature_resample, unit_hash_sql,
 )
 
 
@@ -95,3 +96,100 @@ class TestSequencePack:
             F.sum("tokens").alias("s"), F.count("*").alias("n")).collect()
         for r in sums:
             assert r["s"] <= 2048 or r["n"] == 1
+
+
+class TestTemperatureResample:
+    """mC4/XLM-R temperature rebalancing: rate_g = min(1, frac *
+    (n_max/n_g)^(1-alpha)), kept iff unit-hash(id) < rate_g."""
+
+    @staticmethod
+    def _skewed(spark):
+        # groups: a=800 rows, b=200, c=50 -> n_max=800
+        rows = ([("a", i) for i in range(800)]
+                + [("b", 1000 + i) for i in range(200)]
+                + [("c", 2000 + i) for i in range(50)])
+        return spark.createDataFrame(rows, "grp string, id long")
+
+    def test_rates_hand_computed(self, spark):
+        import math
+
+        df = self._skewed(spark)
+        out = temperature_resample(df, "grp", "id",
+                                   alpha=0.5, frac=0.5).cache()
+        rates = {r["grp"]: r["keep_rate"]
+                 for r in out.select("grp", "keep_rate")
+                             .distinct().collect()}
+        # hand-computed: a -> 0.5 exactly (largest group keeps frac);
+        # b -> 0.5*sqrt(800/200) = 1.0 clamps; c -> clamps too
+        assert rates["a"] == 0.5
+        assert rates["b"] == 1.0
+        assert rates["c"] == 1.0
+        # clamped groups keep EVERY row (no hash can be < 1.0... all
+        # unit hashes are < 1, so all 200 + 50 survive)
+        kept = {r["grp"]: r["cnt"]
+                for r in out.groupBy("grp")
+                            .agg(F.count("*").alias("cnt")).collect()}
+        assert kept["b"] == 200 and kept["c"] == 50
+        # the frac-rate group keeps roughly half, deterministic
+        assert 320 <= kept["a"] <= 480
+        again = temperature_resample(df, "grp", "id",
+                                     alpha=0.5, frac=0.5)
+        assert sorted(r["id"] for r in again.collect()) == \
+            sorted(r["id"] for r in out.collect())
+        out.unpersist()
+        # mild skew so no clamp: b rate = 0.5*sqrt(4) exercised above;
+        # check an unclamped irrational rate against python math
+        df2 = spark.createDataFrame(
+            [("x", i) for i in range(300)] + [("y", 900 + i)
+                                              for i in range(100)],
+            "grp string, id long")
+        r2 = {r["grp"]: r["keep_rate"]
+              for r in temperature_resample(df2, "grp", "id", alpha=0.5,
+                                            frac=0.5)
+                       .select("grp", "keep_rate").distinct().collect()}
+        assert r2["x"] == 0.5
+        assert r2["y"] == 0.5 * math.sqrt(300.0 / 100.0)
+
+    def test_alpha_endpoints(self, spark):
+        df = self._skewed(spark)
+        # alpha=1: uniform frac sampling — every group gets rate=frac
+        u = temperature_resample(df, "grp", "id", alpha=1.0, frac=0.25)
+        assert set(r["keep_rate"] for r in
+                   u.select("keep_rate").distinct().collect()) == {0.25}
+        # alpha=0: full flattening — rate_g = min(1, frac*n_max/n_g)
+        f0 = temperature_resample(df, "grp", "id", alpha=0.0, frac=0.5)
+        rates = {r["grp"]: r["keep_rate"]
+                 for r in f0.select("grp", "keep_rate")
+                            .distinct().collect()}
+        assert rates == {"a": 0.5, "b": 1.0, "c": 1.0}
+
+    def test_partition_count_independent(self, spark):
+        df = self._skewed(spark)
+        one = sorted(r["id"] for r in
+                     temperature_resample(df.coalesce(1), "grp", "id")
+                     .collect())
+        many = sorted(r["id"] for r in
+                      temperature_resample(df.repartition(16), "grp",
+                                           "id").collect())
+        assert one == many
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        df = self._skewed(spark)
+        got = sorted((r["id"], r["keep_rate"]) for r in
+                     temperature_resample(df, "grp", "id", alpha=0.5,
+                                          frac=0.5).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                    + ", ".join(f"('{g}', {i})" for g, i in
+                                [(r["grp"], r["id"])
+                                 for r in df.collect()])
+                    + ") v(grp, id)")
+        ctes = temperature_rate_sql("grp", "t", alpha=0.5, frac=0.5)
+        u = unit_hash_sql("d.id", "temp|")
+        exp = con.execute(
+            f"WITH {ctes} SELECT d.id, r.keep_rate FROM t d "
+            f"JOIN r ON d.grp = r.grp WHERE {u} < r.keep_rate "
+            f"ORDER BY d.id").fetchall()
+        assert got == [(i, k) for i, k in exp]
