@@ -1221,6 +1221,18 @@ def _q_grid_metrics(spark, sf_dir):
     )
 
 
+def _q_grid_metrics_pts(spark, sf_dir):
+    # average_distance_pts (gdalgrid.cpp:2283, strict i<j pair semantic):
+    # per-cell self-join on the same (bx, by) key the metrics groupBy
+    # shuffles on; avg of sqrt pair distances rounded 6 dp both sides
+    # (/997 coords keep the fold off the rounding knife edge)
+    out = grid.grid_metrics(_grid_pts997(spark, sf_dir), cell_size=10.0,
+                            radius=15.0, include_pts_distance=True)
+    return out.select(
+        "bx", "by", F.col("count").cast("long").alias("n"),
+        F.round("average_distance_pts", 6).alias("avg_dist_pts"))
+
+
 def _q_grid_nearest(spark, sf_dir):
     return grid.grid_nearest(_grid_pts(spark, sf_dir), cell_size=10.0, radius=15.0)
 
@@ -2623,7 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,                     # centroid-replay oracle
         # ---- (3) round-1-verified, one round stale: refresh ----
         # -------- 50-cap boundary: positions 51+ below --------
-        # Deliberately deferred to round 4 (54 entries needed rows vs
+        # Deliberately deferred to round 4 (55 entries needed rows vs
         # the 50 cap): semdedup_docs (added after the front filled; its
         # kmeans substrate IS swept this round and the full pair logic
         # is in the local parity sweep), grid_linear (oracle upgraded
@@ -2634,11 +2646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replays the reference autotest goldens in tests/test_rpc.py)
         # join them, as do tile_render (PNG tile rendering with the
         # codec inside the verified loop), cluster_prune
-        # (prototypicality pruning) and temperature_resample (mC4-style
-        # lang rebalancing). Rotate ALL EIGHT FIRST in round 4.
+        # (prototypicality pruning), temperature_resample (mC4-style
+        # lang rebalancing) and grid_metrics_pts (the
+        # average_distance_pts pair metric). Rotate ALL NINE FIRST in
+        # round 4.
         "semdedup_docs": _q_semdedup_docs,
         "cluster_prune": _q_cluster_prune,
         "temperature_resample": _q_temperature_resample,
+        "grid_metrics_pts": _q_grid_metrics_pts,
         "grid_linear": _q_grid_linear,             # circumcircle oracle (was
                                                    # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
@@ -4571,6 +4586,29 @@ FROM f GROUP BY 1, 2
 """
 
 
+def _o_grid_metrics_pts() -> str:
+    # row_number tie order is irrelevant: ties swap identical points, so
+    # the i<j pair SET (and hence the avg) is unchanged
+    return f"""
+WITH {_DD_GRID997},
+r AS (
+  SELECT bx, "by", x, y,
+         row_number() OVER (PARTITION BY bx, "by" ORDER BY x, y, z) AS i
+  FROM f
+),
+p AS (
+  SELECT a.bx, a."by",
+         round(avg(sqrt((b.x - a.x)*(b.x - a.x)
+                        + (b.y - a.y)*(b.y - a.y))), 6) AS avg_dist_pts
+  FROM r a JOIN r b ON a.bx = b.bx AND a."by" = b."by" AND a.i < b.i
+  GROUP BY 1, 2
+),
+c AS (SELECT bx, "by", count(*) AS n FROM f GROUP BY 1, 2)
+SELECT c.bx, c."by", CAST(c.n AS BIGINT) AS n, p.avg_dist_pts
+FROM c LEFT JOIN p ON c.bx = p.bx AND c."by" = p."by"
+"""
+
+
 def _o_grid_invdistnn() -> str:
     # mirrors grid_invdistnn term for term: rational d2 (+0 smoothing
     # omitted on both sides), epsilon clamp, (sd2, z) rank tie-break,
@@ -5690,6 +5728,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean": _o_focal_mean(),
         "grid_idw": _o_grid_idw(),
         "grid_metrics": _o_grid_metrics(),
+        "grid_metrics_pts": _o_grid_metrics_pts(),
         "grid_nearest": _o_grid_nearest(),
         "grid_movavg": _o_grid_movavg(),
         "grid_quadrant": _o_grid_quadrant(),

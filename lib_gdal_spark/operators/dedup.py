@@ -43,17 +43,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows: n-gram word shingles joined by single spaces."""
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+             distinct: bool = True) -> DataFrame:
+    """(id, shingle) rows: n-gram word shingles joined by single spaces.
+
+    distinct=True gives SET semantics (one row per (id, shingle)) — what
+    Jaccard needs — at the cost of a full exchange of the shingle table,
+    the widest shuffle in any dedup job. Pass distinct=False for
+    consumers that are duplicate-insensitive (MIN/MAX aggregation): the
+    exploded rows then feed a map-side partial agg directly and nothing
+    wider than the per-doc result ever crosses the network."""
     toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
     # windowed n-grams via transform over token indices (JVM-side)
     ng = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
     )
-    return toks.select(id_col, F.explode(ng).alias("shingle")).filter(
+    out = toks.select(id_col, F.explode(ng).alias("shingle")).filter(
         F.length("shingle") > 0
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
@@ -64,7 +73,11 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     md5 with a seed prefix gives n_hashes independent permutations, portable
     across engines (oracle-checkable).
     """
-    sh = shingles(df, id_col, text_col, shingle_n)
+    # distinct=False: MIN is duplicate-insensitive, so the set-semantics
+    # exchange would be pure waste — without it the exploded shingles
+    # feed the partial MIN agg map-side and the only shuffle carries one
+    # row per doc (id + n_hashes hex strings), not the shingle table.
+    sh = shingles(df, id_col, text_col, shingle_n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(n_hashes)

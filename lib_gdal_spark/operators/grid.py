@@ -105,17 +105,46 @@ def grid_invdistnn(points: DataFrame, cell_size: float, radius: float,
 
 
 def grid_metrics(points: DataFrame, cell_size: float, radius: float,
-                 x: str = "x", y: str = "y") -> DataFrame:
+                 x: str = "x", y: str = "y",
+                 include_pts_distance: bool = False) -> DataFrame:
     """Data metrics per cell (gdalgrid.cpp minimum/maximum/range/count/
-    average_distance)."""
+    average_distance).
+
+    include_pts_distance adds `average_distance_pts` — the mean pairwise
+    distance between the window's points over strict i<j pairs
+    (GDALGridDataMetricAverageDistancePts, gdalgrid.cpp:2283; its brute
+    path :2361 iterates j>i — the quadtree path :2331 starts j at k and
+    so also accumulates zero-length self-pairs, a reference-internal
+    inconsistency; we implement the documented strict-pair semantic).
+    Cells with a single point get NULL (the reference writes nodata when
+    n == 0 pairs). Costs one extra per-cell self-join, O(k^2) pairs for
+    k points per window — k is bounded by radius x point density, and
+    the join is the same (bx, by) key the metrics groupBy already
+    shuffles on, so AQE keeps it co-partitioned."""
     cand = _candidates(points, cell_size, radius, x, y)
-    return cand.groupBy("bx", "by").agg(
+    base = cand.groupBy("bx", "by").agg(
         F.min("_z").alias("minimum"),
         F.max("_z").alias("maximum"),
         (F.max("_z") - F.min("_z")).alias("range"),
         F.count("_z").alias("count"),
         F.avg("_d").alias("average_distance"),
     )
+    if not include_pts_distance:
+        return base
+    w = Window.partitionBy("bx", "by").orderBy("_px", "_py", "_z")
+    idx = cand.select("bx", "by", "_px", "_py", "_z") \
+              .withColumn("_i", F.row_number().over(w))
+    a = idx.select("bx", "by", F.col("_i").alias("_ia"),
+                   F.col("_px").alias("_ax"), F.col("_py").alias("_ay"))
+    b = idx.select("bx", "by", F.col("_i").alias("_ib"),
+                   F.col("_px").alias("_bx2"), F.col("_py").alias("_by2"))
+    pd_ = (a.join(b, on=["bx", "by"]).filter(F.col("_ia") < F.col("_ib"))
+           .groupBy("bx", "by")
+           .agg(F.avg(F.sqrt(
+               (F.col("_bx2") - F.col("_ax")) * (F.col("_bx2") - F.col("_ax"))
+               + (F.col("_by2") - F.col("_ay")) * (F.col("_by2") - F.col("_ay"))
+           )).alias("average_distance_pts")))
+    return base.join(pd_, on=["bx", "by"], how="left")
 
 
 def grid_movavg(points: DataFrame, cell_size: float, radius: float,

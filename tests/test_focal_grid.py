@@ -94,6 +94,47 @@ class TestGrid:
         assert r["minimum"] == pytest.approx(pdf.z[m].min())
         assert r["average_distance"] == pytest.approx(d[m].mean(), rel=1e-9)
 
+
+    def test_metrics_pts_pairwise(self, points):
+        """average_distance_pts (gdalgrid.cpp:2283 strict i<j pairs):
+        NumPy all-pairs oracle per sampled cell + the single-point cell
+        yields NULL (reference nodata when no pair exists)."""
+        df, pdf = points
+        got = grid.grid_metrics(df, cell_size=1.0, radius=1.5,
+                                include_pts_distance=True).toPandas()
+        for r in got.sample(8, random_state=3).itertuples():
+            cx, cy = r.bx + 0.5, r.by + 0.5
+            d = np.hypot(pdf.x - cx, pdf.y - cy)
+            m = (d <= 1.5).to_numpy()
+            xs, ys = pdf.x[m].to_numpy(), pdf.y[m].to_numpy()
+            n = len(xs)
+            if n < 2:
+                assert np.isnan(r.average_distance_pts)
+                continue
+            acc = [np.hypot(xs[j] - xs[i], ys[j] - ys[i])
+                   for i in range(n - 1) for j in range(i + 1, n)]
+            assert r.average_distance_pts == pytest.approx(
+                float(np.mean(acc)), rel=1e-9)
+
+    def test_metrics_pts_single_point_null(self, spark):
+        import pandas as _pd
+        df = spark.createDataFrame(_pd.DataFrame(
+            {"x": [5.35], "y": [5.35], "z": [7.0]}))
+        got = grid.grid_metrics(df, cell_size=10.0, radius=1.0,
+                                include_pts_distance=True).toPandas()
+        assert len(got) == 1 and got["count"][0] == 1
+        assert np.isnan(got.average_distance_pts[0])
+
+    def test_metrics_pts_two_point_golden(self, spark):
+        import pandas as _pd
+        # two points 3-4-5 apart in one cell window: avg pair dist = 5
+        df = spark.createDataFrame(_pd.DataFrame(
+            {"x": [4.0, 7.0], "y": [5.0, 9.0], "z": [1.0, 2.0]}))
+        got = grid.grid_metrics(df, cell_size=10.0, radius=8.0,
+                                include_pts_distance=True).toPandas()
+        row = got[(got.bx == 0) & (got.by == 0)].iloc[0]
+        assert row.average_distance_pts == pytest.approx(5.0)
+
     def test_nearest(self, points):
         df, pdf = points
         got = grid.grid_nearest(df, cell_size=1.0, radius=2.0).toPandas()

@@ -400,3 +400,22 @@ class TestWebtextNewPlans:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert plan.count("InMemoryTableScan") >= 2, plan
         spark.catalog.clearCache()
+
+
+class TestMinhashPlan:
+    def test_minhash_signature_single_exchange(self, spark):
+        """The only shuffle is the per-doc MIN agg (map-side combined):
+        shingles feed the partial agg distinct-free — MIN is duplicate-
+        insensitive, so a set-semantics exchange of the shingle table
+        (the widest table in any dedup job) would be pure waste."""
+        from lib_gdal_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(i, "w x y z w x y z") for i in range(8)],
+            "doc_id long, text string")
+        sig = dedup.minhash_signature(df, "doc_id", "text")
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        # and it's the partial-agg exchange: a partial_min aggregate
+        # (SortAggregate — string MIN) runs BEFORE the exchange
+        assert "partial_min" in plan[plan.index("Exchange"):], plan
