@@ -527,6 +527,97 @@ def register_all(spark: SparkSession) -> None:
         rk, rd = _clip.union_all(geoms)
         return _enc_areal(rk, rd)
 
+    @F.pandas_udf(T.BooleanType())
+    def st_isempty(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::IsEmpty (ogr_geometry.h; SQLite dialect
+        # REGISTER_ST_op(1, IsEmpty)): no points in the point set
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "point":
+                out.append(False)
+            elif kind == "linestring":
+                out.append(len(data) == 0)
+            elif kind == "polygon":
+                out.append(len(data) == 0 or len(data[0]) == 0)
+            else:
+                out.append(len(data) == 0)
+        return pd.Series(out, dtype="object")
+
+    @F.pandas_udf(T.BooleanType())
+    def st_issimple(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::IsSimple (GEOS-delegated in the reference):
+        # points are simple; a linestring is simple iff no two
+        # NON-ADJACENT segments intersect and no repeated interior
+        # vertex; areal kinds defer to the validity rules (a valid
+        # polygon's boundary is simple by construction)
+        from ..geo.distance import geometry_distance
+
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "point":
+                out.append(True)
+            elif kind == "linestring":
+                pts = np.asarray(data, np.float64)
+                n = len(pts) - 1
+                simple = True
+                closed = n >= 2 and (pts[0] == pts[-1]).all()
+                for i in range(n):
+                    for j in range(i + 2, n):
+                        if i == 0 and j == n - 1 and closed:
+                            continue  # ring closure touch is allowed
+                        d = geometry_distance(
+                            "linestring", pts[i:i + 2],
+                            "linestring", pts[j:j + 2])
+                        if d == 0.0:
+                            simple = False
+                            break
+                    if not simple:
+                        break
+                out.append(simple)
+            else:
+                out.append(bool(_clip.is_valid(kind, data)[0]))
+        return pd.Series(out, dtype="object")
+
+    @F.pandas_udf(T.DoubleType())
+    def st_length(wkb: pd.Series) -> pd.Series:
+        # ST_Length (ogrsqlitesqlfunctions.cpp:978 -> OGR_G_Length,
+        # ogr_api.cpp:1633): planar curve length; surfaces sum their
+        # exterior AND interior ring perimeters (documented since-3.10
+        # behavior); points (non-curve) return 0.0. Rings are stored
+        # closed, so the plain per-segment sum includes the closing edge.
+        def seglen(pts) -> float:
+            a = np.asarray(pts, np.float64)
+            if len(a) < 2:
+                return 0.0
+            d = np.diff(a, axis=0)
+            return float(np.sqrt(d[:, 0] * d[:, 0]
+                                 + d[:, 1] * d[:, 1]).sum())
+
+        vals = []
+        for buf in wkb:
+            if buf is None:
+                vals.append(float("nan"))
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind == "linestring":
+                vals.append(seglen(data))
+            elif kind == "polygon":
+                vals.append(sum(seglen(r) for r in data))
+            elif kind == "multipolygon":
+                vals.append(sum(seglen(r) for rings in data
+                                for r in rings))
+            else:
+                vals.append(0.0)
+        return pd.Series(vals)
+
     @F.pandas_udf(T.DoubleType())
     def st_geodesic_area(wkb: pd.Series) -> pd.Series:
         # ST_Area(geom, use_ellipsoid=1) (ogrsqlitesqlfunctions.cpp:630
@@ -620,6 +711,27 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_utm_zone_epsg", st_utm_zone_epsg)
     spark.udf.register("st_geodesic_area", st_geodesic_area)
     spark.udf.register("st_geodesic_length", st_geodesic_length)
+    spark.udf.register("st_length", st_length)
+    spark.udf.register("st_isempty", st_isempty)
+    spark.udf.register("st_issimple", st_issimple)
+    # the geometry column IS WKB here, so AsBinary/GeomFromWKB are the
+    # identity (the SQLite dialect round-trips through its blob format;
+    # GeomFromWKB still decode-validates so malformed blobs surface)
+    spark.udf.register("st_asbinary", lambda b: b, T.BinaryType())
+
+    @F.pandas_udf(T.BinaryType())
+    def st_geomfromwkb(wkb: pd.Series) -> pd.Series:
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            _wkb.decode(bytes(buf))  # raises on malformed input
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    spark.udf.register("st_geomfromwkb", st_geomfromwkb)
+    spark.udf.register("st_makepoint", st_point)
     spark.udf.register("st_convexhull", st_convexhull)
     spark.udf.register("st_buffer", st_buffer)
     spark.udf.register("st_intersection", _overlay("intersection"))
@@ -632,7 +744,7 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_unaryunion", st_unaryunion)
     spark.udf.register("st_union_agg", st_union_agg)
     for _p in ("intersects", "disjoint", "touches", "within", "contains",
-               "overlaps", "crosses"):
+               "overlaps", "crosses", "equals"):
         spark.udf.register(f"st_{_p}", _predicate(_p))
     spark.udf.register("st_delaunay", st_delaunay)
     spark.udf.register("st_x", _accessor("x"))

@@ -475,6 +475,21 @@ def relate(kind_a: str, data_a, kind_b: str, data_b, predicate: str) -> bool:
                     and bool(overlay(kb, data_b, ka, data_a,
                                      "difference")[1]))
         return False
+    if predicate == "equals":
+        # OGC point-set equality: A within B and B within A
+        if ka == "point" and kb == "point":
+            return (float(data_a[0]) == float(data_b[0])
+                    and float(data_a[1]) == float(data_b[1]))
+        if ka in areal and kb in areal:
+            return (not overlay(ka, data_a, kb, data_b, "difference")[1]
+                    and not overlay(kb, data_b, ka, data_a,
+                                    "difference")[1]
+                    and interiors_intersect())
+        if ka != kb and ("point" in (ka, kb) or "linestring" in (ka, kb)):
+            return False  # mixed dimension point sets are never equal
+        raise NotImplementedError(
+            "ST_Equals for linestring pairs is not defined (would need "
+            "canonical point-set normalization)")
     if predicate == "crosses":
         if ka == "linestring" and kb == "linestring":
             return segments_cross_np(np.asarray(data_a, float),

@@ -37,6 +37,70 @@ class TestStFunctions:
         assert got[2] == 15.0  # hole subtracted
         assert got[3] == 5.0   # multipolygon parts summed
 
+    def test_st_length(self, sql):
+        """ST_Length (ogr_api.cpp:1633): curve length; surfaces sum
+        exterior + interior ring perimeters (since-3.10 rule); points
+        are non-curve -> 0.0."""
+        got = {r.gid: r.v for r in sql.sql(
+            "SELECT gid, st_length(geom) AS v FROM geoms").collect()}
+        assert got[1] == 16.0          # 4x4 square perimeter
+        assert got[2] == 16.0 + 4.0    # hole ring ADDS to the length
+        assert got[3] == 4.0 + 8.0     # multipolygon parts summed
+        from lib_gdal_spark.geo import wkb as _w
+        line = _w.encode_linestring([(0.0, 0.0), (3.0, 4.0), (3.0, 6.0)])
+        pt = _w.encode_point(7.0, 8.0)
+        df = sql.createDataFrame(
+            [(1, bytearray(line)), (2, bytearray(pt))], "gid int, g binary")
+        df.createOrReplaceTempView("curves")
+        got = {r.gid: r.v for r in sql.sql(
+            "SELECT gid, st_length(g) AS v FROM curves").collect()}
+        assert got[1] == 7.0           # 3-4-5 segment + vertical 2
+        assert got[2] == 0.0           # non-curve
+
+    def test_st_isempty_issimple(self, sql):
+        """SQLite-dialect IsEmpty/IsSimple (REGISTER_ST_op list,
+        ogrsqlitesqlfunctions.cpp:1195-1197)."""
+        from lib_gdal_spark.geo import wkb as _w
+        bow = _w.encode_linestring(
+            [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)])  # self-X
+        straight = _w.encode_linestring([(0.0, 0.0), (1.0, 1.0), (3.0, 1.0)])
+        ring = _w.encode_linestring(
+            [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)])  # closed ok
+        pt = _w.encode_point(1.0, 2.0)
+        df = sql.createDataFrame(
+            [(1, bytearray(bow)), (2, bytearray(straight)),
+             (3, bytearray(ring)), (4, bytearray(pt))], "gid int, g binary")
+        df.createOrReplaceTempView("simp")
+        got = {r.gid: (r.e, r.s) for r in sql.sql(
+            "SELECT gid, st_isempty(g) AS e, st_issimple(g) AS s "
+            "FROM simp").collect()}
+        assert got[1] == (False, False)   # bow-tie self-crossing
+        assert got[2] == (False, True)
+        assert got[3] == (False, True)    # ring closure allowed
+        assert got[4] == (False, True)
+
+    def test_st_equals_and_wkb_roundtrip(self, sql):
+        """ST_Equals point-set equality + AsBinary/GeomFromWKB identity
+        + MakePoint alias (ogrsqlitesqlfunctions.cpp:1208-1221)."""
+        from lib_gdal_spark.geo import wkb as _w
+        # same square with different start vertex and ring direction
+        a = _w.encode_polygon([[(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]])
+        b = _w.encode_polygon([[(4, 4), (4, 0), (0, 0), (0, 4), (4, 4)]])
+        c = _w.encode_polygon([[(0, 0), (5, 0), (5, 4), (0, 4), (0, 0)]])
+        df = sql.createDataFrame(
+            [(1, bytearray(a), bytearray(b)),
+             (2, bytearray(a), bytearray(c))], "gid int, ga binary, gb binary")
+        df.createOrReplaceTempView("eqs")
+        got = {r.gid: r.v for r in sql.sql(
+            "SELECT gid, st_equals(ga, gb) AS v FROM eqs").collect()}
+        assert got[1] is True and got[2] is False
+        rt = sql.sql(
+            "SELECT st_astext(st_geomfromwkb(st_asbinary(ga))) AS t, "
+            "st_x(st_makepoint(3.0D, 4.0D)) AS px FROM eqs "
+            "WHERE gid = 1").collect()[0]
+        assert rt.t.startswith("POLYGON")
+        assert rt.px == 3.0
+
     def test_st_contains_point(self, sql):
         rows = sql.sql("""
             SELECT gid,
