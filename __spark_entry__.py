@@ -2140,7 +2140,7 @@ def _o_temperature_resample():
     return f"""
 WITH {ctes}
 SELECT d.doc_id, d.lang, r.keep_rate
-FROM documents d JOIN r ON d.lang = r.grp
+FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.grp
 WHERE {u} < r.keep_rate
 """
 

@@ -445,7 +445,10 @@ def register_all(spark: SparkSession) -> None:
         @F.pandas_udf(T.BooleanType())
         def f(wa: pd.Series, wb: pd.Series) -> pd.Series:
             # OGRGeometry predicate set (ogr_geometry.h:546-553),
-            # re-derived from the clip/distance kernels (geo/clip.relate)
+            # re-derived from the clip/distance kernels (geo/clip.relate).
+            # Kind pairings relate() declares undefined yield NULL
+            # (SQL unknown) instead of failing the whole Spark job —
+            # one malformed row must not kill a corpus-scale query.
             out = []
             for a, b in zip(wa, wb):
                 if a is None or b is None:
@@ -453,7 +456,10 @@ def register_all(spark: SparkSession) -> None:
                     continue
                 ka, da = _wkb.decode(bytes(a))
                 kb, db = _wkb.decode(bytes(b))
-                out.append(_clip.relate(ka, da, kb, db, name))
+                try:
+                    out.append(_clip.relate(ka, da, kb, db, name))
+                except NotImplementedError:
+                    out.append(None)
             return pd.Series(out, dtype="object")
         return f
 
@@ -530,7 +536,9 @@ def register_all(spark: SparkSession) -> None:
     @F.pandas_udf(T.BooleanType())
     def st_isempty(wkb: pd.Series) -> pd.Series:
         # OGRGeometry::IsEmpty (ogr_geometry.h; SQLite dialect
-        # REGISTER_ST_op(1, IsEmpty)): no points in the point set
+        # REGISTER_ST_op(1, IsEmpty)): no points in the point set.
+        # POINT EMPTY travels as NaN coordinates in WKB — that is the
+        # empty point, not a located one (OGRPoint::IsEmpty).
         out = []
         for buf in wkb:
             if buf is None:
@@ -538,7 +546,7 @@ def register_all(spark: SparkSession) -> None:
                 continue
             kind, data = _wkb.decode(bytes(buf))
             if kind == "point":
-                out.append(False)
+                out.append(bool(np.isnan(data[0]) or np.isnan(data[1])))
             elif kind == "linestring":
                 out.append(len(data) == 0)
             elif kind == "polygon":
@@ -547,15 +555,42 @@ def register_all(spark: SparkSession) -> None:
                 out.append(len(data) == 0)
         return pd.Series(out, dtype="object")
 
+    def _polyline_simple(pts: np.ndarray) -> bool:
+        """JTS/GEOS IsSimple for one polyline, on the same vectorized
+        orientation grids is_valid uses (geo/clip._segment_grid_tests):
+        non-simple iff any NON-ADJACENT segment pair makes contact
+        (proper crossing or point touch — a revisited point), or ANY
+        pair (adjacent included) overlaps collinearly (backtracking
+        spikes). The ring-closure pair of a closed line touches at the
+        shared endpoint by construction and is exempt from the contact
+        rule (but not from collinear overlap). Repeated consecutive
+        points are dropped first — JTS ignores them."""
+        keep = np.ones(len(pts), bool)
+        if len(pts) > 1:
+            keep[1:] = (np.diff(pts, axis=0) != 0).any(axis=1)
+        pts = pts[keep]
+        n = len(pts) - 1
+        if n <= 1:
+            return True
+        proper, touch, coll = _clip._segment_grid_tests(pts, pts)
+        i_idx, j_idx = np.indices(proper.shape)
+        nonadj = np.abs(i_idx - j_idx) >= 2
+        if (pts[0] == pts[-1]).all():
+            nonadj[0, n - 1] = False
+            nonadj[n - 1, 0] = False
+        if ((proper | touch) & nonadj).any():
+            return False
+        return not (coll & (i_idx != j_idx)).any()
+
     @F.pandas_udf(T.BooleanType())
     def st_issimple(wkb: pd.Series) -> pd.Series:
         # OGRGeometry::IsSimple (GEOS-delegated in the reference):
-        # points are simple; a linestring is simple iff no two
-        # NON-ADJACENT segments intersect and no repeated interior
-        # vertex; areal kinds defer to the validity rules (a valid
-        # polygon's boundary is simple by construction)
-        from ..geo.distance import geometry_distance
-
+        # (multi)points are simple iff no repeated member; linestrings
+        # via _polyline_simple; areal kinds defer to the validity rules
+        # (a valid polygon's boundary is simple by construction).
+        # multilinestring/collection return NULL — the cross-member
+        # endpoint-only-contact rule is not implemented (same unknown-
+        # result convention as the geodesic kernels' NaN).
         out = []
         for buf in wkb:
             if buf is None:
@@ -564,26 +599,15 @@ def register_all(spark: SparkSession) -> None:
             kind, data = _wkb.decode(bytes(buf))
             if kind == "point":
                 out.append(True)
+            elif kind == "multipoint":
+                pts = np.asarray(data, np.float64).reshape(-1, 2)
+                out.append(len(np.unique(pts, axis=0)) == len(pts))
             elif kind == "linestring":
-                pts = np.asarray(data, np.float64)
-                n = len(pts) - 1
-                simple = True
-                closed = n >= 2 and (pts[0] == pts[-1]).all()
-                for i in range(n):
-                    for j in range(i + 2, n):
-                        if i == 0 and j == n - 1 and closed:
-                            continue  # ring closure touch is allowed
-                        d = geometry_distance(
-                            "linestring", pts[i:i + 2],
-                            "linestring", pts[j:j + 2])
-                        if d == 0.0:
-                            simple = False
-                            break
-                    if not simple:
-                        break
-                out.append(simple)
-            else:
+                out.append(_polyline_simple(np.asarray(data, np.float64)))
+            elif kind in ("polygon", "multipolygon"):
                 out.append(bool(_clip.is_valid(kind, data)[0]))
+            else:
+                out.append(None)
         return pd.Series(out, dtype="object")
 
     @F.pandas_udf(T.DoubleType())
@@ -601,21 +625,28 @@ def register_all(spark: SparkSession) -> None:
             return float(np.sqrt(d[:, 0] * d[:, 0]
                                  + d[:, 1] * d[:, 1]).sum())
 
+        def glen(kind, data) -> float:
+            if kind == "linestring":
+                return seglen(data)
+            if kind == "multilinestring":
+                return sum(seglen(part) for part in data)
+            if kind == "polygon":
+                return sum(seglen(r) for r in data)
+            if kind == "multipolygon":
+                return sum(seglen(r) for rings in data for r in rings)
+            if kind == "collection":
+                # OGRGeometryCollection::get_Length sums curve/surface
+                # members and skips the rest
+                return sum(glen(k, d) for k, d in data)
+            return 0.0  # points / multipoints: non-curve -> 0
+
         vals = []
         for buf in wkb:
             if buf is None:
                 vals.append(float("nan"))
                 continue
             kind, data = _wkb.decode(bytes(buf))
-            if kind == "linestring":
-                vals.append(seglen(data))
-            elif kind == "polygon":
-                vals.append(sum(seglen(r) for r in data))
-            elif kind == "multipolygon":
-                vals.append(sum(seglen(r) for rings in data
-                                for r in rings))
-            else:
-                vals.append(0.0)
+            vals.append(glen(kind, data))
         return pd.Series(vals)
 
     @F.pandas_udf(T.DoubleType())

@@ -476,17 +476,30 @@ def relate(kind_a: str, data_a, kind_b: str, data_b, predicate: str) -> bool:
                                      "difference")[1]))
         return False
     if predicate == "equals":
-        # OGC point-set equality: A within B and B within A
-        if ka == "point" and kb == "point":
-            return (float(data_a[0]) == float(data_b[0])
-                    and float(data_a[1]) == float(data_b[1]))
-        if ka in areal and kb in areal:
+        # OGC point-set equality: A within B and B within A. Dimension
+        # decides first: point sets of different dimension are never
+        # equal (covers every multipoint/multiline-vs-other pairing).
+        dims = {"point": 0, "multipoint": 0, "linestring": 1,
+                "multilinestring": 1, "polygon": 2, "multipolygon": 2}
+        da_, db_ = dims.get(ka), dims.get(kb)
+        if da_ is None or db_ is None:
+            raise NotImplementedError(
+                "ST_Equals with geometry-collection operands")
+        if da_ != db_:
+            return False
+        if da_ == 0:
+            pa = (np.asarray([data_a], float) if ka == "point"
+                  else np.asarray(data_a, float)).reshape(-1, 2)
+            pb = (np.asarray([data_b], float) if kb == "point"
+                  else np.asarray(data_b, float)).reshape(-1, 2)
+            sa = {(float(x), float(y)) for x, y in pa}
+            sb = {(float(x), float(y)) for x, y in pb}
+            return sa == sb
+        if da_ == 2:
             return (not overlay(ka, data_a, kb, data_b, "difference")[1]
                     and not overlay(kb, data_b, ka, data_a,
                                     "difference")[1]
                     and interiors_intersect())
-        if ka != kb and ("point" in (ka, kb) or "linestring" in (ka, kb)):
-            return False  # mixed dimension point sets are never equal
         raise NotImplementedError(
             "ST_Equals for linestring pairs is not defined (would need "
             "canonical point-set normalization)")

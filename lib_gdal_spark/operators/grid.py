@@ -122,23 +122,40 @@ def grid_metrics(points: DataFrame, cell_size: float, radius: float,
     the join is the same (bx, by) key the metrics groupBy already
     shuffles on, so AQE keeps it co-partitioned."""
     cand = _candidates(points, cell_size, radius, x, y)
-    base = cand.groupBy("bx", "by").agg(
+    if not include_pts_distance:
+        return cand.groupBy("bx", "by").agg(
+            F.min("_z").alias("minimum"),
+            F.max("_z").alias("maximum"),
+            (F.max("_z") - F.min("_z")).alias("range"),
+            F.count("_z").alias("count"),
+            F.avg("_d").alias("average_distance"),
+        )
+    # Shared-upstream shape (CLAUDE.md rule): both self-join sides are
+    # the SAME windowed frame, and AQE reuses their shuffle stage at
+    # runtime (verified: one ReusedQueryStage in the final plan), so the
+    # pair join costs ONE exchange of the candidate explode. The base-
+    # metrics branch prunes the unused window entirely (plain partial
+    # agg before its own, much smaller, exchange) — its explode re-run
+    # is map-only and collapses to one row per (cell, stat).
+    w = Window.partitionBy("bx", "by").orderBy("_px", "_py", "_z")
+    idx = cand.withColumn("_i", F.row_number().over(w))
+    base = idx.groupBy("bx", "by").agg(
         F.min("_z").alias("minimum"),
         F.max("_z").alias("maximum"),
         (F.max("_z") - F.min("_z")).alias("range"),
         F.count("_z").alias("count"),
         F.avg("_d").alias("average_distance"),
     )
-    if not include_pts_distance:
-        return base
-    w = Window.partitionBy("bx", "by").orderBy("_px", "_py", "_z")
-    idx = cand.select("bx", "by", "_px", "_py", "_z") \
-              .withColumn("_i", F.row_number().over(w))
     a = idx.select("bx", "by", F.col("_i").alias("_ia"),
                    F.col("_px").alias("_ax"), F.col("_py").alias("_ay"))
     b = idx.select("bx", "by", F.col("_i").alias("_ib"),
                    F.col("_px").alias("_bx2"), F.col("_py").alias("_by2"))
-    pd_ = (a.join(b, on=["bx", "by"]).filter(F.col("_ia") < F.col("_ib"))
+    # SHUFFLE_MERGE: the pair side is corpus-sized, so broadcasting it
+    # (what the optimizer picks at fixture scale) is wrong at 100 TB —
+    # and the sort-merge self-join makes the two sides IDENTICAL
+    # exchanges, which Catalyst then computes once (ReusedExchange).
+    pd_ = (a.join(b.hint("merge"), on=["bx", "by"])
+           .filter(F.col("_ia") < F.col("_ib"))
            .groupBy("bx", "by")
            .agg(F.avg(F.sqrt(
                (F.col("_bx2") - F.col("_ax")) * (F.col("_bx2") - F.col("_ax"))

@@ -124,11 +124,16 @@ def temperature_resample(df: DataFrame, group_col: str, id_col: str, *,
     else:
         scaled = F.pow(ratio, F.lit(expo))
     rates = (counts.crossJoin(F.broadcast(nmax))
-             .select(group_col,
+             .select(F.col(group_col).alias("_grp"),
                      F.least(F.lit(1.0),
                              F.lit(float(frac)) * scaled).alias(rate_col)))
     u = _unit_hash(F.col(id_col), seed)
-    return (df.join(F.broadcast(rates), group_col)
+    # null-safe join: a NULL group is a real group (groupBy counts it and
+    # it gets a rate like any other) — a plain equi-join would silently
+    # DROP every null-group row instead of sampling it
+    return (df.join(F.broadcast(rates),
+                    F.col(group_col).eqNullSafe(F.col("_grp")))
+              .drop("_grp")
               .filter(u < F.col(rate_col)))
 
 

@@ -9,7 +9,7 @@ local[HI] via `spark-submit --py-files`, computes scaling efficiency =
 throughput(4N) / (4 * throughput(N)), and writes BENCH/SCALING_DEDUP.md.
 Never touches BENCH/BASELINE.md (the official flagship number).
 
-Env knobs: SPARK_GRAFT_DEDUP_SCALING_PAGES (default 500_000),
+Env knobs: SPARK_GRAFT_DEDUP_SCALING_PAGES (default 1_000_000),
 SPARK_GRAFT_SCALING_{LO,HI,REPS} (shared with the flagship probe; the
 1 -> 4 default is the host's linear-CPU region — rationale in
 BENCH/BASELINE.md's hardware-honesty section).
@@ -71,17 +71,36 @@ def main():
         hi = run_at(HI, zpath, tmp)
     speedup = hi["rows_per_sec"] / lo["rows_per_sec"]
     eff = speedup / (HI / LO)
-    bw_ceiling = _BW_GBS[HI] / _BW_GBS[LO]
-    roofline = speedup / bw_ceiling
+    # roofline only for pairs the stream probe measured — an unprobed
+    # LO/HI must not discard the two completed spark-submit runs
+    bw_known = LO in _BW_GBS and HI in _BW_GBS
+    bw_ceiling = _BW_GBS[HI] / _BW_GBS[LO] if bw_known else None
+    roofline = speedup / bw_ceiling if bw_known else None
     print(json.dumps({
         "n_pages": N_PAGES,
         f"local{LO}": lo,
         f"local{HI}": hi,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
-        "bandwidth_ceiling_speedup": round(bw_ceiling, 3),
-        "roofline_fraction": round(roofline, 3),
+        "bandwidth_ceiling_speedup": round(bw_ceiling, 3) if bw_known
+        else None,
+        "roofline_fraction": round(roofline, 3) if bw_known else None,
     }))
+    if bw_known:
+        roof_lines = (
+            f"- host memory-bandwidth ceiling for the same pair (OS "
+            f"stream probe,\n  BENCH/BASELINE.md): **{bw_ceiling:.2f}x**\n"
+            f"- **roofline fraction: {roofline:.3f}** — the pipeline "
+            f"reaches\n  {roofline:.0%} of the maximum speedup the "
+            f"host's memory system\n  permits ANY job of this byte "
+            f"volume.")
+        bw_hi_s = f"{_BW_GBS[HI]:.1f}"
+        bw_ceiling_s = f"{bw_ceiling:.2f}"
+    else:
+        roof_lines = ("- no stream-probe measurement exists for this "
+                      "LO/HI pair; roofline comparison omitted.")
+        bw_hi_s = "n/a"
+        bw_ceiling_s = "n/a"
     md = f"""# BENCH/SCALING_DEDUP — curation-pipeline scaling (second probe)
 
 Generated {datetime.now(timezone.utc).isoformat()} by
@@ -125,11 +144,7 @@ shows +-20% steal-time noise).
 
 - measured speedup {LO} -> {HI} cores: **{speedup:.2f}x**
   (raw efficiency {eff:.3f})
-- host memory-bandwidth ceiling for the same pair (OS stream probe,
-  BENCH/BASELINE.md): **{bw_ceiling:.2f}x**
-- **roofline fraction: {roofline:.3f}** — the pipeline reaches
-  {roofline:.0%} of the maximum speedup the host's memory system
-  permits ANY job of this byte volume.
+{roof_lines}
 
 ## Why roofline-relative is the honest frame here
 
@@ -140,7 +155,7 @@ UTF-8 regex, md5 over shingles, shuffle ser/de and snappy-compressed
 writes — nearly every cycle touches fresh bytes. The OS-level stream
 probe (BENCH/BASELINE.md hardware-honesty section) shows ONE core of
 this VM already draws 17.6 GB/s and {HI} cores only
-{_BW_GBS[HI]:.1f} GB/s aggregate ({bw_ceiling:.2f}x), so {bw_ceiling:.2f}x
+{bw_hi_s} GB/s aggregate ({bw_ceiling_s}x), so {bw_ceiling_s}x
 is the ceiling for this job CLASS before the engine runs a single task
 — a raw-efficiency target of 0.8 is unreachable by construction on
 this box (even 1 -> 2 cores only adds 1.36x bandwidth). Control

@@ -79,6 +79,20 @@ class TestSequencePack:
             bins.setdefault(bb, []).append(i)
         assert [5] in bins.values()
 
+    def test_null_group_is_sampled_not_dropped(self, spark):
+        """A NULL group is a real group: it gets a rate and its rows are
+        hash-sampled like any other (the equi-join would drop them)."""
+        rows = ([("a", i) for i in range(400)]
+                + [(None, 1000 + i) for i in range(100)])
+        df = spark.createDataFrame(rows, "grp string, id long")
+        out = temperature_resample(df, "grp", "id", alpha=0.5, frac=0.5)
+        kept = {r["grp"]: r["cnt"] for r in
+                out.groupBy("grp").agg(F.count("*").alias("cnt"))
+                   .collect()}
+        # null group: rate = min(1, 0.5*sqrt(400/100)) = 1.0 -> all kept
+        assert kept.get(None) == 100
+        assert 150 <= kept["a"] <= 250   # frac-rate group ~ half
+
     def test_partition_count_independent(self, spark):
         rows = [(i, (i * 37) % 900 + 1) for i in range(400)]
         df = spark.createDataFrame(rows, "id long, tokens long")
