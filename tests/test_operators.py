@@ -1696,6 +1696,22 @@ class TestChecksumOperator:
         cs = raster.checksum(sieved, 0, 0, 5, 7).collect()[0].checksum
         assert cs == 364  # autotest/alg/sieve.py:37
 
+    def test_offset_window_and_padded_canvas(self, spark):
+        """autotest/alg/checksum.py test_checksum final cases: byte.tif
+        written at offset (1,1) into a 21x21 zero canvas — the WINDOWED
+        checksum (1,1,20,20) must still be 4672 (prime indexing is
+        window-relative), while the full 21x21 canvas gives 4568 (the
+        zero pad shifts every pixel's scan index; absent cells = 0)."""
+        from lib_gdal_spark.operators.raster import checksum
+        from lib_gdal_spark.sources import read_tiff
+        from pyspark.sql import functions as F
+
+        cells, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/byte.tif")
+        shifted = cells.select((F.col("bx") + 1).alias("bx"), "by", "value")
+        assert checksum(shifted, 1, 0, 20, 20).collect()[0].checksum == 4672
+        assert checksum(shifted, 0, 0, 21, 21).collect()[0].checksum == 4568
+
     def test_partition_invariant(self, spark):
         from lib_gdal_spark.operators import raster
         from pyspark.sql import functions as F
