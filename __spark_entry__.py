@@ -2118,6 +2118,68 @@ SELECT id, tokens, bucket, bin, off FROM rec
 """
 
 
+def _q_dsir_topk(spark, sf_dir):
+    # DSIR importance scores (Xie et al. 2023; operators/sampling.py):
+    # hashed uni+bigram buckets (md5 13-hex % 512), Laplace-smoothed
+    # target(lang='en')-vs-raw log-likelihood ratios, per-doc
+    # DECIMAL-folded score. ln() is transcendental -> score rounded 6 dp
+    # both sides, top-50 ordered on the ROUNDED score then doc_id (the
+    # bm25 discipline).
+    from lib_gdal_spark.operators import sampling
+    d = _tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scores = sampling.dsir_scores(d, d.filter(F.col("lang") == "en"),
+                                  n_buckets=512)
+    r = scores.select("doc_id", F.round("dsir_score", 6).alias("score"))
+    return (r.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+             .limit(50))
+
+
+def _o_dsir_topk():
+    return """
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, lang, ng FROM (
+    SELECT doc_id, lang, unnest(t) AS ng FROM tok
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS ng
+    FROM tok
+  ) WHERE length(ng) > 0
+),
+bk AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir|' || ng), 1, 13))::BIGINT % 512
+           AS bucket,
+         count(*) AS c
+  FROM ng GROUP BY 1, 2, 3
+),
+rc AS (SELECT bucket, sum(c) AS rc FROM bk GROUP BY 1),
+tc AS (SELECT bucket, sum(c) AS tc FROM bk WHERE lang = 'en' GROUP BY 1),
+tots AS (SELECT (SELECT sum(c) FROM bk) AS rt,
+                (SELECT sum(c) FROM bk WHERE lang = 'en') AS tt),
+lr AS (
+  -- literals in e-notation: duckdb lexes bare decimals as DECIMAL and
+  -- the DECIMAL arithmetic diverges from Spark's double tree (CLAUDE.md)
+  SELECT rc.bucket,
+         ln(((COALESCE(tc.tc, 0) + 1e0) / (tots.tt + 512e0))
+            / ((rc.rc + 1e0) / (tots.rt + 512e0))) AS lr
+  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tots
+),
+sc AS (
+  SELECT bk.doc_id,
+         CAST(sum(CAST(bk.c * lr.lr AS DECIMAL(38,18))) AS DOUBLE) AS s
+  FROM bk JOIN lr ON bk.bucket = lr.bucket
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 6) AS score
+FROM sc ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 50
+"""
+
+
 def _q_temperature_resample(spark, sf_dir):
     # mC4/XLM-R temperature rebalancing (operators/sampling.py): per-lang
     # keep rate min(1, frac * sqrt(n_max/n_g)) (alpha=0.5) — integer
@@ -2635,7 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,                     # centroid-replay oracle
         # ---- (3) round-1-verified, one round stale: refresh ----
         # -------- 50-cap boundary: positions 51+ below --------
-        # Deliberately deferred to round 4 (55 entries needed rows vs
+        # Deliberately deferred to round 4 (56 entries needed rows vs
         # the 50 cap): semdedup_docs (added after the front filled; its
         # kmeans substrate IS swept this round and the full pair logic
         # is in the local parity sweep), grid_linear (oracle upgraded
@@ -2647,13 +2709,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join them, as do tile_render (PNG tile rendering with the
         # codec inside the verified loop), cluster_prune
         # (prototypicality pruning), temperature_resample (mC4-style
-        # lang rebalancing) and grid_metrics_pts (the
-        # average_distance_pts pair metric). Rotate ALL NINE FIRST in
-        # round 4.
+        # lang rebalancing), grid_metrics_pts (the average_distance_pts
+        # pair metric) and dsir_topk (DSIR importance resampling).
+        # Rotate ALL TEN FIRST in round 4.
         "semdedup_docs": _q_semdedup_docs,
         "cluster_prune": _q_cluster_prune,
         "temperature_resample": _q_temperature_resample,
         "grid_metrics_pts": _q_grid_metrics_pts,
+        "dsir_topk": _q_dsir_topk,
         "grid_linear": _q_grid_linear,             # circumcircle oracle (was
                                                    # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
@@ -5696,6 +5759,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quota": _o_source_quota(),
         "sequence_pack": _o_sequence_pack(),
         "temperature_resample": _o_temperature_resample(),
+        "dsir_topk": _o_dsir_topk(),
         "retile_assign": _o_retile_assign(),
         "raster_compare": _o_raster_compare(),
         "raster_calc": _o_raster_calc(),

@@ -162,6 +162,86 @@ def temperature_rate_sql(group_expr: str, table: str = "documents", *,
         f"FROM c CROSS JOIN m)")
 
 
+def _hashed_ngram_buckets(df: DataFrame, id_col: str, text_col: str,
+                          n_buckets: int, seed: str) -> DataFrame:
+    """(id, bucket, c): hashed uni+bigram feature counts per document —
+    the DSIR feature map (word unigrams and bigrams hashed into
+    n_buckets, Xie et al. 2023 'Data Selection for Language Models via
+    Importance Resampling'). Bucket = md5 13-hex % n_buckets, the same
+    cross-engine-exact construction sequence_pack uses. Map-side explode
+    into ONE groupBy — no other shuffle."""
+    from .dedup import tokens_col
+
+    toks = df.select(F.col(id_col).alias("_id"),
+                     tokens_col(text_col).alias("_t"))
+    # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) instead of being
+    # empty, so single-token docs need the explicit size >= 2 branch
+    bi = F.expr("CASE WHEN size(_t) >= 2 THEN "
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> concat_ws(' ', _t[i - 1], _t[i])) "
+                "ELSE CAST(array() AS array<string>) END")
+    ng = toks.select("_id", F.explode(F.concat(F.col("_t"), bi))
+                     .alias("_ng")).filter(F.length("_ng") > 0)
+    b = F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.col("_ng"))),
+                           1, 13), 16, 10).cast("long") % n_buckets
+    return (ng.select("_id", b.alias("bucket"))
+            .groupBy("_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def dsir_scores(raw: DataFrame, target: DataFrame, *,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 512, seed: str = "dsir|",
+                score_col: str = "dsir_score") -> DataFrame:
+    """DSIR importance scores: how much more a document looks like the
+    TARGET distribution than the RAW corpus, via hashed n-gram
+    log-likelihood ratios (Xie et al. 2023).
+
+        score(doc) = sum_b c_doc[b] * ln(p_target[b] / p_raw[b])
+
+    with Laplace-smoothed bucket probabilities
+    p[b] = (count[b] + 1) / (total + n_buckets). Downstream selection is
+    top-k by score or a hash-thresholded keep at rate proportional to
+    exp(score) — both deterministic.
+
+    Exactness: each per-bucket term c * ln-ratio is the SAME double on
+    both engines (identical expression tree), and the per-doc fold goes
+    through DECIMAL(38,18) so it is order-independent under any
+    partitioning (CLAUDE.md decimal-sum rule); ln() itself is
+    transcendental, so oracle-facing consumers still round the final
+    score to 6 dp on both sides and order on the ROUNDED score with an
+    id tie-break (the bm25 discipline).
+
+    Scale shape: one explode+groupBy over each corpus (the raw side is
+    the only corpus-sized shuffle, and its exchange carries (id, bucket,
+    count) — never raw text); the per-bucket log-ratio table is
+    n_buckets rows, broadcast; one final groupBy(id). No driver-side
+    data paths — totals ride a 1-row cross-joined aggregate."""
+    rb = _hashed_ngram_buckets(raw, id_col, text_col, n_buckets, seed)
+    tb = _hashed_ngram_buckets(target, id_col, text_col, n_buckets, seed)
+    r_tot = rb.agg(F.sum("c").alias("_rt"))
+    t_tot = tb.agg(F.sum("c").alias("_tt"))
+    r_cnt = rb.groupBy("bucket").agg(F.sum("c").alias("_rc"))
+    t_cnt = tb.groupBy("bucket").agg(F.sum("c").alias("_tc"))
+    # every bucket gets a ratio (missing counts -> 0 via outer join of
+    # the two small per-bucket tables), Laplace-smoothed on both sides
+    ratios = (r_cnt.join(t_cnt, "bucket", "full_outer")
+              .select("bucket",
+                      F.coalesce("_rc", F.lit(0)).alias("_rc"),
+                      F.coalesce("_tc", F.lit(0)).alias("_tc"))
+              .crossJoin(F.broadcast(r_tot)).crossJoin(F.broadcast(t_tot))
+              .select("bucket", F.log(
+                  ((F.col("_tc") + F.lit(1.0))
+                   / (F.col("_tt") + F.lit(float(n_buckets))))
+                  / ((F.col("_rc") + F.lit(1.0))
+                     / (F.col("_rt") + F.lit(float(n_buckets))))
+              ).alias("_lr")))
+    term = (F.col("c") * F.col("_lr")).cast("decimal(38,18)")
+    return (rb.join(F.broadcast(ratios), "bucket")
+            .groupBy(F.col("_id").alias(id_col))
+            .agg(F.sum(term).cast("double").alias(score_col)))
+
+
 def host_quota(df: DataFrame, key_col: str, quota: int, order_col: str,
                id_col: str, out_col: str = "key_rank") -> DataFrame:
     """Keep at most `quota` rows per key (domain caps, crawl budgets).

@@ -207,3 +207,67 @@ class TestTemperatureResample:
             f"JOIN r ON d.grp = r.grp WHERE {u} < r.keep_rate "
             f"ORDER BY d.id").fetchall()
         assert got == [(i, k) for i, k in exp]
+
+
+class TestDsirScores:
+    """DSIR hashed-ngram importance scores (Xie et al. 2023) — the
+    engine must match an independent Python recomputation of the same
+    formula, including the single-token-doc bigram guard."""
+
+    DOCS = [(0, "the cat sat", "en"), (1, "le chat dort", "fr"),
+            (2, "the dog sat down", "en"), (3, "x", "fr"),
+            (4, "the the the", "en")]
+
+    @staticmethod
+    def _py_feats(text, n_buckets):
+        import hashlib
+        import re as _re
+        from collections import Counter
+
+        toks = _re.findall(r"[a-z0-9]+", text.lower())
+        ngs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        def bucket(ng):
+            h = hashlib.md5(("dsir|" + ng).encode()).hexdigest()[:13]
+            return int(h, 16) % n_buckets
+
+        return Counter(bucket(ng) for ng in ngs if ng)
+
+    def test_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from lib_gdal_spark.operators.sampling import dsir_scores
+
+        B = 8
+        raw = spark.createDataFrame(self.DOCS,
+                                    "doc_id long, text string, lang string")
+        got = {r.doc_id: r.dsir_score for r in
+               dsir_scores(raw, raw.filter("lang = 'en'"),
+                           n_buckets=B).collect()}
+        feats = {i: self._py_feats(t, B) for i, t, _ in self.DOCS}
+        rc = Counter()
+        tc = Counter()
+        for i, _, lang in self.DOCS:
+            rc.update(feats[i])
+            if lang == "en":
+                tc.update(feats[i])
+        rt, tt = sum(rc.values()), sum(tc.values())
+        lr = {b: math.log(((tc.get(b, 0) + 1.0) / (tt + float(B)))
+                          / ((rc[b] + 1.0) / (rt + float(B))))
+              for b in rc}
+        for i, _, _ in self.DOCS:
+            exp = sum(c * lr[b] for b, c in feats[i].items())
+            assert got[i] == pytest.approx(exp, abs=1e-12), i
+        # en docs must look more target-like than fr docs
+        assert min(got[0], got[2], got[4]) > max(got[1], got[3])
+
+    def test_single_token_doc_has_no_bogus_bigram(self, spark):
+        """Spark sequence(1, 0) DESCENDS — the guard must keep a
+        1-token doc at exactly ONE feature occurrence."""
+        from lib_gdal_spark.operators.sampling import _hashed_ngram_buckets
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        rows = _hashed_ngram_buckets(df, "doc_id", "text", 8,
+                                     "dsir|").collect()
+        assert len(rows) == 1 and rows[0]["c"] == 1
