@@ -271,3 +271,37 @@ class TestDsirScores:
         rows = _hashed_ngram_buckets(df, "doc_id", "text", 8,
                                      "dsir|").collect()
         assert len(rows) == 1 and rows[0]["c"] == 1
+
+
+class TestSamplingInvariants:
+    def test_dsir_self_target_scores_all_zero(self, spark):
+        """target == raw makes every smoothed ratio exactly 1 and every
+        ln exactly 0.0 — scores must be identically zero, not epsilon."""
+        from lib_gdal_spark.operators.sampling import dsir_scores
+
+        docs = [(i, f"alpha beta gamma doc{i}") for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = dsir_scores(df, df, n_buckets=16).collect()
+        assert len(got) == 30
+        assert all(r.dsir_score == 0.0 for r in got)
+
+    def test_temperature_rate_monotone_in_group_size(self, spark):
+        """Smaller groups never get a smaller keep rate than larger
+        ones, every rate is in (0, 1], and the largest group's rate is
+        exactly frac (alpha in (0, 1), frac <= 1)."""
+        from lib_gdal_spark.operators.sampling import temperature_resample
+
+        sizes = {"a": 700, "b": 300, "c": 120, "d": 40, "e": 7}
+        rows = [(g, 10_000 * k + i)
+                for k, (g, n) in enumerate(sizes.items())
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "grp string, id long")
+        out = temperature_resample(df, "grp", "id", alpha=0.5, frac=0.4)
+        rates = {r["grp"]: r["keep_rate"] for r in
+                 out.select("grp", "keep_rate").distinct().collect()}
+        # every group must appear (no rate is ever 0: unit hashes < 1)
+        assert set(rates) == set(sizes)
+        assert rates["a"] == 0.4
+        ordered = [rates[g] for g in ("a", "b", "c", "d", "e")]
+        assert all(x <= y for x, y in zip(ordered, ordered[1:]))
+        assert all(0.0 < r <= 1.0 for r in ordered)
