@@ -53,6 +53,10 @@ HEADLINE = [
     # round 3 final session: iterative graph + sparse-similarity paths
     "pagerank_docs",
     "doc_cosine_pairs",
+    # round 3 session 5: corpus resampling (per-query columns are the
+    # cross-round signal; totals shift when the composition grows)
+    "temperature_resample",
+    "dsir_topk",
 ]
 
 
