@@ -265,19 +265,29 @@ def render_checksums(base: DataFrame, z: int, *, pixel_zoom: int = 8,
 def write_png_tiles(base: DataFrame, out_dir: str, zooms,
                     *, pixel_zoom: int = 8,
                     measure: str = "n_pages",
-                    mode: str = "gray") -> DataFrame:
+                    mode: str = "gray",
+                    manifest_path: str | None = None,
+                    resume: bool = False) -> DataFrame:
     """The gdal2tiles output contract: <out_dir>/<z>/<x>/<y>.png on a
     shared filesystem, one file per rendered tile (the reference's
     process-pool writers, gdal2tiles.py:4503 — here each Spark task
     writes its own tiles). Requires the base tile frame to carry zooms
     z+pixel_zoom for every requested z (tile_pyramid provides all).
 
-    Returns the MANIFEST (z, x, y, path, n_bytes, nnz) — collected by
-    the caller or anti-joined for resume exactly like resume_filter.
+    Returns the MANIFEST (z, x, y, path, n_bytes, nnz).
     Eagerly materialized (the writes are the point); local-mode writes
     land on the local fs, cluster mode needs out_dir on shared storage,
     same as gdal2tiles itself. mode passes through to render_png
-    ("rgba" = the reference's transparent-alpha tiles)."""
+    ("rgba" = the reference's transparent-alpha tiles).
+
+    manifest_path: parquet table the manifest is APPENDED to after the
+    writes land — the metadata-table commit. resume=True anti-joins the
+    render against that committed manifest on the narrow (z, x, y) key
+    BEFORE any PNG is encoded (gdal2tiles --resume,
+    gdal2tiles.py:1497-1500 — but keyed on the committed manifest, not
+    an ls of the output tree, so a tile half-written by a killed task
+    is re-rendered). The returned manifest then covers only the NEW
+    tiles of this run."""
     import pandas as pd
 
     from ..session import ship_package
@@ -299,6 +309,15 @@ def write_png_tiles(base: DataFrame, out_dir: str, zooms,
         r = render_png(base, z, pixel_zoom=pixel_zoom, measure=measure,
                        mode=mode)
         rendered = r if rendered is None else rendered.unionByName(r)
+    if resume:
+        if manifest_path is None:
+            raise ValueError("resume=True needs manifest_path")
+        import os as _os
+        if _os.path.exists(manifest_path):
+            committed = (base.sparkSession.read.parquet(manifest_path)
+                         .select("z", "x", "y"))
+            rendered = rendered.join(committed, on=["z", "x", "y"],
+                                     how="left_anti")
 
     def _write(it):
         import os
@@ -319,6 +338,11 @@ def write_png_tiles(base: DataFrame, out_dir: str, zooms,
     manifest = rendered.mapInPandas(
         _write, "z int, x long, y long, path string, n_bytes long, nnz long")
     manifest = manifest.localCheckpoint()  # eager: perform the writes NOW
+    if manifest_path is not None:
+        # commit AFTER the tile files landed: a kill between the writes
+        # and this append re-renders those tiles next run (idempotent —
+        # same bytes to the same paths), never skips a half-written one
+        manifest.write.mode("append").parquet(manifest_path)
     if release:
         base.unpersist()
     return manifest

@@ -2164,6 +2164,43 @@ class TestTileRender:
         assert np.array_equal(arr, want)
         assert m.nnz == 16 and m.n_bytes == os.path.getsize(m.path)
 
+    def test_write_png_tiles_resume(self, spark, tmp_path):
+        """gdal2tiles --resume parity: a second run against the
+        committed manifest renders/writes ONLY the new tiles; the
+        manifest table accumulates both runs."""
+        import os
+
+        from lib_gdal_spark.operators import tiles
+
+        base = spark.createDataFrame(
+            [(2, x, y, x + y + 1) for x in range(4) for y in range(4)]
+            + [(3, x, y, 1) for x in range(8) for y in range(8)],
+            "z int, x long, y long, n_pages long")
+        mpath = str(tmp_path / "_manifest")
+        out = str(tmp_path / "tiles")
+        # first run: z=1 only (4 tiles)
+        m1 = tiles.write_png_tiles(base, out, [1], pixel_zoom=2,
+                                   manifest_path=mpath,
+                                   resume=True).collect()
+        assert len(m1) == 4
+        # tamper one output file so we can prove it is NOT rewritten
+        victim = sorted(r.path for r in m1)[0]
+        with open(victim, "wb") as f:
+            f.write(b"tampered")
+        # second run: z=0 and z=1 — z=1 must be skipped wholesale
+        m2 = tiles.write_png_tiles(base, out, [0, 1], pixel_zoom=2,
+                                   manifest_path=mpath,
+                                   resume=True).collect()
+        assert {(r.z, r.x, r.y) for r in m2} == {(0, 0, 0)}
+        assert open(victim, "rb").read() == b"tampered"  # untouched
+        committed = spark.read.parquet(mpath)
+        assert committed.count() == 5
+        # resume without a manifest path is a usage error
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            tiles.write_png_tiles(base, out, [0], pixel_zoom=2,
+                                  resume=True)
+
     def test_render_png_rgba_transparency(self, spark):
         # gdal2tiles' actual tile format: RGBA with alpha 0 on empty
         # pixels, 255 on data pixels (tilebands = dataBandsCount + 1)
