@@ -82,10 +82,15 @@ class TestGeometryProperties:
     @given(_pts)
     @settings(max_examples=150, deadline=None)
     def test_ring_area_winding_invariant(self, pts):
-        # reversal flips the fold order -> last-ulp drift is allowed
+        # reversal flips the fold order -> drift up to ~n ulps of the
+        # LARGEST cross term, not of the (possibly near-cancelled) sum:
+        # a fixed 1e-12 abs_tol is wrong for degenerate rings with
+        # coords ~100 where terms reach 1e4 (hypothesis found one)
         ring = np.array(pts + [pts[0]])
         a, b = ring_area_np(ring), ring_area_np(ring[::-1])
-        assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+        term_ulp = (np.abs(ring).max() ** 2) * np.finfo(float).eps
+        tol = 4.0 * len(ring) * term_ulp
+        assert math.isclose(a, b, rel_tol=1e-12, abs_tol=max(tol, 1e-12))
 
     @given(st.lists(st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
                     min_size=3, max_size=10),
