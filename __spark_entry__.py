@@ -2420,7 +2420,7 @@ p AS (SELECT substr(word, i, 1) AS a,
              CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
                   ELSE '</w>' END AS b,
              freq FROM ix),
-c AS (SELECT a, b, SUM(freq) AS cnt FROM p GROUP BY a, b)
+c AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p GROUP BY a, b)
 SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rank
 FROM c ORDER BY cnt DESC, a, b LIMIT 20
 """
@@ -2448,8 +2448,9 @@ v AS (SELECT COUNT(*) AS vocab FROM
 lm AS (SELECT c12.w1, c12.w2,
               ln((c12 + 1.0) / (c1 + CAST(vocab AS DOUBLE))) AS logp
        FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
-SELECT doc_id, SUM(n) AS n_bigrams,
-       ROUND(-SUM(n * logp) / SUM(n), 6) AS xent
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       ROUND(-CAST(SUM(CAST(n * logp AS DECIMAL(38,18))) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE), 6) AS xent
 FROM big JOIN lm USING (w1, w2) GROUP BY doc_id
 """
 
@@ -2605,124 +2606,46 @@ FROM px JOIN lut ON lut.bin = px.v
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
-    dict order and caps at 50/round (proven rounds 1-2). Rotation rule:
+    dict order and caps at 50/round (proven rounds 1-3). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
-    driver row is OLDEST. Round-3 order:
-    (1) NEW this round (integer-exact Lloyd k-means over embeddings;
-        webtext: BM25 top-k, corpus n-gram top-k,
-        sliding-window chunking, corpus-bigram LM cross-entropy, BPE
-        pair counts (trainer unit-replays the Sennrich merges),
-        ExactSubstr duplicated-span detection, PII
-        redaction, eval decontamination, Gopher rules, URL
-        canonicalization; raster blend src-over + neighbors kernels;
-        warp convolution family, viewshed parity modes, invdistnn,
-        contour polygonize, translate -scale; byte-exact gdaldem
-        hillshade);
-    (2) CHANGED this round — every formerly-rows-only query that gained
-        an exact oracle (polygonize/sieve CC, composed minhash_dedup,
-        multimodal synthesis-replay, Euler-quad polygonize_rings,
-        plane/centroid-replay ANN, circumcircle-Delaunay grid_linear)
-        needs a fresh hash row;
-    (3) the round-1-verified set, now one round stale. Its 10 cheapest
-        pure-Catalyst ogr_* entries plus dem_hillshade/graph_sssp/
-        graph_components/fillnodata_idw/proximity_dist/grid_idw/
-        grid_metrics/grid_nearest (displaced by the seventeen queries
-        added mid-round: bm25_topk, ngram_topk, doc_chunks,
-        blend_srcover, neighbors_median, lm_xent, bpe_pairs,
-        exact_substr, rgb2pct, hist_equalize, gcp_polywarp,
-        lineref_locate, dataset_split, source_quota, sequence_pack,
-        retile_assign, raster_compare, pagerank_docs, inverted_index,
-        raster_resize, pmi_topk, doc_cosine_pairs, neardup_clusters —
-        sjoin_erase/contour_multi/
-        interp_cubic/interp_bilinear/interp_nearest/dem_slope/dem_tpi/
-        dem_roughness/dem_aspect/sjoin_update/sjoin_clip/sjoin_left/
-        pip_triangle_join/tile_assign/grid_linear join the displaced
-        set) sit just past the 50 cap: they are
-        double-verified (r01 driver + the every-session local parity
-        sweep) and rotate FIRST in round 4;
-    (4) the round-2-verified set, expensive/headline first.
+    driver row is OLDEST. Round-4 order:
+    (1) the 14 queries WITHOUT a green hash row after r3 (VERDICT r3
+        item 2): the three r3 hash-fails whose oracles carried the
+        duckdb HUGEINT->float64 defect, now fixed (lm_xent also moved
+        to a DECIMAL(38,18) per-term fold — VERDICT item 3;
+        tests/test_oracle_types.py binds all oracles and bans HUGEINT
+        outputs so the class is dead); the two whose only driver rows
+        predate their exact oracles (dem_hillshade r1 `no_oracle`,
+        grid_linear r2 `no_oracle`); and the nine never swept at all;
+    (2) NEW queries added this round — never swept;
+    (3) 33 of the round-1-verified set, two rounds stale (every entry
+        here is double-verified: r01 driver row + the every-session
+        local parity sweep at both scales);
+    (4) past the cap: the rest of the r1 set (8 cheap pure-Catalyst
+        ogr_* entries), then the round-2-verified set, then the
+        round-3-verified set (freshest rows last). All of (4) stays in
+        the local parity sweep every session; the r1 ogr_* remainder
+        rotates first in round 5.
     """
     return {
-        # ---- (1) new this round ----
-        "kmeans_docs": _q_kmeans_docs,
-        "pagerank_docs": _q_pagerank_docs,
-        "inverted_index": _q_inverted_index,
-        "raster_resize": _q_raster_resize,
-        "pmi_topk": _q_pmi_topk,
-        "doc_cosine_pairs": _q_doc_cosine_pairs,
-        "neardup_clusters": _q_neardup_clusters,
-        "bm25_topk": _q_bm25_topk,
-        "ngram_topk": _q_ngram_topk,
-        "doc_chunks": _q_doc_chunks,
-        "blend_srcover": _q_blend_srcover,
-        "neighbors_median": _q_neighbors_median,
-        "lm_xent": _q_lm_xent,
-        "bpe_pairs": _q_bpe_pairs,
-        "exact_substr": _q_exact_substr,
-        "rgb2pct": _q_rgb2pct,
-        "hist_equalize": _q_hist_equalize,
-        "gcp_polywarp": _q_gcp_polywarp,
-        "lineref_locate": _q_lineref_locate,
-        "dataset_split": _q_dataset_split,
-        "source_quota": _q_source_quota,
-        "sequence_pack": _q_sequence_pack,
-        "retile_assign": _q_retile_assign,
-        "raster_compare": _q_raster_compare,
-        "gdaldem_hillshade": _q_gdaldem_hillshade,
-        "gdaldem_derivatives": _q_gdaldem_derivatives,
-        "geom_overlay": _q_geom_overlay,
-        "raster_mosaic": _q_raster_mosaic,
-        "geom_predicates": _q_geom_predicates,
-        "pii_redact": _q_pii_redact,
-        "contamination_check": _q_contamination,
-        "gopher_rules": _q_gopher_rules,
-        "warp_cubic": _q_warp_cubic,
-        "warp_cubicspline": _q_warp_cubicspline,
-        "warp_lanczos": _q_warp_lanczos,
-        "viewshed_curv": _q_viewshed_curv,
-        "viewshed_minheight": _q_viewshed_minheight,
-        "grid_invdistnn": _q_grid_invdistnn,
-        "contour_polygon_bands": _q_contour_polygon_bands,
-        "translate_scale": _q_translate_scale,
-        "rasterize_line_burn": _q_rasterize_lines,
-        # ---- (2) changed this round ----
-        "polygonize_regions": _q_polygonize,       # recursive-CTE oracle
-        "sieve_filter": _q_sieve,                  # recursive-CTE oracle
-        "minhash_dedup": _q_minhash_dedup,         # exact composed oracle
-        "corpus_clean": _q_corpus_clean,           # NEW: composed pipeline
-        "crawl_incremental": _q_crawl_incremental,  # NEW: bloom-gated ingest
-        "multimodal_features": _q_multimodal,      # real decode, exact oracle
-        "polygonize_rings": _q_polygonize_rings,   # Euler-quad oracle
-        "ann_lsh": _q_ann_lsh,                     # plane-replay oracle
-        "ann_ivf": _q_ann_ivf,                     # centroid-replay oracle
-        # ---- (3) round-1-verified, one round stale: refresh ----
-        # -------- 50-cap boundary: positions 51+ below --------
-        # Deliberately deferred to round 4 (56 entries needed rows vs
-        # the 50 cap): semdedup_docs (added after the front filled; its
-        # kmeans substrate IS swept this round and the full pair logic
-        # is in the local parity sweep), grid_linear (oracle upgraded
-        # from rows-only, but it HAS r01/r02 driver rows + local
-        # parity) and url_canonical (pure-Catalyst string math, local
-        # parity). graph_sssp_blocked (GNM barrier option, unit-tested
-        # four ways) and rpc_project (forward RPC camera model; inverse
-        # replays the reference autotest goldens in tests/test_rpc.py)
-        # join them, as do tile_render (PNG tile rendering with the
-        # codec inside the verified loop), cluster_prune
-        # (prototypicality pruning), temperature_resample (mC4-style
-        # lang rebalancing), grid_metrics_pts (the average_distance_pts
-        # pair metric) and dsir_topk (DSIR importance resampling).
-        # Rotate ALL TEN FIRST in round 4.
+        # ---- (1) no green hash row after r3: sweep FIRST ----
+        "lm_xent": _q_lm_xent,                     # oracle HUGEINT fixed +
+                                                   # DECIMAL per-term fold
+        "bpe_pairs": _q_bpe_pairs,                 # oracle HUGEINT fixed
+        "polygonize_rings": _q_polygonize_rings,   # oracle HUGEINT fixed
+        "dem_hillshade": _q_dem_hillshade,         # oracle newer than last row
+        "grid_linear": _q_grid_linear,             # oracle newer than last row
         "semdedup_docs": _q_semdedup_docs,
         "cluster_prune": _q_cluster_prune,
         "temperature_resample": _q_temperature_resample,
         "grid_metrics_pts": _q_grid_metrics_pts,
         "dsir_topk": _q_dsir_topk,
-        "grid_linear": _q_grid_linear,             # circumcircle oracle (was
-                                                   # the LAST rows-only entry)
         "url_canonical": _q_url_canonical,
         "graph_sssp_blocked": _q_graph_sssp_blocked,
         "rpc_project": _q_rpc_project,
         "tile_render": _q_tile_render,
+        # ---- (2) new this round ----
+        # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
         "sjoin_left": _q_sjoin_left,
@@ -2737,7 +2660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_tpi": _q_dem_tpi,
         "dem_roughness": _q_dem_roughness,
         "dem_aspect": _q_dem_aspect,
-        "dem_hillshade": _q_dem_hillshade,
         "graph_sssp": _q_graph_sssp,
         "graph_components": _q_graph_components,
         "fillnodata_idw": _q_fillnodata,
@@ -2760,6 +2682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _q_histogram,
         "ogr_first_match_join": _q_first_match_join,
         "ogr_filter_in_between": _q_filter_in_between,
+        # -------- 50-cap boundary: positions 51+ below --------
+        # ---- (4a) r1 remainder (rotates first in round 5) ----
         "ogr_summary_agg": _q_summary_agg,
         "ogr_count_distinct": _q_count_distinct,
         "ogr_hstore_get": _q_hstore_get,
@@ -2768,7 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_order_limit_offset": _q_order_limit_offset,
         "ogr_filter_like": _q_filter_like,
         "ogr_distinct": _q_distinct,
-        # ---- (4) round-2-verified, expensive/headline first ----
+        # ---- (4b) round-2-verified, expensive/headline first ----
         "tile_pyramid": _q_tile_pyramid,
         "pip_rect_join": _q_pip_rect_join,
         "knn_ring": _q_knn_ring,
@@ -2812,6 +2736,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pansharpen_brovey": _q_pansharpen,
         "mdim_subset_reduce": _q_mdim_subset_reduce,
         "dem_tri": _q_dem_tri,
+        # ---- (4c) round-3-verified (freshest driver rows) ----
+        "kmeans_docs": _q_kmeans_docs,
+        "pagerank_docs": _q_pagerank_docs,
+        "inverted_index": _q_inverted_index,
+        "raster_resize": _q_raster_resize,
+        "pmi_topk": _q_pmi_topk,
+        "doc_cosine_pairs": _q_doc_cosine_pairs,
+        "neardup_clusters": _q_neardup_clusters,
+        "bm25_topk": _q_bm25_topk,
+        "ngram_topk": _q_ngram_topk,
+        "doc_chunks": _q_doc_chunks,
+        "blend_srcover": _q_blend_srcover,
+        "neighbors_median": _q_neighbors_median,
+        "exact_substr": _q_exact_substr,
+        "rgb2pct": _q_rgb2pct,
+        "hist_equalize": _q_hist_equalize,
+        "gcp_polywarp": _q_gcp_polywarp,
+        "lineref_locate": _q_lineref_locate,
+        "dataset_split": _q_dataset_split,
+        "source_quota": _q_source_quota,
+        "sequence_pack": _q_sequence_pack,
+        "retile_assign": _q_retile_assign,
+        "raster_compare": _q_raster_compare,
+        "gdaldem_hillshade": _q_gdaldem_hillshade,
+        "gdaldem_derivatives": _q_gdaldem_derivatives,
+        "geom_overlay": _q_geom_overlay,
+        "raster_mosaic": _q_raster_mosaic,
+        "geom_predicates": _q_geom_predicates,
+        "pii_redact": _q_pii_redact,
+        "contamination_check": _q_contamination,
+        "gopher_rules": _q_gopher_rules,
+        "warp_cubic": _q_warp_cubic,
+        "warp_cubicspline": _q_warp_cubicspline,
+        "warp_lanczos": _q_warp_lanczos,
+        "viewshed_curv": _q_viewshed_curv,
+        "viewshed_minheight": _q_viewshed_minheight,
+        "grid_invdistnn": _q_grid_invdistnn,
+        "contour_polygon_bands": _q_contour_polygon_bands,
+        "translate_scale": _q_translate_scale,
+        "rasterize_line_burn": _q_rasterize_lines,
+        "polygonize_regions": _q_polygonize,
+        "sieve_filter": _q_sieve,
+        "minhash_dedup": _q_minhash_dedup,
+        "corpus_clean": _q_corpus_clean,
+        "crawl_incremental": _q_crawl_incremental,
+        "multimodal_features": _q_multimodal,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
     }
 
 
@@ -5263,7 +5235,10 @@ adj AS (
 vals AS (SELECT region_id, min(value) AS value FROM lc GROUP BY 1)
 SELECT f.region_id, vals.value, f.f AS n_cells,
        CAST(2 - chi.chi4 AS INT) AS n_rings,
-       (4 * f.f - 2 * COALESCE(adj.a2, 0)) + (2 - chi.chi4) AS n_vertices,
+       -- chi4 is HUGEINT (duckdb SUM(int)); pandas would take the bare
+       -- expression to float64 and break the value hash (r3 trap)
+       CAST((4 * f.f - 2 * COALESCE(adj.a2, 0)) + (2 - chi.chi4)
+            AS BIGINT) AS n_vertices,
        CAST(f.f AS DOUBLE) AS area
 FROM f
 JOIN chi ON chi.region_id = f.region_id

@@ -358,7 +358,10 @@ def lm_crossentropy(df: DataFrame, id_col: str = "doc_id",
     -> (doc_id, n_bigrams, xent) with xent = -mean bigram ln-prob,
     rounded 6 dp (ln is the only transcendental; everything upstream is
     integer counts so the ratio inside ln is bit-identical cross-engine;
-    the per-doc fold is an order-dependent double sum -> 6 dp rule).
+    the per-doc fold quantizes each n*logp term through DECIMAL(38,18)
+    — the dsir_scores pattern — so the sum is order-independent under
+    any partitioning; the closing -sum/n is a single correctly-rounded
+    double division, identical on both engines).
 
     Scale shape: ONE tokenize pass staged as a persisted narrow bigram
     table feeding corpus counts and per-doc joins; c(w1,*) derives from
@@ -393,7 +396,11 @@ def lm_crossentropy(df: DataFrame, id_col: str = "doc_id",
         F.log((F.col("c12") + 1.0) / (F.col("c1") + float(vocab)))
          .alias("logp"))
     scored = big.join(lm, ["w1", "w2"])
+    # DECIMAL(38,18)-quantized per-term fold (order-independent exact
+    # sum), then exactly one double divide — no order-dependent double
+    # accumulation anywhere (CLAUDE.md fold-order trap).
+    term = (F.col("n") * F.col("logp")).cast("decimal(38,18)")
     return (scored.groupBy("doc_id")
             .agg(F.sum("n").alias("n_bigrams"),
-                 F.round(-F.sum(F.col("n") * F.col("logp"))
-                         / F.sum("n"), 6).alias("xent")))
+                 F.round(-F.sum(term).cast("double")
+                         / F.sum("n").cast("double"), 6).alias("xent")))
