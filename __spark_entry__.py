@@ -2604,6 +2604,78 @@ FROM px JOIN lut ON lut.bin = px.v
 """
 
 
+# --- rotated-geotransform warp (round 4) --------------------------------
+# src geotransform with nonzero shear terms (det = -1, all coefficients
+# dyadic so the inverse is exact); dst axis-aligned over the rotated
+# square's interior. Exercises GDALInvGeoTransform's general
+# adjoint-over-determinant path (gdaltransformer.cpp:4585-4608) through
+# warp_affine's scanline chain.
+_WR_SRC_GT = (0.0, 0.8, 0.6, 0.0, 0.6, -0.8)
+_WR_DST_GT = (5.0, 1.0, 0.0, 15.0, 0.0, -1.0)
+
+
+def _wr_cells(spark, sf_dir):
+    return (_tbl(spark, sf_dir, "documents")
+            .groupBy((F.col("doc_id") % 32).alias("bx"),
+                     F.expr("(doc_id div 32) % 32").alias("by"))
+            .agg((F.min("n_chars") % 200).cast("double").alias("value")))
+
+
+def _q_warp_rotate(spark, sf_dir):
+    # gdalwarp with a ROTATED source geotransform (gt[2]/gt[4] != 0):
+    # the general affine inverse composed with the approx-transformer
+    # scanline chain; near kernel -> pure +-*/floor, exactly oracle-able
+    # (rotated replays: tests/test_warp_replay.py::TestRotatedGeotransform)
+    return warp.warp_affine(_wr_cells(spark, sf_dir), (32, 32), (32, 32),
+                            _WR_SRC_GT, _WR_DST_GT, "near")
+
+
+def _o_warp_rotate() -> str:
+    from lib_gdal_spark.operators.warp import invert_geotransform
+
+    d0, d1, d2, d3, d4, d5 = _WR_DST_GT
+    i0, i1, i2, i3, i4, i5 = invert_geotransform(_WR_SRC_GT)
+
+    def dl(x):
+        return f"{float(x):.17e}::DOUBLE"
+
+    # the same expression trees as warp_affine: endpoint transforms at
+    # xp = 0.5 and xp = DW-1+0.5, then per-scanline linear interpolation
+    def pair(xp, yp):
+        gx = f"({dl(d0)} + {xp} * {dl(d1)} + {yp} * {dl(d2)})"
+        gy = f"({dl(d3)} + {xp} * {dl(d4)} + {yp} * {dl(d5)})"
+        return (f"({dl(i0)} + {gx} * {dl(i1)} + {gy} * {dl(i2)})",
+                f"({dl(i3)} + {gx} * {dl(i4)} + {gy} * {dl(i5)})")
+
+    x0s, y0s = pair("5e-1", "yp")
+    xns, yns = pair(dl(31.5), "yp")
+    return f"""
+WITH d AS (SELECT CAST(doc_id % 32 AS BIGINT) AS bx,
+                  CAST(floor(doc_id/32.0) AS BIGINT) % 32 AS "by", n_chars
+           FROM documents),
+cells AS (SELECT bx, "by", CAST(min(n_chars) % 200 AS DOUBLE) AS v
+          FROM d GROUP BY 1, 2),
+src AS (SELECT bx AS scol, 31 - "by" AS srow, v FROM cells),
+pix AS (SELECT x.xd, y.yd
+        FROM (SELECT unnest(generate_series(0, 31)) AS xd) x,
+             (SELECT unnest(generate_series(0, 31)) AS yd) y),
+co AS (SELECT xd, yd, CAST(yd AS DOUBLE) + 5e-1 AS yp FROM pix),
+sc AS (SELECT xd, yd,
+        {x0s} + (({xns} - {x0s}) / {dl(31.0)}) * CAST(xd AS DOUBLE) AS sx,
+        {y0s} + (({yns} - {y0s}) / {dl(31.0)}) * CAST(xd AS DOUBLE) AS sy
+       FROM co),
+nn AS (SELECT xd, yd,
+        CAST(floor(sx + 1e-10) AS BIGINT) AS nx0,
+        CAST(floor(sy + 1e-10) AS BIGINT) AS ny0 FROM sc),
+cl AS (SELECT xd, yd,
+        CASE WHEN nx0 = 32 THEN 31 ELSE nx0 END AS nx,
+        CASE WHEN ny0 = 32 THEN 31 ELSE ny0 END AS ny FROM nn)
+SELECT cl.xd AS bx, 31 - cl.yd AS "by", floor(s.v + 5e-1) AS value
+FROM cl JOIN src s ON s.scol = cl.nx AND s.srow = cl.ny
+WHERE cl.nx >= 0 AND cl.nx < 32 AND cl.ny >= 0 AND cl.ny < 32
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
     dict order and caps at 50/round (proven rounds 1-3). Rotation rule:
@@ -2645,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_project": _q_rpc_project,
         "tile_render": _q_tile_render,
         # ---- (2) new this round ----
+        "warp_rotate": _q_warp_rotate,             # rotated geotransform
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -2681,9 +2754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_calc": _q_raster_calc,
         "histogram": _q_histogram,
         "ogr_first_match_join": _q_first_match_join,
-        "ogr_filter_in_between": _q_filter_in_between,
         # -------- 50-cap boundary: positions 51+ below --------
         # ---- (4a) r1 remainder (rotates first in round 5) ----
+        "ogr_filter_in_between": _q_filter_in_between,
         "ogr_summary_agg": _q_summary_agg,
         "ogr_count_distinct": _q_count_distinct,
         "ogr_hstore_get": _q_hstore_get,
@@ -5752,6 +5825,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_mode": _o_warp_mode(),
         "warp_q1q3": _o_warp_q1q3(),
         "warp_near": _o_warp_near(),
+        "warp_rotate": _o_warp_rotate(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

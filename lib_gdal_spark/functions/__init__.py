@@ -586,11 +586,13 @@ def register_all(spark: SparkSession) -> None:
     def st_issimple(wkb: pd.Series) -> pd.Series:
         # OGRGeometry::IsSimple (GEOS-delegated in the reference):
         # (multi)points are simple iff no repeated member; linestrings
-        # via _polyline_simple; areal kinds defer to the validity rules
-        # (a valid polygon's boundary is simple by construction).
-        # multilinestring/collection return NULL — the cross-member
-        # endpoint-only-contact rule is not implemented (same unknown-
-        # result convention as the geodesic kernels' NaN).
+        # via _polyline_simple; areal kinds test PER-RING simplicity
+        # only (the JTS IsSimpleOp rule) — NOT validity, which is
+        # strictly stronger: an invalid polygon with ring-simple rings
+        # (hole outside shell, shell-crossing hole) is still SIMPLE
+        # (ADVICE r3). multilinestring/collection return NULL — the
+        # cross-member endpoint-only-contact rule is not implemented
+        # (same unknown-result convention as the geodesic kernels' NaN).
         out = []
         for buf in wkb:
             if buf is None:
@@ -605,7 +607,11 @@ def register_all(spark: SparkSession) -> None:
             elif kind == "linestring":
                 out.append(_polyline_simple(np.asarray(data, np.float64)))
             elif kind in ("polygon", "multipolygon"):
-                out.append(bool(_clip.is_valid(kind, data)[0]))
+                rings = (data if kind == "polygon"
+                         else [r for poly in data for r in poly])
+                out.append(all(
+                    _polyline_simple(np.asarray(r, np.float64))
+                    for r in rings))
             else:
                 out.append(None)
         return pd.Series(out, dtype="object")
@@ -747,8 +753,13 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_issimple", st_issimple)
     # the geometry column IS WKB here, so AsBinary/GeomFromWKB are the
     # identity (the SQLite dialect round-trips through its blob format;
-    # GeomFromWKB still decode-validates so malformed blobs surface)
-    spark.udf.register("st_asbinary", lambda b: b, T.BinaryType())
+    # GeomFromWKB still decode-validates so malformed blobs surface).
+    # Arrow-batched identity, not a per-row scalar UDF (repo invariant).
+    @F.pandas_udf(T.BinaryType())
+    def st_asbinary(b: pd.Series) -> pd.Series:
+        return b
+
+    spark.udf.register("st_asbinary", st_asbinary)
 
     @F.pandas_udf(T.BinaryType())
     def st_geomfromwkb(wkb: pd.Series) -> pd.Series:

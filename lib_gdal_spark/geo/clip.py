@@ -404,6 +404,46 @@ def _line_in_out(pts: np.ndarray, polys: list) -> tuple:
     return bool(inside.any()), bool((~inside).any())
 
 
+def _canonical_segments(lines, nodes: np.ndarray) -> set:
+    """Canonical elementary-segment set of a (multi)linestring: each
+    segment split at every node point lying strictly inside it (exact
+    cross-product collinearity, node coordinates reused verbatim — no
+    recomputed split points, so no float drift), zero-length segments
+    dropped, endpoints ordered lexicographically. Two 1-D geometries
+    are point-set equal iff these sets are equal (see the equals branch
+    of relate())."""
+    segs = set()
+    for pts in lines:
+        a = np.asarray(pts, dtype=np.float64)
+        for i in range(len(a) - 1):
+            p, q = a[i], a[i + 1]
+            if p[0] == q[0] and p[1] == q[1]:
+                continue
+            d = q - p
+            cross = (nodes[:, 0] - p[0]) * d[1] - (nodes[:, 1] - p[1]) * d[0]
+            t = (((nodes[:, 0] - p[0]) * d[0]
+                  + (nodes[:, 1] - p[1]) * d[1]) / (d[0] * d[0]
+                                                    + d[1] * d[1]))
+            on = (cross == 0.0) & (t > 0.0) & (t < 1.0)
+            # interior nodes ordered along the segment; drop duplicates
+            inner = nodes[on]
+            tp, tq = (float(p[0]), float(p[1])), (float(q[0]), float(q[1]))
+            if len(inner):
+                order = np.argsort(t[on], kind="mergesort")
+                chain = [tp]
+                for v in inner[order]:
+                    tv = (float(v[0]), float(v[1]))
+                    if tv != chain[-1]:
+                        chain.append(tv)
+                if tq != chain[-1]:
+                    chain.append(tq)
+            else:
+                chain = [tp, tq]
+            for u, v in zip(chain[:-1], chain[1:]):
+                segs.add((u, v) if u <= v else (v, u))
+    return segs
+
+
 def relate(kind_a: str, data_a, kind_b: str, data_b, predicate: str) -> bool:
     """The reference's geometry predicates (ogr_geometry.h:546-553
     Intersects/Within/Contains/Overlaps/Touches/Crosses, GEOS-delegated
@@ -500,9 +540,23 @@ def relate(kind_a: str, data_a, kind_b: str, data_b, predicate: str) -> bool:
                     and not overlay(kb, data_b, ka, data_a,
                                     "difference")[1]
                     and interiors_intersect())
-        raise NotImplementedError(
-            "ST_Equals for linestring pairs is not defined (would need "
-            "canonical point-set normalization)")
+        # 1-D point-set equality via canonical segment splitting: split
+        # every segment at every vertex (of EITHER geometry) lying on
+        # it, then compare elementary-segment SETS. A collinear partial
+        # overlap's endpoints are always vertices of one of the two
+        # segments, so after vertex splitting two overlapping collinear
+        # elementary segments are identical; crossings at non-vertex
+        # interior points contribute no 1-D part and cannot make unequal
+        # sets union to the same point set. Hence set equality after
+        # splitting IS point-set equality (at exact-coordinate
+        # precision — the reference's GEOS Equals is likewise exact).
+        la = data_a if ka == "multilinestring" else [data_a]
+        lb = data_b if kb == "multilinestring" else [data_b]
+        nodes = np.asarray(
+            [tuple(v) for line in (*la, *lb)
+             for v in np.asarray(line, float)], dtype=np.float64)
+        return (_canonical_segments(la, nodes)
+                == _canonical_segments(lb, nodes))
     if predicate == "crosses":
         if ka == "linestring" and kb == "linestring":
             return segments_cross_np(np.asarray(data_a, float),

@@ -311,14 +311,30 @@ _DBL_MIN = 2.2250738585072014e-308
 
 
 def invert_geotransform(gt):
-    """GDALInvGeoTransform's no-rotation fast path
-    (alg/gdaltransformer.cpp:4562-4583): reciprocal-multiply form, NOT
-    (x - gt0)/gt1 — the op order matters at the last ulp and the warp
-    replay must use the same one."""
-    if gt[2] != 0.0 or gt[4] != 0.0:
-        raise NotImplementedError("rotated geotransforms")
-    return (-gt[0] / gt[1], 1.0 / gt[1], 0.0,
-            -gt[3] / gt[5], 0.0, 1.0 / gt[5])
+    """GDALInvGeoTransform (alg/gdaltransformer.cpp:4562-4608), both
+    paths with the reference's exact op order (it matters at the last
+    ulp — the warp replay must reproduce it):
+
+    - no-rotation fast path: reciprocal-multiply form, NOT
+      (x - gt0)/gt1;
+    - general affine (rotated/sheared gt[2]/gt[4] != 0): adjoint over
+      determinant with the same term order, and the reference's
+      singularity rule |det| <= 1e-10 * magnitude^2 -> ValueError
+      (the C API returns 0 there)."""
+    if gt[2] == 0.0 and gt[4] == 0.0 and gt[1] != 0.0 and gt[5] != 0.0:
+        return (-gt[0] / gt[1], 1.0 / gt[1], 0.0,
+                -gt[3] / gt[5], 0.0, 1.0 / gt[5])
+    det = gt[1] * gt[5] - gt[2] * gt[4]
+    magnitude = max(abs(gt[1]), abs(gt[2]), abs(gt[4]), abs(gt[5]))
+    if abs(det) <= 1e-10 * magnitude * magnitude:
+        raise ValueError("invert_geotransform: singular geotransform")
+    inv_det = 1.0 / det
+    return ((gt[2] * gt[3] - gt[0] * gt[5]) * inv_det,
+            gt[5] * inv_det,
+            -gt[2] * inv_det,
+            (-gt[1] * gt[3] + gt[0] * gt[4]) * inv_det,
+            -gt[4] * inv_det,
+            gt[1] * inv_det)
 
 
 def _bspline_sql(a: str) -> str:

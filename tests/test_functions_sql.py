@@ -79,6 +79,58 @@ class TestStFunctions:
         assert got[3] == (False, True)    # ring closure allowed
         assert got[4] == (False, True)
 
+    def test_st_issimple_invalid_but_ring_simple(self, sql):
+        """Simplicity is per-ring self-intersection ONLY (JTS
+        IsSimpleOp), strictly weaker than validity: a polygon whose
+        hole lies OUTSIDE its shell is invalid but each ring is simple
+        -> IsSimple must be True (ADVICE r3). A bow-tie ring stays
+        non-simple."""
+        from lib_gdal_spark.geo import clip as _clip
+        from lib_gdal_spark.geo import wkb as _w
+        hole_outside = _w.encode_polygon(
+            [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+             [(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0),
+              (10.0, 10.0)]])
+        bowtie = _w.encode_polygon(
+            [[(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]])
+        assert not _clip.is_valid(
+            "polygon",
+            [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+             [(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0),
+              (10.0, 10.0)]])[0]
+        df = sql.createDataFrame(
+            [(1, bytearray(hole_outside)), (2, bytearray(bowtie))],
+            "gid int, g binary")
+        df.createOrReplaceTempView("simp2")
+        got = {r.gid: r.s for r in sql.sql(
+            "SELECT gid, st_issimple(g) AS s FROM simp2").collect()}
+        assert got[1] is True    # invalid yet simple
+        assert got[2] is False   # self-crossing ring
+
+    def test_st_equals_linestrings(self, sql):
+        """ST_Equals for 1-D pairs (ADVICE r3 gap): point-set equality
+        via canonical vertex splitting — same line split differently,
+        reversed orientation, and a multi covering the same set are all
+        equal; partial overlap is not."""
+        from lib_gdal_spark.geo import wkb as _w
+        base = _w.encode_linestring([(0.0, 0.0), (2.0, 0.0)])
+        split = _w.encode_linestring([(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)])
+        rev = _w.encode_linestring([(2.0, 0.0), (0.0, 0.0)])
+        longer = _w.encode_linestring([(0.0, 0.0), (3.0, 0.0)])
+        multi = _w.encode_multilinestring(
+            [[(1.0, 0.0), (2.0, 0.0)], [(0.0, 0.0), (1.0, 0.0)]])
+        df = sql.createDataFrame(
+            [(1, bytearray(base), bytearray(split)),
+             (2, bytearray(base), bytearray(rev)),
+             (3, bytearray(base), bytearray(longer)),
+             (4, bytearray(base), bytearray(multi))],
+            "gid int, ga binary, gb binary")
+        df.createOrReplaceTempView("leq")
+        got = {r.gid: r.v for r in sql.sql(
+            "SELECT gid, st_equals(ga, gb) AS v FROM leq").collect()}
+        assert got[1] is True and got[2] is True
+        assert got[3] is False and got[4] is True
+
     def test_st_equals_and_wkb_roundtrip(self, sql):
         """ST_Equals point-set equality + AsBinary/GeomFromWKB identity
         + MakePoint alias (ogrsqlitesqlfunctions.cpp:1208-1221)."""
