@@ -290,8 +290,73 @@ def polygonize_rings(cells: DataFrame, block_bits: int = 5,
     )
 
 
+def _resolve_chains_distributed(smalldf: DataFrame, sizes: DataFrame,
+                                threshold: int) -> DataFrame:
+    """Pointer-doubling twin of sieve_gdal's driver-side chain walk.
+
+    Resolves every small region to the FIRST >= `threshold` region on its
+    forward path through the functional big-neighbour graph (`smalldf`:
+    one `_nb` pointer per `_r`); nodes whose path dead-ends or cycles are
+    simply absent from the result (keep-original-value, the reference's
+    merge = -1 outcome, alg/gdalsievefilter.cpp:470-540). Semantically
+    identical to the sequential walk because the graph is functional: the
+    first qualifying region on the unique forward path does not depend on
+    visit order.
+
+    Scale shape: state is one row per small region; each round is one
+    self-equi-join on the pointer column (pointer doubling), so chains of
+    any length resolve in ceil(log2(n)) + 1 rounds. Rounds are
+    localCheckpoint-ed (eager) so the plan stays flat — the CLAUDE.md
+    iterative-loop rule. Nothing ever collects to the driver.
+    """
+    import math
+
+    n_small = smalldf.count()
+    big = sizes.filter(F.col("_n") >= threshold).select(
+        F.col("region_id").alias("_bid"))
+    small_set = smalldf.select(F.col("_r").alias("_sid"))
+    # classify each pointer once: _tgt = already-big target (resolved),
+    # _ptr = next small hop (pending). A pointer to a region that is
+    # neither big nor a pointered small region is a dead end -> the row
+    # is dropped, and rows pointing AT a dropped node fail through the
+    # left join below, exactly like the driver walk's -1 propagation.
+    st = (smalldf
+          .join(big, F.col("_nb") == F.col("_bid"), "left")
+          .join(small_set, F.col("_nb") == F.col("_sid"), "left")
+          .filter(F.col("_bid").isNotNull() | F.col("_sid").isNotNull())
+          .select(
+              "_r",
+              F.when(F.col("_bid").isNotNull(), F.col("_nb")).alias("_tgt"),
+              F.when(F.col("_bid").isNull(), F.col("_nb")).alias("_ptr"),
+          )
+          .localCheckpoint())
+    max_rounds = int(math.ceil(math.log2(max(float(n_small), 2.0)))) + 1
+    for _ in range(max_rounds):
+        if st.filter(F.col("_ptr").isNotNull()).isEmpty():
+            break
+        t = st.select(F.col("_r").alias("_pr"),
+                      F.col("_tgt").alias("_ptgt"),
+                      F.col("_ptr").alias("_pptr"))
+        st = (st.alias("s")
+              .join(t.alias("t"), F.col("s._ptr") == F.col("t._pr"), "left")
+              # pending row whose pointer's row is gone = failed chain
+              .filter(F.col("s._tgt").isNotNull() | F.col("s._ptr").isNull()
+                      | F.col("t._pr").isNotNull())
+              .select(
+                  F.col("s._r").alias("_r"),
+                  F.coalesce(F.col("s._tgt"), F.col("t._ptgt")).alias("_tgt"),
+                  F.when(F.col("s._tgt").isNull() & F.col("t._ptgt").isNull(),
+                         F.col("t._pptr")).alias("_ptr"),
+              )
+              .localCheckpoint())
+    # cycle survivors are still pending after the round bound -> fail them
+    return st.filter(F.col("_tgt").isNotNull()).select(
+        F.col("_r").alias("region_id"), "_tgt")
+
+
 def sieve_gdal(cells: DataFrame, threshold: int, connect8: bool = False,
-               block_bits: int = 5) -> DataFrame:
+               block_bits: int = 5,
+               max_small_collect: int = 65536) -> DataFrame:
     """Bit-faithful GDALSieveFilter (alg/gdalsievefilter.cpp): replays the
     reference's exact merge semantics so its autotest checksums reproduce.
 
@@ -305,9 +370,16 @@ def sieve_gdal(cells: DataFrame, threshold: int, connect8: bool = False,
     - chain walk (:470-540): a small region whose big neighbour is still
       small follows big-neighbour pointers until a region >= threshold
       (merge the whole chain into it) or a cycle/dead end (keep original
-      value). The walk runs driver-side over the SMALL-region graph only
-      (bounded by small-region count, << cells) — the scale concession of
-      compat mode; the native `sieve` stays fully distributed.
+      value). The walk's result is ORDER-INDEPENDENT — each node resolves
+      to the first >=threshold region on its unique forward path in the
+      functional big-neighbour graph (path-compression shortcuts taken
+      through earlier walks land on exactly that region, and cycle nodes
+      stay unresolved either way) — so it distributes as pointer doubling.
+      Up to `max_small_collect` small regions the walk runs driver-side
+      (cheaper: one collect); above it, O(log n) pointer-doubling join
+      rounds with eager checkpoints resolve every chain with no
+      driver-side data path (a 100 TB noisy raster, where sub-threshold
+      regions are the majority, never materializes on the driver).
 
     Input rows are (bx, by, value) with by increasing UPWARD (row 0 of a
     top-down raster = max by), matching the repo's grid convention.
@@ -361,47 +433,52 @@ def sieve_gdal(cells: DataFrame, threshold: int, connect8: bool = False,
     bign = (cand.withColumn("_rk", F.row_number().over(w))
             .filter("_rk = 1").select("_r", "_nb"))
 
-    # driver-side chain walk over the small-region graph (reference
-    # :470-540); sizes/pointers for small regions + their targets only
-    small_ids = {r._r: r._nb for r in
-                 bign.join(sizes.withColumnRenamed("region_id", "_r"), "_r")
-                 .filter(F.col("_n") < threshold).select("_r", "_nb").collect()}
-    # only sizes reachable by the walk (small regions + their targets) —
-    # never the full region table
-    needed = set(small_ids) | set(small_ids.values())
-    size_map = {r.region_id: r._n for r in
-                sizes.filter(F.col("region_id").isin(list(needed))).collect()
-                } if needed else {}
-    merge: dict = {}
-    for poly in sorted(small_ids):
-        visited = {poly}
-        cur = poly
-        found = False
-        while True:
-            cur = merge.get(cur, small_ids.get(cur, -1))
-            if cur == -1:
-                break
-            if size_map.get(cur, 0) >= threshold:
-                found = True
-                break
-            if cur in visited:
-                break
-            visited.add(cur)
-        if found:
-            # map the whole chain (reference's path compression)
-            c2 = poly
-            while c2 != cur and c2 != -1:
-                nxt = merge.get(c2, small_ids.get(c2, -1))
-                merge[c2] = cur
-                c2 = nxt
-        else:
-            merge[poly] = -1
-    final = [(r, t) for r, t in merge.items() if t != -1]
-    if not final:
+    smalldf = (bign.join(sizes.withColumnRenamed("region_id", "_r"), "_r")
+               .filter(F.col("_n") < threshold).select("_r", "_nb"))
+    n_small = smalldf.count()
+
+    if n_small > max_small_collect:
+        m = _resolve_chains_distributed(smalldf, sizes, threshold)
+    elif n_small == 0:
+        m = None
+    else:
+        # driver-side chain walk over the small-region graph (reference
+        # :470-540); sizes/pointers for small regions + targets only
+        small_ids = {r._r: r._nb for r in smalldf.collect()}
+        needed = set(small_ids) | set(small_ids.values())
+        size_map = {r.region_id: r._n for r in
+                    sizes.filter(
+                        F.col("region_id").isin(list(needed))).collect()}
+        merge: dict = {}
+        for poly in sorted(small_ids):
+            visited = {poly}
+            cur = poly
+            found = False
+            while True:
+                cur = merge.get(cur, small_ids.get(cur, -1))
+                if cur == -1:
+                    break
+                if size_map.get(cur, 0) >= threshold:
+                    found = True
+                    break
+                if cur in visited:
+                    break
+                visited.add(cur)
+            if found:
+                # map the whole chain (reference's path compression)
+                c2 = poly
+                while c2 != cur and c2 != -1:
+                    nxt = merge.get(c2, small_ids.get(c2, -1))
+                    merge[c2] = cur
+                    c2 = nxt
+            else:
+                merge[poly] = -1
+        final = [(r, t) for r, t in merge.items() if t != -1]
+        m = (F.broadcast(spark.createDataFrame(
+            final, "region_id long, _tgt long")) if final else None)
+    if m is None:
         out = labeled
     else:
-        m = F.broadcast(spark.createDataFrame(final,
-                                              "region_id long, _tgt long"))
         out = (
             labeled.join(m, on="region_id", how="left")
             .withColumn("_final", F.coalesce("_tgt", "region_id"))

@@ -1441,6 +1441,50 @@ class TestSieveReferenceGolden:
         assert shifted_back == base
         assert self._checksum(shifted_back) == 364
 
+    def test_distributed_chain_walk_matches_driver(self, spark):
+        # max_small_collect=0 forces the pointer-doubling resolver; every
+        # golden grid (incl. the chain-heavy unmergable/bug2634 cases)
+        # must reproduce the driver walk bit-exactly
+        from lib_gdal_spark.operators import polygonize as pz
+
+        for grid, thr, c8, cs in [
+            (self.SIEVE_SRC, 2, False, 364),
+            (self.SIEVE_SRC, 2, True, 370),
+            (self.UNMERGABLE, 2, True, 451),
+            (self.SIEVE_2634, 2, False, 98),
+        ]:
+            nrows = len(grid)
+            rows = [(c, nrows - 1 - r, float(v))
+                    for r, vals in enumerate(grid)
+                    for c, v in enumerate(vals)]
+            df = spark.createDataFrame(rows, "bx long, by long, value double")
+            out = pz.sieve_gdal(df, threshold=thr, connect8=c8, block_bits=1,
+                                max_small_collect=0)
+            got = {(r.bx, r.by): int(r.value) for r in out.collect()}
+            g = [[got[(c, nrows - 1 - r)] for c in range(len(grid[0]))]
+                 for r in range(nrows)]
+            assert g == self._run(spark, grid, thr, c8)
+            assert self._checksum(g) == cs
+
+    def test_distributed_chain_walk_long_chain(self, spark):
+        # size-graded 1-cell chain: c0<-c1<-...<-c8 each pointing at a
+        # bigger small neighbour, terminating in a >=threshold region —
+        # exercises multi-round pointer doubling (log2(9) ~ 4 rounds) and
+        # the whole-chain path compression
+        from lib_gdal_spark.operators import polygonize as pz
+
+        # column x holds x+1 cells of value x stacked upward; threshold
+        # 12 makes every column small except the last (value 11, 12 cells)
+        rows = [(x, y, float(x)) for x in range(12) for y in range(x + 1)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        drv = pz.sieve_gdal(df, threshold=12, block_bits=2)
+        dist = pz.sieve_gdal(df, threshold=12, block_bits=2,
+                             max_small_collect=0)
+        a = sorted((r.bx, r.by, r.value) for r in drv.collect())
+        b = sorted((r.bx, r.by, r.value) for r in dist.collect())
+        assert a == b
+        assert all(v == 11.0 for _, _, v in b)
+
 
 class TestFillNodataReferenceGolden:
     """Replay of the reference's fillnodata table-driven autotests
