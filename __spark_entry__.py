@@ -2676,6 +2676,64 @@ WHERE cl.nx >= 0 AND cl.nx < 32 AND cl.ny >= 0 AND cl.ny < 32
 """
 
 
+# --- gdalwarp -order 1 from GCPs (round 4) ------------------------------
+# rotated affine GCP frame: geo = (100 + 2.5*px + 0.5*ln,
+#                                  220 + 0.5*px - 2.5*ln); dst grid
+# axis-aligned over the rotated square (all dst-side constants dyadic)
+_WG_GCPS = [(0.0, 0.0, 100.0, 220.0), (32.0, 0.0, 180.0, 236.0),
+            (32.0, 32.0, 196.0, 156.0), (0.0, 32.0, 116.0, 140.0)]
+_WG_DST_GT = (96.0, 3.25, 0.0, 240.0, 0.0, -3.25)
+
+
+def _q_warp_gcp(spark, sf_dir):
+    # gdalwarp -order 1 (GDALCreateGCPTransformer, alg/gdal_crs.cpp):
+    # dst pixel centers -> dst geo -> the fitted REVERSE polynomial
+    # (broadcast constants, pure Column math) -> GWK near pick. The whole
+    # chain is +-*/ and floor, exactly oracle-able by injecting the
+    # lstsq-fitted coefficients (gcptransform.sql mirrors the CRS_georef
+    # fold op-for-op). Checksum replays:
+    # tests/test_warp_replay.py::TestWarpFromGcps (cs 4672 x3).
+    return warp.warp_gcp(_wr_cells(spark, sf_dir), (32, 32), _WG_GCPS,
+                         method="poly1", dst_size=(32, 32),
+                         dst_gt=_WG_DST_GT)
+
+
+def _o_warp_gcp() -> str:
+    from lib_gdal_spark.geo.gcptransform import GCPPolynomialTransform
+
+    tr = GCPPolynomialTransform(_WG_GCPS, order=1)
+    g0, g1, g2, g3, g4, g5 = _WG_DST_GT
+
+    def dl(x):
+        return f"{float(x):.17e}"
+
+    # Spark's fold: (g0 + (xd+0.5)*g1) + (yd+0.5)*g2
+    gx = (f"(({dl(g0)} + (CAST(xd AS DOUBLE) + 5e-1) * {dl(g1)})"
+          f" + (CAST(yd AS DOUBLE) + 5e-1) * {dl(g2)})")
+    gy = (f"(({dl(g3)} + (CAST(xd AS DOUBLE) + 5e-1) * {dl(g4)})"
+          f" + (CAST(yd AS DOUBLE) + 5e-1) * {dl(g5)})")
+    sx, sy = tr.sql(gx, gy, inverse=True)
+    return f"""
+WITH d AS (SELECT CAST(doc_id % 32 AS BIGINT) AS bx,
+                  CAST(floor(doc_id/32.0) AS BIGINT) % 32 AS "by", n_chars
+           FROM documents),
+cells AS (SELECT bx, "by", CAST(min(n_chars) % 200 AS DOUBLE) AS v
+          FROM d GROUP BY 1, 2),
+src AS (SELECT bx AS scol, 31 - "by" AS srow, v FROM cells),
+pix AS (SELECT x.xd, y.yd
+        FROM (SELECT unnest(generate_series(0, 31)) AS xd) x,
+             (SELECT unnest(generate_series(0, 31)) AS yd) y),
+sc AS (SELECT xd, yd, {sx} AS sxp, {sy} AS syp FROM pix),
+nn AS (SELECT xd, yd,
+        CAST(floor(sxp + 1e-10) AS BIGINT) AS ix,
+        CAST(floor(syp + 1e-10) AS BIGINT) AS iy FROM sc)
+SELECT nn.xd AS bx, 31 - nn.yd AS "by",
+       floor(least(2.55e2, greatest(0e0, s.v)) + 5e-1) AS value
+FROM nn JOIN src s ON s.scol = nn.ix AND s.srow = nn.iy
+WHERE nn.ix >= 0 AND nn.ix < 32 AND nn.iy >= 0 AND nn.iy < 32
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
     dict order and caps at 50/round (proven rounds 1-3). Rotation rule:
@@ -2718,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render": _q_tile_render,
         # ---- (2) new this round ----
         "warp_rotate": _q_warp_rotate,             # rotated geotransform
+        "warp_gcp": _q_warp_gcp,                   # gdalwarp -order 1
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -5826,6 +5885,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_q1q3": _o_warp_q1q3(),
         "warp_near": _o_warp_near(),
         "warp_rotate": _o_warp_rotate(),
+        "warp_gcp": _o_warp_gcp(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

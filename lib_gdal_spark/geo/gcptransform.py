@@ -168,10 +168,11 @@ class GCPPolynomialTransform:
         else:
             E, N = self.to_geo_e, self.to_geo_n
             mx, my = self.x1_mean, self.y1_mean
-        # duckdb types short numeric literals as DECIMAL; force DOUBLE so
-        # the arithmetic matches the engine's float ops exactly
+        # duckdb lexes bare decimal literals as DECIMAL then casts (double
+        # rounding, 1 ulp off for some values — CLAUDE.md trap); e-notation
+        # lexes as DOUBLE directly
         def d(v):
-            return f"CAST({v!r} AS DOUBLE)"
+            return f"{float(v):.17e}"
 
         e1 = f"(({x_expr}) - {d(mx)})"
         n1 = f"(({y_expr}) - {d(my)})"
