@@ -28,7 +28,7 @@ from pyspark.sql import SparkSession, functions as F, types as T
 
 from ..geo import cells as _cells, clip as _clip, geodesic as _geodesic, \
     mercator as _mercator, wkb as _wkb, wkt as _wkt
-from ..geo.distance import geometry_distance
+from ..geo.distance import geometry_distance, geometry_distance3d
 from ..geo.hull import convex_hull_np, point_buffer_ring
 from ..geo.pip import point_in_polygon_np, polygon_area_np, polygon_centroid_np
 from ..geo.simplify import douglas_peucker_np, segmentize_np
@@ -245,6 +245,42 @@ def register_all(spark: SparkSession) -> None:
                 ka, da = _wkb.decode(bytes(a))
                 kb, db = _wkb.decode(bytes(b))
                 vals.append(geometry_distance(ka, da, kb, db))
+        return pd.Series(vals)
+
+    @F.pandas_udf(T.DoubleType())
+    def st_distance3d(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        # OGR_G_Distance3D (ogr/ogrgeometry.cpp:3668): -1.0 unless both
+        # operands are 3-D; exact for the 0/1-dimensional Z subset
+        vals = []
+        for a, b in zip(wa, wb):
+            if a is None or b is None:
+                vals.append(float("nan"))
+            else:
+                ka, da, za = _wkb.decode_z(bytes(a))
+                kb, db, zb = _wkb.decode_z(bytes(b))
+                vals.append(geometry_distance3d(ka, da, za, kb, db, zb))
+        return pd.Series(vals)
+
+    @F.pandas_udf(T.BooleanType())
+    def st_is3d(wkb: pd.Series) -> pd.Series:
+        # OGRGeometry::Is3D — true when the WKB carries Z (either the
+        # 0x80000000-flag or ISO +1000 encoding)
+        return pd.Series([None if buf is None
+                          else _wkb.decode_z(bytes(buf))[2] for buf in wkb])
+
+    @F.pandas_udf(T.DoubleType())
+    def st_z(wkb: pd.Series) -> pd.Series:
+        # OGRPoint::getZ — 0.0 for 2-D points (the reference's default)
+        vals = []
+        for buf in wkb:
+            if buf is None:
+                vals.append(None)
+                continue
+            kind, data, has_z = _wkb.decode_z(bytes(buf))
+            if kind != "point":
+                vals.append(None)
+            else:
+                vals.append(float(data[2]) if has_z else 0.0)
         return pd.Series(vals)
 
     @F.pandas_udf(T.BinaryType())
@@ -799,6 +835,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_astext", st_astext)
     spark.udf.register("st_geomfromtext", st_geomfromtext)
     spark.udf.register("st_distance", st_distance)
+    spark.udf.register("st_distance3d", st_distance3d)
+    spark.udf.register("st_is3d", st_is3d)
+    spark.udf.register("st_z", st_z)
     spark.udf.register("st_centroid_x", _centroid(0))
     spark.udf.register("st_centroid_y", _centroid(1))
     spark.udf.register("st_simplify", st_simplify)

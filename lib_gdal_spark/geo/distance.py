@@ -129,3 +129,88 @@ def geometry_distance(kind_a: str, data_a, kind_b: str, data_b) -> float:
             for (x, y) in pb:
                 best = min(best, point_segments_dist_np(float(x), float(y), pa))
     return float(best)
+
+
+def segments_dist3_np(pa: np.ndarray, pb: np.ndarray) -> float:
+    """Min 3-D distance between the segment sets of two polylines
+    (n,3)/(m,3) — the classic clamped closest-point-of-approach
+    algorithm, vectorized over the full segment-pair grid. Zero-length
+    segments (degenerate points) are handled by the guarded divisions."""
+    pa = np.asarray(pa, dtype=np.float64)
+    pb = np.asarray(pb, dtype=np.float64)
+    if len(pa) == 1:
+        pa = np.vstack([pa, pa])
+    if len(pb) == 1:
+        pb = np.vstack([pb, pb])
+    a1, a2 = pa[:-1, None, :], pa[1:, None, :]     # (n,1,3)
+    b1, b2 = pb[None, :-1, :], pb[None, 1:, :]     # (1,m,3)
+    u = a2 - a1
+    v = b2 - b1
+    w = a1 - b1                                    # (n,m,3)
+    A = (u * u).sum(-1)
+    B = (u * v).sum(-1)
+    C = (v * v).sum(-1)
+    D = (u * w).sum(-1)
+    E = (v * w).sum(-1)
+    den = A * C - B * B
+    par = den <= 1e-12 * A * C                     # parallel / degenerate
+    sN = np.where(par, 0.0, B * E - C * D)
+    sD = np.where(par, 1.0, den)
+    tN = np.where(par, E, A * E - B * D)
+    tD = np.where(par, C, den)
+    # clamp s to [0, 1] (recompute t against the clamped endpoint)
+    lo = sN < 0.0
+    sN = np.where(lo, 0.0, sN)
+    tN = np.where(lo, E, tN)
+    tD = np.where(lo, C, tD)
+    hi = sN > sD
+    sN = np.where(hi, sD, sN)
+    tN = np.where(hi, E + B, tN)
+    tD = np.where(hi, C, tD)
+    # clamp t to [0, 1] (recompute s against the clamped endpoint)
+    tlo = tN < 0.0
+    tN = np.where(tlo, 0.0, tN)
+    s2 = np.clip(-D, 0.0, A)
+    sN = np.where(tlo, s2, sN)
+    sD = np.where(tlo, np.where(A > 0.0, A, 1.0), sD)
+    thi = tN > tD
+    tN = np.where(thi, tD, tN)
+    s3 = np.clip(-D + B, 0.0, A)
+    sN = np.where(thi, s3, sN)
+    sD = np.where(thi, np.where(A > 0.0, A, 1.0), sD)
+    sc = np.where(sD > 0.0, sN / np.where(sD > 0.0, sD, 1.0), 0.0)
+    tc = np.where(tD > 0.0, tN / np.where(tD > 0.0, tD, 1.0), 0.0)
+    dP = w + sc[..., None] * u - tc[..., None] * v
+    return float(np.sqrt((dP * dP).sum(-1)).min())
+
+
+def _parts3(kind: str, data):
+    """Z geometry -> list of (k,3) polylines; points become degenerate
+    1-row parts (NOT chained — chaining multipoints would invent
+    segments between independent points)."""
+    if kind == "point":
+        return [np.array([data], dtype=np.float64)]
+    if kind == "multipoint":
+        return [np.array([p], dtype=np.float64) for p in data]
+    if kind == "linestring":
+        return [np.asarray(data, dtype=np.float64)]
+    if kind == "multilinestring":
+        return [np.asarray(p, dtype=np.float64) for p in data]
+    return None
+
+
+def geometry_distance3d(kind_a: str, data_a, has_z_a: bool,
+                        kind_b: str, data_b, has_z_b: bool) -> float:
+    """OGRGeometry::Distance3D (ogr/ogrgeometry.cpp:3668): -1.0 unless
+    BOTH operands carry Z (:3678). Exact 3-D min distance for the
+    point/multipoint/linestring/multilinestring subset; areal kinds
+    need SFCGAL's triangulated-surface distance in the reference and
+    return the no-SFCGAL build's -1.0 here (documented approximation:
+    the reference's default build returns -1.0 for EVERY input)."""
+    if not (has_z_a and has_z_b):
+        return -1.0
+    ga = _parts3(kind_a, data_a)
+    gb = _parts3(kind_b, data_b)
+    if ga is None or gb is None:
+        return -1.0
+    return min(segments_dist3_np(pa, pb) for pa in ga for pb in gb)

@@ -614,3 +614,36 @@ class TestGeometryNSwapXY:
             f"SELECT st_astext(st_swapxy(st_swapxy(st_geomfromtext('{wkt}')))) AS g"
         ).collect()
         assert rows[0].g == wkt
+
+
+class TestZFunctions:
+    """Z-geometry SQL surface (round 4): st_is3d / st_z / st_distance3d
+    over the new Z WKB codec (geo/wkb.py; OGRReadWKBGeometryType
+    normalization, ogr/ogrutils.cpp:2050-2215)."""
+
+    def test_is3d_z_distance3d(self, sql):
+        from lib_gdal_spark.geo import wkb as _w
+
+        p2 = _w.encode_point(1.0, 2.0)
+        p3 = _w.encode_point(1.0, 2.0, 7.5)
+        l3 = _w.encode_linestring([(0.0, 0.0, 0.0), (10.0, 0.0, 0.0)])
+        df = sql.createDataFrame(
+            [(1, bytearray(p2)), (2, bytearray(p3)), (3, bytearray(l3))],
+            "gid int, g binary")
+        df.createOrReplaceTempView("zgeoms")
+        got = {r.gid: (r.is3, r.z) for r in sql.sql(
+            "SELECT gid, st_is3d(g) AS is3, st_z(g) AS z "
+            "FROM zgeoms").collect()}
+        assert got[1] == (False, 0.0)   # getZ() == 0.0 for 2-D points
+        assert got[2] == (True, 7.5)
+        assert got[3][0] is True and got[3][1] is None  # non-point
+        # distance3d: point above the segment's interior
+        q = _w.encode_point(5.0, 0.0, 3.0)
+        df2 = sql.createDataFrame(
+            [(bytearray(q), bytearray(l3)), (bytearray(p2), bytearray(l3))],
+            "a binary, b binary")
+        df2.createOrReplaceTempView("zpairs")
+        vals = [r.d for r in sql.sql(
+            "SELECT st_distance3d(a, b) AS d FROM zpairs").collect()]
+        assert vals[0] == 3.0
+        assert vals[1] == -1.0          # 2-D operand -> reference's -1.0

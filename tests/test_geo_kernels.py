@@ -176,6 +176,112 @@ class TestWKB:
         assert kind == "multipolygon" and len(out) == 2
 
 
+class TestWKBZ:
+    """Z (2.5-D) WKB — VERDICT r3 item 8. Decode accepts both the
+    old-style 0x80000000 flag and the ISO +1000 ladder
+    (OGRReadWKBGeometryType, ogr/ogrutils.cpp:2050-2215); encoders emit
+    the reference's default wkbVariantOldOgc flag form. The reference's
+    own 3d_* fixtures (autotest/ogr/data/wkb_wkt/) replay directly,
+    including the legacy 'Z flag in the 2nd byte' broken forms."""
+
+    REF = "/root/reference/autotest/ogr/data/wkb_wkt"
+
+    def test_point_z_roundtrip(self):
+        buf = wkb.encode_point(2.5, -3.5, 7.25)
+        import struct
+        assert struct.unpack_from("<I", buf, 1)[0] == 0x80000001
+        kind, data, has_z = wkb.decode_z(buf)
+        assert kind == "point" and has_z and data == (2.5, -3.5, 7.25)
+        # planar consumers see the xy projection
+        assert wkb.decode(buf) == ("point", (2.5, -3.5))
+
+    def test_linestring_polygon_z_roundtrip(self):
+        pts = np.array([[0.0, 0.0, 1.0], [2.0, 0.0, 2.0], [2.0, 2.0, 3.0]])
+        kind, out, has_z = wkb.decode_z(wkb.encode_linestring(pts))
+        assert kind == "linestring" and has_z
+        np.testing.assert_array_equal(out, pts)
+        ring = np.array([[0, 0, 1], [4, 0, 1], [4, 4, 1], [0, 4, 1],
+                         [0, 0, 1]], dtype=np.float64)
+        kind, rings, has_z = wkb.decode_z(wkb.encode_polygon([ring]))
+        assert kind == "polygon" and has_z
+        np.testing.assert_array_equal(rings[0], ring)
+        # 2-D decode of the same buffer keeps the 2-column contract
+        kind, rings2 = wkb.decode(wkb.encode_polygon([ring]))
+        assert rings2[0].shape[1] == 2
+
+    def test_iso_z_codes_decode(self):
+        # ISO +1000 encoding of POINT Z (1001) — same decoded value as
+        # the flag form
+        import struct
+        iso = struct.pack("<BIddd", 1, 1001, 1.0, 2.0, 3.0)
+        assert wkb.decode_z(iso) == ("point", (1.0, 2.0, 3.0), True)
+
+    def test_reference_3d_fixtures(self):
+        # 3d_broken_point/line/polygon carry the legacy 2nd-byte Z flag
+        # (0x8001/0x8002/0x8003); 3d_1 is a 0x80000007 collection
+        k, d, z = wkb.decode_z(open(f"{self.REF}/3d_broken_point.wkb",
+                                    "rb").read())
+        assert (k, z) == ("point", True)
+        assert d[2] == 5.1
+        k, d, z = wkb.decode_z(open(f"{self.REF}/3d_broken_line.wkb",
+                                    "rb").read())
+        assert (k, z) == ("linestring", True)
+        np.testing.assert_array_equal(d, [[1, 2, 3], [2, 3, 4]])
+        k, d, z = wkb.decode_z(open(f"{self.REF}/3d_broken_polygon.wkb",
+                                    "rb").read())
+        assert (k, z) == ("polygon", True)
+        assert len(d) == 2 and d[0].shape[1] == 3
+        k, d, z = wkb.decode_z(open(f"{self.REF}/3d_1.wkb", "rb").read())
+        assert (k, z) == ("collection", True)
+        kinds = [sk for sk, _ in d]
+        assert kinds == ["point", "point", "linestring", "polygon"]
+        assert d[0][1] == (5.00121349, 9.99853131, 1.0)
+        assert d[2][1].shape == (4, 3) and d[3][1][0].shape[1] == 3
+        # re-encoding the collection reproduces the flagged layout
+        enc = {"point": lambda s: wkb.encode_point(*s),
+               "linestring": wkb.encode_linestring,
+               "polygon": wkb.encode_polygon}
+        buf = wkb.encode_collection([enc[sk](sd) for sk, sd in d])
+        import struct
+        assert struct.unpack_from("<I", buf, 1)[0] == 0x80000007
+        k2, d2, z2 = wkb.decode_z(buf)
+        assert (k2, z2) == (k, True)
+        for (ska, sda), (skb, sdb) in zip(d, d2):
+            assert ska == skb
+            if ska == "point":
+                assert sda == sdb
+            elif ska == "linestring":
+                np.testing.assert_array_equal(sda, sdb)
+            else:
+                # the fixture ring arrives open; the encoder closes it
+                for ra, rb in zip(sda, sdb):
+                    np.testing.assert_array_equal(rb[:len(ra)], ra)
+                    np.testing.assert_array_equal(rb[-1], rb[0])
+
+    def test_distance3d_kernel(self):
+        from lib_gdal_spark.geo.distance import geometry_distance3d
+
+        # skew interior-interior closest points (endpoint sweep would
+        # miss this — the 3-D-specific case)
+        a = np.array([[0, 0, 0], [10, 0, 0]], dtype=np.float64)
+        b = np.array([[5, -5, 3], [5, 5, 3]], dtype=np.float64)
+        d = geometry_distance3d("linestring", a, True, "linestring", b, True)
+        assert abs(d - 3.0) < 1e-12
+        assert geometry_distance3d("point", (0, 0, 0), True,
+                                   "point", (1, 2, 2), True) == 3.0
+        # reference rule: -1.0 unless both operands are 3-D
+        # (ogrgeometry.cpp:3678); areal kinds = the no-SFCGAL build
+        assert geometry_distance3d("point", (0, 0), False,
+                                   "point", (1, 2, 2), True) == -1.0
+        assert geometry_distance3d("polygon", [a], True,
+                                   "point", (1, 2, 2), True) == -1.0
+        # multipoint parts stay independent (no phantom segments)
+        mp = np.array([[0, 0, 5], [100, 100, 5]], dtype=np.float64)
+        d = geometry_distance3d("multipoint", mp, True,
+                                "point", (100, 100, 0), True)
+        assert d == 5.0
+
+
 class TestRTree:
     def test_query_matches_bruteforce(self):
         rng = np.random.default_rng(42)
