@@ -520,6 +520,53 @@ def _q_mdim_subset_reduce(spark, sf_dir):
     return out.df.select("d0", "d1", "value")
 
 
+def _q_mdim_resample_mask(spark, sf_dir):
+    # GDALMDArray round-4 remainder (VERDICT item 10): GetMask +
+    # GetResampled (gcore/gdalmultidim.cpp GDALMDArrayMask /
+    # GDALMDArrayResampled). Chain: 2-D array -> strided GetView on x
+    # -> mask(valid_min/valid_max) applied as absent rows -> NEAREST
+    # resample of y 32->24 (RasterIO decimation rule, non-integer
+    # ratio) -> AVERAGE resample of x 16->8 (integer factor bin mean).
+    # Every step is pure Catalyst; the duckdb twin replays the same
+    # index arithmetic relationally.
+    d = _tbl(spark, sf_dir, "documents")
+    grid = (d.select((F.col("doc_id") % 32).alias("x"),
+                     (F.expr("doc_id div 32") % 32).alias("y"), "n_chars")
+            .groupBy("y", "x")
+            .agg((F.min("n_chars") % 200).cast("double").alias("value")))
+    a = mdim.MDArray.from_long(grid, ["y", "x"])
+    a = a.subset(x=(0, 32, 2))
+    a = a.apply_mask(a.mask(valid_min=5, valid_max=190))
+    a = a.resampled({"y": (32, 24)}, alg="nearest")
+    a = a.resampled({"x": (16, 8)}, alg="average")
+    return a.df.select("y", "x", "value")
+
+
+def _o_mdim_resample_mask() -> str:
+    ratio = 32.0 / 24.0
+
+    def dl(x):
+        return f"{float(x):.17e}"
+
+    return f"""
+WITH d AS (SELECT CAST(doc_id % 32 AS BIGINT) AS x0,
+                  CAST(floor(doc_id/32.0) AS BIGINT) % 32 AS y0, n_chars
+           FROM documents),
+cells AS (SELECT y0, x0, CAST(min(n_chars) % 200 AS DOUBLE) AS v
+          FROM d GROUP BY 1, 2),
+strided AS (SELECT y0, CAST((x0 - 0) // 2 AS BIGINT) AS x1, v
+            FROM cells WHERE x0 >= 0 AND x0 < 32 AND (x0 - 0) % 2 = 0),
+masked AS (SELECT * FROM strided WHERE v >= 5e0 AND v <= 1.9e2),
+resy AS (SELECT j.j AS y, m.x1, m.v
+         FROM masked m
+         JOIN (SELECT unnest(generate_series(0, 23)) AS j) j
+           ON floor((CAST(j.j AS DOUBLE) + 5e-1) * {dl(ratio)} + 1e-10)
+              = m.y0)
+SELECT y, CAST(x1 // 2 AS BIGINT) AS x, avg(v) AS value
+FROM resy GROUP BY y, x1 // 2
+"""
+
+
 def _q_pansharpen(spark, sf_dir):
     # weighted-Brovey pansharpening (gdalpansharpen.h:40): pan + three
     # derived bands over the dense doc grid; DYADIC weights (0.25/0.5/
@@ -2777,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- (2) new this round ----
         "warp_rotate": _q_warp_rotate,             # rotated geotransform
         "warp_gcp": _q_warp_gcp,                   # gdalwarp -order 1
+        "mdim_resample_mask": _q_mdim_resample_mask,  # GetResampled+GetMask
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -5886,6 +5934,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_near": _o_warp_near(),
         "warp_rotate": _o_warp_rotate(),
         "warp_gcp": _o_warp_gcp(),
+        "mdim_resample_mask": _o_mdim_resample_mask(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

@@ -72,6 +72,91 @@ class MDArray:
         agg = _REDUCERS[how]("value").alias("value")
         return MDArray(self.df.groupBy(*keep).agg(agg), keep)
 
+    def mask(self, missing_value=None, valid_min=None,
+             valid_max=None) -> "MDArray":
+        """GDALMDArray::GetMask (gcore/gdalmultidim.cpp GDALMDArrayMask):
+        same-shape 0/1 array — 0 where value == missing_value /
+        _FillValue, < valid_min, or > valid_max; 1 elsewhere."""
+        cond = F.lit(True)
+        if missing_value is not None:
+            cond = cond & (F.col("value") != F.lit(float(missing_value)))
+        if valid_min is not None:
+            cond = cond & (F.col("value") >= F.lit(float(valid_min)))
+        if valid_max is not None:
+            cond = cond & (F.col("value") <= F.lit(float(valid_max)))
+        return MDArray(
+            self.df.select(*self.dims,
+                           F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+                           .alias("value")), self.dims)
+
+    def apply_mask(self, mask: "MDArray") -> "MDArray":
+        """Drop cells whose mask is 0 (the engine's absent-row nodata
+        discipline) — one equi-join on the dimension columns."""
+        if mask.dims != self.dims:
+            raise ValueError(f"mask dims {mask.dims} != {self.dims}")
+        m = mask.df.filter(F.col("value") == 1.0).select(
+            *[F.col(d).alias(f"_m_{d}") for d in self.dims])
+        on = [F.col(d) == F.col(f"_m_{d}") for d in self.dims]
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        return MDArray(
+            self.df.join(m, cond, "left_semi").select(*self.dims, "value"),
+            self.dims)
+
+    def resampled(self, sizes: dict, alg: str = "nearest") -> "MDArray":
+        """GDALMDArray::GetResampled (gcore/gdalmultidim.cpp;
+        GDALMDArrayResampled warps the trailing X/Y dims) over named
+        dims. `sizes`: {dim: (src_size, dst_size)}.
+
+        - 'nearest' replays the RasterIO decimation rule the repo's
+          raster.resize pins: src index = floor((dst+0.5)*ratio+1e-10).
+          Both down- and upsampling distribute as an explode of each
+          source row into its (possibly empty) destination index range,
+          post-filtered by the authoritative floor check — pure Catalyst,
+          exactly oracle-able (duckdb generate_series twin).
+        - 'average' bins src indices by floor(i*dst/src) and averages —
+          GDAL's overlap-weighted average coincides with this for
+          integer downsample factors (the tested surface); non-integer
+          ratios are rejected.
+        """
+        df = self.df
+        if alg == "nearest":
+            for dim, (src, dst) in sizes.items():
+                if dim not in self.dims:
+                    raise KeyError(f"unknown dimension {dim}")
+                ratio = float(src) / float(dst)
+                i = F.col(dim)
+                j_lo = F.greatest(
+                    F.lit(0), F.ceil(i / F.lit(ratio) - 1.5).cast("long"))
+                j_hi = F.least(
+                    F.lit(int(dst) - 1),
+                    F.greatest(F.ceil((i + 1) / F.lit(ratio)).cast("long"),
+                               j_lo))
+                df = (df.withColumn("_j", F.explode(F.sequence(j_lo, j_hi)))
+                      .filter(F.floor((F.col("_j") + F.lit(0.5))
+                                      * F.lit(ratio) + F.lit(1e-10)) == i)
+                      .drop(dim).withColumnRenamed("_j", dim))
+            return MDArray(df.select(*self.dims, "value"), self.dims)
+        if alg == "average":
+            proj = []
+            for d in self.dims:
+                if d in sizes:
+                    src, dst = sizes[d]
+                    if src % dst != 0:
+                        raise ValueError(
+                            "average resample needs an integer factor "
+                            f"({d}: {src}->{dst})")
+                    proj.append(F.floor(F.col(d) / (src // dst))
+                                .cast("long").alias(d))
+                else:
+                    proj.append(F.col(d))
+            df = df.select(*proj, "value")
+            return MDArray(
+                df.groupBy(*self.dims).agg(F.avg("value").alias("value")),
+                self.dims)
+        raise ValueError(f"alg must be nearest/average: {alg}")
+
     def info(self) -> dict:
         """Dimension sizes + basic stats (gdal mdim info shape)."""
         aggs = [F.countDistinct(d).alias(f"n_{d}") for d in self.dims]

@@ -1571,6 +1571,50 @@ class TestMDArray:
         assert set(g.columns) == {"bx", "by", "value"}
         assert g.count() == 12
 
+    def test_mask_and_apply(self, spark):
+        # GetMask rules (gdalmultidim.cpp GDALMDArrayMask): 0 on
+        # missing_value / below valid_min / above valid_max
+        a = self._cube(spark)
+        m = a.mask(missing_value=121.0, valid_min=10.0, valid_max=300.0)
+        got = {(r.x, r.y, r.t): r.value for r in m.df.collect()}
+        assert got[(1, 2, 1)] == 0.0    # == missing_value
+        assert got[(0, 0, 0)] == 0.0    # 0 < valid_min
+        assert got[(3, 1, 0)] == 0.0    # 310 > valid_max
+        assert got[(2, 1, 0)] == 1.0
+        kept = a.apply_mask(m)
+        vals = {r.value for r in kept.df.collect()}
+        assert 121.0 not in vals and 310.0 not in vals and 0.0 not in vals
+        assert 300.0 in vals            # valid_max is inclusive
+        assert kept.df.count() == 24 - 1 - 2 - 5  # 121; 0,1; 301,310,311,320,321
+
+    def test_resample_nearest_downsample(self, spark):
+        # y: 3 -> 2, ratio 1.5; chosen src = floor((j+0.5)*1.5 + 1e-10)
+        # -> j=0 picks y=0, j=1 picks y=2 (the RasterIO decimation rule)
+        a = self._cube(spark).resampled({"y": (3, 2)}, alg="nearest")
+        got = {(r.x, r.y, r.t): r.value for r in a.df.collect()}
+        assert len(got) == 4 * 2 * 2
+        assert got[(1, 0, 0)] == 100.0  # src y=0
+        assert got[(1, 1, 0)] == 120.0  # src y=2
+        assert (1, 2, 0) not in got
+
+    def test_resample_nearest_upsample(self, spark):
+        # x: 4 -> 8, ratio 0.5; each src x serves dst {2x, 2x+1}
+        a = self._cube(spark).resampled({"x": (4, 8)}, alg="nearest")
+        got = {(r.x, r.y, r.t): r.value for r in a.df.collect()}
+        assert len(got) == 8 * 3 * 2
+        assert got[(4, 1, 0)] == 210.0 and got[(5, 1, 0)] == 210.0
+        assert got[(0, 0, 0)] == 0.0 and got[(7, 2, 1)] == 321.0
+
+    def test_resample_average(self, spark):
+        # x: 4 -> 2, integer factor 2: bin means of {0x,1x} and {2x,3x}
+        a = self._cube(spark).resampled({"x": (4, 2)}, alg="average")
+        got = {(r.x, r.y, r.t): r.value for r in a.df.collect()}
+        assert got[(0, 1, 0)] == (10.0 + 110.0) / 2.0
+        assert got[(1, 2, 1)] == (221.0 + 321.0) / 2.0
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            self._cube(spark).resampled({"x": (4, 3)}, alg="average")
+
 
 class TestRepetitionAndSegmentDedup:
     def test_repetition_ratio_hand_golden(self, spark):
