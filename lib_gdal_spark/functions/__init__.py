@@ -745,6 +745,50 @@ def register_all(spark: SparkSession) -> None:
                 vals.append(0.0 if kind == "point" else float("nan"))
         return pd.Series(vals)
 
+    @F.pandas_udf(T.BinaryType())
+    def ogr_deflate(blob: pd.Series) -> pd.Series:
+        # OGR2SQLITE_ogr_deflate (ogrsf_frmts/sqlite/
+        # ogrsqlitesqlfunctions.cpp:127): CPLZLibDeflate at the default
+        # level over the raw blob -> zlib-format stream. The reference's
+        # TEXT form compresses strlen+1 bytes (the C NUL terminator
+        # rides along); binary callers here pass the exact payload —
+        # append b"\\x00" before casting if that artifact matters.
+        import zlib
+
+        return pd.Series([None if b is None else zlib.compress(bytes(b))
+                          for b in blob])
+
+    @F.pandas_udf(T.BinaryType())
+    def ogr_deflate_level(blob: pd.Series, level: pd.Series) -> pd.Series:
+        # the 2-arg reference form (SQL has no default args, so the
+        # leveled variant registers under its own name)
+        import zlib
+
+        out = []
+        for b, lv in zip(blob, level):
+            if b is None or lv is None:
+                out.append(None)
+            else:
+                out.append(zlib.compress(bytes(b), int(lv)))
+        return pd.Series(out)
+
+    @F.pandas_udf(T.BinaryType())
+    def ogr_inflate(blob: pd.Series) -> pd.Series:
+        # OGR2SQLITE_ogr_inflate (:180): CPLZLibInflate; NULL on any
+        # non-zlib input (the reference's error path)
+        import zlib
+
+        out = []
+        for b in blob:
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(zlib.decompress(bytes(b)))
+            except zlib.error:
+                out.append(None)
+        return pd.Series(out)
+
     @F.pandas_udf(T.DoubleType())
     def st_utm_easting(lon: pd.Series, lat: pd.Series,
                        epsg: pd.Series) -> pd.Series:
@@ -836,6 +880,9 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_geomfromtext", st_geomfromtext)
     spark.udf.register("st_distance", st_distance)
     spark.udf.register("st_distance3d", st_distance3d)
+    spark.udf.register("ogr_deflate", ogr_deflate)
+    spark.udf.register("ogr_deflate_level", ogr_deflate_level)
+    spark.udf.register("ogr_inflate", ogr_inflate)
     spark.udf.register("st_is3d", st_is3d)
     spark.udf.register("st_z", st_z)
     spark.udf.register("st_centroid_x", _centroid(0))

@@ -647,3 +647,31 @@ class TestZFunctions:
             "SELECT st_distance3d(a, b) AS d FROM zpairs").collect()]
         assert vals[0] == 3.0
         assert vals[1] == -1.0          # 2-D operand -> reference's -1.0
+
+
+class TestOgrZlibFunctions:
+    """ogr_deflate / ogr_inflate (SQLite-dialect utility functions,
+    ogrsqlitesqlfunctions.cpp:127/:180) — round-trip + error-path NULL."""
+
+    def test_roundtrip_and_error_null(self, sql):
+        import zlib
+
+        payload = b"the quick brown fox " * 50
+        df = sql.createDataFrame(
+            [(1, bytearray(payload)), (2, bytearray(b"not zlib")),
+             (3, None)],
+            "gid int, b binary")
+        df.createOrReplaceTempView("blobs")
+        rows = {r.gid: (r.c, r.rt, r.bad) for r in sql.sql(
+            "SELECT gid, ogr_deflate(b) AS c, "
+            "       ogr_inflate(ogr_deflate(b)) AS rt, "
+            "       ogr_inflate(b) AS bad "
+            "FROM blobs").collect()}
+        assert bytes(rows[1][1]) == payload          # round-trip
+        assert len(rows[1][0]) < len(payload)        # actually compressed
+        assert zlib.decompress(bytes(rows[1][0])) == payload
+        assert rows[2][2] is None                    # non-zlib -> NULL
+        assert rows[3] == (None, None, None)
+        lv = sql.sql("SELECT ogr_inflate(ogr_deflate_level(b, 9)) AS rt "
+                     "FROM blobs WHERE gid = 1").head()
+        assert bytes(lv.rt) == payload
