@@ -26,8 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession, functions as F, types as T
 
-from ..geo import cells as _cells, clip as _clip, geodesic as _geodesic, \
-    mercator as _mercator, wkb as _wkb, wkt as _wkt
+from ..geo import cells as _cells, clip as _clip, curves as _curves, \
+    geodesic as _geodesic, mercator as _mercator, wkb as _wkb, wkt as _wkt
 from ..geo.distance import geometry_distance, geometry_distance3d
 from ..geo.hull import convex_hull_np, point_buffer_ring
 from ..geo.pip import point_in_polygon_np, polygon_area_np, polygon_centroid_np
@@ -44,6 +44,9 @@ def _decode_polys(wkb_series: pd.Series):
             out.append(None)
             continue
         kind, coords = _wkb.decode(bytes(buf))
+        if kind in _curves.CURVE_KINDS or kind in (
+                "triangle", "polyhedralsurface", "tin"):
+            kind, coords = _curves.linearize(kind, coords)
         if kind == "polygon":
             out.append([coords])
         elif kind == "multipolygon":
@@ -61,11 +64,33 @@ def register_all(spark: SparkSession) -> None:
 
     @F.pandas_udf(T.DoubleType())
     def st_area(wkb: pd.Series) -> pd.Series:
-        return pd.Series([
-            float("nan") if polys is None
-            else sum(polygon_area_np(rings) for rings in polys)
-            for polys in _decode_polys(wkb)
-        ])
+        # Curve surfaces take the reference's EXACT paths first
+        # (ogrcurvepolygon.cpp get_Area: pi*R^2 full circles, shoelace +
+        # circular-segment areas for convex rings) — only concave curve
+        # rings stroke (the reference's own fallback).
+        vals = []
+        for buf in wkb:
+            if buf is None:
+                vals.append(float("nan"))
+                continue
+            kind, coords = _wkb.decode(bytes(buf))
+            if kind == "curvepolygon":
+                vals.append(_curves.curvepolygon_area(coords))
+                continue
+            if kind == "multisurface":
+                vals.append(sum(
+                    _curves.curvepolygon_area(d) if k == "curvepolygon"
+                    else polygon_area_np(d) for k, d in coords))
+                continue
+            if kind in ("triangle", "polyhedralsurface", "tin"):
+                kind, coords = _curves.linearize(kind, coords)
+            if kind == "polygon":
+                vals.append(polygon_area_np(coords))
+            elif kind == "multipolygon":
+                vals.append(sum(polygon_area_np(r) for r in coords))
+            else:
+                vals.append(float("nan"))
+        return pd.Series(vals)
 
     @F.pandas_udf(T.BooleanType())
     def st_contains_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
@@ -223,15 +248,7 @@ def register_all(spark: SparkSession) -> None:
             if t is None:
                 out.append(None)
                 continue
-            kind, data = _wkt.from_wkt(str(t))
-            if kind == "point":
-                out.append(_wkb.encode_point(*data))
-            elif kind == "linestring":
-                out.append(_wkb.encode_linestring(data))
-            elif kind == "polygon":
-                out.append(_wkb.encode_polygon(data))
-            else:
-                out.append(_wkb.encode_multipolygon(data))
+            out.append(_wkb.encode_geometry(*_wkt.from_wkt(str(t))))
         return pd.Series(out)
 
     @F.pandas_udf(T.DoubleType())
@@ -680,6 +697,10 @@ def register_all(spark: SparkSession) -> None:
                 # OGRGeometryCollection::get_Length sums curve/surface
                 # members and skips the rest
                 return sum(glen(k, d) for k, d in data)
+            if kind in _curves.CURVE_KINDS or kind in (
+                    "triangle", "polyhedralsurface", "tin"):
+                # exact arc lengths, R*|dalpha| per arc span
+                return _curves.curve_length(kind, data)
             return 0.0  # points / multipoints: non-curve -> 0
 
         vals = []
@@ -690,6 +711,37 @@ def register_all(spark: SparkSession) -> None:
             kind, data = _wkb.decode(bytes(buf))
             vals.append(glen(kind, data))
         return pd.Series(vals)
+
+    @F.pandas_udf(T.BinaryType())
+    def st_curvetoline(wkb: pd.Series) -> pd.Series:
+        # OGR_G_CurveToLine / GetLinearGeometry at the default 4-degree
+        # step (ogrgeometryfactory.cpp curveToLineString; stealth
+        # low-byte alpha encoding replayed bit-exactly). Linear inputs
+        # pass through unchanged, like the reference.
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data = _wkb.decode(bytes(buf))
+            if kind in _curves.CURVE_KINDS or kind in (
+                    "triangle", "polyhedralsurface", "tin"):
+                out.append(_wkb.encode_geometry(
+                    *_curves.linearize(kind, data)))
+            else:
+                out.append(bytes(buf))
+        return pd.Series(out, dtype="object")
+
+    @F.pandas_udf(T.BooleanType())
+    def st_hascurvegeometry(wkb: pd.Series) -> pd.Series:
+        # OGR_G_HasCurveGeometry(bLookForNonLinear=TRUE)
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            out.append(_curves.has_curve_geometry(*_wkb.decode(bytes(buf))))
+        return pd.Series(out, dtype="object")
 
     @F.pandas_udf(T.DoubleType())
     def st_geodesic_area(wkb: pd.Series) -> pd.Series:
@@ -829,6 +881,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("st_geodesic_area", st_geodesic_area)
     spark.udf.register("st_geodesic_length", st_geodesic_length)
     spark.udf.register("st_length", st_length)
+    spark.udf.register("st_curvetoline", st_curvetoline)
+    spark.udf.register("st_hascurvegeometry", st_hascurvegeometry)
     spark.udf.register("st_isempty", st_isempty)
     spark.udf.register("st_issimple", st_issimple)
     # the geometry column IS WKB here, so AsBinary/GeomFromWKB are the

@@ -33,6 +33,15 @@ WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 WKB_COLLECTION = 7
+# ISO SQL/MM curve & surface ladder (ogr/ogr_core.h:415-436)
+WKB_CIRCULARSTRING = 8
+WKB_COMPOUNDCURVE = 9
+WKB_CURVEPOLYGON = 10
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
+WKB_POLYHEDRALSURFACE = 15
+WKB_TIN = 16
+WKB_TRIANGLE = 17
 _LE = 1
 _Z_BIT = 0x80000000
 
@@ -109,6 +118,96 @@ def encode_collection(parts: list[bytes]) -> bytes:
             + b"".join(parts))
 
 
+def encode_circularstring(pts) -> bytes:
+    r = np.asarray(pts, dtype=np.float64)
+    t = _ztype(WKB_CIRCULARSTRING, _has3(r))
+    return struct.pack("<BII", _LE, t, len(r)) + r.astype("<f8").tobytes()
+
+
+def _encode_container(base: int, parts: list[bytes]) -> bytes:
+    z = any(len(p) >= 5
+            and (struct.unpack_from("<I", p, 1)[0] & _Z_BIT) for p in parts)
+    return (struct.pack("<BII", _LE, _ztype(base, z), len(parts))
+            + b"".join(parts))
+
+
+def encode_compoundcurve(parts: list[bytes]) -> bytes:
+    """parts: already-encoded WKB curves (linestring/circularstring)."""
+    return _encode_container(WKB_COMPOUNDCURVE, parts)
+
+
+def encode_curvepolygon(rings: list[bytes]) -> bytes:
+    """rings: already-encoded WKB ring curves (linestring /
+    circularstring / compoundcurve) — the ISO layout nests full
+    geometries, unlike the bare rings of a plain polygon."""
+    return _encode_container(WKB_CURVEPOLYGON, rings)
+
+
+def encode_multicurve(parts: list[bytes]) -> bytes:
+    return _encode_container(WKB_MULTICURVE, parts)
+
+
+def encode_multisurface(parts: list[bytes]) -> bytes:
+    return _encode_container(WKB_MULTISURFACE, parts)
+
+
+def encode_triangle(rings: list) -> bytes:
+    r0 = np.asarray(rings[0], dtype=np.float64)
+    t = _ztype(WKB_TRIANGLE, _has3(r0))
+    return (struct.pack("<BII", _LE, t, len(rings))
+            + b"".join(_encode_ring(r) for r in rings))
+
+
+def encode_polyhedralsurface(polys: list, tin: bool = False) -> bytes:
+    """polys: list of rings-lists; each patch is encoded as a full
+    nested polygon (triangle for TIN) geometry."""
+    enc = encode_triangle if tin else encode_polygon
+    parts = [enc(rings) for rings in polys]
+    return _encode_container(WKB_TIN if tin else WKB_POLYHEDRALSURFACE,
+                             parts)
+
+
+def encode_geometry(kind: str, data) -> bytes:
+    """Encode any decoded (kind, data) structure back to WKB — the
+    inverse of decode() for every kind this codec understands."""
+    if kind == "point":
+        return encode_point(*data)
+    if kind == "linestring":
+        return encode_linestring(data)
+    if kind == "polygon":
+        return encode_polygon(data)
+    if kind == "multipoint":
+        return encode_multipoint(data)
+    if kind == "multilinestring":
+        return encode_multilinestring(data)
+    if kind == "multipolygon":
+        return encode_multipolygon(data)
+    if kind == "collection":
+        return encode_collection([encode_geometry(k, d) for k, d in data])
+    if kind == "circularstring":
+        return encode_circularstring(data)
+    if kind == "compoundcurve":
+        return encode_compoundcurve(
+            [encode_geometry(k, d) for k, d in data])
+    if kind == "curvepolygon":
+        rings = []
+        for r in data:
+            if isinstance(r, tuple) and len(r) == 2 and isinstance(r[0], str):
+                rings.append(encode_geometry(*r))
+            else:
+                rings.append(encode_linestring(r))
+        return encode_curvepolygon(rings)
+    if kind == "multicurve":
+        return encode_multicurve([encode_geometry(k, d) for k, d in data])
+    if kind == "multisurface":
+        return encode_multisurface([encode_geometry(k, d) for k, d in data])
+    if kind == "triangle":
+        return encode_triangle(data)
+    if kind in ("polyhedralsurface", "tin"):
+        return encode_polyhedralsurface(data, tin=(kind == "tin"))
+    raise NotImplementedError(f"encode kind {kind}")
+
+
 def _normalize_type(raw: int) -> tuple[int, bool, bool]:
     """OGRReadWKBGeometryType's flag/ladder normalization ->
     (base_type, has_z, has_m). ogr/ogrutils.cpp:2068-2215."""
@@ -160,14 +259,42 @@ def _decode_at(buf: bytes, off: int, keep_z: bool):
     if gtype == WKB_LINESTRING:
         pts, off = _decode_pts(buf, off, dims)
         return "linestring", pts[:, :ncols], has_z, off
-    if gtype == WKB_POLYGON:
+    if gtype in (WKB_POLYGON, WKB_TRIANGLE):
         (nrings,) = struct.unpack_from("<I", buf, off)
         off += 4
         rings = []
         for _ in range(nrings):
             ring, off = _decode_pts(buf, off, dims)
             rings.append(ring[:, :ncols])
-        return "polygon", rings, has_z, off
+        return ("polygon" if gtype == WKB_POLYGON else "triangle",
+                rings, has_z, off)
+    if gtype == WKB_CIRCULARSTRING:
+        pts, off = _decode_pts(buf, off, dims)
+        return "circularstring", pts[:, :ncols], has_z, off
+    if gtype in (WKB_COMPOUNDCURVE, WKB_CURVEPOLYGON, WKB_MULTICURVE,
+                 WKB_MULTISURFACE, WKB_POLYHEDRALSURFACE, WKB_TIN):
+        # all carry a count of FULL nested WKB geometries (the ISO layout:
+        # compound-curve components, curve-polygon rings, multi-curve /
+        # multi-surface members, polyhedral patches — ogr/ogr_wkb.cpp)
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        subs = []
+        any_z = has_z
+        for _ in range(n):
+            kind, data, sub_z, off = _decode_at(buf, off, keep_z)
+            any_z = any_z or sub_z
+            subs.append((kind, data))
+        name = {WKB_COMPOUNDCURVE: "compoundcurve",
+                WKB_CURVEPOLYGON: "curvepolygon",
+                WKB_MULTICURVE: "multicurve",
+                WKB_MULTISURFACE: "multisurface",
+                WKB_POLYHEDRALSURFACE: "polyhedralsurface",
+                WKB_TIN: "tin"}[gtype]
+        if gtype in (WKB_POLYHEDRALSURFACE, WKB_TIN):
+            # patches are plain polygons/triangles: keep rings-lists only
+            # (matches the engine's multipolygon shape after linearize)
+            return name, [d for _, d in subs], any_z, off
+        return name, subs, any_z, off
     if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
                  WKB_COLLECTION):
         (n,) = struct.unpack_from("<I", buf, off)

@@ -43,6 +43,42 @@ def to_wkt(kind: str, data) -> str:
             for rings in data
         )
         return f"MULTIPOLYGON ({polys})"
+    if kind == "circularstring":
+        return f"CIRCULARSTRING ({_coords(data)})"
+    if kind == "compoundcurve":
+        # linestring components print as bare paren groups, arcs typed
+        # (exportToWkt convention, ogr/ogrcompoundcurve.cpp)
+        parts = ", ".join(
+            f"({_coords(d)})" if k == "linestring" else to_wkt(k, d)
+            for k, d in data)
+        return f"COMPOUNDCURVE ({parts})"
+    if kind == "curvepolygon":
+        parts = ", ".join(
+            f"({_coords(r[1])})" if (isinstance(r, tuple) and r[0] ==
+                                     "linestring")
+            else to_wkt(*r) if isinstance(r, tuple) and isinstance(r[0], str)
+            else f"({_coords(r)})"
+            for r in data)
+        return f"CURVEPOLYGON ({parts})"
+    if kind == "multicurve":
+        parts = ", ".join(
+            f"({_coords(d)})" if k == "linestring" else to_wkt(k, d)
+            for k, d in data)
+        return f"MULTICURVE ({parts})"
+    if kind == "multisurface":
+        parts = ", ".join(
+            "(" + ", ".join(f"({_coords(r)})" for r in d) + ")"
+            if k == "polygon" else to_wkt(k, d)
+            for k, d in data)
+        return f"MULTISURFACE ({parts})"
+    if kind == "triangle":
+        rings = ", ".join(f"({_coords(r)})" for r in data)
+        return f"TRIANGLE ({rings})"
+    if kind in ("polyhedralsurface", "tin"):
+        polys = ", ".join(
+            "(" + ", ".join(f"({_coords(r)})" for r in rings) + ")"
+            for rings in data)
+        return f"{kind.upper()} ({polys})"
     raise NotImplementedError(f"wkt geometry kind {kind}")
 
 
@@ -57,7 +93,13 @@ def _parse_group(s: str, i: int):
         c = s[i]
         if c == "(":
             node, i = _parse_group(s, i)
-            items.append(node)
+            label = buf.strip().upper()
+            buf = ""
+            if label:
+                # typed sub-geometry token, e.g. "CIRCULARSTRING (...)"
+                items.append((label, node))
+            else:
+                items.append(node)
         elif c == ")":
             if buf.strip():
                 items.append(buf.strip())
@@ -82,6 +124,21 @@ def _ring(items) -> np.ndarray:
     return np.array([_pt(t) for t in items], dtype=np.float64)
 
 
+def _curve_component(item):
+    """One curve component / ring: a typed token ("CIRCULARSTRING", node)
+    or a bare paren group (an implicit linestring, the WKT shorthand)."""
+    if isinstance(item, tuple):
+        label, node = item
+        if label == "CIRCULARSTRING":
+            return "circularstring", _ring(node)
+        if label == "COMPOUNDCURVE":
+            return "compoundcurve", [_curve_component(x) for x in node]
+        if label == "LINESTRING":
+            return "linestring", _ring(node)
+        raise NotImplementedError(f"curve component {label}")
+    return "linestring", _ring(item)
+
+
 def from_wkt(text: str):
     """WKT -> the same (kind, data) structures geo/wkb.decode returns."""
     t = text.strip()
@@ -98,4 +155,25 @@ def from_wkt(text: str):
         return "polygon", [_ring(r) for r in items]
     if kind == "MULTIPOLYGON":
         return "multipolygon", [[_ring(r) for r in poly] for poly in items]
+    if kind == "CIRCULARSTRING":
+        return "circularstring", _ring(items)
+    if kind == "COMPOUNDCURVE":
+        return "compoundcurve", [_curve_component(x) for x in items]
+    if kind == "CURVEPOLYGON":
+        return "curvepolygon", [_curve_component(x) for x in items]
+    if kind == "MULTICURVE":
+        return "multicurve", [_curve_component(x) for x in items]
+    if kind == "MULTISURFACE":
+        out = []
+        for it in items:
+            if isinstance(it, tuple) and it[0] == "CURVEPOLYGON":
+                out.append(("curvepolygon",
+                            [_curve_component(x) for x in it[1]]))
+            else:
+                out.append(("polygon", [_ring(r) for r in it]))
+        return "multisurface", out
+    if kind == "TRIANGLE":
+        return "triangle", [_ring(r) for r in items]
+    if kind in ("POLYHEDRALSURFACE", "TIN"):
+        return kind.lower(), [[_ring(r) for r in poly] for poly in items]
     raise NotImplementedError(f"wkt geometry type {kind}")

@@ -675,3 +675,61 @@ class TestOgrZlibFunctions:
         lv = sql.sql("SELECT ogr_inflate(ogr_deflate_level(b, 9)) AS rt "
                      "FROM blobs WHERE gid = 1").head()
         assert bytes(lv.rt) == payload
+
+
+class TestCurveFunctions:
+    """st_curvetoline / st_hascurvegeometry + curve-aware st_area and
+    st_length (OGR_G_CurveToLine / HasCurveGeometry; exact curve areas
+    per ogrcurvepolygon.cpp get_Area)."""
+
+    def test_curvetoline_and_measures(self, sql):
+        import math
+
+        from lib_gdal_spark.geo import wkb as _w
+
+        cs = _w.encode_circularstring([(0, 0), (1, 1), (1, -1)])
+        circle = _w.encode_curvepolygon(
+            [_w.encode_circularstring([(0, 0), (1, 0), (0, 0)])])
+        line = _w.encode_linestring([(0, 0), (3, 4)])
+        df = sql.createDataFrame(
+            [(1, bytearray(cs)), (2, bytearray(circle)),
+             (3, bytearray(line)), (4, None)],
+            "gid int, geom binary")
+        df.createOrReplaceTempView("curvegeoms")
+
+        rows = {r.gid: r for r in sql.sql(
+            "SELECT gid, st_hascurvegeometry(geom) AS hc, "
+            "       st_length(geom) AS len, st_area(geom) AS a, "
+            "       st_curvetoline(geom) AS lin "
+            "FROM curvegeoms").collect()}
+        assert rows[1].hc is True and rows[3].hc is False
+        assert rows[4].hc is None and rows[4].lin is None
+        assert rows[1].len == pytest.approx(1.5 * math.pi, abs=1e-9)
+        assert rows[2].len == pytest.approx(math.pi, abs=1e-9)
+        assert rows[2].a == pytest.approx(math.pi * 0.25, abs=1e-12)
+        assert rows[3].len == 5.0
+
+        # linear input passes through byte-identical
+        assert bytes(rows[3].lin) == line
+        # curve input linearizes to a plain linestring / polygon
+        kind, pts = wkb.decode(bytes(rows[1].lin))
+        assert kind == "linestring" and len(pts) >= 8
+        kind, rings = wkb.decode(bytes(rows[2].lin))
+        assert kind == "polygon"
+        # stroked ring is closed and near the unit half-circle radius
+        import numpy as np
+        r0 = np.asarray(rings[0])
+        assert (r0[0] == r0[-1]).all()
+        d = np.hypot(r0[:, 0] - 0.5, r0[:, 1])
+        assert np.abs(d - 0.5).max() < 1e-9
+
+    def test_geomfromtext_curves(self, sql):
+        row = sql.sql(
+            "SELECT st_length(st_geomfromtext("
+            "'CIRCULARSTRING (0 0, 1 1, 1 -1)')) AS len, "
+            "st_area(st_geomfromtext("
+            "'CURVEPOLYGON (CIRCULARSTRING (0 0, 1 0, 0 0))')) AS a"
+        ).head()
+        import math
+        assert row.len == pytest.approx(1.5 * math.pi, abs=1e-9)
+        assert row.a == pytest.approx(math.pi * 0.25, abs=1e-12)
