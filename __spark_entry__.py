@@ -567,6 +567,131 @@ FROM resy GROUP BY y, x1 // 2
 """
 
 
+_ARC_Q = (10.0 / 997.0, 10.0 / 991.0, 10.0 / 983.0, 10.0 / 977.0)
+_ARC_H = 1.0 / 13.0
+_ARC_STEP = 4.0 / 180.0 * float(np.pi)  # default OGR_ARC_STEPSIZE, radians
+
+
+def _q_curve_stroke(spark, sf_dir):
+    # CircularString arc metrics + default stroking (GetCurveParameters /
+    # curveToLineString, ogrgeometryfactory.cpp:5415/:5677): synthetic
+    # 3-point arcs from customer keys (prime-denominator coords so no
+    # rounding knife-edges), stroked by the REAL kernel inside one
+    # mapInPandas pass. cx/cy are bit-exact rational math (unrounded
+    # doubles in the hash); r/arc-length are micro-unit scaled-floor ints;
+    # n_pts is measured from the actual stroked array and must equal the
+    # oracle's step-count formula (stealth >= 7-step odd-parity rule).
+    from lib_gdal_spark.operators import arcstroke
+
+    q997, q991, q983, q977 = _ARC_Q
+    c = _tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("gid"))
+    pts = c.select(
+        "gid",
+        ((F.col("gid") * 13 + 1) % 997).cast("double") * F.lit(q997),
+        ((F.col("gid") * 29 + 2) % 991).cast("double") * F.lit(q991),
+        ((F.col("gid") * 17 + 3) % 983).cast("double") * F.lit(q983),
+        ((F.col("gid") * 31 + 5) % 977).cast("double") * F.lit(q977),
+        (F.lit(1) + (F.col("gid") % 7)).cast("double") * F.lit(_ARC_H),
+    ).toDF("gid", "x0", "y0", "x2", "y2", "h")
+    pts = pts.select(
+        "gid", "x0", "y0",
+        ((F.col("x0") + F.col("x2")) * F.lit(0.5)
+         - (F.col("y2") - F.col("y0")) * F.col("h")).alias("x1"),
+        ((F.col("y0") + F.col("y2")) * F.lit(0.5)
+         + (F.col("x2") - F.col("x0")) * F.col("h")).alias("y1"),
+        "x2", "y2",
+    ).filter(~((F.col("x0") == F.col("x2")) & (F.col("y0") == F.col("y2"))))
+    out = arcstroke.arc_metrics(pts, "gid").filter(F.col("r").isNotNull())
+    return out.select(
+        "gid", "cx", "cy",
+        F.floor(F.col("r") * F.lit(1e6) + F.lit(0.5)).alias("r_um"),
+        F.floor(F.col("r") * F.col("sweep") * F.lit(1e6)
+                + F.lit(0.5)).alias("len_um"),
+        "n_pts")
+
+
+def _o_curve_stroke() -> str:
+    def dl(x):
+        return f"{float(x):.17e}"
+
+    q997, q991, q983, q977 = _ARC_Q
+    two_pi = 2.0 * float(np.pi)
+    return f"""
+WITH base AS (
+  SELECT c_custkey AS gid,
+         CAST((c_custkey*13+1) % 997 AS DOUBLE) * {dl(q997)} AS x0,
+         CAST((c_custkey*29+2) % 991 AS DOUBLE) * {dl(q991)} AS y0,
+         CAST((c_custkey*17+3) % 983 AS DOUBLE) * {dl(q983)} AS x2,
+         CAST((c_custkey*31+5) % 977 AS DOUBLE) * {dl(q977)} AS y2,
+         CAST(1 + (c_custkey % 7) AS DOUBLE) * {dl(_ARC_H)} AS h
+  FROM customer),
+p AS (
+  SELECT gid, x0, y0,
+         (x0 + x2) * 5e-1 - (y2 - y0) * h AS x1,
+         (y0 + y2) * 5e-1 + (x2 - x0) * h AS y1,
+         x2, y2
+  FROM base WHERE NOT (x0 = x2 AND y0 = y2)),
+dd AS (
+  SELECT *, x1 - x0 AS dx01, y1 - y0 AS dy01,
+            x2 - x1 AS dx12, y2 - y1 AS dy12
+  FROM p),
+sc AS (
+  SELECT *, GREATEST(ABS(dx01), ABS(dy01), ABS(dx12), ABS(dy12)) AS s
+  FROM dd),
+nrm AS (
+  SELECT gid, x0, y0, x1, y1, x2, y2, s, 1.0/s AS inv,
+         dx01*(1.0/s) AS ndx01, dy01*(1.0/s) AS ndy01,
+         dx12*(1.0/s) AS ndx12, dy12*(1.0/s) AS ndy12
+  FROM sc WHERE s > 0),
+det AS (
+  SELECT *, ndx01*ndy12 - ndx12*ndy01 AS det FROM nrm),
+ok AS (
+  SELECT * FROM det WHERE ABS(det) >= 1e-8 AND NOT isnan(det)),
+cc AS (
+  SELECT *,
+    ndx01*((x0+x1)*inv) + ndy01*((y0+y1)*inv) AS c01,
+    ndx12*((x1+x2)*inv) + ndy12*((y1+y2)*inv) AS c12
+  FROM ok),
+ctr AS (
+  SELECT *,
+    0.5*s*(c01*ndy12 - c12*ndy01)/det AS cx,
+    0.5*s*(-c01*ndx12 + c12*ndx01)/det AS cy
+  FROM cc),
+ang AS (
+  SELECT *,
+    atan2((y0-cy)*inv, (x0-cx)*inv) AS a0,
+    atan2((y1-cy)*inv, (x1-cx)*inv) AS a1r,
+    atan2((y2-cy)*inv, (x2-cx)*inv) AS a2r,
+    SQRT((x0-cx)*(x0-cx) + (y0-cy)*(y0-cy)) AS r
+  FROM ctr),
+adj1 AS (
+  SELECT *,
+    CASE WHEN det < 0
+         THEN a1r - CASE WHEN a1r > a0 THEN {dl(two_pi)} ELSE 0e0 END
+         ELSE a1r + CASE WHEN a1r < a0 THEN {dl(two_pi)} ELSE 0e0 END
+    END AS a1
+  FROM ang),
+adj2 AS (
+  SELECT *,
+    CASE WHEN det < 0
+         THEN a2r - CASE WHEN a2r > a1 THEN {dl(two_pi)} ELSE 0e0 END
+         ELSE a2r + CASE WHEN a2r < a1 THEN {dl(two_pi)} ELSE 0e0 END
+    END AS a2
+  FROM adj1),
+met AS (
+  SELECT gid, cx, cy, r, ABS(a2 - a0) AS sweep,
+         CAST(FLOOR(ABS(a2 - a0) / {dl(_ARC_STEP)} + 0.5) AS BIGINT) AS n0
+  FROM adj2)
+SELECT gid, cx, cy,
+       CAST(FLOOR(r * 1e6 + 0.5) AS BIGINT) AS r_um,
+       CAST(FLOOR(r * sweep * 1e6 + 0.5) AS BIGINT) AS len_um,
+       CASE WHEN n0 < 7 THEN 7 ELSE 7 + 2*((n0 - 7 + 1) // 2) END + 1
+         AS n_pts
+FROM met
+"""
+
+
 def _q_pansharpen(spark, sf_dir):
     # weighted-Brovey pansharpening (gdalpansharpen.h:40): pan + three
     # derived bands over the dense doc grid; DYADIC weights (0.25/0.5/
@@ -2825,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_rotate": _q_warp_rotate,             # rotated geotransform
         "warp_gcp": _q_warp_gcp,                   # gdalwarp -order 1
         "mdim_resample_mask": _q_mdim_resample_mask,  # GetResampled+GetMask
+        "curve_stroke": _q_curve_stroke,           # CircularString stroking
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -5935,6 +6061,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_rotate": _o_warp_rotate(),
         "warp_gcp": _o_warp_gcp(),
         "mdim_resample_mask": _o_mdim_resample_mask(),
+        "curve_stroke": _o_curve_stroke(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

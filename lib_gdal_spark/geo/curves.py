@@ -55,7 +55,9 @@ def get_curve_parameters(x0, y0, x1, y1, x2, y2):
             return None
         cx = (x0 + x1) / 2
         cy = (y0 + y1) / 2
-        R = math.hypot(x0 - cx, y0 - cy)
+        # DISTANCE is the sqrt-of-squares form, NOT hypot
+        # (ogrgeometryfactory.cpp:4407) — oracle SQL mirrors it exactly
+        R = math.sqrt((x0 - cx) * (x0 - cx) + (y0 - cy) * (y0 - cy))
         alpha0 = math.atan2(y0 - cy, x0 - cx)
         return R, cx, cy, alpha0, alpha0 + math.pi, alpha0 + _TWO_PI
 
@@ -88,7 +90,7 @@ def get_curve_parameters(x0, y0, x1, y1, x2, y2):
     alpha0 = math.atan2((y0 - cy) * inv, (x0 - cx) * inv)
     alpha1 = math.atan2((y1 - cy) * inv, (x1 - cx) * inv)
     alpha2 = math.atan2((y2 - cy) * inv, (x2 - cx) * inv)
-    R = math.hypot(x0 - cx, y0 - cy)
+    R = math.sqrt((x0 - cx) * (x0 - cx) + (y0 - cy) * (y0 - cy))
 
     if det < 0:  # clockwise
         if alpha1 > alpha0:
