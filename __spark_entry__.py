@@ -692,6 +692,125 @@ FROM met
 """
 
 
+def _q_proj_conic(spark, sf_dir):
+    # Arbitrary-CRS transform surface beyond Mercator/UTM (VERDICT r3
+    # missing item 2): LCC 2SP (EPSG 9802), Albers 2SP (EPSG 9822) and
+    # Polar Stereographic A (EPSG 9810) forward-projected over synthetic
+    # prime-denominator lon/lat. Each projection is ONE Arrow pandas UDF
+    # (broadcast-constant transform, no shuffle). Outputs are
+    # earth-radius-normalized scaled-floor micro-units so cross-engine
+    # transcendental ulp drift sits ~100x below the rounding grid.
+    from lib_gdal_spark.geo import conic
+
+    lcc = conic.LambertConformalConic(33.0, 45.0, 39.0, -96.0)
+    aea = conic.AlbersEqualArea(29.5, 45.5, 23.0, -96.0)
+    pst = conic.PolarStereographic(0.994, 0.0, True)
+    d = _tbl(spark, sf_dir, "documents").select(F.col("doc_id").alias("gid"))
+    pts = d.select(
+        "gid",
+        (F.lit(-120.0) + ((F.col("gid") * 13 + 7) % 991).cast("double")
+         * F.lit(60.0 / 991.0)).alias("lon"),
+        (F.lit(20.0) + ((F.col("gid") * 11 + 1) % 997).cast("double")
+         * F.lit(40.0 / 997.0)).alias("lat"),
+        (F.lit(55.0) + ((F.col("gid") * 11 + 1) % 997).cast("double")
+         * F.lit(34.0 / 997.0)).alias("lat_ps"),
+    )
+    out = lcc.transform_df(pts, "lon", "lat", out_cols=("lcc_x", "lcc_y"))
+    out = aea.transform_df(out, "lon", "lat", out_cols=("aea_x", "aea_y"))
+    out = pst.transform_df(out, "lon", "lat_ps", out_cols=("ps_x", "ps_y"))
+    A = 6378137.0
+
+    def um(c):
+        return F.floor(F.col(c) / F.lit(A) * F.lit(1e6) + F.lit(0.5))
+
+    return out.select(
+        "gid", um("lcc_x").alias("lcc_x"), um("lcc_y").alias("lcc_y"),
+        um("aea_x").alias("aea_x"), um("aea_y").alias("aea_y"),
+        um("ps_x").alias("ps_x"), um("ps_y").alias("ps_y"))
+
+
+def _o_proj_conic() -> str:
+    import math
+
+    from lib_gdal_spark.geo import conic
+
+    lcc = conic.LambertConformalConic(33.0, 45.0, 39.0, -96.0)
+    aea = conic.AlbersEqualArea(29.5, 45.5, 23.0, -96.0)
+    pst = conic.PolarStereographic(0.994, 0.0, True)
+
+    def dl(x):
+        return f"{float(x):.17e}"
+
+    e = float(lcc.e)
+    consts = {
+        "D2R": dl(math.pi / 180.0),
+        "PI4": dl(math.pi / 4.0),
+        "E": dl(e),
+        "EHALF": dl(e / 2.0),
+        "LON0": dl(float(lcc.lon0)),
+        "LCC_N": dl(float(lcc.n)),
+        "LCC_AF": dl(float(lcc.a * lcc.F)),
+        "LCC_RHO0": dl(float(lcc.rho0)),
+        "OME2": dl(1.0 - e * e),
+        "INV2E": dl(1.0 / (2.0 * e)),
+        "AEA_N": dl(float(aea.n)),
+        "AEA_C": dl(float(aea.C)),
+        "AEA_A": dl(float(aea.a)),
+        "AEA_RHO0": dl(float(aea.rho0)),
+        "PS_C": dl(float(pst._c)),
+        "A": "6378137.0",
+        "QLON": dl(60.0 / 991.0),
+        "QLAT": dl(40.0 / 997.0),
+        "QPS": dl(34.0 / 997.0),
+    }
+    # t(phi) (Snyder 15-9) and q(phi) (Snyder 3-12), op order mirroring
+    # geo/conic.py exactly
+    t_expr = ("tan({PI4} - {phi}/2) / "
+              "pow((1 - {E}*sin({phi}))/(1 + {E}*sin({phi})), {EHALF})")
+    q_expr = ("{OME2} * (sin({phi})/(1 - ({E}*sin({phi}))*({E}*sin({phi})))"
+              " - {INV2E} * ln((1 - {E}*sin({phi}))/(1 + {E}*sin({phi}))))")
+    sql = """
+WITH pts AS (
+  SELECT doc_id AS gid,
+         -120.0 + CAST((doc_id*13+7) % 991 AS DOUBLE) * {QLON} AS lon,
+         20.0 + CAST((doc_id*11+1) % 997 AS DOUBLE) * {QLAT} AS lat,
+         55.0 + CAST((doc_id*11+1) % 997 AS DOUBLE) * {QPS} AS lat_ps
+  FROM documents),
+rad AS (
+  SELECT gid, lon*{D2R} - {LON0} AS lam, lat*{D2R} AS phi,
+         lon*{D2R} AS lam_ps, lat_ps*{D2R} AS phi_ps
+  FROM pts),
+tq AS (
+  SELECT gid, lam, lam_ps,
+         TPHI AS t, QPHI AS q, TPS AS t_ps
+  FROM rad),
+prj AS (
+  SELECT gid,
+    {LCC_AF} * pow(t, {LCC_N}) * sin({LCC_N}*lam) AS lcc_x,
+    {LCC_RHO0} - {LCC_AF} * pow(t, {LCC_N}) * cos({LCC_N}*lam) AS lcc_y,
+    {AEA_A} * sqrt({AEA_C} - {AEA_N}*q) / {AEA_N} * sin({AEA_N}*lam)
+      AS aea_x,
+    {AEA_RHO0} - {AEA_A} * sqrt({AEA_C} - {AEA_N}*q) / {AEA_N}
+      * cos({AEA_N}*lam) AS aea_y,
+    2000000.0 + {PS_C} * t_ps * sin(lam_ps) AS ps_x,
+    2000000.0 - {PS_C} * t_ps * cos(lam_ps) AS ps_y
+  FROM tq)
+SELECT gid,
+  CAST(FLOOR(lcc_x/{A}*1e6 + 0.5) AS BIGINT) AS lcc_x,
+  CAST(FLOOR(lcc_y/{A}*1e6 + 0.5) AS BIGINT) AS lcc_y,
+  CAST(FLOOR(aea_x/{A}*1e6 + 0.5) AS BIGINT) AS aea_x,
+  CAST(FLOOR(aea_y/{A}*1e6 + 0.5) AS BIGINT) AS aea_y,
+  CAST(FLOOR(ps_x/{A}*1e6 + 0.5) AS BIGINT) AS ps_x,
+  CAST(FLOOR(ps_y/{A}*1e6 + 0.5) AS BIGINT) AS ps_y
+FROM prj
+"""
+    sql = (sql
+           .replace("TPHI", t_expr.format(phi="phi", **consts))
+           .replace("QPHI", q_expr.format(phi="phi", **consts))
+           .replace("TPS", t_expr.format(phi="phi_ps", **consts)))
+    return sql.format(**consts)
+
+
 def _q_pansharpen(spark, sf_dir):
     # weighted-Brovey pansharpening (gdalpansharpen.h:40): pan + three
     # derived bands over the dense doc grid; DYADIC weights (0.25/0.5/
@@ -2951,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_gcp": _q_warp_gcp,                   # gdalwarp -order 1
         "mdim_resample_mask": _q_mdim_resample_mask,  # GetResampled+GetMask
         "curve_stroke": _q_curve_stroke,           # CircularString stroking
+        "proj_conic": _q_proj_conic,               # LCC/Albers/PolarStereo
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6062,6 +6182,7 @@ def oracle_sql() -> dict[str, str]:
         "warp_gcp": _o_warp_gcp(),
         "mdim_resample_mask": _o_mdim_resample_mask(),
         "curve_stroke": _o_curve_stroke(),
+        "proj_conic": _o_proj_conic(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),
