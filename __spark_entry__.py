@@ -692,6 +692,42 @@ FROM met
 """
 
 
+def _q_mdim_arith(spark, sf_dir):
+    # MDArray remainder closed: GetUnscaled (gdalmultidim.cpp:6672 —
+    # value*scale + offset, nodata -> absent) + element-wise array
+    # arithmetic (one dim-column equi-join), then a sum-reduce. Scale is
+    # DYADIC (0.125) and inputs are small integers, so every fold is
+    # exact regardless of partitioning.
+    d = _tbl(spark, sf_dir, "documents")
+    base = d.select((F.col("doc_id") % 24).alias("x"),
+                    (F.expr("doc_id div 24") % 16).alias("y"), "n_chars")
+    g1 = base.groupBy("y", "x").agg(
+        (F.min("n_chars") % 200).cast("double").alias("value"))
+    g2 = base.groupBy("y", "x").agg(
+        (F.max("n_chars") % 151).cast("double").alias("value"))
+    a = mdim.MDArray.from_long(g1, ["y", "x"]).unscaled(
+        0.125, 100.0, src_nodata=7.0)
+    b = mdim.MDArray.from_long(g2, ["y", "x"])
+    out = a.combine(b, "mul").reduce("x", how="sum")
+    return out.df.select("y", "value")
+
+
+def _o_mdim_arith() -> str:
+    return """
+WITH d AS (SELECT CAST(doc_id % 24 AS BIGINT) AS x,
+                  CAST(doc_id // 24 % 16 AS BIGINT) AS y, n_chars
+           FROM documents),
+g1 AS (SELECT y, x, CAST(min(n_chars) % 200 AS DOUBLE) AS v1
+       FROM d GROUP BY 1, 2),
+g2 AS (SELECT y, x, CAST(max(n_chars) % 151 AS DOUBLE) AS v2
+       FROM d GROUP BY 1, 2),
+u AS (SELECT y, x, v1 * 0.125 + 100.0 AS v1u FROM g1 WHERE v1 <> 7.0)
+SELECT u.y AS y, SUM(u.v1u * g2.v2) AS value
+FROM u JOIN g2 ON u.y = g2.y AND u.x = g2.x
+GROUP BY u.y
+"""
+
+
 def _q_proj_conic(spark, sf_dir):
     # Arbitrary-CRS transform surface beyond Mercator/UTM (VERDICT r3
     # missing item 2): LCC 2SP (EPSG 9802), Albers 2SP (EPSG 9822) and
@@ -3071,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdim_resample_mask": _q_mdim_resample_mask,  # GetResampled+GetMask
         "curve_stroke": _q_curve_stroke,           # CircularString stroking
         "proj_conic": _q_proj_conic,               # LCC/Albers/PolarStereo
+        "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6183,6 +6220,7 @@ def oracle_sql() -> dict[str, str]:
         "mdim_resample_mask": _o_mdim_resample_mask(),
         "curve_stroke": _o_curve_stroke(),
         "proj_conic": _o_proj_conic(),
+        "mdim_arith": _o_mdim_arith(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

@@ -157,6 +157,53 @@ class MDArray:
                 self.dims)
         raise ValueError(f"alg must be nearest/average: {alg}")
 
+    def unscaled(self, scale: float = 1.0, offset: float = 0.0,
+                 src_nodata: float | None = None) -> "MDArray":
+        """GDALMDArray::GetUnscaled (gcore/gdalmultidim.cpp:6672):
+        value*scale + offset promoted to double; scale==1 && offset==0
+        returns self unchanged (the reference's short-circuit); source
+        nodata cells become absent rows (this engine's nodata
+        discipline, mirroring dstNodata=NaN)."""
+        if scale == 1.0 and offset == 0.0 and src_nodata is None:
+            return self
+        df = self.df
+        if src_nodata is not None:
+            df = df.filter(F.col("value") != F.lit(float(src_nodata)))
+        return MDArray(
+            df.select(*self.dims,
+                      (F.col("value").cast("double") * F.lit(float(scale))
+                       + F.lit(float(offset))).alias("value")), self.dims)
+
+    def combine(self, other: "MDArray", op: str = "add") -> "MDArray":
+        """Element-wise array arithmetic between two same-dimension
+        arrays (the multidim analog of VRT pixel functions /
+        `gdal mdim convert` derived arrays; per-chunk loops in the
+        reference become ONE equi-join on the dimension columns here).
+        Cells missing from either operand are absent from the result
+        (nodata propagates). op: add|sub|mul|div."""
+        if other.dims != self.dims:
+            raise ValueError(f"dims {other.dims} != {self.dims}")
+        ops = {
+            "add": lambda a, b: a + b,
+            "sub": lambda a, b: a - b,
+            "mul": lambda a, b: a * b,
+            "div": lambda a, b: a / b,
+        }
+        if op not in ops:
+            raise ValueError(f"op must be one of {sorted(ops)}: {op}")
+        right = other.df.select(
+            *[F.col(d).alias(f"_r_{d}") for d in other.dims],
+            F.col("value").alias("_r_value"))
+        cond = F.lit(True)
+        for d in self.dims:
+            cond = cond & (F.col(d) == F.col(f"_r_{d}"))
+        joined = self.df.join(right, cond, "inner")
+        return MDArray(
+            joined.select(*self.dims,
+                          ops[op](F.col("value"),
+                                  F.col("_r_value")).alias("value")),
+            self.dims)
+
     def info(self) -> dict:
         """Dimension sizes + basic stats (gdal mdim info shape)."""
         aggs = [F.countDistinct(d).alias(f"n_{d}") for d in self.dims]

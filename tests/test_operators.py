@@ -1615,6 +1615,38 @@ class TestMDArray:
         with _pt.raises(ValueError):
             self._cube(spark).resampled({"x": (4, 3)}, alg="average")
 
+    def test_unscaled(self, spark):
+        # GetUnscaled (gdalmultidim.cpp:6672): value*scale + offset;
+        # scale=1/offset=0 short-circuits to self; nodata rows drop
+        a = self._cube(spark)
+        assert a.unscaled(1.0, 0.0) is a
+        u = a.unscaled(0.5, 10.0, src_nodata=121.0)
+        got = {(r.x, r.y, r.t): r.value for r in u.df.collect()}
+        assert got[(2, 1, 0)] == 210.0 * 0.5 + 10.0
+        assert (1, 2, 1) not in got  # 121 was nodata
+        assert len(got) == 23
+
+    def test_combine_arithmetic(self, spark):
+        a = self._cube(spark)
+        b = a.unscaled(2.0, 0.0)
+        s = a.combine(b, "add")
+        got = {(r.x, r.y, r.t): r.value for r in s.df.collect()}
+        assert got[(3, 2, 1)] == 321.0 * 3.0
+        d = b.combine(a, "sub")
+        got = {(r.x, r.y, r.t): r.value for r in d.df.collect()}
+        assert got[(1, 1, 1)] == 111.0
+        # missing cells propagate as absent (nodata discipline)
+        holed = a.unscaled(1.0, 0.0, src_nodata=0.0)
+        m = holed.combine(a, "mul")
+        got = {(r.x, r.y, r.t): r.value for r in m.df.collect()}
+        assert (0, 0, 0) not in got and len(got) == 23
+        assert got[(2, 0, 1)] == 201.0 ** 2
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            a.combine(a.transpose(["t", "y", "x"]), "add")
+        with _pt.raises(ValueError):
+            a.combine(a, "pow")
+
 
 class TestRepetitionAndSegmentDedup:
     def test_repetition_ratio_hand_golden(self, spark):
