@@ -3074,15 +3074,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         outputs so the class is dead); the two whose only driver rows
         predate their exact oracles (dem_hillshade r1 `no_oracle`,
         grid_linear r2 `no_oracle`); and the nine never swept at all;
-    (2) NEW queries added this round — never swept;
-    (3) 33 of the round-1-verified set, two rounds stale (every entry
-        here is double-verified: r01 driver row + the every-session
-        local parity sweep at both scales);
+    (2) NEW queries added this round — never swept (warp_rotate,
+        warp_gcp, mdim_resample_mask, curve_stroke, proj_conic,
+        mdim_arith);
+    (3) the round-1-verified set, two rounds stale (every entry here is
+        double-verified: r01 driver row + the every-session local
+        parity sweep at both scales). With (1)+(2) = 20 slots, the
+        50-cap now falls inside this section: 30 fit, and the last 5
+        (rasterize_rects footprint_boundary raster_calc histogram
+        ogr_first_match_join) slip past the cap — they rotate first in
+        round 5 together with (4);
     (4) past the cap: the rest of the r1 set (8 cheap pure-Catalyst
         ogr_* entries), then the round-2-verified set, then the
-        round-3-verified set (freshest rows last). All of (4) stays in
-        the local parity sweep every session; the r1 ogr_* remainder
-        rotates first in round 5.
+        round-3-verified set (freshest rows last). Everything past the
+        cap stays in the local parity sweep every session.
     """
     return {
         # ---- (1) no green hash row after r3: sweep FIRST ----
@@ -3139,13 +3144,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mode": _q_zonal_mode,
         "zonal_weighted": _q_zonal_weighted,
         "events_sliding": _q_events_sliding,
+        # -------- 50-cap boundary: positions 51+ below --------
+        # ---- (3b) r1-verified tail pushed past the cap by this
+        # ----      round's six new queries; rotates first in round 5
         "rasterize_rects": _q_rasterize,
         "footprint_boundary": _q_footprint,
         "raster_calc": _q_raster_calc,
         "histogram": _q_histogram,
         "ogr_first_match_join": _q_first_match_join,
-        # -------- 50-cap boundary: positions 51+ below --------
-        # ---- (4a) r1 remainder (rotates first in round 5) ----
+        # ---- (4a) r1 remainder (rotates with (3b) in round 5) ----
         "ogr_filter_in_between": _q_filter_in_between,
         "ogr_summary_agg": _q_summary_agg,
         "ogr_count_distinct": _q_count_distinct,

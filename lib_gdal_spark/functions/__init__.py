@@ -56,6 +56,84 @@ def _decode_polys(wkb_series: pd.Series):
     return out
 
 
+def _swap_xy_pts(pts):
+    a = np.asarray(pts, np.float64).copy()
+    a[:, [0, 1]] = a[:, [1, 0]]
+    return a
+
+
+def _swap_struct(kind, data):
+    """OGRGeometry::swapXY over decoded structures, preserving the
+    geometry TYPE (curve kinds stay curves, like the reference)."""
+    if kind == "point":
+        return kind, (float(data[1]), float(data[0])) + tuple(data[2:])
+    if kind in ("linestring", "circularstring", "multipoint"):
+        return kind, _swap_xy_pts(data)
+    if kind in ("polygon", "triangle"):
+        return kind, [_swap_xy_pts(r) for r in data]
+    if kind == "multilinestring":
+        return kind, [_swap_xy_pts(p) for p in data]
+    if kind in ("multipolygon", "polyhedralsurface", "tin"):
+        return kind, [[_swap_xy_pts(r) for r in rings] for rings in data]
+    if kind in ("compoundcurve", "multicurve", "multisurface",
+                "collection"):
+        return kind, [_swap_struct(k, d) for k, d in data]
+    if kind == "curvepolygon":
+        rings = []
+        for r in data:
+            if (isinstance(r, tuple) and len(r) == 2
+                    and isinstance(r[0], str)):
+                rings.append(_swap_struct(r[0], r[1]))
+            else:
+                rings.append(_swap_xy_pts(r))
+        return kind, rings
+    raise NotImplementedError(f"swapxy kind {kind}")
+
+
+def _npoints(kind, data) -> int:
+    """OGR_G_GetPointCount over decoded structures. Curve kinds count
+    CONTROL points (the reference counts them on the curve itself, not
+    a linearized copy); compound curves subtract the shared joint per
+    component after the first (ogrcompoundcurve.cpp getNumPoints)."""
+    if kind == "point":
+        return 1
+    if kind in ("linestring", "circularstring", "multipoint"):
+        return len(data)
+    if kind in ("polygon", "triangle"):
+        return sum(len(r) for r in data)
+    if kind == "multilinestring":
+        return sum(len(p) for p in data)
+    if kind in ("multipolygon", "polyhedralsurface", "tin"):
+        return sum(len(r) for rings in data for r in rings)
+    if kind == "compoundcurve":
+        return (sum(_npoints(k, d) for k, d in data)
+                - max(0, len(data) - 1))
+    if kind in ("multicurve", "multisurface", "collection"):
+        return sum(_npoints(k, d) for k, d in data)
+    if kind == "curvepolygon":
+        n = 0
+        for r in data:
+            if (isinstance(r, tuple) and len(r) == 2
+                    and isinstance(r[0], str)):
+                n += _npoints(r[0], r[1])
+            else:
+                n += len(r)
+        return n
+    return 0
+
+
+def _decode_lin(buf):
+    """Decode WKB, linearizing curve/surface kinds first — the engine's
+    analog of the reference's exportToGEOS path (GEOS has no curve
+    types, so every GEOS-backed operation implicitly runs on
+    GetLinearGeometry of a curve input; ogr/ogrgeometry.cpp)."""
+    kind, data = _wkb.decode(bytes(buf))
+    if kind in _curves.CURVE_KINDS or kind in (
+            "triangle", "polyhedralsurface", "tin"):
+        kind, data = _curves.linearize(kind, data)
+    return kind, data
+
+
 def register_all(spark: SparkSession) -> None:
     """Install the function catalog in this session (idempotent)."""
     from ..session import ship_package
@@ -164,7 +242,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, coords = _wkb.decode(bytes(buf))
+            kind, coords = _decode_lin(buf)
             if kind == "polygon":
                 out.append(_wkb.encode_polygon([fn(r, scalar) for r in coords]))
             elif kind == "multipolygon":
@@ -193,7 +271,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, coords = _wkb.decode(bytes(buf))
+            kind, coords = _decode_lin(buf)
             if kind == "polygon":
                 out.append(_wkb.encode_polygon(
                     simplify_preserve_topology_np(coords, t)))
@@ -259,8 +337,8 @@ def register_all(spark: SparkSession) -> None:
             if a is None or b is None:
                 vals.append(float("nan"))
             else:
-                ka, da = _wkb.decode(bytes(a))
-                kb, db = _wkb.decode(bytes(b))
+                ka, da = _decode_lin(a)
+                kb, db = _decode_lin(b)
                 vals.append(geometry_distance(ka, da, kb, db))
         return pd.Series(vals)
 
@@ -309,7 +387,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             if kind == "point":
                 pts = np.array([data], dtype=np.float64)
             elif kind == "linestring":
@@ -346,7 +424,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             if kind == "point":
                 out.append(_wkb.encode_polygon(
                     [point_buffer_ring(data[0], data[1], d)])
@@ -367,8 +445,8 @@ def register_all(spark: SparkSession) -> None:
                 if a is None or b is None:
                     out.append(None)
                     continue
-                ka, da = _wkb.decode(bytes(a))
-                kb, db = _wkb.decode(bytes(b))
+                ka, da = _decode_lin(a)
+                kb, db = _decode_lin(b)
                 rk, rd = _clip.overlay(ka, da, kb, db, op)
                 out.append(_enc_areal(rk, rd))
             return pd.Series(out)
@@ -390,18 +468,12 @@ def register_all(spark: SparkSession) -> None:
                     out.append(float(data[0 if what == "x" else 1])
                                if kind == "point" else None)
                 elif what == "npoints":
-                    if kind == "point":
-                        n = 1
-                    elif kind == "linestring":
-                        n = len(data)
-                    elif kind == "polygon":
-                        n = sum(len(r) for r in data)
-                    else:
-                        n = sum(len(r) for rings in data for r in rings)
-                    out.append(float(n))
+                    out.append(float(_npoints(kind, data)))
                 else:  # ngeometries
-                    out.append(float(len(data))
-                               if kind == "multipolygon" else 1.0)
+                    out.append(float(len(data)) if kind in (
+                        "multipolygon", "multicurve", "multisurface",
+                        "polyhedralsurface", "tin", "collection",
+                        "multilinestring", "multipoint") else 1.0)
             return pd.Series(out, dtype="float64")
         return f
 
@@ -420,6 +492,12 @@ def register_all(spark: SparkSession) -> None:
             if kind == "multipolygon":
                 out.append(_wkb.encode_polygon(data[i - 1])
                            if 1 <= i <= len(data) else None)
+            elif kind in ("multicurve", "multisurface", "collection"):
+                out.append(_wkb.encode_geometry(*data[i - 1])
+                           if 1 <= i <= len(data) else None)
+            elif kind in ("polyhedralsurface", "tin"):
+                out.append(_wkb.encode_geometry("polygon", data[i - 1])
+                           if 1 <= i <= len(data) else None)
             else:
                 out.append(bytes(buf) if i == 1 else None)
         return pd.Series(out)
@@ -433,27 +511,24 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, data = _wkb.decode(bytes(buf))
-            if kind == "point":
-                out.append(_wkb.encode_point(float(data[1]),
-                                             float(data[0])))
-            elif kind == "linestring":
-                out.append(_wkb.encode_linestring(
-                    np.asarray(data, np.float64)[:, ::-1]))
-            elif kind == "polygon":
-                out.append(_wkb.encode_polygon(
-                    [np.asarray(r, np.float64)[:, ::-1] for r in data]))
-            else:  # multipolygon
-                out.append(_wkb.encode_multipolygon(
-                    [[np.asarray(r, np.float64)[:, ::-1] for r in rings]
-                     for rings in data]))
+            out.append(_wkb.encode_geometry(
+                *_swap_struct(*_wkb.decode(bytes(buf)))))
         return pd.Series(out)
 
     @F.pandas_udf(T.StringType())
     def st_geometrytype(wkb: pd.Series) -> pd.Series:
         # OGR_GEOMETRY special field / GeometryType() — WKT-style names
         names_ = {"point": "POINT", "linestring": "LINESTRING",
-                  "polygon": "POLYGON", "multipolygon": "MULTIPOLYGON"}
+                  "polygon": "POLYGON", "multipolygon": "MULTIPOLYGON",
+                  "multipoint": "MULTIPOINT",
+                  "multilinestring": "MULTILINESTRING",
+                  "collection": "GEOMETRYCOLLECTION",
+                  "circularstring": "CIRCULARSTRING",
+                  "compoundcurve": "COMPOUNDCURVE",
+                  "curvepolygon": "CURVEPOLYGON",
+                  "multicurve": "MULTICURVE",
+                  "multisurface": "MULTISURFACE", "triangle": "TRIANGLE",
+                  "polyhedralsurface": "POLYHEDRALSURFACE", "tin": "TIN"}
         out = []
         for buf in wkb:
             if buf is None:
@@ -476,7 +551,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             if kind == "point":
                 pts = np.array([data], dtype=np.float64)
             elif kind == "linestring":
@@ -507,8 +582,8 @@ def register_all(spark: SparkSession) -> None:
                 if a is None or b is None:
                     out.append(None)
                     continue
-                ka, da = _wkb.decode(bytes(a))
-                kb, db = _wkb.decode(bytes(b))
+                ka, da = _decode_lin(a)
+                kb, db = _decode_lin(b)
                 try:
                     out.append(_clip.relate(ka, da, kb, db, name))
                 except NotImplementedError:
@@ -525,7 +600,7 @@ def register_all(spark: SparkSession) -> None:
             if a is None:
                 out.append(None)
                 continue
-            k, d = _wkb.decode(bytes(a))
+            k, d = _decode_lin(a)
             out.append(_clip.is_valid(k, d)[0])
         return pd.Series(out, dtype="object")
 
@@ -536,7 +611,7 @@ def register_all(spark: SparkSession) -> None:
             if a is None:
                 out.append(None)
                 continue
-            k, d = _wkb.decode(bytes(a))
+            k, d = _decode_lin(a)
             ok, reason = _clip.is_valid(k, d)
             out.append("Valid Geometry" if ok else reason)
         return pd.Series(out)
@@ -551,7 +626,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             if kind == "multipolygon":
                 rk, rd = _clip.union_all(
                     [("polygon", rings) for rings in data])
@@ -570,7 +645,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             rk, rd = _clip.make_valid(kind, data)
             out.append(_enc_areal(rk, rd))
         return pd.Series(out)
@@ -582,7 +657,7 @@ def register_all(spark: SparkSession) -> None:
         # one worker — right-sized here because union groups are the
         # DIMENSION side (admin regions, boundary sets: tens-to-
         # thousands of parts), never the page corpus.
-        geoms = [_wkb.decode(bytes(b)) for b in wkb if b is not None]
+        geoms = [_decode_lin(b) for b in wkb if b is not None]
         rk, rd = _clip.union_all(geoms)
         return _enc_areal(rk, rd)
 
@@ -597,7 +672,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             if kind == "point":
                 out.append(bool(np.isnan(data[0]) or np.isnan(data[1])))
             elif kind == "linestring":
@@ -651,7 +726,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 out.append(None)
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             if kind == "point":
                 out.append(True)
             elif kind == "multipoint":
@@ -754,7 +829,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 vals.append(float("nan"))
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             if kind == "polygon":
                 vals.append(_geodesic.geodesic_area(data))
             elif kind == "multipolygon":
@@ -779,7 +854,7 @@ def register_all(spark: SparkSession) -> None:
             if buf is None:
                 vals.append(float("nan"))
                 continue
-            kind, data = _wkb.decode(bytes(buf))
+            kind, data = _decode_lin(buf)
             if kind == "linestring":
                 pts = np.asarray(data, np.float64)
                 vals.append(_geodesic.geodesic_length(pts[:, 0], pts[:, 1]))

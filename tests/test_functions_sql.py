@@ -733,3 +733,49 @@ class TestCurveFunctions:
         import math
         assert row.len == pytest.approx(1.5 * math.pi, abs=1e-9)
         assert row.a == pytest.approx(math.pi * 0.25, abs=1e-12)
+
+    def test_curve_tolerant_surfaces(self, sql):
+        """GEOS-analog functions linearize curve inputs (the reference's
+        exportToGEOS path); type-preserving ops keep the curve type."""
+        import math
+
+        from lib_gdal_spark.geo import wkb as _w
+
+        cs = _w.encode_circularstring([(0, 0), (1, 1), (1, -1)])
+        circle = _w.encode_curvepolygon(
+            [_w.encode_circularstring([(0, 0), (1, 0), (0, 0)])])
+        df = sql.createDataFrame(
+            [(1, bytearray(cs)), (2, bytearray(circle))],
+            "gid int, geom binary")
+        df.createOrReplaceTempView("curvegeoms2")
+        rows = {r.gid: r for r in sql.sql(
+            "SELECT gid, st_geometrytype(geom) AS t, "
+            "       st_npoints(geom) AS np, "
+            "       st_centroid_x(geom) AS cxx, "
+            "       st_isempty(geom) AS emp, "
+            "       st_distance(geom, st_geomfromtext('POINT (5 0)')) AS d,"
+            "       st_astext(st_swapxy(geom)) AS sw "
+            "FROM curvegeoms2").collect()}
+        assert rows[1].t == "CIRCULARSTRING" and rows[1].np == 3.0
+        assert rows[2].t == "CURVEPOLYGON"
+        assert rows[1].emp is False and rows[2].emp is False
+        # distance measured to the stroked curve: point (5,0) vs the arc
+        # through (2,0): within a stroking sliver of 3.0
+        assert abs(rows[1].d - 3.0) < 1e-3
+        # swapxy preserved the curve type and mirrored coordinates
+        assert rows[1].sw.startswith("CIRCULARSTRING")
+        k, d = wkb.decode(bytes(sql.sql(
+            "SELECT st_swapxy(geom) AS g FROM curvegeoms2 WHERE gid = 1"
+        ).head().g))
+        assert k == "circularstring"
+        assert d[1][0] == 1.0 and d[2][0] == -1.0
+        # predicates over a curve polygon: contains its center
+        got = sql.sql(
+            "SELECT st_intersects(geom, st_geomfromtext("
+            "'POLYGON ((0.4 -0.1, 0.6 -0.1, 0.6 0.1, 0.4 0.1, 0.4 -0.1))'"
+            ")) AS i FROM curvegeoms2 WHERE gid = 2").head().i
+        assert got is True
+        # curvepolygon area stays the EXACT pi*R^2 path
+        a = sql.sql("SELECT st_area(geom) AS a FROM curvegeoms2 "
+                    "WHERE gid = 2").head().a
+        assert a == math.pi * 0.25
