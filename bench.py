@@ -57,6 +57,10 @@ HEADLINE = [
     # cross-round signal; totals shift when the composition grows)
     "temperature_resample",
     "dsir_topk",
+    # round 4: the curve-geometry kernel (mapInPandas path) and the
+    # conic-projection pandas-UDF path
+    "curve_stroke",
+    "proj_conic",
 ]
 
 

@@ -419,3 +419,40 @@ class TestMinhashPlan:
         # and it's the partial-agg exchange: a partial_min aggregate
         # (SortAggregate — string MIN) runs BEFORE the exchange
         assert "partial_min" in plan[plan.index("Exchange"):], plan
+
+
+class TestRound4Plans:
+    def test_curve_stroke_zero_exchange(self, spark):
+        """The arc-metrics query is embarrassingly parallel: scan ->
+        project -> ONE MapInPandas, no Exchange anywhere."""
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["curve_stroke"](spark,
+                                               "/root/testdata/sf0.001"))
+        assert "Exchange" not in p
+        import re
+        assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+
+    def test_proj_conic_single_arrow_batch_no_exchange(self, spark):
+        """Catalyst fuses the three projection pandas UDFs into ONE
+        ArrowEvalPython node (one Arrow round-trip per batch, not
+        three), and the whole query has no Exchange."""
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["proj_conic"](spark,
+                                             "/root/testdata/sf0.001"))
+        assert "Exchange" not in p
+        import re
+        assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+
+    def test_mdim_arith_two_aggs_broadcast_combine(self, spark):
+        """combine() joins the two aggregated arrays without a THIRD
+        shuffle: the small side broadcasts (or the join reuses the agg
+        partitioning) — one Exchange per groupBy only."""
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["mdim_arith"](spark,
+                                             "/root/testdata/sf0.001"))
+        n_shuffle = p.count("Exchange hashpartitioning")
+        assert n_shuffle <= 3  # 2 aggs + the final y-reduce
+        assert "CartesianProduct" not in p
