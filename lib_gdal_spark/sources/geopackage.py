@@ -251,6 +251,106 @@ def read_gpkg(spark, path: str, layer: str | None = None,
     return rng.mapInPandas(_scan, schema=schema)
 
 
+def read_gpkg_raster(spark, path: str, table: str | None = None,
+                     zoom: int | None = None, band: int = 1):
+    """GeoPackage TILES pyramid -> the engine's (bx, by, value) cell
+    grid (by bottom-up, like every raster operator here).
+
+    Reference: the GPKG raster driver
+    (ogr/ogrsf_frmts/gpkg/ogrgeopackagedataset.cpp tile pipeline): the
+    raster window is gpkg_contents' extent positioned inside the
+    gpkg_tile_matrix_set origin at the chosen zoom's pixel size; tile
+    blobs are PNG (this engine's pure-stdlib decoder; JPEG/WebP tiles
+    raise the documented NotImplementedError). Tiles decode in parallel
+    — one task batch per tile row — and padding pixels outside the
+    contents window are dropped."""
+    from pyspark.sql import types as T
+
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        tiles_tabs = [r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type IN "
+            "('tiles', '2d-gridded-coverage') ORDER BY table_name")]
+        if table is None:
+            if len(tiles_tabs) != 1:
+                raise ValueError(f"pick one of tile tables {tiles_tabs}")
+            table = tiles_tabs[0]
+        cminx, cminy, cmaxx, cmaxy = con.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents "
+            "WHERE table_name = ?", (table,)).fetchone()
+        zooms = [r[0] for r in con.execute(
+            "SELECT zoom_level FROM gpkg_tile_matrix WHERE table_name = ?"
+            " ORDER BY zoom_level", (table,))]
+        if zoom is None:
+            zoom = zooms[-1]
+        (tile_w, tile_h, psx, psy) = con.execute(
+            "SELECT tile_width, tile_height, pixel_x_size, pixel_y_size "
+            "FROM gpkg_tile_matrix WHERE table_name = ? AND zoom_level = ?",
+            (table, zoom)).fetchone()
+        tms_minx, tms_maxy = con.execute(
+            "SELECT min_x, max_y FROM gpkg_tile_matrix_set "
+            "WHERE table_name = ?", (table,)).fetchone()
+        tiles = con.execute(
+            f'SELECT tile_column, tile_row FROM "{table}" '
+            "WHERE zoom_level = ?", (zoom,)).fetchall()
+    finally:
+        con.close()
+
+    width = int(round((cmaxx - cminx) / psx))
+    height = int(round((cmaxy - cminy) / psy))
+    px0 = int(round((cminx - tms_minx) / psx))
+    py0 = int(round((tms_maxy - cmaxy) / psy))
+    tile_w, tile_h = int(tile_w), int(tile_h)
+
+    schema = T.StructType([
+        T.StructField("bx", T.LongType()), T.StructField("by", T.LongType()),
+        T.StructField("value", T.DoubleType())])
+
+    def _scan(iterator):
+        import pandas as pd
+
+        from ..sources.png import decode_png
+
+        for pdf in iterator:
+            for col_, row_ in zip(pdf["tc"], pdf["tr"]):
+                c = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                try:
+                    blob = c.execute(
+                        f'SELECT tile_data FROM "{table}" WHERE '
+                        "zoom_level = ? AND tile_column = ? AND "
+                        "tile_row = ?", (zoom, int(col_), int(row_))
+                    ).fetchone()[0]
+                finally:
+                    c.close()
+                blob = bytes(blob)
+                if not blob.startswith(b"\x89PNG"):
+                    raise NotImplementedError(
+                        "non-PNG gpkg tile (JPEG/WebP) not supported")
+                arr, _meta = decode_png(blob)
+                if arr.ndim == 3:
+                    arr = arr[band - 1]
+                gy, gx = np.mgrid[0:arr.shape[0], 0:arr.shape[1]]
+                gx = gx + int(col_) * tile_w
+                gy = gy + int(row_) * tile_h
+                keep = ((gx >= px0) & (gx < px0 + width)
+                        & (gy >= py0) & (gy < py0 + height))
+                yield pd.DataFrame({
+                    "bx": (gx[keep] - px0).astype("int64"),
+                    "by": (height - 1 - (gy[keep] - py0)).astype("int64"),
+                    "value": arr[keep].astype("float64")})
+
+    rng = spark.createDataFrame(
+        [(int(c_), int(r_)) for c_, r_ in tiles], "tc long, tr long")
+    rng = rng.repartition(max(1, min(len(tiles),
+                                     spark.sparkContext.defaultParallelism)),
+                          "tc", "tr")
+    return rng.mapInPandas(_scan, schema=schema)
+
+
 _GPKG_DDL = """
 CREATE TABLE gpkg_spatial_ref_sys (
   srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,

@@ -802,3 +802,27 @@ class TestArrowIpc:
             with pa.ipc.new_stream(s, tbl.schema) as w:
                 w.write_table(tbl)
         assert ai.read_arrow_ipc(spark, sp).count() == 7
+
+
+class TestGeoPackageRaster:
+    """read_gpkg_raster: GPKG tile pyramid -> cell grid, replaying the
+    reference's own byte.gpkg (the classic 20x20 byte.tif re-tiled into
+    one 256x256 PNG tile) — content-window crop + checksum 4672."""
+
+    def test_byte_gpkg_checksum_and_tiff_equality(self, spark):
+        from lib_gdal_spark.operators import raster
+        from lib_gdal_spark.sources import geopackage as gp
+        from lib_gdal_spark.sources.tiff import read_tiff
+
+        df = gp.read_gpkg_raster(
+            spark, "/root/reference/autotest/gdrivers/data/gpkg/byte.gpkg")
+        assert df.count() == 400  # 20x20 window, padding cropped
+        cs = raster.checksum(df, 0, 0, 20, 20).head().checksum
+        assert cs == 4672  # GDALChecksumImage golden for byte.*
+
+        # pixel-exact vs the SAME raster through the TIFF source
+        tif, _ = read_tiff(
+            spark, "/root/reference/autotest/gcore/data/byte.tif")
+        a = {(r.bx, r.by): r.value for r in df.collect()}
+        b = {(r.bx, r.by): r.value for r in tif.collect()}
+        assert a == b
