@@ -692,6 +692,66 @@ FROM met
 """
 
 
+def _q_gpkg_roundtrip(spark, sf_dir):
+    # GeoPackage source+sink with the codec IN the loop (the tile_render
+    # pattern): synthesize point features from customer keys, write a
+    # REAL .gpkg (sqlite3, StandardGeoPackageBinary blobs), read it back
+    # with the rowid-range partitioned scan, and aggregate fid +
+    # envelope micro-unit sums — the oracle computes the same totals
+    # straight from customer, so a green hash row certifies
+    # encode_gpb -> sqlite write -> partitioned read -> parse_gpb ->
+    # WKB decode -> envelope, end to end.
+    import os
+    import tempfile
+
+    from lib_gdal_spark import functions as fns
+    from lib_gdal_spark.sources import geopackage as gp
+
+    q997, q991 = _ARC_Q[0], _ARC_Q[1]
+    c = _tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("fid"),
+        (((F.col("c_custkey") * 13 + 1) % 997).cast("double")
+         * F.lit(q997)).alias("x"),
+        (((F.col("c_custkey") * 29 + 2) % 991).cast("double")
+         * F.lit(q991)).alias("y"))
+
+    # st_point lives in the shipped package (UDFs defined in
+    # __spark_entry__ itself would not unpickle on executors)
+    fns.register_all(spark)
+    feats = c.select("fid", F.expr("st_point(x, y)").alias("wkb"))
+    path = os.path.join(tempfile.mkdtemp(prefix="gpkg_rt_"), "rt.gpkg")
+    gp.write_gpkg(feats, path, layer="pts", geometry_type="POINT")
+    back = gp.read_gpkg(spark, path)
+    return back.select(
+        "fid",
+        F.floor(F.col("xmin") * F.lit(1e6) + F.lit(0.5)).alias("x_um"),
+        F.floor(F.col("ymax") * F.lit(1e6) + F.lit(0.5)).alias("y_um"),
+    ).groupBy((F.col("fid") % 10).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("fid").alias("fid_sum"),
+        F.sum("x_um").alias("x_sum"),
+        F.sum("y_um").alias("y_sum"))
+
+
+def _o_gpkg_roundtrip() -> str:
+    def dl(x):
+        return f"{float(x):.17e}"
+
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS fid,
+         CAST((c_custkey*13+1) % 997 AS DOUBLE) * {dl(_ARC_Q[0])} AS x,
+         CAST((c_custkey*29+2) % 991 AS DOUBLE) * {dl(_ARC_Q[1])} AS y
+  FROM customer)
+SELECT fid % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(fid) AS BIGINT) AS fid_sum,
+       CAST(SUM(CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS x_sum,
+       CAST(SUM(CAST(FLOOR(y * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS y_sum
+FROM pts GROUP BY fid % 10
+"""
+
+
 def _q_mdim_arith(spark, sf_dir):
     # MDArray remainder closed: GetUnscaled (gdalmultidim.cpp:6672 —
     # value*scale + offset, nodata -> absent) + element-wise array
@@ -3113,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_stroke": _q_curve_stroke,           # CircularString stroking
         "proj_conic": _q_proj_conic,               # LCC/Albers/PolarStereo
         "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
+        "gpkg_roundtrip": _q_gpkg_roundtrip,       # GeoPackage src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6228,6 +6289,7 @@ def oracle_sql() -> dict[str, str]:
         "curve_stroke": _o_curve_stroke(),
         "proj_conic": _o_proj_conic(),
         "mdim_arith": _o_mdim_arith(),
+        "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

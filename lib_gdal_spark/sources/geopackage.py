@@ -378,6 +378,10 @@ def write_gpkg(df, path: str, layer: str = "layer",
     (never a whole-DataFrame collect). Returns the feature count."""
     import os
 
+    from ..session import ship_package
+
+    # the drained plan may carry pandas UDFs that unpickle worker-side
+    ship_package(df.sparkSession)
     if os.path.exists(path):
         os.remove(path)
     # a `fid` input column becomes the INTEGER PRIMARY KEY itself
