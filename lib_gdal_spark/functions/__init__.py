@@ -312,11 +312,17 @@ def register_all(spark: SparkSession) -> None:
 
     @F.pandas_udf(T.StringType())
     def st_astext(wkb: pd.Series) -> pd.Series:
-        # ST_AsText (ogrsqlitesqlfunctions.cpp:723): WKB -> WKT
-        return pd.Series([
-            None if buf is None else _wkt.to_wkt(*_wkb.decode(bytes(buf)))
-            for buf in wkb
-        ])
+        # ST_AsText (ogrsqlitesqlfunctions.cpp:723): WKB -> WKT;
+        # Z geometries keep their third ordinate (decode_z) like the
+        # reference's exportToWkt
+        out = []
+        for buf in wkb:
+            if buf is None:
+                out.append(None)
+                continue
+            kind, data, _hz = _wkb.decode_z(bytes(buf))
+            out.append(_wkt.to_wkt(kind, data))
+        return pd.Series(out)
 
     @F.pandas_udf(T.BinaryType())
     def st_geomfromtext(txt: pd.Series) -> pd.Series:

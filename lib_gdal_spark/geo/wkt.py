@@ -9,8 +9,8 @@ structures — ("point", (x, y)) | ("linestring", pts) |
 
 Numbers are emitted with Python's shortest-round-trip float repr (with a
 trailing ``.0`` dropped, matching OGR's integer-looking output for whole
-coordinates), so to_wkt/from_wkt round-trips bit-exactly. EMPTY and Z/M
-geometries are out of scope (the fixture corpus is 2-D).
+coordinates), so to_wkt/from_wkt round-trips bit-exactly. EMPTY and M geometries are out of scope (the fixture corpus
+is 2-D); Z round-trips through the ` Z ` WKT form.
 """
 
 from __future__ import annotations
@@ -24,14 +24,60 @@ def _fmt(v: float) -> str:
 
 
 def _coords(pts) -> str:
-    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in np.asarray(pts, float))
+    a = np.asarray(pts, float)
+    if a.ndim == 2 and a.shape[1] >= 3:
+        return ", ".join(f"{_fmt(x)} {_fmt(y)} {_fmt(z)}"
+                         for x, y, z in a[:, :3])
+    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in a)
+
+
+def _has_z(data, kind: str) -> bool:
+    """Does any coordinate array in this decoded structure carry Z?"""
+    if kind == "point":
+        return len(data) >= 3
+    try:
+        arr = np.asarray(data, float)
+        return arr.ndim >= 2 and arr.shape[-1] >= 3
+    except (TypeError, ValueError):
+        pass
+    for item in data:
+        if isinstance(item, tuple) and len(item) == 2 \
+                and isinstance(item[0], str):
+            if _has_z(item[1], item[0]):
+                return True
+        else:
+            try:
+                arr = np.asarray(item, float)
+                if arr.ndim == 2 and arr.shape[1] >= 3:
+                    return True
+                if arr.ndim == 3 and arr.shape[2] >= 3:
+                    return True
+            except (TypeError, ValueError):
+                if _has_z(item, "polygon"):
+                    return True
+    return False
 
 
 def to_wkt(kind: str, data) -> str:
     kind = kind.lower()
     if kind == "point":
+        if len(data) >= 3:
+            x, y, z = data[:3]
+            return f"POINT Z ({_fmt(x)} {_fmt(y)} {_fmt(z)})"
         x, y = data
         return f"POINT ({_fmt(x)} {_fmt(y)})"
+    if kind == "linestring" and _has_z(data, kind):
+        return f"LINESTRING Z ({_coords(data)})"
+    if kind == "circularstring" and _has_z(data, kind):
+        return f"CIRCULARSTRING Z ({_coords(data)})"
+    if kind == "polygon" and _has_z(data, kind):
+        rings = ", ".join(f"({_coords(r)})" for r in data)
+        return f"POLYGON Z ({rings})"
+    if kind == "multipolygon" and _has_z(data, kind):
+        polys = ", ".join(
+            "(" + ", ".join(f"({_coords(r)})" for r in rings) + ")"
+            for rings in data)
+        return f"MULTIPOLYGON Z ({polys})"
     if kind == "linestring":
         return f"LINESTRING ({_coords(data)})"
     if kind == "polygon":
@@ -116,12 +162,17 @@ def _parse_group(s: str, i: int):
 
 
 def _pt(tok: str):
-    x, y = tok.split()
-    return float(x), float(y)
+    parts = tok.split()
+    if len(parts) >= 3:
+        return float(parts[0]), float(parts[1]), float(parts[2])
+    return float(parts[0]), float(parts[1])
 
 
 def _ring(items) -> np.ndarray:
-    return np.array([_pt(t) for t in items], dtype=np.float64)
+    pts = [_pt(t) for t in items]
+    if pts and max(len(p) for p in pts) >= 3:
+        pts = [p + (0.0,) * (3 - len(p)) for p in pts]
+    return np.array(pts, dtype=np.float64)
 
 
 def _curve_component(item):
@@ -146,6 +197,10 @@ def from_wkt(text: str):
     if p < 0:
         raise NotImplementedError(f"unsupported WKT (EMPTY?): {t[:40]}")
     kind = t[:p].strip().upper()
+    if kind.endswith(" Z"):
+        kind = kind[:-2].strip()
+    elif kind.endswith("Z") and len(kind) > 1 and kind[-2] == " ":
+        kind = kind[:-1].strip()
     items, _ = _parse_group(t, p)
     if kind == "POINT":
         return "point", _pt(items[0])

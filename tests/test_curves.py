@@ -360,3 +360,22 @@ def test_has_curve_geometry():
         *wkt.from_wkt("MULTICURVE ((0 0, 1 1))"))
     assert not curves.has_curve_geometry(
         *wkt.from_wkt("LINESTRING (0 0, 1 1)"))
+
+
+def test_wkt_z_roundtrip():
+    """Z geometries round-trip text -> structure -> WKB -> text with the
+    ` Z ` form (exportToWkt/importFromWkt semantics)."""
+    cases = [
+        "POINT Z (1 2 3)",
+        "LINESTRING Z (0 0 10, 1 1 20)",
+        "CIRCULARSTRING Z (0 0 10, 1 1 20, 2 0 30)",
+        "POLYGON Z ((0 0 1, 1 0 1, 1 1 1, 0 0 1))",
+        "MULTIPOLYGON Z (((0 0 1, 1 0 1, 1 1 1, 0 0 1)))",
+    ]
+    for c in cases:
+        k, d = wkt.from_wkt(c)
+        k2, d2, hz = wkb.decode_z(wkb.encode_geometry(k, d))
+        assert hz and wkt.to_wkt(k2, d2) == c
+    # 2-D output stays Z-free
+    assert wkt.to_wkt(*wkt.from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))")) \
+        == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
