@@ -752,6 +752,45 @@ FROM pts GROUP BY fid % 10
 """
 
 
+def _q_mbtiles_roundtrip(spark, sf_dir):
+    # MBTiles source+sink with the TMS row flip IN the loop: assign
+    # pages to z=5 WebMercator tiles, pack each tile's page count into
+    # an 8-byte big-endian blob (pure JVM: hex->lpad->unhex), write a
+    # REAL .mbtiles (sqlite3, tiles+metadata tables, XYZ->TMS flip of
+    # mbtilesdataset.cpp:1852), read it back with the rowid-range
+    # partitioned scan (TMS->XYZ flip of :1665), and decode the count
+    # (hex->conv). The oracle recomputes tile counts straight from the
+    # page coordinates, so a green hash row certifies sink, source,
+    # BOTH flips, and the binary codec end to end — a wrong flip moves
+    # every tile to a different y and can never hash-match.
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import mbtiles as mb
+
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=5)
+    base = p.groupBy(F.col("tile_x").alias("x"),
+                     F.col("tile_y").alias("y")).agg(
+        F.count("*").alias("n"))
+    t = base.select(
+        F.lit(5).cast("int").alias("z"), "x", "y",
+        F.unhex(F.lpad(F.hex(F.col("n")), 16, "0")).alias("data"))
+    path = os.path.join(tempfile.mkdtemp(prefix="mbt_rt_"), "rt.mbtiles")
+    mb.write_mbtiles(t, path, name="pages_z5", fmt="bin")
+    back = mb.read_mbtiles(spark, path)
+    return back.select(
+        "x", "y", F.conv(F.hex("data"), 16, 10).cast("long").alias("n"))
+
+
+def _o_mbtiles_roundtrip() -> str:
+    return f"""
+WITH {_PAGES_CTE}
+SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT {_dd_tile_x('lon', 5)} AS x, {_dd_tile_y('lat', 5)} AS y FROM pages)
+GROUP BY x, y
+"""
+
+
 def _q_mdim_arith(spark, sf_dir):
     # MDArray remainder closed: GetUnscaled (gdalmultidim.cpp:6672 —
     # value*scale + offset, nodata -> absent) + element-wise array
@@ -3174,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_conic": _q_proj_conic,               # LCC/Albers/PolarStereo
         "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
         "gpkg_roundtrip": _q_gpkg_roundtrip,       # GeoPackage src+sink
+        "mbtiles_roundtrip": _q_mbtiles_roundtrip,  # MBTiles src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6290,6 +6330,7 @@ def oracle_sql() -> dict[str, str]:
         "proj_conic": _o_proj_conic(),
         "mdim_arith": _o_mdim_arith(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
+        "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

@@ -826,3 +826,65 @@ class TestGeoPackageRaster:
         a = {(r.bx, r.by): r.value for r in df.collect()}
         b = {(r.bx, r.by): r.value for r in tif.collect()}
         assert a == b
+
+
+class TestMBTiles:
+    def _tiles_df(self, spark):
+        rows = [(2, 0, 0, bytes([1, 2, 3])), (2, 3, 1, bytes([4])),
+                (3, 5, 7, bytes([9, 9])), (2, 1, 3, b"\x00" * 5)]
+        return spark.createDataFrame(
+            rows, "z int, x long, y long, data binary")
+
+    def test_roundtrip_xyz(self, spark, tmp_path):
+        from lib_gdal_spark.sources import mbtiles as mb
+
+        p = str(tmp_path / "t.mbtiles")
+        n = mb.write_mbtiles(self._tiles_df(spark), p, name="t",
+                             fmt="png", bounds=(-180, -85, 180, 85))
+        assert n == 4
+        back = {(r.z, r.x, r.y): bytes(r.data)
+                for r in mb.read_mbtiles(spark, p).collect()}
+        assert back[(2, 0, 0)] == bytes([1, 2, 3])
+        assert back[(3, 5, 7)] == bytes([9, 9])
+        assert len(back) == 4
+
+    def test_tms_flip_on_disk(self, spark, tmp_path):
+        # the file must store TMS rows ((1<<z)-1-y,
+        # mbtilesdataset.cpp:1852) even though the DataFrame is XYZ
+        import sqlite3
+
+        from lib_gdal_spark.sources import mbtiles as mb
+
+        p = str(tmp_path / "t.mbtiles")
+        mb.write_mbtiles(self._tiles_df(spark), p)
+        con = sqlite3.connect(p)
+        rows = set(con.execute(
+            "SELECT zoom_level, tile_column, tile_row FROM tiles"))
+        con.close()
+        assert (2, 0, 3) in rows      # y=0 -> tms row 3
+        assert (3, 5, 0) in rows      # y=7 at z=3 -> tms row 0
+        assert (2, 1, 0) in rows      # y=3 -> tms row 0
+
+    def test_metadata_required_keys(self, spark, tmp_path):
+        # reference writer's required metadata rows
+        # (mbtilesdataset.cpp:3047-3085) + computed minzoom/maxzoom
+        from lib_gdal_spark.sources import mbtiles as mb
+
+        p = str(tmp_path / "t.mbtiles")
+        mb.write_mbtiles(self._tiles_df(spark), p, name="nm", fmt="png")
+        meta = mb.read_metadata(p)
+        for k in ("name", "type", "description", "version", "format"):
+            assert k in meta
+        assert meta["name"] == "nm"
+        assert (meta["minzoom"], meta["maxzoom"]) == ("2", "3")
+        assert mb.zoom_levels(p) == [2, 3]
+
+    def test_zoom_filter_and_empty(self, spark, tmp_path):
+        from lib_gdal_spark.sources import mbtiles as mb
+
+        p = str(tmp_path / "t.mbtiles")
+        mb.write_mbtiles(self._tiles_df(spark), p)
+        only2 = mb.read_mbtiles(spark, p, zoom=2)
+        assert only2.count() == 3
+        empty = mb.read_mbtiles(spark, p, zoom=9)
+        assert empty.count() == 0
