@@ -791,6 +791,91 @@ GROUP BY x, y
 """
 
 
+def _q_vrt_mosaic(spark, sf_dir):
+    # VRT composition with the XML plan IN the loop: synthesize two
+    # integer grids from documents, write them as real TIFFs, compose a
+    # VRTDataset (SimpleSource mosaic + ComplexSource scale/NODATA +
+    # 2x AveragedSource decimation), and read it back through read_vrt.
+    # The oracle recomputes the composition relationally (paint-over =
+    # arg_max over source index, averaged = windowed mean with the
+    # floor(v+0.5) Byte rule), so a green hash row certifies the XML
+    # parse, the window remap, paint-over order, the ComplexSource
+    # value map, and the AveragedSource center-rule mean end to end.
+    # All values are small integers -> every fold is exact.
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import vrt as vrtmod
+    from lib_gdal_spark.sources.tiff import write_tiff
+
+    d = _tbl(spark, sf_dir, "documents")
+    base = d.select((F.col("doc_id") % 24).alias("bx"),
+                    (F.expr("doc_id div 24") % 16).alias("by"), "n_chars")
+    ga = base.groupBy("bx", "by").agg(
+        (F.min("n_chars") % 200).cast("double").alias("value"))
+    gb = base.groupBy("bx", "by").agg(
+        ((F.max("n_chars") * 31 + 17) % 97).cast("double").alias("value"))
+    tmp = tempfile.mkdtemp(prefix="vrt_mz_")
+    write_tiff(ga, os.path.join(tmp, "a.tif"), 24, 16)
+    write_tiff(gb, os.path.join(tmp, "b.tif"), 24, 16)
+    xml = """<VRTDataset rasterXSize="36" rasterYSize="24">
+  <VRTRasterBand dataType="Byte" band="1">
+    <SimpleSource>
+      <SourceFilename relativeToVRT="1">a.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="24" ySize="16"/>
+      <DstRect xOff="0" yOff="0" xSize="24" ySize="16"/>
+    </SimpleSource>
+    <ComplexSource>
+      <SourceFilename relativeToVRT="1">b.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="24" ySize="16"/>
+      <DstRect xOff="8" yOff="0" xSize="24" ySize="16"/>
+      <ScaleRatio>2</ScaleRatio>
+      <ScaleOffset>3</ScaleOffset>
+      <NODATA>13</NODATA>
+    </ComplexSource>
+    <AveragedSource>
+      <SourceFilename relativeToVRT="1">a.tif</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="24" ySize="16"/>
+      <DstRect xOff="24" yOff="16" xSize="12" ySize="8"/>
+    </AveragedSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+    path = os.path.join(tmp, "m.vrt")
+    with open(path, "w") as f:
+        f.write(xml)
+    cells, _meta = vrtmod.read_vrt(spark, path)
+    return cells.select(
+        "bx", "by", F.col("value").cast("long").alias("value"))
+
+
+def _o_vrt_mosaic() -> str:
+    # canvas coords: a SimpleSource at dst(0,0) lands (x, 8+y); b at
+    # dst(8,0) lands (x+8, 8+y); the 2x averaged copy of a lands
+    # (24 + x//2, y//2) with a 4-pixel mean
+    return """
+WITH d AS (SELECT CAST(doc_id % 24 AS BIGINT) AS x,
+                  CAST(doc_id // 24 % 16 AS BIGINT) AS y, n_chars
+           FROM documents),
+a AS (SELECT x, y, CAST(min(n_chars) % 200 AS BIGINT) AS v
+      FROM d GROUP BY 1, 2),
+b AS (SELECT x, y, CAST((max(n_chars) * 31 + 17) % 97 AS BIGINT) AS v
+      FROM d GROUP BY 1, 2),
+u AS (
+  SELECT x AS cx, y + 8 AS cy, CAST(v AS DOUBLE) AS v, 0 AS i FROM a
+  UNION ALL
+  SELECT x + 8, y + 8, CAST(2 * v + 3 AS DOUBLE), 1 FROM b WHERE v <> 13
+  UNION ALL
+  SELECT 24 + x // 2, y // 2,
+         FLOOR(SUM(CAST(v AS DOUBLE)) / COUNT(*) + 0.5), 2
+  FROM a GROUP BY 1, 2)
+SELECT cx AS bx, cy AS by, CAST(arg_max(v, i) AS BIGINT) AS value
+FROM u GROUP BY cx, cy
+"""
+
+
 def _q_mdim_arith(spark, sf_dir):
     # MDArray remainder closed: GetUnscaled (gdalmultidim.cpp:6672 —
     # value*scale + offset, nodata -> absent) + element-wise array
@@ -3214,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
         "gpkg_roundtrip": _q_gpkg_roundtrip,       # GeoPackage src+sink
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,  # MBTiles src+sink
+        "vrt_mosaic": _q_vrt_mosaic,               # VRT composition
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6331,6 +6417,7 @@ def oracle_sql() -> dict[str, str]:
         "mdim_arith": _o_mdim_arith(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
+        "vrt_mosaic": _o_vrt_mosaic(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),
