@@ -791,6 +791,34 @@ GROUP BY x, y
 """
 
 
+def _q_tile_geodetic(spark, sf_dir):
+    # gdal2tiles' SECOND profile: Plate Carree geodetic tiles
+    # (GlobalGeodetic, gdal2tiles.py:534-640), tmscompatible matrix
+    # (2^(z+1) x 2^z at z), XYZ-flipped rows like every tile op here.
+    # res = (180/256)/2^6 is an exact dyadic double, so Column and SQL
+    # agree to the last ulp with one addition + two divisions + ceil.
+    from lib_gdal_spark.geo import geodetic_profile as gp
+
+    p = _pages(spark, sf_dir)
+    t = p.select(
+        "doc_id",
+        gp.geodetic_tile_x_col(F.col("lon"), 6).alias("x"),
+        gp.geodetic_tile_y_col(F.col("lat"), 6).alias("y"))
+    return t.groupBy("x", "y").agg(F.count("*").alias("n"))
+
+
+def _o_tile_geodetic() -> str:
+    res = repr((180.0 / 256) / 2 ** 6)
+    return f"""
+WITH {_PAGES_CTE}
+SELECT x, CAST(63 - ty AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CAST(CEIL(((180.0 + lon) / {res}) / 256.0) AS BIGINT) - 1 AS x,
+         CAST(CEIL(((90.0 + lat) / {res}) / 256.0) AS BIGINT) - 1 AS ty
+  FROM pages)
+GROUP BY x, ty
+"""
+
+
 def _q_vrt_mosaic(spark, sf_dir):
     # VRT composition with the XML plan IN the loop: synthesize two
     # integer grids from documents, write them as real TIFFs, compose a
@@ -3300,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": _q_gpkg_roundtrip,       # GeoPackage src+sink
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,  # MBTiles src+sink
         "vrt_mosaic": _q_vrt_mosaic,               # VRT composition
+        "tile_geodetic": _q_tile_geodetic,         # geodetic profile
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6418,6 +6447,7 @@ def oracle_sql() -> dict[str, str]:
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
         "vrt_mosaic": _o_vrt_mosaic(),
+        "tile_geodetic": _o_tile_geodetic(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

@@ -258,3 +258,73 @@ class TestLayerOverlay:
         # erased halves (8+8) + all of B (8+8+1)
         assert tot == pytest.approx(33.0)
         assert {r.src for r in upd} == {"input", "method"}
+
+
+class TestGeodeticProfile:
+    # GlobalGeodetic replay (gdal2tiles.py:534-640): formulas re-derived
+    # by hand for spot values, both profiles, plus the XYZ flip
+    def test_hand_values_tmscompatible(self):
+        import numpy as np
+
+        from lib_gdal_spark.geo import geodetic_profile as gp
+
+        # z=3 tms: res = 0.703125/8; lon=-100 -> px=910.22 -> tile 3
+        tx, ty = gp.geodetic_tile_np([-100.0], [40.0], 3, xyz=False)
+        assert (tx[0], ty[0]) == (3, 5)
+        txf, tyf = gp.geodetic_tile_np([-100.0], [40.0], 3, xyz=True)
+        assert (txf[0], tyf[0]) == (3, 8 - 1 - 5)
+        # level 0 is two tiles wide: +1 deg of lon -> tile 1
+        tx0, _ = gp.geodetic_tile_np([1.0], [0.0], 0, xyz=False)
+        assert tx0[0] == 1
+
+    def test_openlayers_profile(self):
+        from lib_gdal_spark.geo import geodetic_profile as gp
+
+        # non-tms: resFact 360/256 -> ONE tile at level 0
+        tx, ty = gp.geodetic_tile_np([1.0], [0.0], 0, tmscompatible=False,
+                                     xyz=False)
+        assert tx[0] == 0
+        assert gp.geodetic_resolution(0, tmscompatible=False) == 1.40625
+
+    def test_reference_formula_sweep(self):
+        # exact replay of the class formulas over a coordinate sweep
+        import numpy as np
+
+        from lib_gdal_spark.geo import geodetic_profile as gp
+
+        rng = np.random.RandomState(7)
+        lon = rng.uniform(-179.9, 179.9, 200)
+        lat = rng.uniform(-89.9, 89.9, 200)
+        for z in (1, 4, 9):
+            res = (180.0 / 256) / 2 ** z
+            px, py = (180.0 + lon) / res, (90.0 + lat) / res
+            exp_tx = np.ceil(px / 256.0).astype(np.int64) - 1
+            exp_ty = np.ceil(py / 256.0).astype(np.int64) - 1
+            tx, ty = gp.geodetic_tile_np(lon, lat, z, xyz=False)
+            assert (tx == exp_tx).all() and (ty == exp_ty).all()
+
+    def test_column_matches_numpy(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from lib_gdal_spark.geo import geodetic_profile as gp
+
+        rng = np.random.RandomState(11)
+        lon = rng.uniform(-180, 180, 300)
+        lat = rng.uniform(-90, 90, 300)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon, lat)],
+            "lon double, lat double")
+        got = df.select(
+            gp.geodetic_tile_x_col(F.col("lon"), 7).alias("x"),
+            gp.geodetic_tile_y_col(F.col("lat"), 7).alias("y")).collect()
+        ex, ey = gp.geodetic_tile_np(lon, lat, 7)
+        assert [r.x for r in got] == ex.tolist()
+        assert [r.y for r in got] == ey.tolist()
+
+    def test_tile_bounds_roundtrip(self):
+        from lib_gdal_spark.geo import geodetic_profile as gp
+
+        # bounds of tile (3,5) z=3 contain the point that mapped there
+        w, s, e, n = gp.geodetic_tile_bounds_np([3], [5], 3)
+        assert w[0] <= -100.0 < e[0] and s[0] <= 40.0 < n[0]
