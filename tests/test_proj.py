@@ -1,0 +1,127 @@
+"""proj-string / EPSG dispatch (geo/proj.py): parse equivalence,
+forward/inverse roundtrips, scale-factor invariants, and agreement with
+the engine's existing fast paths."""
+
+import numpy as np
+import pytest
+
+from lib_gdal_spark.geo import proj as P
+from lib_gdal_spark.geo import tmerc as T
+from lib_gdal_spark.geo.mercator import lonlat_to_meters_np
+
+RNG = np.random.RandomState(42)
+
+
+class TestTransverseMercator:
+    def test_utm_matches_tmerc_fast_path(self):
+        lon = RNG.uniform(9, 21, 300)
+        lat = RNG.uniform(-70, 70, 300)
+        x1, y1 = T.utm_forward(lon, lat, 32633)
+        p = P.from_epsg(32633)
+        x2, y2 = p.forward(lon, lat)
+        assert np.allclose(x1, x2, atol=1e-6)
+        assert np.allclose(y1, y2, atol=1e-6)
+
+    def test_inverse_roundtrip(self):
+        lon = RNG.uniform(6, 18, 500)   # +-6 deg off the zone meridian
+        lat = RNG.uniform(-80, 84, 500)
+        p = P.from_proj4("+proj=utm +zone=32 +ellps=WGS84")
+        x, y = p.forward(lon, lat)
+        lo, la = p.inverse(x, y)
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+    def test_south_zone_false_northing(self):
+        p = P.from_epsg(32733)
+        _x, y = p.forward(np.array([15.0]), np.array([-30.0]))
+        assert 6.0e6 < y[0] < 1.0e7
+
+    def test_lat0_origin_offset(self):
+        p = P.from_proj4("+proj=tmerc +lon_0=9 +lat_0=50 +k_0=1 "
+                         "+x_0=0 +y_0=0 +ellps=GRS80")
+        _x, y = p.forward(np.array([9.0]), np.array([50.0]))
+        assert abs(y[0]) < 1e-6      # natural origin maps to (0, 0)
+        lo, la = p.inverse(np.array([0.0]), np.array([0.0]))
+        assert abs(lo[0] - 9.0) < 1e-12 and abs(la[0] - 50.0) < 1e-9
+
+
+class TestEpsgTable:
+    @pytest.mark.parametrize("code,lon_rng,lat_rng", [
+        (2154, (-4, 8), (42, 50)),       # Lambert-93
+        (5070, (-120, -75), (25, 48)),   # Conus Albers
+        (3031, (-180, 180), (-88, -62)), # Antarctic PS (variant B)
+        (3413, (-180, 180), (62, 88)),   # Arctic PS (variant B)
+        (5041, (-180, 180), (62, 88)),   # UPS North (variant A)
+    ])
+    def test_roundtrip(self, code, lon_rng, lat_rng):
+        lon = RNG.uniform(*lon_rng, 300)
+        lat = RNG.uniform(*lat_rng, 300)
+        p = P.from_epsg(code)
+        x, y = p.forward(lon, lat)
+        lo, la = p.inverse(x, y)
+        dlon = (lo - lon + 180.0) % 360.0 - 180.0
+        assert np.allclose(dlon, 0.0, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+    def test_3857_is_engine_mercator(self):
+        lon = RNG.uniform(-179, 179, 100)
+        lat = RNG.uniform(-85, 85, 100)
+        x1, y1 = P.from_epsg(3857).forward(lon, lat)
+        x2, y2 = lonlat_to_meters_np(lon, lat)
+        assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
+
+    def test_variant_b_unit_scale_on_standard_parallel(self):
+        # EPSG 9829: k0 derived from lat_ts must give scale 1 there
+        p = P.from_epsg(3031)
+        eps = 1e-6
+        lat = -71.0
+        x1, y1 = p.forward(np.array([0.0]), np.array([lat]))
+        x2, y2 = p.forward(np.array([eps]), np.array([lat]))
+        # parallel-direction ground distance for eps deg of lon
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(lat)) ** 2)
+        ground = nu * np.cos(np.radians(lat)) * np.radians(eps)
+        k = np.hypot(x2 - x1, y2 - y1) / ground
+        assert abs(k - 1.0) < 1e-9
+
+    def test_ups_k0(self):
+        # variant A keeps the explicit k_0=0.994 and the 2000 km offsets
+        p = P.from_epsg(5041)
+        x, y = p.forward(np.array([0.0]), np.array([90.0]))
+        assert abs(x[0] - 2000000.0) < 1e-6
+        assert abs(y[0] - 2000000.0) < 1e-6
+
+
+class TestCompose:
+    def test_utm_to_lambert93_roundtrip(self):
+        lon = RNG.uniform(0, 8, 200)
+        lat = RNG.uniform(43, 49, 200)
+        utm = P.from_epsg(32631)
+        x, y = utm.forward(lon, lat)
+        t = P.transform(32631, 2154)
+        x93, y93 = t.forward(x, y)
+        xb, yb = t.inverse(x93, y93)
+        assert np.allclose(xb, x, atol=1e-6)
+        assert np.allclose(yb, y, atol=1e-6)
+
+    def test_accepts_strings_and_codes(self):
+        t = P.transform("+proj=longlat +ellps=WGS84", 3857)
+        x, y = t.forward(np.array([10.0]), np.array([20.0]))
+        ex, ey = lonlat_to_meters_np(np.array([10.0]), np.array([20.0]))
+        assert x[0] == ex[0] and y[0] == ey[0]
+
+    def test_oblique_stereo_refuses(self):
+        with pytest.raises(NotImplementedError):
+            P.from_proj4("+proj=stere +lat_0=52 +lon_0=5 +ellps=WGS84")
+
+
+class TestProj4Parse:
+    def test_explicit_ellipsoid_numbers(self):
+        p = P.from_proj4("+proj=tmerc +lon_0=0 +a=6378388 +rf=297")
+        assert p.a == 6378388.0
+        assert abs(p.f - 1 / 297.0) < 1e-15
+
+    def test_sphere_radius(self):
+        p = P.from_proj4("+proj=tmerc +lon_0=0 +R=6370997")
+        assert p.a == 6370997.0 and p.f == 0.0
