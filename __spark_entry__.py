@@ -791,6 +791,48 @@ GROUP BY x, y
 """
 
 
+def _q_unimax_alloc(spark, sf_dir):
+    # UniMax language sampling (Chung et al. 2023): water-fill a 40%
+    # budget across languages, 3-epoch cap. The sequential fold runs
+    # over the bounded language dim; the oracle replays it as a
+    # recursive CTE with the IDENTICAL float op order (one division +
+    # one min + one subtraction per language), so allocs hash bit-exact.
+    from lib_gdal_spark.operators import sampling
+
+    d = _tbl(spark, sf_dir, "documents")
+    return sampling.unimax_allocation(
+        d, "lang", "n_chars", budget_frac=0.4, epochs_cap=3.0)
+
+
+def _o_unimax_alloc() -> str:
+    return """
+WITH RECURSIVE sizes AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY lang),
+ord AS (
+  SELECT lang, n_docs, chars,
+         CAST(ROW_NUMBER() OVER (ORDER BY chars, lang) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_groups,
+         CAST(SUM(chars) OVER () AS DOUBLE) * 0.4 AS budget
+  FROM sizes),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS rn,
+         (SELECT CAST(any_value(budget) AS DOUBLE) FROM ord) AS remaining,
+         CAST(0.0 AS DOUBLE) AS alloc,
+         CAST(NULL AS VARCHAR) AS lang,
+         CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS chars
+  UNION ALL
+  SELECT o.rn,
+         r.remaining
+           - LEAST(3.0 * o.chars, r.remaining / (o.n_groups - o.rn + 1)),
+         LEAST(3.0 * o.chars, r.remaining / (o.n_groups - o.rn + 1)),
+         o.lang, o.n_docs, o.chars
+  FROM rec r JOIN ord o ON o.rn = r.rn + 1)
+SELECT lang, n_docs, chars, alloc FROM rec WHERE rn > 0
+"""
+
+
 def _q_tile_geodetic(spark, sf_dir):
     # gdal2tiles' SECOND profile: Plate Carree geodetic tiles
     # (GlobalGeodetic, gdal2tiles.py:534-640), tmscompatible matrix
@@ -3329,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,  # MBTiles src+sink
         "vrt_mosaic": _q_vrt_mosaic,               # VRT composition
         "tile_geodetic": _q_tile_geodetic,         # geodetic profile
+        "unimax_alloc": _q_unimax_alloc,           # UniMax sampling
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6448,6 +6491,7 @@ def oracle_sql() -> dict[str, str]:
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
         "vrt_mosaic": _o_vrt_mosaic(),
         "tile_geodetic": _o_tile_geodetic(),
+        "unimax_alloc": _o_unimax_alloc(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

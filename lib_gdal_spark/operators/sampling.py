@@ -347,3 +347,48 @@ def chunk_documents(df: DataFrame, chunk: int = 64, stride: int = 48, *,
                       F.col("c.n_chunk_tokens").cast("long")
                        .alias("n_chunk_tokens"),
                       F.col("c.chunk_fp").alias("chunk_fp"))
+
+
+def unimax_allocation(df: DataFrame, group_col: str = "lang",
+                      size_col: str = "n_chars", *,
+                      budget: float | None = None,
+                      budget_frac: float = 0.4,
+                      epochs_cap: float = 3.0) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): allocate a total
+    training budget across languages by water-filling — languages
+    ascending by size each get min(epochs_cap * size, fair share of
+    what remains), so no language repeats more than `epochs_cap`
+    epochs and head languages absorb the slack uniformly.
+
+    The per-language histogram is a bounded dimension (a language
+    count, never corpus-sized), so — exactly like the reference's own
+    bounded folds (gdalenhance's 256-bin LUT, rgb2pct's 32768-code
+    histogram) — the distributed part is ONE groupBy; the sequential
+    water-fill runs driver-side over that constant-size list and the
+    result broadcasts back trivially. Deterministic: languages sort by
+    (size, name); every float op is replayed in the same order by the
+    duckdb recursive-CTE twin, so allocations are bit-exact
+    cross-engine.
+
+    Returns one row per group: (group_col, n_docs, chars, alloc).
+    """
+    sizes = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("chars"))
+    rows = sorted(sizes.collect(),
+                  key=lambda r: (r["chars"], r[group_col]))
+    if budget is None:
+        total = sum(int(r["chars"]) for r in rows)
+        budget = float(total) * budget_frac
+    n_groups = len(rows)
+    remaining = float(budget)
+    out = []
+    for i, r in enumerate(rows):
+        per = remaining / (n_groups - i)
+        a = min(epochs_cap * float(r["chars"]), per)
+        remaining -= a
+        out.append((r[group_col], int(r["n_docs"]), int(r["chars"]),
+                    float(a)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, f"{group_col} string, n_docs long, chars long, alloc double")

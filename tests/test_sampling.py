@@ -305,3 +305,44 @@ class TestSamplingInvariants:
         ordered = [rates[g] for g in ("a", "b", "c", "d", "e")]
         assert all(x <= y for x, y in zip(ordered, ordered[1:]))
         assert all(0.0 < r <= 1.0 for r in ordered)
+
+
+class TestUnimax:
+    # hand-computed water-fill: sizes 10/20/100, budget 90, cap 2:
+    # per=30 -> a=min(20,30)=20; rem 70, per=35 -> a=min(40,35)=35;
+    # rem 35 -> a=min(200,35)=35
+    def test_hand_example(self, spark):
+        from lib_gdal_spark.operators.sampling import unimax_allocation
+
+        rows = ([("a", 10)] * 1 + [("b", 10)] * 2 + [("c", 10)] * 10)
+        df = spark.createDataFrame(rows, "lang string, n_chars long")
+        out = {r.lang: r for r in unimax_allocation(
+            df, budget=90.0, epochs_cap=2.0).collect()}
+        assert out["a"].alloc == 20.0
+        assert out["b"].alloc == 35.0
+        assert out["c"].alloc == 35.0
+        assert out["c"].chars == 100 and out["c"].n_docs == 10
+
+    def test_budget_conserved_and_cap_respected(self, spark):
+        from lib_gdal_spark.operators.sampling import unimax_allocation
+
+        rows = [(f"l{i % 7}", 50 + i * 13) for i in range(200)]
+        df = spark.createDataFrame(rows, "lang string, n_chars long")
+        out = unimax_allocation(df, budget_frac=0.5,
+                                epochs_cap=1.5).collect()
+        total = sum(r.chars for r in out)
+        assert abs(sum(r.alloc for r in out)
+                   - min(0.5 * total,
+                         sum(1.5 * r.chars for r in out))) < 1e-6
+        for r in out:
+            assert r.alloc <= 1.5 * r.chars + 1e-9
+
+    def test_uniform_when_uncapped(self, spark):
+        # with a huge cap every language gets the same share
+        from lib_gdal_spark.operators.sampling import unimax_allocation
+
+        rows = [("x", 100), ("y", 300), ("z", 900)]
+        df = spark.createDataFrame(rows, "lang string, n_chars long")
+        out = unimax_allocation(df, budget=300.0,
+                                epochs_cap=1e9).collect()
+        assert all(abs(r.alloc - 100.0) < 1e-9 for r in out)
