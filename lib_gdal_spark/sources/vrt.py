@@ -37,7 +37,7 @@ import math
 import os
 import xml.etree.ElementTree as ET
 
-__all__ = ["parse_vrt", "read_vrt", "PIXEL_FUNCTIONS"]
+__all__ = ["parse_vrt", "read_vrt", "build_vrt", "PIXEL_FUNCTIONS"]
 
 # real-valued subset of pixelfunctions.cpp:3944-4067 (complex variants
 # need a complex cell model this engine does not have)
@@ -325,3 +325,133 @@ def read_vrt(spark, path: str, band: int = 1):
                        (F.lit(H - 1) - F.col("r")).alias("by"),
                        F.col("value").cast("double").alias("value")),
             meta)
+
+
+def _probe(fname: str):
+    """(width, height, geotransform) of a raster file, for build_vrt."""
+    ext = os.path.splitext(fname)[1].lower()
+    if ext in (".tif", ".tiff"):
+        from .tiff import decode_tiff
+        with open(fname, "rb") as f:
+            _arr, meta = decode_tiff(f.read())
+        gt = meta.get("geotransform")
+        if gt is None:
+            raise ValueError(f"{fname} has no geotransform")
+        return int(meta["width"]), int(meta["height"]), tuple(gt)
+    if ext in (".grd", ".asc"):
+        meta = {}
+        with open(fname) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2 and parts[0].lower() in (
+                        "ncols", "nrows", "xllcorner", "yllcorner",
+                        "cellsize", "xllcenter", "yllcenter", "dx", "dy"):
+                    meta[parts[0].lower()] = float(parts[1])
+                elif parts:
+                    break
+        w, h = int(meta["ncols"]), int(meta["nrows"])
+        cs = float(meta.get("cellsize", meta.get("dx", 1.0)))
+        x0 = float(meta.get("xllcorner",
+                            meta.get("xllcenter", cs / 2.0) - cs / 2.0))
+        y0 = float(meta.get("yllcorner",
+                            meta.get("yllcenter", cs / 2.0) - cs / 2.0))
+        return w, h, (x0, cs, 0.0, y0 + h * cs, 0.0, -cs)
+    if ext == ".vrt":
+        m = parse_vrt(fname)
+        if m["geotransform"] is None:
+            raise ValueError(f"{fname} has no geotransform")
+        return m["xsize"], m["ysize"], m["geotransform"]
+    raise NotImplementedError(f"build_vrt probe for {ext}")
+
+
+def build_vrt(out_path: str, inputs, *, resolution: str = "average",
+              src_nodata: float | None = None,
+              band_dtype: str = "Float64") -> dict:
+    """gdalbuildvrt (apps/gdalbuildvrt_lib.cpp): union-extent mosaic
+    VRT over a list of georeferenced rasters.
+
+    `inputs`: filenames (probed), or (filename, (w, h), geotransform)
+    tuples. Rules replayed from the reference: extent = union of
+    source extents; resolution strategy 'average' (running-mean update,
+    :979-990), 'highest' (min pixel size, :1017-1021) or 'lowest';
+    raster size = int(0.5 + extent/res) (:1763-1764); per-source
+    DstRect positioned by (topleft - min) / res (:146-158). Sources
+    whose windows do not land on integer pixels raise — the same
+    aligned-only contract read_vrt enforces, checked at BUILD time so
+    the failure is immediate.
+
+    Returns the parsed meta of the written file.
+    """
+    props = []
+    for item in inputs:
+        if isinstance(item, str):
+            w, h, gt = _probe(item)
+            props.append((item, w, h, gt))
+        else:
+            fname, (w, h), gt = item
+            props.append((fname, int(w), int(h), tuple(gt)))
+    if not props:
+        raise ValueError("no inputs")
+    for _f, _w, _h, gt in props:
+        if gt[2] != 0.0 or gt[4] != 0.0:
+            raise NotImplementedError("rotated sources in build_vrt")
+
+    we_res = ns_res = 0.0
+    n_valid = 0
+    for i, (_f, _w, _h, gt) in enumerate(props):
+        if resolution == "average":
+            n_valid += 1
+            we_res += (gt[1] - we_res) / n_valid
+            ns_res += (gt[5] - ns_res) / n_valid
+        elif i == 0:
+            we_res, ns_res = gt[1], gt[5]
+        elif resolution == "highest":
+            we_res = min(we_res, gt[1])
+            ns_res = max(ns_res, gt[5])
+        elif resolution == "lowest":
+            we_res = max(we_res, gt[1])
+            ns_res = min(ns_res, gt[5])
+        else:
+            raise ValueError(f"resolution strategy {resolution!r}")
+
+    min_x = min(gt[0] for _f, _w, _h, gt in props)
+    max_y = max(gt[3] for _f, _w, _h, gt in props)
+    max_x = max(gt[0] + w * gt[1] for _f, w, _h, gt in props)
+    min_y = min(gt[3] + h * gt[5] for _f, _w, h, gt in props)
+    xsize = int(0.5 + (max_x - min_x) / we_res)
+    ysize = int(0.5 + (max_y - min_y) / -ns_res)
+
+    def _i(v, what):
+        r = int(round(v))
+        if abs(v - r) > 1e-8:
+            raise NotImplementedError(
+                f"{what} = {v} not pixel-aligned (fractional windows "
+                "need the sub-pixel GetSrcDstWindow path)")
+        return r
+
+    srcs = []
+    for fname, w, h, gt in props:
+        dst_xoff = _i((gt[0] - min_x) / we_res, f"{fname} DstRect xOff")
+        dst_yoff = _i((gt[3] - max_y) / ns_res, f"{fname} DstRect yOff")
+        dst_w = _i(w * gt[1] / we_res, f"{fname} DstRect xSize")
+        dst_h = _i(h * gt[5] / ns_res, f"{fname} DstRect ySize")
+        rel = os.path.relpath(fname, os.path.dirname(out_path) or ".")
+        tag = "ComplexSource" if src_nodata is not None else "SimpleSource"
+        nod = (f"\n      <NODATA>{src_nodata!r}</NODATA>"
+               if src_nodata is not None else "")
+        srcs.append(f"""    <{tag}>
+      <SourceFilename relativeToVRT="1">{rel}</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <SrcRect xOff="0" yOff="0" xSize="{w}" ySize="{h}"/>
+      <DstRect xOff="{dst_xoff}" yOff="{dst_yoff}" xSize="{dst_w}" ySize="{dst_h}"/>{nod}
+    </{tag}>""")
+    gt_text = ", ".join(repr(float(v)) for v in
+                        (min_x, we_res, 0.0, max_y, 0.0, ns_res))
+    xml = (f'<VRTDataset rasterXSize="{xsize}" rasterYSize="{ysize}">\n'
+           f"  <GeoTransform>{gt_text}</GeoTransform>\n"
+           f'  <VRTRasterBand dataType="{band_dtype}" band="1">\n'
+           + "\n".join(srcs)
+           + "\n  </VRTRasterBand>\n</VRTDataset>\n")
+    with open(out_path, "w") as f:
+        f.write(xml)
+    return parse_vrt(out_path)

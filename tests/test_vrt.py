@@ -108,3 +108,79 @@ class TestParseGuards:
         assert (m["xsize"], m["ysize"]) == (20, 20)
         assert m["bands"][0]["nodata"] == 107.0
         assert m["geotransform"][0] == 440720.0
+
+
+class TestBuildVrt:
+    # gdalbuildvrt (apps/gdalbuildvrt_lib.cpp): union extent, running-
+    # mean 'average' resolution, int(0.5 + ...) sizing, DstRect
+    # placement — verified by reading the built VRT back
+    def _write_grd(self, spark, tmp_path, name, vals, x0, y0, cs=1.0):
+        rows = [(c, len(vals) - 1 - r, float(v))
+                for r, line in enumerate(vals)
+                for c, v in enumerate(line)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        from lib_gdal_spark.sources.aaigrid import write_aaigrid
+        p = str(tmp_path / name)
+        write_aaigrid(df, p, meta={
+            "ncols": len(vals[0]), "nrows": len(vals),
+            "xllcorner": x0, "yllcorner": y0, "cellsize": cs})
+        return p
+
+    def test_union_mosaic(self, spark, tmp_path):
+        from lib_gdal_spark.sources.vrt import build_vrt, read_vrt
+
+        a = self._write_grd(spark, tmp_path, "a.grd",
+                            [[1, 2], [3, 4]], x0=0.0, y0=0.0)
+        b = self._write_grd(spark, tmp_path, "b.grd",
+                            [[9, 8], [7, 6]], x0=3.0, y0=1.0)
+        out = str(tmp_path / "m.vrt")
+        meta = build_vrt(out, [a, b])
+        # union extent: x 0..5, y 0..3 at cellsize 1
+        assert (meta["xsize"], meta["ysize"]) == (5, 3)
+        assert meta["geotransform"] == (0.0, 1.0, 0.0, 3.0, 0.0, -1.0)
+        cells, _ = read_vrt(spark, out)
+        got = {(r.bx, r.by): r.value for r in cells.collect()}
+        # a sits at engine rows by 0..1, b at by 1..2 / bx 3..4
+        assert got[(0, 1)] == 1.0 and got[(1, 0)] == 4.0
+        assert got[(3, 2)] == 9.0 and got[(4, 1)] == 6.0
+        assert (2, 0) not in got        # gap between the two sources
+
+    def test_average_resolution_running_mean(self, spark, tmp_path):
+        from lib_gdal_spark.sources.vrt import build_vrt
+
+        a = self._write_grd(spark, tmp_path, "a.grd", [[1]], 0.0, 0.0,
+                            cs=1.0)
+        b = self._write_grd(spark, tmp_path, "b.grd", [[1]], 0.0, 0.0,
+                            cs=3.0)
+        out = str(tmp_path / "m.vrt")
+        with pytest.raises(NotImplementedError):
+            # avg res 2.0 puts the 1x1 cs=1 source on a half pixel —
+            # the aligned-only contract must refuse at build time
+            build_vrt(out, [a, b])
+        meta = build_vrt(out, [a, b], resolution="highest")
+        assert meta["geotransform"][1] == 1.0
+        # the cs=3 source upsamples 3x on the finer grid
+        assert meta["bands"][0]["sources"][1]["dst_rect"] == (0, 0, 3, 3)
+
+    def test_nodata_becomes_complex_source(self, spark, tmp_path):
+        from lib_gdal_spark.sources.vrt import build_vrt, read_vrt
+
+        a = self._write_grd(spark, tmp_path, "a.grd",
+                            [[5, 13], [13, 6]], 0.0, 0.0)
+        out = str(tmp_path / "m.vrt")
+        meta = build_vrt(out, [a], src_nodata=13.0)
+        assert meta["bands"][0]["sources"][0]["kind"] == "ComplexSource"
+        cells, _ = read_vrt(spark, out)
+        got = {(r.bx, r.by): r.value for r in cells.collect()}
+        assert got == {(0, 1): 5.0, (1, 0): 6.0}
+
+    def test_probe_tuple_inputs(self, tmp_path):
+        from lib_gdal_spark.sources.vrt import build_vrt
+
+        out = str(tmp_path / "m.vrt")
+        meta = build_vrt(out, [
+            ("x.tif", (10, 10), (100.0, 2.0, 0.0, 220.0, 0.0, -2.0)),
+            ("y.tif", (10, 10), (120.0, 2.0, 0.0, 200.0, 0.0, -2.0))])
+        assert (meta["xsize"], meta["ysize"]) == (20, 20)
+        d = meta["bands"][0]["sources"][1]["dst_rect"]
+        assert d == (10, 10, 10, 10)
