@@ -791,6 +791,42 @@ GROUP BY x, y
 """
 
 
+def _q_pmtiles_roundtrip(spark, sf_dir):
+    # PMTiles v3 source+sink with the Hilbert addressing IN the loop:
+    # z=7 page-count tiles pack into a real .pmtiles (hilbert-sorted
+    # clustered layout, varint directories, gzip internals), read back
+    # through the directory + range-read path, counts decoded from the
+    # blobs. A wrong Hilbert curve, a broken varint, or a bad
+    # offset-0 delta all scramble (x, y, n) and can never hash-match
+    # the relational tile-count oracle.
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import pmtiles as pm
+
+    p = sjoin.with_tile(_pages(spark, sf_dir), zoom=7)
+    base = p.groupBy(F.col("tile_x").alias("x"),
+                     F.col("tile_y").alias("y")).agg(
+        F.count("*").alias("n"))
+    t = base.select(
+        F.lit(7).cast("int").alias("z"), "x", "y",
+        F.unhex(F.lpad(F.hex(F.col("n")), 16, "0")).alias("data"))
+    path = os.path.join(tempfile.mkdtemp(prefix="pmt_rt_"), "rt.pmtiles")
+    pm.write_pmtiles(t, path, tile_type="bin", metadata={"name": "pages"})
+    back = pm.read_pmtiles(spark, path)
+    return back.select(
+        "x", "y", F.conv(F.hex("data"), 16, 10).cast("long").alias("n"))
+
+
+def _o_pmtiles_roundtrip() -> str:
+    return f"""
+WITH {_PAGES_CTE}
+SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT {_dd_tile_x('lon', 7)} AS x, {_dd_tile_y('lat', 7)} AS y FROM pages)
+GROUP BY x, y
+"""
+
+
 def _q_unimax_alloc(spark, sf_dir):
     # UniMax language sampling (Chung et al. 2023): water-fill a 40%
     # budget across languages, 3-epoch cap. The sequential fold runs
@@ -3372,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrt_mosaic": _q_vrt_mosaic,               # VRT composition
         "tile_geodetic": _q_tile_geodetic,         # geodetic profile
         "unimax_alloc": _q_unimax_alloc,           # UniMax sampling
+        "pmtiles_roundtrip": _q_pmtiles_roundtrip,  # PMTiles src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6492,6 +6529,7 @@ def oracle_sql() -> dict[str, str]:
         "vrt_mosaic": _o_vrt_mosaic(),
         "tile_geodetic": _o_tile_geodetic(),
         "unimax_alloc": _o_unimax_alloc(),
+        "pmtiles_roundtrip": _o_pmtiles_roundtrip(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

@@ -888,3 +888,85 @@ class TestMBTiles:
         assert only2.count() == 3
         empty = mb.read_mbtiles(spark, p, zoom=9)
         assert empty.count() == 0
+
+
+class TestPMTiles:
+    def test_tile_id_spec_values(self):
+        # the published v3 spec's own id ladder: z0 -> 0; z1 quadrant
+        # order (0,0)=1,(0,1)=2,(1,1)=3,(1,0)=4
+        import numpy as np
+
+        from lib_gdal_spark.sources import pmtiles as pm
+
+        assert pm.tile_id_np([0], [0], [0])[0] == 0
+        z = [1, 1, 1, 1]
+        ids = pm.tile_id_np(z, [0, 0, 1, 1], [0, 1, 1, 0])
+        assert ids.tolist() == [1, 2, 3, 4]
+        # base offsets: first id of z equals sum(4^k, k<z)
+        assert pm.tile_id_np([3], [0], [0])[0] == 21
+
+    def test_tile_id_roundtrip(self):
+        import numpy as np
+
+        from lib_gdal_spark.sources import pmtiles as pm
+
+        rng = np.random.RandomState(3)
+        for z in (2, 5, 11):
+            x = rng.randint(0, 1 << z, 50)
+            y = rng.randint(0, 1 << z, 50)
+            ids = pm.tile_id_np(np.full(50, z), x, y)
+            back = [pm.tile_id_to_zxy(int(t)) for t in ids]
+            assert back == list(zip([z] * 50, x.tolist(), y.tolist()))
+
+    def _tiles_df(self, spark, n=6):
+        rows = [(2, i % 4, (i * 3) % 4, bytes([i]) * (i + 1))
+                for i in range(n)]
+        # dedup on (z,x,y)
+        seen, uniq = set(), []
+        for r in rows:
+            if r[:3] not in seen:
+                seen.add(r[:3])
+                uniq.append(r)
+        return spark.createDataFrame(
+            uniq, "z int, x long, y long, data binary"), uniq
+
+    def test_roundtrip(self, spark, tmp_path):
+        from lib_gdal_spark.sources import pmtiles as pm
+
+        df, uniq = self._tiles_df(spark)
+        p = str(tmp_path / "t.pmtiles")
+        n = pm.write_pmtiles(df, p, metadata={"name": "t"})
+        assert n == len(uniq)
+        back = {(r.z, r.x, r.y): bytes(r.data)
+                for r in pm.read_pmtiles(spark, p).collect()}
+        assert back == {(z, x, y): d for z, x, y, d in uniq}
+        assert pm.read_metadata(p) == {"name": "t"}
+        h = pm.read_header(p)
+        assert h["clustered"] and h["n_tiles"] == len(uniq)
+        assert h["min_zoom"] == h["max_zoom"] == 2
+
+    def test_leaf_directories(self, spark, tmp_path):
+        from lib_gdal_spark.sources import pmtiles as pm
+
+        rows = [(4, i % 16, i // 16, bytes([i % 251]))
+                for i in range(150)]
+        df = spark.createDataFrame(rows, "z int, x long, y long, "
+                                         "data binary")
+        p = str(tmp_path / "leaf.pmtiles")
+        pm.write_pmtiles(df, p, leaf_split=32)
+        h = pm.read_header(p)
+        assert h["leaf_len"] > 0
+        back = {(r.z, r.x, r.y): bytes(r.data)
+                for r in pm.read_pmtiles(spark, p).collect()}
+        assert back == {(z, x, y): d for z, x, y, d in rows}
+
+    def test_zoom_filter(self, spark, tmp_path):
+        from lib_gdal_spark.sources import pmtiles as pm
+
+        rows = [(1, 0, 0, b"a"), (2, 1, 1, b"b"), (2, 3, 0, b"c")]
+        df = spark.createDataFrame(rows, "z int, x long, y long, "
+                                         "data binary")
+        p = str(tmp_path / "zf.pmtiles")
+        pm.write_pmtiles(df, p)
+        assert pm.read_pmtiles(spark, p, zoom=2).count() == 2
+        assert pm.read_pmtiles(spark, p, zoom=7).count() == 0
