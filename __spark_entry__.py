@@ -791,6 +791,54 @@ GROUP BY x, y
 """
 
 
+def _q_ogr_special_fields(spark, sf_dir):
+    # OGR SQL's special fields (ogr_p.h:172-179): build mixed
+    # POINT/POLYGON WKB from part keys (WKT text in pure Column math ->
+    # st_geomfromtext), materialize FID / OGR_GEOMETRY /
+    # OGR_GEOM_AREA via ogrsql.with_special_fields, and run the
+    # reference-shaped statement SELECT FID, OGR_GEOMETRY,
+    # OGR_GEOM_AREA ... WHERE OGR_GEOMETRY IN (...). Integer rectangle
+    # corners make every shoelace area an exact integer, and points
+    # take OGR_G_Area's 0.0 rule.
+    from lib_gdal_spark import functions as fns
+
+    fns.register_all(spark)
+    p = _tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("fid"),
+        (F.col("p_partkey") % 50).alias("x1"),
+        (F.col("p_partkey") * 7 % 40).alias("y1"),
+        (F.col("p_partkey") % 9 + 1).alias("w"),
+        (F.col("p_partkey") * 3 % 7 + 1).alias("h"))
+    wkt = F.when(
+        F.col("fid") % 5 == 0,
+        F.format_string("POINT (%d %d)", F.col("x1"), F.col("y1"))
+    ).otherwise(F.format_string(
+        "POLYGON ((%d %d,%d %d,%d %d,%d %d,%d %d))",
+        F.col("x1"), F.col("y1"),
+        F.col("x1") + F.col("w"), F.col("y1"),
+        F.col("x1") + F.col("w"), F.col("y1") + F.col("h"),
+        F.col("x1"), F.col("y1") + F.col("h"),
+        F.col("x1"), F.col("y1")))
+    geoms = p.withColumn("wkt_str", wkt).select(
+        "fid", F.expr("st_geomfromtext(wkt_str)").alias("wkb"))
+    sp = ogrsql.with_special_fields(geoms)
+    return sp.filter(F.col("OGR_GEOMETRY").isin("POINT", "POLYGON")) \
+        .select("FID", "OGR_GEOMETRY",
+                F.col("OGR_GEOM_AREA").cast("long").alias("area"))
+
+
+def _o_ogr_special_fields() -> str:
+    return """
+SELECT CAST(p_partkey AS BIGINT) AS FID,
+       CASE WHEN p_partkey % 5 = 0 THEN 'POINT' ELSE 'POLYGON' END
+         AS OGR_GEOMETRY,
+       CAST(CASE WHEN p_partkey % 5 = 0 THEN 0
+            ELSE (p_partkey % 9 + 1) * (p_partkey * 3 % 7 + 1) END
+            AS BIGINT) AS area
+FROM part
+"""
+
+
 def _q_pmtiles_roundtrip(spark, sf_dir):
     # PMTiles v3 source+sink with the Hilbert addressing IN the loop:
     # z=7 page-count tiles pack into a real .pmtiles (hilbert-sorted
@@ -3409,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_geodetic": _q_tile_geodetic,         # geodetic profile
         "unimax_alloc": _q_unimax_alloc,           # UniMax sampling
         "pmtiles_roundtrip": _q_pmtiles_roundtrip,  # PMTiles src+sink
+        "ogr_special_fields": _q_ogr_special_fields,  # FID/OGR_GEOMETRY/..
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6530,6 +6579,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_geodetic": _o_tile_geodetic(),
         "unimax_alloc": _o_unimax_alloc(),
         "pmtiles_roundtrip": _o_pmtiles_roundtrip(),
+        "ogr_special_fields": _o_ogr_special_fields(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

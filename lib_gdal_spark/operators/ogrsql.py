@@ -88,3 +88,65 @@ def distinct_list(df: DataFrame, col: str) -> DataFrame:
 def hstore_get(df: DataFrame, json_col: str, key: str, out_col: str) -> DataFrame:
     """a->'key' map-get on a JSON string column."""
     return df.withColumn(out_col, F.get_json_object(F.col(json_col), f"$.{key}"))
+
+
+# WKB geometry-type code -> getGeometryName() string (ogr_core.h:408-444
+# base codes; Z/M/ZM and the 0x80000000 2.5-D flag collapse to the same
+# name exactly like OGRGeometry::getGeometryName)
+_GEOM_NAMES = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+    5: "MULTILINESTRING", 6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION",
+    8: "CIRCULARSTRING", 9: "COMPOUNDCURVE", 10: "CURVEPOLYGON",
+    11: "MULTICURVE", 12: "MULTISURFACE", 13: "CURVE", 14: "SURFACE",
+    15: "POLYHEDRALSURFACE", 16: "TIN", 17: "TRIANGLE",
+}
+
+
+def geometry_type_name_col(wkb_col: str):
+    """OGR_GEOMETRY special-field value as PURE Column math: the WKB
+    type integer lives in bytes 2-5 (little-endian, this engine's
+    encode convention); reorder its hex pairs, mask the 2.5-D flag
+    (0x80000000) and the ISO Z/M blocks (type mod 1000), and CASE-map
+    to getGeometryName() strings."""
+    h = F.hex(F.expr(f"substring({wkb_col}, 2, 4)"))
+    le = F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2),
+                  F.substring(h, 3, 2), F.substring(h, 1, 2))
+    t = F.conv(le, 16, 10).cast("long")
+    base = (t.bitwiseAND(F.lit(0x7FFFFFFF)) % 1000).cast("int")
+    mapped = None
+    for code, name in _GEOM_NAMES.items():
+        cond = (base == code, F.lit(name))
+        mapped = F.when(*cond) if mapped is None else mapped.when(*cond)
+    return mapped.otherwise(F.lit(""))
+
+
+def with_special_fields(df: DataFrame, wkb_col: str = "wkb",
+                        fid_col: str | None = "fid",
+                        style_col: str | None = None) -> DataFrame:
+    """OGR SQL's five special fields (ogr/ogr_p.h:172-179, values
+    ogrfeature.cpp:2445-2495) materialized as columns, so any OGR SQL
+    statement using them runs as plain Spark SQL:
+
+    - FID            row id (the layer's fid column)
+    - OGR_GEOMETRY   getGeometryName() of the geometry
+    - OGR_STYLE      the style string ('' when absent, like the ref)
+    - OGR_GEOM_WKT   exportToWkt()
+    - OGR_GEOM_AREA  OGR_G_Area() — 0.0 for non-surface geometries
+
+    OGR_GEOMETRY derives from the WKB header in pure Column math; WKT
+    and area go through the registered Arrow kernels (register_all
+    must have run on this session)."""
+    out = df
+    if fid_col is not None and fid_col in df.columns:
+        out = out.withColumn("FID", F.col(fid_col).cast("long"))
+    out = out.withColumn("OGR_GEOMETRY", geometry_type_name_col(wkb_col))
+    out = out.withColumn(
+        "OGR_STYLE",
+        F.col(style_col) if style_col else F.lit(""))
+    out = out.withColumn("OGR_GEOM_WKT",
+                         F.expr(f"st_astext({wkb_col})"))
+    out = out.withColumn(
+        "OGR_GEOM_AREA",
+        F.coalesce(F.nanvl(F.expr(f"st_area({wkb_col})"), F.lit(0.0)),
+                   F.lit(0.0)))
+    return out

@@ -381,3 +381,63 @@ class TestSqlCorpusNulls:
             desc = spark.sql(
                 f"select distinct {f} from nulls36 order by {f} desc").collect()
             assert desc[0][0] is not None and desc[1][0] is None, f
+
+
+class TestSpecialFields:
+    # ogr/ogr_p.h:172-179 + ogrfeature.cpp:2445-2495 value semantics
+    def test_names_area_wkt(self, spark):
+        from pyspark.sql import functions as F
+
+        from lib_gdal_spark import functions as fns
+        from lib_gdal_spark.operators import ogrsql
+
+        fns.register_all(spark)
+        df = spark.createDataFrame(
+            [(1, "POINT (3 4)"),
+             (2, "POLYGON ((0 0,4 0,4 3,0 3,0 0))"),
+             (3, "LINESTRING (0 0,1 1)"),
+             (4, "MULTIPOLYGON (((0 0,2 0,2 2,0 2,0 0)))")],
+            "fid long, wkt string").select(
+            "fid", F.expr("st_geomfromtext(wkt)").alias("wkb"))
+        out = {r.FID: r for r in
+               ogrsql.with_special_fields(df).collect()}
+        assert out[1].OGR_GEOMETRY == "POINT"
+        assert out[2].OGR_GEOMETRY == "POLYGON"
+        assert out[3].OGR_GEOMETRY == "LINESTRING"
+        assert out[4].OGR_GEOMETRY == "MULTIPOLYGON"
+        assert out[1].OGR_GEOM_AREA == 0.0      # OGR_G_Area on a point
+        assert out[2].OGR_GEOM_AREA == 12.0
+        assert out[4].OGR_GEOM_AREA == 4.0
+        assert out[1].OGR_STYLE == ""
+        assert out[2].OGR_GEOM_WKT.startswith("POLYGON")
+
+    def test_z_flag_collapses_to_base_name(self, spark):
+        from pyspark.sql import functions as F
+
+        from lib_gdal_spark import functions as fns
+        from lib_gdal_spark.operators import ogrsql
+
+        fns.register_all(spark)
+        df = spark.createDataFrame(
+            [(1, "POINT Z (1 2 3)")], "fid long, wkt string").select(
+            "fid", F.expr("st_geomfromtext(wkt)").alias("wkb"))
+        row = ogrsql.with_special_fields(df).collect()[0]
+        assert row.OGR_GEOMETRY == "POINT"
+
+    def test_where_on_special_field(self, spark):
+        # the reference-shaped statement runs as plain SQL
+        from pyspark.sql import functions as F
+
+        from lib_gdal_spark import functions as fns
+        from lib_gdal_spark.operators import ogrsql
+
+        fns.register_all(spark)
+        df = spark.createDataFrame(
+            [(1, "POINT (0 0)"), (2, "POLYGON ((0 0,1 0,1 1,0 1,0 0))")],
+            "fid long, wkt string").select(
+            "fid", F.expr("st_geomfromtext(wkt)").alias("wkb"))
+        ogrsql.with_special_fields(df).createOrReplaceTempView("lyr")
+        got = spark.sql(
+            "SELECT FID, OGR_GEOM_AREA FROM lyr "
+            "WHERE OGR_GEOMETRY = 'POLYGON'").collect()
+        assert len(got) == 1 and got[0].FID == 2
