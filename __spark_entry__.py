@@ -791,6 +791,74 @@ GROUP BY x, y
 """
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    # Hybrid retrieval: BM25 text ranks + exact-cosine embedding ranks
+    # fused by reciprocal rank (1/(60+rank) each side, fixed two-term
+    # sum -> bit-exact doubles cross-engine; both inputs top-20
+    # bounded so the fusion join is constant-size).
+    from lib_gdal_spark.operators import relevance
+
+    d = _tbl(spark, sf_dir, "documents")
+    e = _tbl(spark, sf_dir, "embeddings")
+    out = relevance.hybrid_rrf(d, e, _BM25_TERMS, query_vec_id=0,
+                               k_each=20, k_rrf=60, k=10)
+    return out.select(
+        "doc_id", "rrf",
+        F.col("rank_text").cast("long").alias("rank_text"),
+        F.col("rank_vec").cast("long").alias("rank_vec"), "rank")
+
+
+def _o_hybrid_rrf() -> str:
+    from lib_gdal_spark.operators.relevance import B, K1, K1P1, ONE_MINUS_B
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    slots = "\n      + ".join(
+        f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN c END), 0.0)"
+        for t in _BM25_TERMS)
+    return f"""
+WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                       AS t FROM documents),
+d AS (SELECT doc_id, len(t) AS dl FROM base),
+tok AS (SELECT doc_id, dl, unnest(t) AS tok
+        FROM (SELECT doc_id, len(t) AS dl, t FROM base)),
+tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf FROM tok
+       WHERE tok IN ({in_list}) GROUP BY ALL),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
+dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+c AS (SELECT tf.doc_id, tf.tok,
+        ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+        * (tf * {K1P1!r}) / (tf + {K1!r} * ({ONE_MINUS_B!r}
+          + {B!r} * (dl / (CAST(tot_dl AS DOUBLE) / n_docs)))) AS c
+      FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN stats),
+per_doc AS (SELECT doc_id, ROUND({slots}, 6) AS score
+            FROM c GROUP BY doc_id),
+txt AS (SELECT doc_id AS tid,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rt
+        FROM per_doc ORDER BY score DESC, doc_id LIMIT 20),
+cn AS (SELECT vec_id, embedding AS e,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       FROM embeddings),
+qn AS (SELECT e AS qe, nrm AS qnrm FROM cn WHERE vec_id = 0),
+jv AS (SELECT cn.vec_id,
+         list_sum(list_transform(generate_series(1, len(cn.e)),
+           i -> (CAST(cn.e[i] AS DOUBLE)/cn.nrm)
+              * (CAST(qn.qe[i] AS DOUBLE)/qn.qnrm))) AS cos
+       FROM cn, qn),
+vec AS (SELECT vec_id AS vid,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rv
+        FROM jv ORDER BY cos DESC, vec_id LIMIT 20),
+fused AS (
+  SELECT COALESCE(tid, vid) AS doc_id,
+         COALESCE(1.0 / (60 + rt), 0.0)
+           + COALESCE(1.0 / (60 + rv), 0.0) AS rrf,
+         CAST(rt AS BIGINT) AS rank_text, CAST(rv AS BIGINT) AS rank_vec
+  FROM txt FULL OUTER JOIN vec ON tid = vid)
+SELECT doc_id, rrf, rank_text, rank_vec,
+       ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def _q_ogr_special_fields(spark, sf_dir):
     # OGR SQL's special fields (ogr_p.h:172-179): build mixed
     # POINT/POLYGON WKB from part keys (WKT text in pure Column math ->
@@ -3458,6 +3526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_alloc": _q_unimax_alloc,           # UniMax sampling
         "pmtiles_roundtrip": _q_pmtiles_roundtrip,  # PMTiles src+sink
         "ogr_special_fields": _q_ogr_special_fields,  # FID/OGR_GEOMETRY/..
+        "hybrid_rrf": _q_hybrid_rrf,               # BM25+cosine RRF
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6580,6 +6649,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_alloc": _o_unimax_alloc(),
         "pmtiles_roundtrip": _o_pmtiles_roundtrip(),
         "ogr_special_fields": _o_ogr_special_fields(),
+        "hybrid_rrf": _o_hybrid_rrf(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

@@ -315,3 +315,42 @@ def ngram_topk(df: DataFrame, n: int = 3, k: int = 25, *,
     w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
     return counts.select("gram", "cnt",
                          F.row_number().over(w).alias("rank"))
+
+
+def hybrid_rrf(docs: DataFrame, embeddings: DataFrame, terms: list,
+               query_vec_id: int = 0, *, k_each: int = 20,
+               k_rrf: int = 60, k: int = 10,
+               id_col: str = "doc_id") -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 text ranks
+    and exact-cosine embedding ranks fuse as
+    score = 1/(k_rrf + rank_text) + 1/(k_rrf + rank_vec), a missing
+    side contributing 0 (Cormack et al. RRF — the standard hybrid
+    retrieval fusion in modern search/RAG pipelines).
+
+    Exactness: each term is one 1.0/(k_rrf + integer) division and the
+    fusion is a FIXED two-term sum (text + vec, that order), so both
+    engines fold identically and the driver hash is bit-exact —
+    no rounding needed. Scale shape: both input rankers are already
+    top-k-bounded (TakeOrderedAndProject + broadcast query), so the
+    fusion join touches at most 2*k_each rows."""
+    from pyspark.sql import Window
+
+    from . import similarity
+
+    t = bm25_topk(docs, terms, k_each, id_col=id_col) \
+        .select(F.col(id_col).alias("tid"), F.col("rank").alias("rt"))
+    q = embeddings.filter(F.col("vec_id") == query_vec_id) \
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    v = similarity.cosine_topk(embeddings, q, k=k_each,
+                               method="catalyst") \
+        .select(F.col("vec_id").alias("vid"), F.col("rank").alias("rv"))
+    j = t.join(v, t.tid == v.vid, "full_outer")
+    fused = j.select(
+        F.coalesce(F.col("tid"), F.col("vid")).alias(id_col),
+        (F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rt")), F.lit(0.0))
+         + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rv")),
+                      F.lit(0.0))).alias("rrf"),
+        F.col("rt").alias("rank_text"), F.col("rv").alias("rank_vec"))
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return (fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))
