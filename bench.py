@@ -61,6 +61,10 @@ HEADLINE = [
     # conic-projection pandas-UDF path
     "curve_stroke",
     "proj_conic",
+    # round 4 session 2: geodetic-profile tile math (pure Catalyst) and
+    # the BM25+cosine fused retriever (two bounded rankers + tiny join)
+    "tile_geodetic",
+    "hybrid_rrf",
 ]
 
 
