@@ -456,3 +456,18 @@ class TestRound4Plans:
         n_shuffle = p.count("Exchange hashpartitioning")
         assert n_shuffle <= 3  # 2 aggs + the final y-reduce
         assert "CartesianProduct" not in p
+
+
+class TestGeodeticTilePlan:
+    def test_single_exchange_pure_catalyst(self, spark):
+        # the geodetic tile assignment must stay whole-stage Column
+        # math: one Exchange (the groupBy), partial agg before it, no
+        # Python evaluation anywhere
+        import __spark_entry__ as em
+
+        df = em.queries()["tile_geodetic"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert plan.index("HashAggregate") < plan.index("Exchange")
