@@ -791,6 +791,49 @@ GROUP BY x, y
 """
 
 
+def _q_quality_classifier(spark, sf_dir):
+    # fastText-style linear classifier INFERENCE over hashed uni+bigram
+    # features (textops.quality_classifier_score): all-integer folds,
+    # weights are Column math on the bucket id — bit-exact, no dim
+    # table, no broadcast.
+    from lib_gdal_spark.operators import textops
+
+    d = _tbl(spark, sf_dir, "documents")
+    return textops.quality_classifier_score(d, n_buckets=2048)
+
+
+def _o_quality_classifier() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, ng FROM (
+    SELECT doc_id, unnest(t) AS ng FROM tok
+    UNION ALL
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS ng
+    FROM tok
+  ) WHERE length(ng) > 0
+),
+bk AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('qc|' || ng), 1, 13))::BIGINT % 2048
+           AS bucket,
+         count(*) AS c
+  FROM ng GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(c * ((bucket * 2654435761) % 2001 - 1000)) + 37
+              AS BIGINT) AS score_u
+  FROM bk GROUP BY doc_id)
+SELECT doc_id, score_u, score_u > 0 AS keep FROM s
+"""
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     # Hybrid retrieval: BM25 text ranks + exact-cosine embedding ranks
     # fused by reciprocal rank (1/(60+rank) each side, fixed two-term
@@ -3527,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmtiles_roundtrip": _q_pmtiles_roundtrip,  # PMTiles src+sink
         "ogr_special_fields": _q_ogr_special_fields,  # FID/OGR_GEOMETRY/..
         "hybrid_rrf": _q_hybrid_rrf,               # BM25+cosine RRF
+        "quality_classifier": _q_quality_classifier,  # fastText-style gate
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6650,6 +6694,7 @@ def oracle_sql() -> dict[str, str]:
         "pmtiles_roundtrip": _o_pmtiles_roundtrip(),
         "ogr_special_fields": _o_ogr_special_fields(),
         "hybrid_rrf": _o_hybrid_rrf(),
+        "quality_classifier": _o_quality_classifier(),
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

@@ -404,3 +404,37 @@ def lm_crossentropy(df: DataFrame, id_col: str = "doc_id",
             .agg(F.sum("n").alias("n_bigrams"),
                  F.round(-F.sum(term).cast("double")
                          / F.sum("n").cast("double"), 6).alias("xent")))
+
+
+def quality_classifier_score(df: DataFrame, *, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n_buckets: int = 2048, seed: str = "qc|",
+                             bias: int = 37) -> DataFrame:
+    """FastText-style linear quality-classifier INFERENCE: the
+    fixed-weight hashed bag-of-ngrams scorer used to gate corpora
+    (fastText supervised scoring; the FineWeb-Edu / CCNet-style
+    "apply a trained classifier to every document" stage). Features
+    are the DSIR uni+bigram md5 buckets; the weight vector is a
+    deterministic function of the bucket id (a Knuth
+    multiplicative-hash derived integer in [-1000, 1000] micro-units),
+    standing in for trained weights, so inference is the real
+    distributed shape with an exactly-replayable model.
+
+    Everything is integer: score_u = bias + sum(c * w(bucket)) folds in
+    BIGINT, so the result is bit-exact under any partitioning and
+    engine. One explode + two groupBys (feature counts, per-doc sum) —
+    no dim table, no broadcast: the weight is Column math ON the
+    bucket id.
+
+    Returns (id_col, score_u bigint, keep boolean).
+    """
+    from .sampling import _hashed_ngram_buckets
+
+    feats = _hashed_ngram_buckets(df, id_col, text_col, n_buckets, seed)
+    w = (F.col("bucket") * F.lit(2654435761)) % 2001 - 1000
+    per_doc = (feats.select("_id", (F.col("c") * w).alias("contrib"))
+               .groupBy("_id")
+               .agg((F.sum("contrib") + F.lit(bias)).cast("long")
+                    .alias("score_u")))
+    return per_doc.select(F.col("_id").alias(id_col), "score_u",
+                          (F.col("score_u") > 0).alias("keep"))

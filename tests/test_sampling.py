@@ -346,3 +346,43 @@ class TestUnimax:
         out = unimax_allocation(df, budget=300.0,
                                 epochs_cap=1e9).collect()
         assert all(abs(r.alloc - 100.0) < 1e-9 for r in out)
+
+
+class TestQualityClassifier:
+    def test_hand_score(self, spark):
+        # one doc, known tokens -> recompute the bucket/weight chain in
+        # the test by hand
+        import hashlib
+
+        from lib_gdal_spark.operators.textops import (
+            quality_classifier_score)
+
+        text = "good clean prose"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = quality_classifier_score(df, n_buckets=64, bias=5).collect()
+        toks = ["good", "clean", "prose"]
+        ngrams = toks + ["good clean", "clean prose"]
+        exp = 5
+        for ng in ngrams:
+            b = int(hashlib.md5(f"qc|{ng}".encode()).hexdigest()[:13],
+                    16) % 64
+            exp += (b * 2654435761) % 2001 - 1000
+        assert out[0].score_u == exp
+        assert out[0].keep == (exp > 0)
+
+    def test_duplicate_tokens_count(self, spark):
+        # c multiplies the weight: "a a a" scores 3*w(a) + 2*w("a a")
+        import hashlib
+
+        from lib_gdal_spark.operators.textops import (
+            quality_classifier_score)
+
+        df = spark.createDataFrame([(1, "a a a")],
+                                   "doc_id long, text string")
+        out = quality_classifier_score(df, n_buckets=64, bias=0).collect()
+
+        def w(ng):
+            b = int(hashlib.md5(f"qc|{ng}".encode()).hexdigest()[:13],
+                    16) % 64
+            return (b * 2654435761) % 2001 - 1000
+        assert out[0].score_u == 3 * w("a") + 2 * w("a a")
