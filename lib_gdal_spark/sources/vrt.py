@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import xml.etree.ElementTree as ET
 
 __all__ = ["parse_vrt", "read_vrt", "build_vrt", "PIXEL_FUNCTIONS"]
@@ -42,7 +43,7 @@ __all__ = ["parse_vrt", "read_vrt", "build_vrt", "PIXEL_FUNCTIONS"]
 # real-valued subset of pixelfunctions.cpp:3944-4067 (complex variants
 # need a complex cell model this engine does not have)
 PIXEL_FUNCTIONS = ("sum", "diff", "mul", "div", "min", "max", "mean",
-                   "sqrt", "log10", "exp", "pow", "scale")
+                   "sqrt", "log10", "exp", "pow", "scale", "expression")
 
 
 def _rect(el):
@@ -84,7 +85,13 @@ def parse_vrt(path: str) -> dict:
             band["pixel_function"] = pf.text.strip()
         pa = bel.find("PixelFunctionArguments")
         if pa is not None:
-            band["pixel_args"] = {k: float(v) for k, v in pa.attrib.items()}
+            args = {}
+            for k, v in pa.attrib.items():
+                try:
+                    args[k] = float(v)
+                except ValueError:
+                    args[k] = v
+            band["pixel_args"] = args
         for sel in bel:
             if sel.tag not in ("SimpleSource", "ComplexSource",
                                "AveragedSource"):
@@ -205,6 +212,12 @@ def _remap_source(spark, src: dict, vrt_w: int, vrt_h: int):
                           (F.col("jy") + dy0).alias("r"),
                           F.col("value"))
 
+    if src["resampling"] not in (None, "", "nearest", "near"):
+        # a silently-wrong kernel is worse than a refusal: only the
+        # nearest rule (and AveragedSource's mean) are implemented
+        raise NotImplementedError(
+            f"SimpleSource resampling={src['resampling']!r} "
+            "(GDALRasterIOGetResampleAlg path, vrtsources.cpp:1706)")
     if (sw, sh) == (dw, dh):
         out = cells.select((F.col("c") - sx0 + dx0).alias("c"),
                            (F.col("r") - sy0 + dy0).alias("r"), "value")
@@ -275,6 +288,24 @@ def _combine_derived(parts, fn: str, args: dict):
             "c", "r",
             (F.col("value") * F.lit(args.get("scale", 1.0))
              + F.lit(args.get("offset", 0.0))).alias("value"))
+    elif fn == "expression":
+        # the muParser 'expression' pixel function
+        # (pixelfunctions.cpp:2834): sources pivot into columns, the
+        # expression string maps B<k> -> source k and muparser min/max
+        # -> SQL least/greatest, then Catalyst evaluates it natively
+        # (F.expr — whole-stage codegen, not an interpreter)
+        n = len(parts)
+        aggs = [F.max(F.when(F.col("i") == i, F.col("value")))
+                .alias(f"v{i}") for i in range(n)]
+        out = g.agg(*aggs)
+        e = str(args.get("expression", ""))
+        if not re.fullmatch(r"[A-Za-z0-9_+\-*/%(),.\s<>=!?:]*", e) or not e:
+            raise ValueError(f"unsupported expression {e!r}")
+        e = re.sub(r"\bB(\d+)\b",
+                   lambda m: f"v{int(m.group(1)) - 1}", e)
+        e = re.sub(r"\bmin\(", "least(", e)
+        e = re.sub(r"\bmax\(", "greatest(", e)
+        out = out.select("c", "r", F.expr(e).cast("double").alias("value"))
     else:
         raise NotImplementedError(
             f"pixel function {fn!r} (supported: {PIXEL_FUNCTIONS})")

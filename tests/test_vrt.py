@@ -184,3 +184,84 @@ class TestBuildVrt:
         assert (meta["xsize"], meta["ysize"]) == (20, 20)
         d = meta["bands"][0]["sources"][1]["dst_rect"]
         assert d == (10, 10, 10, 10)
+
+
+class TestExpressionAndGuards:
+    def _vrt(self, tmp_path, body, xs=20, ys=20):
+        p = str(tmp_path / "e.vrt")
+        with open(p, "w") as f:
+            f.write(f'<VRTDataset rasterXSize="{xs}" rasterYSize="{ys}">'
+                    f"{body}</VRTDataset>")
+        return p
+
+    def _src(self, name="../float32.tif"):
+        return (f'<SimpleSource><SourceFilename relativeToVRT="1">'
+                f"{name}</SourceFilename><SourceBand>1</SourceBand>"
+                f'<SrcRect xOff="0" yOff="0" xSize="20" ySize="20"/>'
+                f'<DstRect xOff="0" yOff="0" xSize="20" ySize="20"/>'
+                f"</SimpleSource>")
+
+    def test_expression_pixel_function(self, spark, tmp_path):
+        # pixelfunctions.cpp:2834 'expression' via F.expr: (B1+B2)/2 + 1
+        import shutil
+
+        import numpy as np
+
+        from lib_gdal_spark.sources.tiff import read_tiff
+        from lib_gdal_spark.sources.vrt import read_vrt
+
+        shutil.copy(f"{DATA}/float32.tif", tmp_path / "a.tif")
+        shutil.copy(f"{DATA}/byte.tif", tmp_path / "b.tif")
+        body = ('<VRTRasterBand dataType="Float64" band="1" '
+                'subClass="VRTDerivedRasterBand">'
+                "<PixelFunctionType>expression</PixelFunctionType>"
+                '<PixelFunctionArguments expression='
+                '"(B1+B2)/2 + 1" dialect="muparser"/>'
+                + self._src("a.tif") + self._src("b.tif")
+                + "</VRTRasterBand>")
+        p = self._vrt(tmp_path, body)
+        cells, meta = read_vrt(spark, p)
+        got = _grid(cells, meta["xsize"], meta["ysize"])
+        a_c, _ = read_tiff(spark, str(tmp_path / "a.tif"))
+        b_c, _ = read_tiff(spark, str(tmp_path / "b.tif"))
+        a = _grid(a_c, 20, 20)
+        b = _grid(b_c, 20, 20)
+        assert np.allclose(got, (a + b) / 2 + 1, rtol=1e-12)
+
+    def test_expression_min_maps_to_least(self, spark, tmp_path):
+        import shutil
+
+        import numpy as np
+
+        from lib_gdal_spark.sources.tiff import read_tiff
+        from lib_gdal_spark.sources.vrt import read_vrt
+
+        shutil.copy(f"{DATA}/float32.tif", tmp_path / "a.tif")
+        shutil.copy(f"{DATA}/byte.tif", tmp_path / "b.tif")
+        body = ('<VRTRasterBand dataType="Float64" band="1" '
+                'subClass="VRTDerivedRasterBand">'
+                "<PixelFunctionType>expression</PixelFunctionType>"
+                '<PixelFunctionArguments expression="min(B1, B2)"/>'
+                + self._src("a.tif") + self._src("b.tif")
+                + "</VRTRasterBand>")
+        cells, meta = read_vrt(spark, self._vrt(tmp_path, body))
+        got = _grid(cells, 20, 20)
+        a = _grid(read_tiff(spark, str(tmp_path / "a.tif"))[0], 20, 20)
+        b = _grid(read_tiff(spark, str(tmp_path / "b.tif"))[0], 20, 20)
+        assert np.array_equal(got, np.minimum(a, b))
+
+    def test_unknown_resampling_refuses(self, spark, tmp_path):
+        import shutil
+
+        from lib_gdal_spark.sources.vrt import read_vrt
+
+        shutil.copy(f"{DATA}/byte.tif", tmp_path / "b.tif")
+        body = ('<VRTRasterBand dataType="Byte" band="1">'
+                '<SimpleSource resampling="bilinear">'
+                '<SourceFilename relativeToVRT="1">b.tif</SourceFilename>'
+                "<SourceBand>1</SourceBand>"
+                '<SrcRect xOff="0" yOff="0" xSize="20" ySize="20"/>'
+                '<DstRect xOff="0" yOff="0" xSize="10" ySize="10"/>'
+                "</SimpleSource></VRTRasterBand>")
+        with pytest.raises(NotImplementedError):
+            read_vrt(spark, self._vrt(tmp_path, body, 10, 10))[0].count()
