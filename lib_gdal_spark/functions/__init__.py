@@ -236,7 +236,10 @@ def register_all(spark: SparkSession) -> None:
         return pd.Series(c.astype(np.int64))
 
     def _per_ring(wkb_series, scalar, fn):
-        """Apply a ring kernel to every ring of polygon WKB rows."""
+        """Apply a ring/line kernel to every ring of polygon WKB rows
+        and to every part of (multi)linestrings — the reference's
+        segmentize/Simplify operate on any curve, not only rings
+        (OGRSimpleCurve::segmentize, ogr_geometry.h:543)."""
         out = []
         for buf in wkb_series:
             if buf is None:
@@ -248,6 +251,11 @@ def register_all(spark: SparkSession) -> None:
             elif kind == "multipolygon":
                 out.append(_wkb.encode_multipolygon(
                     [[fn(r, scalar) for r in rings] for rings in coords]))
+            elif kind == "linestring":
+                out.append(_wkb.encode_linestring(fn(coords, scalar)))
+            elif kind == "multilinestring":
+                out.append(_wkb.encode_multilinestring(
+                    [fn(part, scalar) for part in coords]))
             else:
                 out.append(bytes(buf))
         return pd.Series(out)

@@ -163,6 +163,35 @@ def _step_write(ctx, df, args):
     return df
 
 
+def _step_buffer(ctx, df, args):
+    # registry `buffer` (gdalalg_vector_pipeline.cpp:138-186): geometry
+    # buffer through the registered Arrow kernel; needs a `wkb` column
+    from .. import functions as fns
+
+    fns.register_all(ctx.spark)
+    dist = float(args.split()[0])
+    return df.withColumn("wkb", F.expr(f"st_buffer(wkb, {dist!r})"))
+
+
+def _step_simplify(ctx, df, args):
+    # registry `simplify`: SimplifyPreserveTopology at a tolerance
+    from .. import functions as fns
+
+    fns.register_all(ctx.spark)
+    tol = float(args)
+    return df.withColumn(
+        "wkb", F.expr(f"st_simplifypreservetopology(wkb, {tol!r})"))
+
+
+def _step_segmentize(ctx, df, args):
+    # registry `segmentize`: densify edges to a max segment length
+    from .. import functions as fns
+
+    fns.register_all(ctx.spark)
+    maxlen = float(args)
+    return df.withColumn("wkb", F.expr(f"st_segmentize(wkb, {maxlen!r})"))
+
+
 PIPELINE_STEPS = {
     "read": _step_read,
     "filter": _step_filter,
@@ -171,6 +200,9 @@ PIPELINE_STEPS = {
     "reproject": _step_reproject,
     "clip": _step_clip,
     "explode": _step_explode,
+    "buffer": _step_buffer,
+    "simplify": _step_simplify,
+    "segmentize": _step_segmentize,
     "concat": _step_concat,
     "limit": _step_limit,
     "offset": _step_offset,

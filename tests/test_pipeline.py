@@ -101,3 +101,34 @@ class TestGeoSteps:
         out = run_pipeline(spark, f"read {p} ! grid 10 15")
         assert set(out.columns) == {"bx", "by", "value"}
         assert out.count() > 0
+
+
+class TestGeometrySteps:
+    # the three registry steps (gdalalg_vector_pipeline.cpp:138-186)
+    # that operate on the wkb column
+    def test_buffer_simplify_segmentize(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from lib_gdal_spark import functions as fns
+        from lib_gdal_spark.plans.pipeline import run_pipeline
+
+        fns.register_all(spark)
+        src = str(tmp_path / "geoms.parquet")
+        spark.createDataFrame(
+            [(1, "LINESTRING (0 0,10 0)")], "fid long, wkt string"
+        ).select("fid", F.expr("st_geomfromtext(wkt)").alias("wkb")) \
+         .write.parquet(src)
+
+        seg = run_pipeline(spark, f"read {src} ! segmentize 2.5")
+        n = seg.select(F.expr("st_npoints(wkb)").alias("n")).collect()[0].n
+        assert n == 5            # 4 segments of 2.5
+
+        buf = run_pipeline(spark, f"read {src} ! buffer 1.0")
+        area = buf.select(F.expr("st_area(wkb)").alias("a")).collect()[0].a
+        assert 22.0 < area < 23.3   # ~ 2*10 + pi*1^2 = 23.14
+
+        simp = run_pipeline(
+            spark, f"read {src} ! segmentize 1.0 ! simplify 0.5")
+        n2 = simp.select(
+            F.expr("st_npoints(wkb)").alias("n")).collect()[0].n
+        assert n2 == 2           # collinear densified points drop back
