@@ -194,20 +194,29 @@ def write_pmtiles(tiles, path: str, *, tile_type: str = "png",
         _tid(F.col("z"), F.col("x"), F.col("y")).alias("tid"),
         "z", "data").orderBy("tid"))
 
+    import tempfile
+
+    # the tile-data section spools to disk while draining (entries are
+    # directory-sized by format design; payload bytes never accumulate
+    # in driver memory)
     entries = []      # (tile_id, offset, length, 1)
-    data_parts = []
+    spool = tempfile.NamedTemporaryFile(delete=False)
     off = 0
     n = 0
     zmin = zmax = None
-    for row in ordered.toLocalIterator():
-        blob = bytes(row["data"])
-        entries.append((int(row["tid"]), off, len(blob), 1))
-        data_parts.append(blob)
-        off += len(blob)
-        z = int(row["z"])
-        zmin = z if zmin is None else min(zmin, z)
-        zmax = z if zmax is None else max(zmax, z)
-        n += 1
+    try:
+        for row in ordered.toLocalIterator():
+            blob = bytes(row["data"])
+            entries.append((int(row["tid"]), off, len(blob), 1))
+            spool.write(blob)
+            off += len(blob)
+            z = int(row["z"])
+            zmin = z if zmin is None else min(zmin, z)
+            zmax = z if zmax is None else max(zmax, z)
+            n += 1
+        spool.flush()
+    finally:
+        spool.close()
 
     if len(entries) > leaf_split:
         root_entries = []
@@ -253,8 +262,13 @@ def write_pmtiles(tiles, path: str, *, tile_type: str = "png",
         f.write(root)
         f.write(meta_bytes)
         f.write(leaf_bytes)
-        for blob in data_parts:
-            f.write(blob)
+        with open(spool.name, "rb") as s:
+            while True:
+                chunk = s.read(1 << 22)
+                if not chunk:
+                    break
+                f.write(chunk)
+    os.remove(spool.name)
     return n
 
 
