@@ -791,6 +791,109 @@ GROUP BY x, y
 """
 
 
+def _rt_points(spark, sf_dir):
+    # integer-valued coordinates (CLAUDE.md: exactness claims ride on
+    # integer-valued doubles — N(24,15) dBASE fields and WKT/JSON text
+    # round-trips are all exact for them)
+    c = _tbl(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("fid"),
+        ((F.col("c_custkey") * 13 + 1) % 997).cast("double").alias("x"),
+        ((F.col("c_custkey") * 29 + 2) % 991).cast("double").alias("y"))
+
+
+_RT_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey AS fid,
+         CAST((c_custkey*13+1) % 997 AS BIGINT) AS x,
+         CAST((c_custkey*29+2) % 991 AS BIGINT) AS y
+  FROM customer)
+SELECT fid % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(fid) AS BIGINT) AS fid_sum,
+       CAST(SUM(x) AS BIGINT) AS x_sum,
+       CAST(SUM(y) AS BIGINT) AS y_sum
+FROM pts GROUP BY fid % 10
+"""
+
+
+def _rt_summarize(df, fid="fid", x="x", y="y"):
+    return df.select(
+        F.col(fid).alias("fid"),
+        F.col(x).cast("long").alias("xi"),
+        F.col(y).cast("long").alias("yi"),
+    ).groupBy((F.col("fid") % 10).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("fid").alias("fid_sum"),
+        F.sum("xi").alias("x_sum"),
+        F.sum("yi").alias("y_sum"))
+
+
+def _q_shp_roundtrip(spark, sf_dir):
+    # Shapefile writer+reader with the dBASE N-field codec IN the loop:
+    # point features -> .shp/.shx/.dbf (driver-side assembly — the
+    # dimension-sized sidecar contract sources/shapefile.py documents)
+    # -> read_points_df -> bucket sums. A wrong record header, ring
+    # order, or N(24,15) format can never hash-match the oracle.
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import shapefile as shp
+
+    rows = _rt_points(spark, sf_dir).collect()
+    feats = [{"fidv": float(r["fid"]),
+              "geom": {"type": 1, "points": [(r["x"], r["y"])]}}
+             for r in rows]
+    path = os.path.join(tempfile.mkdtemp(prefix="shp_rt_"), "rt.shp")
+    shp.write_shapefile(feats, path)
+    back = shp.read_points_df(spark, path)
+    return _rt_summarize(
+        back.select(F.col("fidv").cast("long").alias("fid"), "x", "y"))
+
+
+def _q_geojson_roundtrip(spark, sf_dir):
+    # GeoJSONSeq sink+source with the RFC 7946 JSON codec IN the loop:
+    # distributed write (mapInPandas part files), line-split
+    # distributed read, envelope-derived coordinates.
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import geojson as gj
+
+    p = _rt_points(spark, sf_dir)
+    feats = p.select(
+        "fid", F.lit("point").alias("kind"),
+        F.expr("st_point(x, y)").alias("wkb"),
+        F.to_json(F.struct((F.col("fid") % 7).alias("k")))
+        .alias("properties"))
+    from lib_gdal_spark import functions as fns
+    fns.register_all(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="gj_rt_"), "seq")
+    gj.write_geojson_seq(feats, path)
+    back = gj.read_geojson_seq(spark, path)
+    return _rt_summarize(back, fid="fid", x="xmin", y="ymin")
+
+
+def _q_geocsv_roundtrip(spark, sf_dir):
+    # CSV vector sink+source: WKT column out (GEOMETRY=AS_WKT), the
+    # splittable spark.read.csv scan + Arrow WKT decode back.
+    import os
+    import tempfile
+
+    from lib_gdal_spark import functions as fns
+    from lib_gdal_spark.sources import geocsv as gc
+
+    fns.register_all(spark)
+    p = _rt_points(spark, sf_dir)
+    feats = p.select(
+        "fid", F.lit("point").alias("kind"),
+        F.expr("st_point(x, y)").alias("wkb"))
+    path = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "csv")
+    gc.write_geocsv(feats, path)
+    back = gc.read_geocsv(spark, path, wkt_col="wkt")
+    return _rt_summarize(back, fid="fid", x="xmin", y="ymin")
+
+
 def _q_quality_classifier(spark, sf_dir):
     # fastText-style linear classifier INFERENCE over hashed uni+bigram
     # features (textops.quality_classifier_score): all-integer folds,
@@ -3571,6 +3674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_special_fields": _q_ogr_special_fields,  # FID/OGR_GEOMETRY/..
         "hybrid_rrf": _q_hybrid_rrf,               # BM25+cosine RRF
         "quality_classifier": _q_quality_classifier,  # fastText-style gate
+        "shp_roundtrip": _q_shp_roundtrip,         # Shapefile src+sink
+        "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
+        "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -6695,6 +6801,9 @@ def oracle_sql() -> dict[str, str]:
         "ogr_special_fields": _o_ogr_special_fields(),
         "hybrid_rrf": _o_hybrid_rrf(),
         "quality_classifier": _o_quality_classifier(),
+        "shp_roundtrip": _RT_ORACLE,
+        "geojson_roundtrip": _RT_ORACLE,
+        "geocsv_roundtrip": _RT_ORACLE,
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),
