@@ -328,3 +328,57 @@ class TestGeodeticProfile:
         # bounds of tile (3,5) z=3 contain the point that mapped there
         w, s, e, n = gp.geodetic_tile_bounds_np([3], [5], 3)
         assert w[0] <= -100.0 < e[0] and s[0] <= 40.0 < n[0]
+
+
+class TestRasterProfileZoomify:
+    def test_native_zoom(self):
+        from lib_gdal_spark.geo import raster_profile as rp
+
+        # 20x20 at ts=256 -> zoom 0; 1000x600 -> ceil(log2(1000/256))=2
+        assert rp.native_zoom(20, 20) == 0
+        assert rp.native_zoom(1000, 600) == 2
+        assert rp.native_zoom(257, 100) == 1
+
+    def test_raster_tile_assign(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from lib_gdal_spark.geo import raster_profile as rp
+
+        nz = rp.native_zoom(1000, 600)
+        # native zoom: 256-pixel tiles straight off pixel coords
+        tx, ty = rp.raster_tile_np([0, 255, 256, 999], [0, 10, 300, 599],
+                                   nz, nz)
+        assert tx.tolist() == [0, 0, 1, 3]
+        assert ty.tolist() == [0, 0, 1, 2]
+        # one zoom up: 512-pixel span
+        tx1, _ = rp.raster_tile_np([511, 512], [0, 0], nz - 1, nz)
+        assert tx1.tolist() == [0, 1]
+        # Column twin agrees
+        df = spark.range(100).select(
+            (F.col("id") * 37 % 1000).alias("bx"),
+            (F.col("id") * 13 % 600).alias("by"))
+        cx, cy = rp.raster_tile_cols(F.col("bx"), F.col("by"), nz, nz)
+        got = df.select("bx", "by", cx.alias("tx"), cy.alias("ty")).collect()
+        ex, ey = rp.raster_tile_np([r.bx for r in got],
+                                   [r.by for r in got], nz, nz)
+        assert [r.tx for r in got] == ex.tolist()
+        assert [r.ty for r in got] == ey.tolist()
+
+    def test_zoomify_replay(self):
+        # replay the reference class's own arithmetic for a 1000x600
+        # image: tiers halve to a single tile; filenames bucket by 256
+        from lib_gdal_spark.geo import raster_profile as rp
+
+        tiles, sizes, count_up = rp.zoomify_tiers(1000, 600)
+        assert sizes[-1] == (1000, 600)
+        assert tiles[-1] == (4, 3)
+        assert sizes[0][0] <= 256 and sizes[0][1] <= 256
+        assert tiles[0] == (1, 1)
+        assert count_up[0] == 0 and count_up[1] == 1
+        assert rp.zoomify_tilename(0, 0, 0, 1000, 600) == \
+            "TileGroup0/0-0-0.jpg"
+        # last tier starts after all smaller tiers' tiles
+        z_last = len(tiles) - 1
+        assert rp.zoomify_tilename(0, 0, z_last, 1000, 600).startswith(
+            "TileGroup0/")
