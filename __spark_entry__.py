@@ -383,6 +383,204 @@ def _q_rpc_project(spark, sf_dir):
     return c.select("doc_id", p.alias("pixel"), l.alias("line"))
 
 
+# geoloc_forward synthesis: DYADIC node constants (2**-9 / 2**-10, i,j
+# <= 32) so every geoloc-array node value is an exact double and the
+# duckdb twin can recompute the quad corners bit-exactly in any op
+# order; the point spread uses prime-denominator quotients (CLAUDE.md
+# op-order rule) so the bilinear fractions never sit on a knife edge.
+_GEOLOC_N = 33
+_GEOLOC_C1 = 0.001953125       # 2**-9
+_GEOLOC_C2 = 0.0009765625      # 2**-10
+_GEOLOC_TX = 31.9 / 997.0
+_GEOLOC_TY = 31.9 / 991.0
+
+
+def _geoloc_demo():
+    from lib_gdal_spark.geo import geoloc as glmod
+    n = _GEOLOC_N
+    jj, ii = np.meshgrid(np.arange(n, dtype=float),
+                         np.arange(n, dtype=float), indexing="ij")
+    lon = (-80.0 + ii * 0.5) + (ii * jj) * _GEOLOC_C1
+    lat = (50.0 - jj * 0.5) + (ii * jj) * _GEOLOC_C2
+    return glmod.GeolocArray(lon=lon, lat=lat)
+
+
+def _q_geoloc_forward(spark, sf_dir):
+    # Geolocation-array forward transform (geo/geoloc.py:forward_cells
+    # — the main bilinear branch of the reference's PixelLineToXY,
+    # alg/gdalgeoloc.cpp:444-457) over a smooth non-affine 33x33 grid:
+    # each document becomes a (pixel, line) sample; the broadcast
+    # cell-table join evaluates the bilinear in the reference's exact
+    # op order, so the duckdb twin hashes bit-exactly. Zero Exchange on
+    # the point side (pinned in tests/test_geoloc.py).
+    from lib_gdal_spark.geo import geoloc as glmod
+    gl = _geoloc_demo()
+    d = _tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    pts = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 997) * _GEOLOC_TX).alias("px"),
+        ((F.col("doc_id") % 991) * _GEOLOC_TY).alias("py"))
+    out = glmod.forward_cells(pts, glmod.cells_df(spark, gl), gl)
+    return out.select("doc_id", "geo_x", "geo_y")
+
+
+def _o_geoloc_forward() -> str:
+    def dl(x):
+        return f"{float(x):.17e}"
+    c1, c2 = dl(_GEOLOC_C1), dl(_GEOLOC_C2)
+    return f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (CAST(doc_id AS BIGINT) % 997) * {dl(_GEOLOC_TX)} AS px,
+         (CAST(doc_id AS BIGINT) % 991) * {dl(_GEOLOC_TY)} AS py
+  FROM documents
+), q AS (
+  SELECT doc_id, px, py,
+         CAST(FLOOR(px) AS BIGINT) AS gi,
+         CAST(FLOOR(py) AS BIGINT) AS gj
+  FROM p
+), c AS (
+  SELECT doc_id, px - gi AS fx, py - gj AS fy,
+         (-8.0e1 + gi * 5.0e-1) + (gi * gj) * {c1} AS x00,
+         (-8.0e1 + (gi + 1) * 5.0e-1) + ((gi + 1) * gj) * {c1} AS x10,
+         (-8.0e1 + gi * 5.0e-1) + (gi * (gj + 1)) * {c1} AS x01,
+         (-8.0e1 + (gi + 1) * 5.0e-1) + ((gi + 1) * (gj + 1)) * {c1} AS x11,
+         (5.0e1 - gj * 5.0e-1) + (gi * gj) * {c2} AS y00,
+         (5.0e1 - gj * 5.0e-1) + ((gi + 1) * gj) * {c2} AS y10,
+         (5.0e1 - (gj + 1) * 5.0e-1) + (gi * (gj + 1)) * {c2} AS y01,
+         (5.0e1 - (gj + 1) * 5.0e-1) + ((gi + 1) * (gj + 1)) * {c2} AS y11
+  FROM q
+)
+SELECT doc_id,
+       (1.0e0 - fy) * (x00 + fx * (x10 - x00))
+         + fy * (x01 + fx * (x11 - x01)) AS geo_x,
+       (1.0e0 - fy) * (y00 + fx * (y10 - y00))
+         + fy * (y01 + fx * (y11 - y01)) AS geo_y
+FROM c
+"""
+
+
+def _q_geoloc_roundtrip(spark, sf_dir):
+    # Forward + EXACT inverse bilinear (geo/geoloc.py:roundtrip_cells —
+    # the reference's GDALInverseBilinearInterpolation,
+    # alg/gdalgeoloc.cpp:967, quadratic in s) fully relationally: the
+    # containing quad is the joined cell, so the spiral search of the
+    # NumPy inverse is unnecessary and the whole chain is one broadcast
+    # join + column expressions. sqrt is correctly-rounded IEEE in both
+    # engines (CLAUDE.md's oracle-safe op set), so the twin hashes
+    # bit-exactly.
+    from lib_gdal_spark.geo import geoloc as glmod
+    gl = _geoloc_demo()
+    d = _tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    pts = d.select(
+        "doc_id",
+        ((F.col("doc_id") % 997) * _GEOLOC_TX).alias("px"),
+        ((F.col("doc_id") % 991) * _GEOLOC_TY).alias("py"))
+    out = glmod.roundtrip_cells(pts, glmod.cells_df(spark, gl), gl)
+    return out.select("doc_id", "geo_x", "geo_y", "px_rec", "py_rec")
+
+
+def _o_geoloc_roundtrip() -> str:
+    def dl(x):
+        return f"{float(x):.17e}"
+    c1, c2 = dl(_GEOLOC_C1), dl(_GEOLOC_C2)
+    return f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (CAST(doc_id AS BIGINT) % 997) * {dl(_GEOLOC_TX)} AS px,
+         (CAST(doc_id AS BIGINT) % 991) * {dl(_GEOLOC_TY)} AS py
+  FROM documents
+), q AS (
+  SELECT doc_id, px, py,
+         CAST(FLOOR(px) AS BIGINT) AS gi,
+         CAST(FLOOR(py) AS BIGINT) AS gj
+  FROM p
+), c AS (
+  SELECT doc_id, gi, gj, px - gi AS fx, py - gj AS fy,
+         (-8.0e1 + gi * 5.0e-1) + (gi * gj) * {c1} AS x00,
+         (-8.0e1 + (gi + 1) * 5.0e-1) + ((gi + 1) * gj) * {c1} AS x10,
+         (-8.0e1 + gi * 5.0e-1) + (gi * (gj + 1)) * {c1} AS x01,
+         (-8.0e1 + (gi + 1) * 5.0e-1) + ((gi + 1) * (gj + 1)) * {c1} AS x11,
+         (5.0e1 - gj * 5.0e-1) + (gi * gj) * {c2} AS y00,
+         (5.0e1 - gj * 5.0e-1) + ((gi + 1) * gj) * {c2} AS y10,
+         (5.0e1 - (gj + 1) * 5.0e-1) + (gi * (gj + 1)) * {c2} AS y01,
+         (5.0e1 - (gj + 1) * 5.0e-1) + ((gi + 1) * (gj + 1)) * {c2} AS y11
+  FROM q
+), f AS (
+  SELECT *,
+         (1.0e0 - fy) * (x00 + fx * (x10 - x00))
+           + fy * (x01 + fx * (x11 - x01)) AS geo_x,
+         (1.0e0 - fy) * (y00 + fx * (y10 - y00))
+           + fy * (y01 + fx * (y11 - y01)) AS geo_y
+  FROM c
+), ab AS (
+  SELECT *,
+         (x00 - geo_x) * (y00 - y10) - (y00 - geo_y) * (x00 - x10) AS a,
+         (((x00 - geo_x) * (y01 - y11) - (y00 - geo_y) * (x01 - x11))
+          + ((x01 - geo_x) * (y00 - y10)
+             - (y01 - geo_y) * (x00 - x10))) / 2.0e0 AS b,
+         (x01 - geo_x) * (y01 - y11) - (y01 - geo_y) * (x01 - x11) AS cc
+  FROM f
+), sg AS (
+  SELECT *,
+         ABS(a) + ABS(b) + ABS(cc) AS mag,
+         ABS(a - 2.0e0 * b + cc)
+           <= 1.0e-12 * (ABS(a) + ABS(b) + ABS(cc)) AS lin,
+         SQRT(GREATEST(b * b - a * cc, 0.0e0)) AS disc
+  FROM ab
+), ss AS (
+  SELECT *,
+         CASE WHEN lin
+              THEN a / (CASE WHEN lin THEN a - cc ELSE 1.0e0 END)
+              ELSE (CASE WHEN ((a - b) + disc)
+                           / (CASE WHEN lin THEN 1.0e0
+                                   ELSE a - 2.0e0 * b + cc END) < 0
+                         OR ((a - b) + disc)
+                           / (CASE WHEN lin THEN 1.0e0
+                                   ELSE a - 2.0e0 * b + cc END) > 1
+                    THEN ((a - b) - disc)
+                           / (CASE WHEN lin THEN 1.0e0
+                                   ELSE a - 2.0e0 * b + cc END)
+                    ELSE ((a - b) + disc)
+                           / (CASE WHEN lin THEN 1.0e0
+                                   ELSE a - 2.0e0 * b + cc END) END)
+         END AS s
+  FROM sg
+), td AS (
+  SELECT *,
+         (1.0e0 - s) * (x00 - x10) + s * (x01 - x11) AS t_dx,
+         (1.0e0 - s) * (y00 - y10) + s * (y01 - y11) AS t_dy
+  FROM ss
+), ux AS (
+  SELECT *,
+         ABS(t_dx) > 1.0e-12 * mag AS use_x,
+         NOT (ABS(t_dx) > 1.0e-12 * mag)
+           AND ABS(t_dy) > 1.0e-12 * mag AS use_y
+  FROM td
+), fi_ AS (
+  SELECT *,
+         gi + CASE WHEN use_x
+                   THEN ((1.0e0 - s) * (x00 - geo_x) + s * (x01 - geo_x))
+                          / (CASE WHEN use_x THEN t_dx ELSE 1.0e0 END)
+                   ELSE CASE WHEN use_y
+                        THEN ((1.0e0 - s) * (y00 - geo_y)
+                              + s * (y01 - geo_y))
+                               / (CASE WHEN use_y THEN t_dy
+                                       ELSE 1.0e0 END)
+                        ELSE 0.0e0 END
+              END AS fi,
+         gj + s AS fj
+  FROM ux
+)
+SELECT doc_id, geo_x, geo_y,
+       (fi + 0.0e0) * 1.0e0 + 0.0e0 AS px_rec,
+       (fj + 0.0e0) * 1.0e0 + 0.0e0 AS py_rec
+FROM fi_
+"""
+
+
 def _q_graph_sssp_blocked(spark, sf_dir):
     # GNM ChangeBlockState barriers (graph._barriers): hub vertex 100
     # and the chain edge (3,4) blocked — 16 of 29 reachable distances
@@ -3674,6 +3872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_special_fields": _q_ogr_special_fields,  # FID/OGR_GEOMETRY/..
         "hybrid_rrf": _q_hybrid_rrf,               # BM25+cosine RRF
         "quality_classifier": _q_quality_classifier,  # fastText-style gate
+        "geoloc_forward": _q_geoloc_forward,       # GEOLOC array transformer
+        "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
         "shp_roundtrip": _q_shp_roundtrip,         # Shapefile src+sink
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
@@ -6801,6 +7001,8 @@ def oracle_sql() -> dict[str, str]:
         "ogr_special_fields": _o_ogr_special_fields(),
         "hybrid_rrf": _o_hybrid_rrf(),
         "quality_classifier": _o_quality_classifier(),
+        "geoloc_forward": _o_geoloc_forward(),
+        "geoloc_roundtrip": _o_geoloc_roundtrip(),
         "shp_roundtrip": _RT_ORACLE,
         "geojson_roundtrip": _RT_ORACLE,
         "geocsv_roundtrip": _RT_ORACLE,

@@ -65,6 +65,9 @@ HEADLINE = [
     # the BM25+cosine fused retriever (two bounded rankers + tiny join)
     "tile_geodetic",
     "hybrid_rrf",
+    # round 4 session 3: geolocation-array broadcast bilinear (pure
+    # JVM column math over a broadcast cell table)
+    "geoloc_forward",
 ]
 
 
