@@ -601,6 +601,41 @@ def roundtrip_cells(points, cells, gl: GeolocArray, px="px", py="py"):
                      px_rec.alias("px_rec"), py_rec.alias("py_rec"))
 
 
+def transform_df(df, gl: GeolocArray, x_col: str, y_col: str,
+                 inverse: bool = False,
+                 out_cols: tuple = ("tx", "ty", "t_ok")):
+    """Distributed application of the NumPy kernels (the general path:
+    nodata, edge retries, anti-meridian, spiral-search inverse — cases
+    the relational ``forward_cells`` refuses). The geoloc arrays are a
+    per-scene sidecar (kilobytes to a few MB), broadcast inside the
+    Arrow pandas UDF closure exactly like the TPS/RPC appliers; the
+    point side never shuffles. The inverse's backmap is built once per
+    executor on first batch (cached on the GeolocArray)."""
+    from pyspark.sql import functions as F
+
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    fn = globals()["inverse" if inverse else "forward"]
+    gl_ref = gl
+
+    @F.pandas_udf("struct<x: double, y: double, ok: boolean>")
+    def _geoloc(xs, ys):
+        import pandas as pd
+
+        ox, oy, ok = fn(gl_ref, xs.to_numpy(np.float64),
+                        ys.to_numpy(np.float64))
+        return pd.DataFrame({"x": ox, "y": oy, "ok": ok})
+
+    # materialize the struct ONCE, then expand (a struct-field access
+    # on the raw UDF column would re-evaluate the UDF per field)
+    tmp = df.withColumn("_glc", _geoloc(F.col(x_col), F.col(y_col)))
+    return (tmp.withColumn(out_cols[0], F.col("_glc.x"))
+               .withColumn(out_cols[1], F.col("_glc.y"))
+               .withColumn(out_cols[2], F.col("_glc.ok"))
+               .drop("_glc"))
+
+
 def transform_geolocations(gl: GeolocArray, fwd):
     """TransformGeolocations (autotest/alg/transformgeoloc.py:55 —
     gdal.Transformer.TransformGeolocations): apply a coordinate

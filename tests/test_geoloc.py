@@ -233,6 +233,29 @@ def test_roundtrip_cells_recovers_input(spark):
     np.testing.assert_allclose(out["py_rec"], ipy, atol=1e-9)
 
 
+def test_transform_df_forward_and_inverse(spark):
+    # the Arrow pandas-UDF surface (general path incl. spiral inverse)
+    # matches the local NumPy kernels bit-for-bit and round-trips.
+    gl = _dateline_gl()
+    pts = [(k, 0.3 + k * 0.37, 0.2 + k * 0.17) for k in range(50)]
+    df = spark.createDataFrame(pts, "id long, px double, py double")
+    fwd = (G.transform_df(df, gl, "px", "py")
+           .orderBy("id").toPandas())
+    ex, ey, eok = G.forward(gl, np.array([p[1] for p in pts]),
+                            np.array([p[2] for p in pts]))
+    assert eok.all() and fwd["t_ok"].all()
+    assert (fwd["tx"].to_numpy() == ex).all()
+    assert (fwd["ty"].to_numpy() == ey).all()
+    inv = (G.transform_df(
+        spark.createDataFrame(
+            [(k, float(x), float(y)) for k, (x, y) in
+             enumerate(zip(ex, ey))], "id long, gx double, gy double"),
+        gl, "gx", "gy", inverse=True).orderBy("id").toPandas())
+    assert inv["t_ok"].all()
+    np.testing.assert_allclose(inv["tx"], [p[1] for p in pts], atol=1e-7)
+    np.testing.assert_allclose(inv["ty"], [p[2] for p in pts], atol=1e-7)
+
+
 def test_forward_cells_rejects_nodata_and_wrap(spark):
     lon = np.array([[0.0, 1.0], [0.0, 1.0]])
     lat = np.array([[1.0, 1.0], [0.0, 0.0]])
