@@ -581,6 +581,55 @@ FROM fi_
 """
 
 
+def _q_coverage_check(spark, sf_dir):
+    # Polygonal-coverage validation (operators/coverage.py — `gdal
+    # vector check-coverage`, apps/gdalalg_vector_check_coverage.cpp /
+    # GEOS CoverageValidator): a 1-D chain of 10x10 rects where every
+    # doc_id % 7 == 3 rect is shifted left by a dyadic 0.125 so it
+    # overlaps its left neighbor (the reference autotest's 9.9-overlap
+    # shape). The invalid-segment classification runs the full generic
+    # path (grid-cell pair join with report-point dedup + exact NumPy
+    # kernel); the oracle is the closed-form of what that classification
+    # yields on this chain: a shifted rect flags left+bottom+top, its
+    # left neighbor right+bottom+top, everything else is a clean
+    # vertex-matched coverage (n_invalid = 0). All coords are exact
+    # dyadic doubles, seg lengths are sqrt(100) = 10 exactly.
+    from lib_gdal_spark.operators import coverage as cov
+    d = _tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("poly_id"))
+    shift = F.when(F.col("poly_id") % 7 == 3, F.lit(0.125)).otherwise(
+        F.lit(0.0))
+    lo = F.col("poly_id") * 10.0 - shift
+    hi = lo + 10.0
+    polys = d.select(
+        "poly_id",
+        F.array(lo, hi, hi, lo, lo).alias("xs"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0),
+                F.lit(0.0)).alias("ys"))
+    return cov.check_coverage(polys, cell_size=10.0).select(
+        "poly_id", "n_invalid", "invalid_len")
+
+
+def _o_coverage_check() -> str:
+    return """
+WITH mx AS (SELECT MAX(CAST(doc_id AS BIGINT)) AS m FROM documents),
+p AS (
+  SELECT CAST(doc_id AS BIGINT) AS poly_id,
+         CAST(doc_id AS BIGINT) % 7 = 3 AS shifted,
+         (CAST(doc_id AS BIGINT) + 1) % 7 = 3
+           AND CAST(doc_id AS BIGINT) + 1 <= (SELECT m FROM mx)
+           AS shifted_next
+  FROM documents
+)
+SELECT poly_id,
+       CAST(CASE WHEN shifted OR shifted_next THEN 3 ELSE 0 END
+            AS BIGINT) AS n_invalid,
+       CASE WHEN shifted OR shifted_next THEN 3.0e1 ELSE 0.0e0 END
+         AS invalid_len
+FROM p
+"""
+
+
 def _q_graph_sssp_blocked(spark, sf_dir):
     # GNM ChangeBlockState barriers (graph._barriers): hub vertex 100
     # and the chain edge (3,4) blocked — 16 of 29 reachable distances
@@ -3874,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,  # fastText-style gate
         "geoloc_forward": _q_geoloc_forward,       # GEOLOC array transformer
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
+        "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "shp_roundtrip": _q_shp_roundtrip,         # Shapefile src+sink
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
@@ -7003,6 +7053,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _o_quality_classifier(),
         "geoloc_forward": _o_geoloc_forward(),
         "geoloc_roundtrip": _o_geoloc_roundtrip(),
+        "coverage_check": _o_coverage_check(),
         "shp_roundtrip": _RT_ORACLE,
         "geojson_roundtrip": _RT_ORACLE,
         "geocsv_roundtrip": _RT_ORACLE,
