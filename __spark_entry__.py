@@ -630,6 +630,65 @@ FROM p
 """
 
 
+def _q_coverage_simplify(spark, sf_dir):
+    # Topology-aware coverage simplification (operators/coverage.py
+    # simplify_coverage — `gdal vector simplify-coverage` /
+    # GEOS CoverageSimplifier): a VALID abutting rect chain whose edges
+    # are densified with collinear points (horizontal density varies
+    # with doc_id, vertical splits are dyadic j/2 so both neighbors
+    # generate the shared edge vertices bit-identically — the exact
+    # vertex-match coverage requirement). Douglas-Peucker on axis-
+    # aligned chains is exact (perp distance is exactly 0 for the
+    # collinear fillers, exactly 10 for corners), so the simplified
+    # rings are exactly the 4 corners + closure and the shoelace fold
+    # is exactly 100.0 — closed-form oracle. poly.shp autotest replay
+    # and shared-arc consistency live in tests/test_coverage.py.
+    from lib_gdal_spark.operators import coverage as cov
+    d = _tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("poly_id"))
+    mh = (F.col("poly_id") % 4 + 1).cast("int")     # 1..4 fillers
+    x0 = F.col("poly_id") * 10.0
+    x1 = x0 + 10.0
+    y0, y1 = F.lit(0.0), F.lit(10.0)
+
+    def seg(a, b, m):
+        # m+1 points from a toward b (excl. b), fractions j/(m+1)
+        return F.transform(
+            F.sequence(F.lit(0), m),
+            lambda j: a + (b - a) * (j.cast("double") / (m + 1)))
+
+    xs = F.concat(seg(x0, x1, mh), seg(x1, x1, F.lit(1)),
+                  seg(x1, x0, mh), seg(x0, x0, F.lit(1)), F.array(x0))
+    ys = F.concat(seg(y0, y0, mh), seg(y0, y1, F.lit(1)),
+                  seg(y1, y1, mh), seg(y1, y0, F.lit(1)), F.array(y0))
+    polys = d.select("poly_id", xs.alias("xs"), ys.alias("ys"))
+    before = polys.select("poly_id",
+                          F.size("xs").cast("long").alias("n_before"))
+    simp = cov.simplify_coverage(polys, tolerance=0.5)
+    terms = F.transform(
+        F.sequence(F.lit(0), F.size("xs") - 2),
+        lambda i: F.col("xs")[i] * F.col("ys")[i + 1]
+        - F.col("xs")[i + 1] * F.col("ys")[i])
+    area = F.abs(F.aggregate(terms, F.lit(0.0),
+                             lambda acc, x: acc + x)) * 0.5
+    out = simp.select(
+        "poly_id",
+        F.size("xs").cast("long").alias("n_after"),
+        area.alias("area"))
+    return out.join(before, "poly_id").select(
+        "poly_id", "n_before", "n_after", "area")
+
+
+def _o_coverage_simplify() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS poly_id,
+       CAST(2 * (CAST(doc_id AS BIGINT) % 4) + 9 AS BIGINT) AS n_before,
+       CAST(5 AS BIGINT) AS n_after,
+       1.0e2 AS area
+FROM documents
+"""
+
+
 def _q_graph_sssp_blocked(spark, sf_dir):
     # GNM ChangeBlockState barriers (graph._barriers): hub vertex 100
     # and the chain edge (3,4) blocked — 16 of 29 reachable distances
@@ -3924,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoloc_forward": _q_geoloc_forward,       # GEOLOC array transformer
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
+        "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "shp_roundtrip": _q_shp_roundtrip,         # Shapefile src+sink
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
@@ -7054,6 +7114,7 @@ def oracle_sql() -> dict[str, str]:
         "geoloc_forward": _o_geoloc_forward(),
         "geoloc_roundtrip": _o_geoloc_roundtrip(),
         "coverage_check": _o_coverage_check(),
+        "coverage_simplify": _o_coverage_simplify(),
         "shp_roundtrip": _RT_ORACLE,
         "geojson_roundtrip": _RT_ORACLE,
         "geocsv_roundtrip": _RT_ORACLE,

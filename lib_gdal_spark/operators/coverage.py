@@ -220,6 +220,219 @@ def invalid_edges(polys: DataFrame, id_col: str = "poly_id",
         F.min("x2").alias("x2"), F.min("y2").alias("y2"))
 
 
+_CHAIN_SCHEMA = ("lox double, loy double, hix double, hiy double, "
+                 "chain string, cxs array<double>, cys array<double>")
+
+
+def _walk_chains(edges: np.ndarray, own_key: str, tolerance: float):
+    """Within one owner-set group: assemble the canonical edges into
+    maximal paths through degree-2 vertices, Douglas-Peucker each path
+    with PINNED endpoints, and return per-edge rows
+    (edge canonical cols, chain id, simplified chain polyline).
+
+    Cycles (a ring entirely inside one owner set — an isolated polygon
+    or an island) anchor at the lexicographically smallest vertex plus
+    the vertex farthest from it, so the ring cannot collapse and the
+    result is partition- and traversal-order independent."""
+    from ..geo.simplify import douglas_peucker_np
+
+    pts = {}          # vertex -> incident edge indices
+    for k, e in enumerate(edges):
+        for v in ((e[0], e[1]), (e[2], e[3])):
+            pts.setdefault(v, []).append(k)
+    visited = np.zeros(len(edges), bool)
+    out = []
+
+    def other(e, v):
+        return (e[2], e[3]) if (e[0], e[1]) == v else (e[0], e[1])
+
+    def next_edge(v, cur):
+        inc = pts[v]
+        if len(inc) != 2:
+            return None
+        nxt = inc[0] if inc[1] == cur else inc[1]
+        return None if visited[nxt] else nxt
+
+    # deterministic start order: lexicographic over canonical edges
+    order = np.lexsort((edges[:, 3], edges[:, 2], edges[:, 1],
+                        edges[:, 0]))
+    chain_n = 0
+    for k0 in order:
+        if visited[k0]:
+            continue
+        # grow a path both ways from edge k0
+        path = [k0]
+        visited[k0] = True
+        ends = [(edges[k0][0], edges[k0][1]), (edges[k0][2], edges[k0][3])]
+        for side in (0, 1):
+            v = ends[side]
+            cur = path[0] if side == 0 else path[-1]
+            while True:
+                nxt = next_edge(v, cur)
+                if nxt is None:
+                    break
+                visited[nxt] = True
+                if side == 0:
+                    path.insert(0, nxt)
+                else:
+                    path.append(nxt)
+                v = other(edges[nxt], v)
+                cur = nxt
+                ends[side] = v
+        # order vertices along the path
+        verts = [ends[0]]
+        v = ends[0]
+        for k in path:
+            v = other(edges[k], v)
+            verts.append(v)
+        is_cycle = verts[0] == verts[-1] and len(verts) > 2
+        if is_cycle:
+            ring = verts[:-1]
+            a0 = min(range(len(ring)), key=lambda i: ring[i])
+            ring = ring[a0:] + ring[:a0]
+            arr = np.asarray(ring + [ring[0]], np.float64)
+            d = np.hypot(arr[:, 0] - arr[0, 0], arr[:, 1] - arr[0, 1])
+            far = int(np.argmax(d))
+            half1 = douglas_peucker_np(arr[:far + 1], tolerance)
+            half2 = douglas_peucker_np(arr[far:], tolerance)
+            simp = np.concatenate([half1, half2[1:]], axis=0)
+        else:
+            simp = douglas_peucker_np(np.asarray(verts, np.float64),
+                                      tolerance)
+        cid = f"{own_key}#{chain_n}"
+        chain_n += 1
+        cxs = simp[:, 0].tolist()
+        cys = simp[:, 1].tolist()
+        for k in path:
+            e = edges[k]
+            out.append((float(e[0]), float(e[1]), float(e[2]),
+                        float(e[3]), cid, cxs, cys))
+    return out
+
+
+def simplify_coverage(polys: DataFrame, tolerance: float,
+                      id_col: str = "poly_id", xs_col: str = "xs",
+                      ys_col: str = "ys") -> DataFrame:
+    """`gdal vector simplify-coverage`
+    (apps/gdalalg_vector_simplify_coverage.cpp / GEOS 3.12
+    CoverageSimplifier): topology-aware simplification where a boundary
+    shared by two polygons is simplified ONCE and both neighbors get
+    the identical simplified arc, so the coverage stays gap/sliver-free.
+
+    Distributed shape:
+      1. ring -> directed segment rows (pure Catalyst posexplode);
+      2. groupBy canonical edge -> owner set (one bounded shuffle);
+      3. applyInPandas per OWNER-SET group: edges with identical owner
+         sets form the arcs between coverage nodes (a vertex where the
+         owner set changes terminates the path by construction, exactly
+         GEOS's ring-intersection nodes), so chain assembly + pinned
+         Douglas-Peucker is group-local — groups are pair-boundary
+         sized, never corpus-sized;
+      4. join chains back to the per-polygon segment sequence and
+         rebuild each ring in pos order (one groupBy(poly_id)).
+
+    Divergence from GEOS, documented: chain-wise DP with pinned chain
+    endpoints does not re-check cross-chain crossings (GEOS's corrected
+    variant does); the reference autotest's assertions (feature count
+    preserved, point count reduced) replay in tests/test_coverage.py on
+    the reference's own poly.shp.
+
+    Returns (poly_id, xs, ys) simplified closed rings."""
+    from ..session import ship_package
+
+    ship_package(polys.sparkSession)
+    tol = float(tolerance)
+    n = F.size(xs_col)
+    seg = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.col(xs_col)[i].alias("ax"), F.col(ys_col)[i].alias("ay"),
+            F.col(xs_col)[i + 1].alias("bx"),
+            F.col(ys_col)[i + 1].alias("by")))
+    segs = (polys.select(F.col(id_col).alias("poly_id"),
+                         F.posexplode(seg).alias("pos", "s"))
+            .select("poly_id", "pos", "s.ax", "s.ay", "s.bx", "s.by")
+            .filter((F.col("ax") != F.col("bx"))
+                    | (F.col("ay") != F.col("by"))))
+    swap = (F.col("bx") < F.col("ax")) | (
+        (F.col("bx") == F.col("ax")) & (F.col("by") < F.col("ay")))
+    segs = (segs
+            .withColumn("lox", F.when(swap, F.col("bx"))
+                        .otherwise(F.col("ax")))
+            .withColumn("loy", F.when(swap, F.col("by"))
+                        .otherwise(F.col("ay")))
+            .withColumn("hix", F.when(swap, F.col("ax"))
+                        .otherwise(F.col("bx")))
+            .withColumn("hiy", F.when(swap, F.col("ay"))
+                        .otherwise(F.col("by"))))
+    owners = (segs.groupBy("lox", "loy", "hix", "hiy")
+              .agg(F.concat_ws(
+                  "_", F.sort_array(F.collect_set("poly_id")))
+                  .alias("own_key")))
+
+    def chains_fn(key, pdf):
+        edges = pdf[["lox", "loy", "hix", "hiy"]].to_numpy(np.float64)
+        rows = _walk_chains(edges, str(key[0]), tol)
+        return pd.DataFrame(rows, columns=[
+            "lox", "loy", "hix", "hiy", "chain", "cxs", "cys"])
+
+    chains = owners.groupBy("own_key").applyInPandas(
+        chains_fn, _CHAIN_SCHEMA)
+
+    joined = segs.join(chains, ["lox", "loy", "hix", "hiy"])
+
+    def rebuild_fn(key, pdf):
+        pdf = pdf.sort_values("pos")
+        xs_out = []
+        ys_out = []
+        i = 0
+        rows = pdf.to_dict("records")
+        # the ring's (arbitrary) start vertex may fall mid-chain,
+        # splitting that chain into a head run and a tail run — rotate
+        # so the ring starts at a chain boundary (a no-op when the
+        # whole ring is one cycle chain)
+        if rows and rows[0]["chain"] == rows[-1]["chain"]:
+            for k in range(1, len(rows)):
+                if rows[k]["chain"] != rows[k - 1]["chain"]:
+                    rows = rows[k:] + rows[:k]
+                    break
+        while i < len(rows):
+            r = rows[i]
+            cid = r["chain"]
+            # extent of this consecutive run of the same chain
+            j = i
+            while j + 1 < len(rows) and rows[j + 1]["chain"] == cid:
+                j += 1
+            cxs = list(rows[i]["cxs"])
+            cys = list(rows[i]["cys"])
+            start = (rows[i]["ax"], rows[i]["ay"])
+            end = (rows[j]["bx"], rows[j]["by"])
+            if (cxs[0], cys[0]) == start and (cxs[-1], cys[-1]) == end:
+                pass
+            elif (cxs[-1], cys[-1]) == start and (cxs[0], cys[0]) == end:
+                cxs.reverse()
+                cys.reverse()
+            # else: full-cycle chain (start == end, or the traversal
+            # start was an interior vertex DP removed) — keep the
+            # anchored orientation; ring equality up to rotation is
+            # fine for a full-ring chain.
+            skip_first = bool(xs_out) and (xs_out[-1], ys_out[-1]) == (
+                cxs[0], cys[0])
+            xs_out.extend(cxs[1:] if skip_first else cxs)
+            ys_out.extend(cys[1:] if skip_first else cys)
+            i = j + 1
+        # close the ring
+        if xs_out and (xs_out[0], ys_out[0]) != (xs_out[-1], ys_out[-1]):
+            xs_out.append(xs_out[0])
+            ys_out.append(ys_out[0])
+        # drop an accidental duplicate closure from chain joins
+        return pd.DataFrame({"poly_id": [key[0]],
+                             "xs": [xs_out], "ys": [ys_out]})
+
+    return joined.groupBy("poly_id").applyInPandas(
+        rebuild_fn, "poly_id long, xs array<double>, ys array<double>")
+
+
 def check_coverage(polys: DataFrame, id_col: str = "poly_id",
                    xs_col: str = "xs", ys_col: str = "ys",
                    cell_size: float = 1.0,

@@ -109,6 +109,108 @@ def test_kernel_rules_direct():
     assert bad2.tolist() == [True, True, True, False]
 
 
+def _dens_rect(x0, y0, x1, y1, mh=3, mv=1):
+    # m+1 a power of two -> dyadic split points, identical from either
+    # traversal direction (coverage ops require exact vertex match,
+    # same as GEOS)
+    def seg(a, b, m):
+        return [a + (b - a) * (j / (m + 1.0)) for j in range(m + 1)]
+    xs = (seg(x0, x1, mh) + seg(x1, x1, mv) + seg(x1, x0, mh)
+          + seg(x0, x0, mv) + [float(x0)])
+    ys = (seg(y0, y0, mh) + seg(y0, y1, mv) + seg(y1, y1, mh)
+          + seg(y1, y0, mv) + [float(y0)])
+    return [float(v) for v in xs], [float(v) for v in ys]
+
+
+def _ring_area(xs, ys):
+    return 0.5 * abs(sum(xs[k] * ys[k + 1] - xs[k + 1] * ys[k]
+                         for k in range(len(xs) - 1)))
+
+
+def test_simplify_coverage_rect_chain(spark):
+    # three abutting densified rects: every collinear midpoint drops,
+    # corners stay, shared edges stay vertex-matched, areas exact
+    polys = [_dens_rect(0, 0, 10, 10), _dens_rect(10, 0, 20, 10),
+             _dens_rect(20, 0, 30, 10)]
+    out = (C.simplify_coverage(_df(spark, polys), tolerance=0.5)
+           .orderBy("poly_id").collect())
+    assert len(out) == 3
+    for r in out:
+        assert len(r.xs) == 5
+        assert (r.xs[0], r.ys[0]) == (r.xs[-1], r.ys[-1])
+        assert _ring_area(r.xs, r.ys) == 100.0
+    # shared boundary stays identical on both sides: the two middle
+    # polys both contain the segment x=10 (corner pair) and x=20
+    edges = set()
+    for r in out:
+        for k in range(len(r.xs) - 1):
+            e = tuple(sorted([(r.xs[k], r.ys[k]),
+                              (r.xs[k + 1], r.ys[k + 1])]))
+            edges.add((int(r.poly_id),) + e)
+    shared10 = {p for (p, a, b) in edges
+                if a == (10.0, 0.0) and b == (10.0, 10.0)}
+    assert shared10 == {0, 1}
+
+
+def test_simplify_coverage_zigzag_chain(spark):
+    # a wiggly shared boundary: both neighbors get the SAME simplified
+    # arc (the whole point of coverage-aware simplification)
+    left_xs = [0.0, 10.0, 9.5, 10.0, 9.5, 10.0, 0.0, 0.0]
+    left_ys = [0.0, 0.0, 2.5, 5.0, 7.5, 10.0, 10.0, 0.0]
+    right_xs = [10.0, 20.0, 20.0, 10.0, 9.5, 10.0, 9.5, 10.0]
+    right_ys = [0.0, 0.0, 10.0, 10.0, 7.5, 5.0, 2.5, 0.0]
+    df = _df(spark, [(left_xs, left_ys), (right_xs, right_ys)])
+    out = {r.poly_id: r for r in
+           C.simplify_coverage(df, tolerance=1.0).collect()}
+    e0 = {tuple(sorted([(out[0].xs[k], out[0].ys[k]),
+                        (out[0].xs[k + 1], out[0].ys[k + 1])]))
+          for k in range(len(out[0].xs) - 1)}
+    e1 = {tuple(sorted([(out[1].xs[k], out[1].ys[k]),
+                        (out[1].xs[k + 1], out[1].ys[k + 1])]))
+          for k in range(len(out[1].xs) - 1)}
+    shared = tuple(sorted([(10.0, 0.0), (10.0, 10.0)]))
+    # the zigzag (deviation 0.5 < tol 1.0) collapsed to the straight
+    # shared segment — in BOTH rings
+    assert shared in e0 and shared in e1
+    assert len(out[0].xs) == 5 and len(out[1].xs) == 5
+
+
+def test_simplify_coverage_isolated_cycle(spark):
+    # an isolated polygon is one cycle chain: anchored DP, no collapse
+    xs, ys = _dens_rect(0, 0, 10, 10, mh=3, mv=3)
+    out = C.simplify_coverage(_df(spark, [(xs, ys)]),
+                              tolerance=0.5).collect()
+    r = out[0]
+    assert (r.xs[0], r.ys[0]) == (r.xs[-1], r.ys[-1])
+    assert _ring_area(r.xs, r.ys) == 100.0
+    assert len(r.xs) <= 6  # 4 corners + closure (+1 anchor at most)
+
+
+def test_simplify_coverage_polyshp_autotest(spark):
+    # the reference autotest's own assertions on its own data
+    # (test_gdalalg_vector_simplify_coverage.py:40 — poly.shp,
+    # tolerance=2: feature count preserved, point count reduced)
+    from lib_gdal_spark.sources.shapefile import read_shapefile
+    feats = read_shapefile("/root/reference/autotest/ogr/data/poly.shp")
+    rows = []
+    n_before = 0
+    for fid, f in enumerate(feats):
+        ring = f["geom"]["parts"][0]  # exterior ring
+        xs = [float(p[0]) for p in ring]
+        ys = [float(p[1]) for p in ring]
+        n_before += len(xs)
+        rows.append((fid, xs, ys))
+    df = spark.createDataFrame(
+        rows, "poly_id long, xs array<double>, ys array<double>")
+    out = C.simplify_coverage(df, tolerance=2.0).collect()
+    assert len(out) == len(feats)            # feature count preserved
+    n_after = sum(len(r.xs) for r in out)
+    assert n_after < n_before                # point count reduced
+    for r in out:
+        assert (r.xs[0], r.ys[0]) == (r.xs[-1], r.ys[-1])
+        assert len(r.xs) >= 4
+
+
 def test_strictly_inside_boundary_excluded():
     xs = np.array([0.0, 10, 10, 0, 0])
     ys = np.array([0.0, 0, 10, 10, 0])
