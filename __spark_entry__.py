@@ -689,6 +689,44 @@ FROM documents
 """
 
 
+def _q_coverage_clean(spark, sf_dir):
+    # Coverage cleaning (operators/coverage.py clean_coverage — `gdal
+    # vector clean-coverage` / GEOS CoverageCleaner; the circles
+    # autotest replays all four merge strategies to the autotest's own
+    # 0.01 tolerance in tests/test_coverage.py). Here: the shifted-rect
+    # chain with a DYADIC 2.5 shift, so every overlay intersection
+    # parameter (t = 2.5/10 = 0.25) and output vertex is an exact
+    # double and the cleaned areas are exactly 100.0 / 75.0 —
+    # closed-form oracle. min-index strategy: the lower id keeps the
+    # overlap piece, the shifted rect loses 2.5 x 10.
+    from lib_gdal_spark.operators import coverage as cov
+    d = _tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("poly_id"))
+    shift = F.when(F.col("poly_id") % 7 == 3, F.lit(2.5)).otherwise(
+        F.lit(0.0))
+    lo = F.col("poly_id") * 10.0 - shift
+    hi = lo + 10.0
+    polys = d.select(
+        "poly_id",
+        F.array(lo, hi, hi, lo, lo).alias("xs"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0),
+                F.lit(0.0)).alias("ys"))
+    out = cov.clean_coverage(polys, cell_size=10.0,
+                             merge_strategy="min-index")
+    return out.select("poly_id", "area",
+                      F.col("n_parts").cast("long").alias("n_parts"))
+
+
+def _o_coverage_clean() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS poly_id,
+       CASE WHEN CAST(doc_id AS BIGINT) % 7 = 3
+            THEN 7.5e1 ELSE 1.0e2 END AS area,
+       CAST(1 AS BIGINT) AS n_parts
+FROM documents
+"""
+
+
 def _q_graph_sssp_blocked(spark, sf_dir):
     # GNM ChangeBlockState barriers (graph._barriers): hub vertex 100
     # and the chain edge (3,4) blocked — 16 of 29 reachable distances
@@ -3984,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
+        "coverage_clean": _q_coverage_clean,       # coverage cleaner
         "shp_roundtrip": _q_shp_roundtrip,         # Shapefile src+sink
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
@@ -7115,6 +7154,7 @@ def oracle_sql() -> dict[str, str]:
         "geoloc_roundtrip": _o_geoloc_roundtrip(),
         "coverage_check": _o_coverage_check(),
         "coverage_simplify": _o_coverage_simplify(),
+        "coverage_clean": _o_coverage_clean(),
         "shp_roundtrip": _RT_ORACLE,
         "geojson_roundtrip": _RT_ORACLE,
         "geocsv_roundtrip": _RT_ORACLE,

@@ -160,22 +160,16 @@ def _cells(side: DataFrame, cell_size: float) -> DataFrame:
                                    F.floor(F.col("ymax") / cs))))
 
 
-def invalid_edges(polys: DataFrame, id_col: str = "poly_id",
-                  xs_col: str = "xs", ys_col: str = "ys",
-                  cell_size: float = 1.0) -> DataFrame:
-    """(poly_id, seg_id, x1, y1, x2, y2) for every boundary segment that
-    violates coverage validity — the row form of the reference's
-    ``invalid_edge`` layer. ``seg_id`` is the segment's index along the
-    ring, so results are deterministic and partition-independent."""
-    from ..session import ship_package
-
-    ship_package(polys.sparkSession)
+def _candidate_pairs(polys: DataFrame, id_col: str, xs_col: str,
+                     ys_col: str, cell_size: float) -> DataFrame:
+    """Both-direction candidate neighbor pairs (poly_id, axs, ays,
+    other_id, bxs, bys) from the grid-cell equi-join with bbox-overlap
+    pushdown and report-point dedup (a pair is emitted only in the cell
+    holding its bbox-intersection's min corner — no distinct shuffle)."""
     base = _with_bbox(polys, id_col, xs_col, ys_col)
     cs = float(cell_size)
     a = _cells(base, cs).alias("a")
     b = _cells(base, cs).alias("b")
-    # bbox overlap + report-point dedup: keep the pair only in the cell
-    # holding the intersection's min corner (no distinct needed)
     pair = a.join(
         b,
         (F.col("a.cx") == F.col("b.cx")) & (F.col("a.cy") == F.col("b.cy"))
@@ -188,10 +182,24 @@ def invalid_edges(polys: DataFrame, id_col: str = "poly_id",
             F.greatest(F.col("a.xmin"), F.col("b.xmin")) / cs))
         & (F.col("a.cy") == F.floor(
             F.greatest(F.col("a.ymin"), F.col("b.ymin")) / cs)))
-    pair = pair.select(
+    return pair.select(
         F.col("a.poly_id").alias("poly_id"),
         F.col("a.xs").alias("axs"), F.col("a.ys").alias("ays"),
+        F.col("b.poly_id").alias("other_id"),
         F.col("b.xs").alias("bxs"), F.col("b.ys").alias("bys"))
+
+
+def invalid_edges(polys: DataFrame, id_col: str = "poly_id",
+                  xs_col: str = "xs", ys_col: str = "ys",
+                  cell_size: float = 1.0) -> DataFrame:
+    """(poly_id, seg_id, x1, y1, x2, y2) for every boundary segment that
+    violates coverage validity — the row form of the reference's
+    ``invalid_edge`` layer. ``seg_id`` is the segment's index along the
+    ring, so results are deterministic and partition-independent."""
+    from ..session import ship_package
+
+    ship_package(polys.sparkSession)
+    pair = _candidate_pairs(polys, id_col, xs_col, ys_col, cell_size)
 
     def kern(batches):
         for pdf in batches:
@@ -431,6 +439,178 @@ def simplify_coverage(polys: DataFrame, tolerance: float,
 
     return joined.groupBy("poly_id").applyInPandas(
         rebuild_fn, "poly_id long, xs array<double>, ys array<double>")
+
+
+def _closed(r) -> np.ndarray:
+    """clip.py hands back OPEN rings — close before shoelace/segments."""
+    r = np.asarray(r, np.float64)
+    if len(r) and (r[0] != r[-1]).any():
+        r = np.vstack([r, r[:1]])
+    return r
+
+
+def _poly_area(polys_list) -> float:
+    """Signed-ring area sum per polygon (holes wound opposite subtract),
+    abs per polygon — OGR_G_Area semantics over clip.py's ring lists."""
+    total = 0.0
+    for rings in polys_list:
+        s = 0.0
+        for r in rings:
+            r = _closed(r)
+            x, y = r[:, 0], r[:, 1]
+            s += 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        total += abs(s)
+    return total
+
+
+def _border_len(piece_polys, ring_xs, ring_ys, scale) -> float:
+    """Length of the piece's boundary lying on the given ring — the
+    longest-border merge metric (segment midpoint collinear-with and
+    inside a ring segment, eps-scaled for the split-point rounding
+    clip.py introduces)."""
+    eps = 1e-9 * scale * scale
+    segs = np.concatenate(
+        [_segments(_closed(r)[:, 0], _closed(r)[:, 1])
+         for rings in piece_polys for r in rings], axis=0)
+    ring = _segments(np.asarray(ring_xs, np.float64),
+                     np.asarray(ring_ys, np.float64))
+    mx = (segs[:, 0] + segs[:, 2]) * 0.5
+    my = (segs[:, 1] + segs[:, 3]) * 0.5
+    ax, ay = ring[:, 0][None, :], ring[:, 1][None, :]
+    bx, by = ring[:, 2][None, :], ring[:, 3][None, :]
+    cross = ((bx - ax) * (my[:, None] - ay)
+             - (by - ay) * (mx[:, None] - ax))
+    within = ((mx[:, None] >= np.minimum(ax, bx) - 1e-12)
+              & (mx[:, None] <= np.maximum(ax, bx) + 1e-12)
+              & (my[:, None] >= np.minimum(ay, by) - 1e-12)
+              & (my[:, None] <= np.maximum(ay, by) + 1e-12))
+    on = (np.abs(cross) <= eps) & within
+    hit = on.any(axis=1)
+    lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
+    return float(lens[hit].sum())
+
+
+def clean_coverage(polys: DataFrame, id_col: str = "poly_id",
+                   xs_col: str = "xs", ys_col: str = "ys",
+                   cell_size: float = 1.0,
+                   merge_strategy: str = "longest-border") -> DataFrame:
+    """`gdal vector clean-coverage`
+    (apps/gdalalg_vector_clean_coverage.cpp / GEOS 3.12
+    CoverageCleaner): remove pairwise overlaps from a would-be coverage
+    by assigning each overlap piece to ONE neighbor per merge strategy
+    and subtracting it from the other.
+
+    merge_strategy (gdalalg_vector_clean_coverage.cpp choices):
+      - 'longest-border' (the reference default): the piece goes to the
+        neighbor sharing the longer border with it;
+      - 'min-index': the lower poly_id keeps the piece;
+      - 'max-area' / 'min-area': the larger / smaller polygon keeps it.
+    Ties break to the lower poly_id (deterministic, partition-safe).
+
+    Distributed shape: candidate pairs from the same grid-cell join as
+    check_coverage, each unordered pair decided once (id_a < id_b) in
+    an Arrow batch kernel over clip.py's exact overlay; losers group
+    their winners (sorted by id — deterministic sequential difference)
+    in one groupBy. Gap merging (maximum-gap-width) is not implemented
+    — the reference's default 0 means no gap merging, which is the
+    behavior here; triple-overlap arrangements resolve pairwise (GEOS
+    nodes the full arrangement), documented divergence.
+
+    Returns (poly_id, geometry WKB, area, n_parts)."""
+    from ..geo import clip as _clip
+    from ..geo import wkb as _wkb
+    from ..session import ship_package
+
+    ship_package(polys.sparkSession)
+    strat = merge_strategy
+    if strat not in ("longest-border", "min-index", "max-area",
+                     "min-area"):
+        raise ValueError(f"unknown merge strategy {strat!r}")
+
+    pair = _candidate_pairs(polys, id_col, xs_col, ys_col, cell_size)
+    pair = pair.filter(F.col("poly_id") < F.col("other_id"))
+
+    def decide(batches):
+        for pdf in batches:
+            rows = []
+            for pid, axs, ays, oid, bxs, bys in zip(
+                    pdf["poly_id"], pdf["axs"], pdf["ays"],
+                    pdf["other_id"], pdf["bxs"], pdf["bys"]):
+                ra = np.stack([np.asarray(axs, np.float64),
+                               np.asarray(ays, np.float64)], axis=1)
+                rb = np.stack([np.asarray(bxs, np.float64),
+                               np.asarray(bys, np.float64)], axis=1)
+                kind, data = _clip.overlay("polygon", [ra],
+                                           "polygon", [rb],
+                                           "intersection")
+                piece = _clip.as_polys(kind, data)
+                if _poly_area(piece) <= 0.0:
+                    continue
+                if strat == "min-index":
+                    winner = min(pid, oid)
+                elif strat in ("max-area", "min-area"):
+                    area_a = _poly_area([[ra]])
+                    area_b = _poly_area([[rb]])
+                    if area_a == area_b:
+                        winner = min(pid, oid)
+                    elif strat == "max-area":
+                        winner = pid if area_a > area_b else oid
+                    else:
+                        winner = pid if area_a < area_b else oid
+                else:  # longest-border
+                    # the piece's border with what REMAINS of a is the
+                    # part of b's ring crossing a (and vice versa) —
+                    # the arcs swap owners at the piece boundary
+                    scale = max(np.abs(ra).max(), np.abs(rb).max(), 1.0)
+                    la = _border_len(piece, rb[:, 0], rb[:, 1], scale)
+                    lb = _border_len(piece, ra[:, 0], ra[:, 1], scale)
+                    if la == lb:
+                        winner = min(pid, oid)
+                    else:
+                        winner = pid if la > lb else oid
+                loser = oid if winner == pid else pid
+                wxs, wys = (axs, ays) if winner == pid else (bxs, bys)
+                rows.append((int(loser), int(winner),
+                             list(wxs), list(wys)))
+            yield pd.DataFrame(rows, columns=[
+                "poly_id", "winner", "wxs", "wys"])
+
+    losses = pair.mapInPandas(
+        decide, "poly_id long, winner long, wxs array<double>, "
+                "wys array<double>")
+    grouped = losses.groupBy("poly_id").agg(
+        F.array_sort(F.collect_list(
+            F.struct("winner", "wxs", "wys"))).alias("ws"))
+    full = (polys.select(F.col(id_col).alias("poly_id"),
+                         F.col(xs_col).alias("xs"),
+                         F.col(ys_col).alias("ys"))
+            .join(grouped, "poly_id", "left"))
+
+    def subtract(batches):
+        for pdf in batches:
+            rows = []
+            for pid, xs, ys, ws in zip(pdf["poly_id"], pdf["xs"],
+                                       pdf["ys"], pdf["ws"]):
+                ring = np.stack([np.asarray(xs, np.float64),
+                                 np.asarray(ys, np.float64)], axis=1)
+                kind, data = "polygon", [ring]
+                if ws is not None and len(ws):
+                    for w in ws:  # already sorted by winner id
+                        wr = np.stack(
+                            [np.asarray(w["wxs"], np.float64),
+                             np.asarray(w["wys"], np.float64)], axis=1)
+                        kind, data = _clip.overlay(
+                            kind, data, "polygon", [wr], "difference")
+                plist = _clip.as_polys(kind, data)
+                rows.append((int(pid),
+                             _wkb.encode_geometry(kind, data),
+                             _poly_area(plist), len(plist)))
+            yield pd.DataFrame(rows, columns=[
+                "poly_id", "geometry", "area", "n_parts"])
+
+    return full.mapInPandas(
+        subtract,
+        "poly_id long, geometry binary, area double, n_parts int")
 
 
 def check_coverage(polys: DataFrame, id_col: str = "poly_id",

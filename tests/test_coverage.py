@@ -211,6 +211,70 @@ def test_simplify_coverage_polyshp_autotest(spark):
         assert len(r.xs) >= 4
 
 
+def _circle(cx, cy, r):
+    from lib_gdal_spark.geo import hull
+    ring = np.asarray(hull.point_buffer_ring(cx, cy, r, quadsegs=30),
+                      float)
+    if (ring[0] != ring[-1]).any():
+        ring = np.vstack([ring, ring[:1]])
+    return ([float(v) for v in ring[:, 0]],
+            [float(v) for v in ring[:, 1]])
+
+
+def test_clean_coverage_circles_autotest(spark):
+    # the reference autotest's exact fixture and expected areas
+    # (test_gdalalg_vector_clean_coverage.py:27 circles at (5,5)r5 /
+    # (10,15)r6.5 / (15,5)r5.1, OGR Buffer default 30 quadsegs) — all
+    # FOUR merge strategies match GEOS CoverageCleaner to the
+    # autotest's own 0.01 tolerance.
+    polys = [_circle(5, 5, 5), _circle(10, 15, 6.5), _circle(15, 5, 5.1)]
+    df = _df(spark, polys)
+    expected = {
+        "longest-border": [77.85, 132.67, 80.82],   # the default
+        "max-area": [77.85, 132.67, 80.82],
+        "min-area": [78.50, 131.26, 81.58],
+        "min-index": [78.50, 132.11, 80.73],
+    }
+    for strat, exp in expected.items():
+        out = (C.clean_coverage(df, cell_size=10.0, merge_strategy=strat)
+               .orderBy("poly_id").collect())
+        areas = [r.area for r in out]
+        assert len(out) == 3          # feature count preserved
+        for got, want in zip(areas, exp):
+            assert got == pytest.approx(want, abs=0.01), strat
+
+
+def test_clean_coverage_rect_pair_exact(spark):
+    # equal-area rects overlap 2.5x10; every strategy tie-breaks to the
+    # lower id, whose area stays exactly 100; the loser becomes exactly
+    # 75 (dyadic coords -> exact overlay vertices)
+    polys = [_rect(0, 0, 10, 10), _rect(7.5, 0, 17.5, 10)]
+    out = (C.clean_coverage(_df(spark, polys), cell_size=10.0,
+                            merge_strategy="min-index")
+           .orderBy("poly_id").collect())
+    assert [(r.poly_id, r.area, r.n_parts) for r in out] == [
+        (0, 100.0, 1), (1, 75.0, 1)]
+
+
+def test_clean_coverage_no_overlap_passthrough(spark):
+    polys = [_rect(0, 0, 10, 10), _rect(10, 0, 20, 10),
+             _rect(50, 0, 60, 10)]
+    out = (C.clean_coverage(_df(spark, polys), cell_size=10.0)
+           .orderBy("poly_id").collect())
+    assert [(r.poly_id, r.area) for r in out] == [
+        (0, 100.0), (1, 100.0), (2, 100.0)]
+    # geometry passes through as valid WKB
+    from lib_gdal_spark.geo.wkb import decode
+    kind, data = decode(bytes(out[0].geometry))
+    assert kind == "polygon"
+
+
+def test_clean_coverage_rejects_unknown_strategy(spark):
+    with pytest.raises(ValueError):
+        C.clean_coverage(_df(spark, [_rect(0, 0, 1, 1)]),
+                         merge_strategy="bogus")
+
+
 def test_strictly_inside_boundary_excluded():
     xs = np.array([0.0, 10, 10, 0, 0])
     ys = np.array([0.0, 0, 10, 10, 0])
