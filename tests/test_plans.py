@@ -471,3 +471,43 @@ class TestGeodeticTilePlan:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+class TestCoveragePlans:
+    """The coverage trio must never degrade to all-pairs: the pair
+    source is an equi-join on grid cells (hash-joinable), and the exact
+    kernels only see candidate pairs."""
+
+    def test_coverage_check_no_cartesian(self, spark):
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["coverage_check"](spark,
+                                                 "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        # the bbox-overlap + report-point predicates ride INSIDE the
+        # cell equi-join (condition on the join node), not a post-scan
+        # filter of a cross product
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+    def test_coverage_clean_no_cartesian_one_decide_kernel(self, spark):
+        import re
+
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["coverage_clean"](spark,
+                                                 "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        # exactly two Arrow kernels: decide (per pair) + subtract
+        assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2
+
+    def test_coverage_simplify_bounded_shuffles(self, spark):
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["coverage_simplify"](spark,
+                                                    "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in p
+        # owner-set agg + chain group + edge-key join + poly reassembly
+        # + the n_before join: bounded, data-scale-independent count
+        assert p.count("Exchange hashpartitioning") <= 8
