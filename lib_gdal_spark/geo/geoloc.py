@@ -636,6 +636,91 @@ def transform_df(df, gl: GeolocArray, x_col: str, y_col: str,
                .drop("_glc"))
 
 
+def suggested_warp_output(gl: GeolocArray, in_w: int, in_h: int):
+    """GDALSuggestedWarpOutput2 for a bare geoloc transformer
+    (alg/gdaltransformer.cpp:342): border samples through the forward
+    transform at the reference's step rule (:449 min(W,H)/50 clamped
+    20..100), PLUS the geoloc-array extreme points (:899 — the special
+    case autotest gcore/geoloc.py test_geoloc_bounds pins: the array
+    min/max must bound the output even when no border sample lands on
+    them), pixel size = diagonal / hypot(W, H), size rounded +0.5.
+    The right/bottom border-fit shrink loops (:1140) and the
+    anti-meridian sign-discontinuity vote are not replayed (rare
+    adjustments, documented).
+
+    Returns (geotransform 6-tuple, pixels, lines)."""
+    nsteps = int(min(in_w, in_h) / 50 + 0.5)
+    nsteps = min(100, max(20, nsteps))
+    ratios = np.arange(nsteps + 1, dtype=np.float64) / nsteps
+    ratios[-1] = 1.0
+    px = np.concatenate([ratios * in_w, ratios * in_w,
+                         np.zeros(nsteps + 1),
+                         np.full(nsteps + 1, float(in_w))])
+    py = np.concatenate([np.zeros(nsteps + 1),
+                         np.full(nsteps + 1, float(in_h)),
+                         ratios * in_h, ratios * in_h])
+    gx, gy, ok = forward(gl, px, py)
+    xs = gx[ok & np.isfinite(gx)]
+    ys = gy[ok & np.isfinite(gy)]
+    vm = _valid(gl, gl.lon)
+    lon_v = gl.lon[vm]
+    lat_v = gl.lat[vm]
+    # the four array extremes, each with its companion coordinate
+    ext_x = [lon_v.min(), lon_v.max(),
+             float(gl.lon[vm][np.argmin(lat_v)]),
+             float(gl.lon[vm][np.argmax(lat_v)])]
+    ext_y = [float(gl.lat[vm][np.argmin(lon_v)]),
+             float(gl.lat[vm][np.argmax(lon_v)]),
+             lat_v.min(), lat_v.max()]
+    minx = min(float(xs.min()), *map(float, ext_x))
+    maxx = max(float(xs.max()), *map(float, ext_x))
+    miny = min(float(ys.min()), *map(float, ext_y))
+    maxy = max(float(ys.max()), *map(float, ext_y))
+    diag = float(np.hypot(maxx - minx, maxy - miny))
+    psize = diag / float(np.hypot(in_w, in_h))
+    pixels = int((maxx - minx) / psize + 0.5)
+    lines = int((maxy - miny) / psize + 0.5)
+    gt = (minx, psize, 0.0, maxy, 0.0, -psize)
+    return gt, pixels, lines
+
+
+def warp_geoloc(src_cells, gl: GeolocArray, dst_gt, dst_w: int,
+                dst_h: int, value_col: str = "value"):
+    """gdalwarp through a GEOLOCATION transformer (the warp path of
+    autotest gcore/geoloc.py): each destination pixel center maps
+    through the exact inverse (spiral + inverse bilinear — no backmap
+    approximation, i.e. the GDAL_GEOLOC_USE_MAX_ACCURACY result without
+    the approx-transformer's scanline interpolation, which this
+    re-expression intentionally skips) to a source pixel, sampled
+    nearest-neighbor from the (bx, by, value) cell table.
+
+    Distributed shape: the dst grid is generated relationally, the
+    inverse runs in one Arrow batch kernel (geoloc sidecar broadcast in
+    the closure), and the source lookup is one equi-join on (bx, by).
+
+    Returns (bx, by, value) over the destination grid (misses absent,
+    like nodata)."""
+    from pyspark.sql import functions as F
+
+    spark = src_cells.sparkSession
+    g0, g1, _g2, g3, _g4, g5 = (float(v) for v in dst_gt)
+    dst = (spark.range(int(dst_w) * int(dst_h))
+           .select((F.col("id") % dst_w).cast("int").alias("bx"),
+                   (F.col("id") / dst_w).cast("int").alias("by")))
+    dst = dst.withColumn("_gx", g0 + (F.col("bx") + 0.5) * g1) \
+             .withColumn("_gy", g3 + (F.col("by") + 0.5) * g5)
+    inv = transform_df(dst, gl, "_gx", "_gy", inverse=True,
+                       out_cols=("_px", "_py", "_ok"))
+    inv = (inv.filter(F.col("_ok"))
+           .withColumn("_sx", F.floor("_px").cast("int"))
+           .withColumn("_sy", F.floor("_py").cast("int")))
+    src = src_cells.select(F.col("bx").alias("_sx"),
+                           F.col("by").alias("_sy"),
+                           F.col(value_col).alias("value"))
+    return (inv.join(src, ["_sx", "_sy"])
+            .select("bx", "by", "value"))
+
+
 def transform_geolocations(gl: GeolocArray, fwd):
     """TransformGeolocations (autotest/alg/transformgeoloc.py:55 —
     gdal.Transformer.TransformGeolocations): apply a coordinate

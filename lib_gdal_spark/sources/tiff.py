@@ -203,8 +203,10 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
         raise NotImplementedError(f"TIFF bits/format {key} unsupported")
     dtype = np.dtype(eo + dt)
     pred = t.get("predictor", 1)
-    if pred not in (1, 2):
+    if pred not in (1, 2, 3):
         raise NotImplementedError(f"TIFF predictor {pred}")
+    if pred == 3 and dt not in ("f4", "f8"):
+        raise NotImplementedError("TIFF predictor 3 on non-float samples")
     planar = int(t.get("planar", 1))
     isz = dtype.itemsize
 
@@ -212,6 +214,22 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
         # horizontal differencing: samples after the first in each row
         # are deltas; integer cumsum with native wraparound restores them
         return np.cumsum(a2d.astype(np.int64), axis=-1).astype(dtype)
+
+    def fp_undiff(raw: bytes, nsamp: int) -> np.ndarray:
+        # floating-point predictor (3, libtiff tif_predict.c fpAcc):
+        # per row, undo byte-level horizontal differencing over the
+        # whole row, then de-interleave the byte planes (stored most-
+        # significant plane first, independent of file byte order) and
+        # reassemble big-endian floats. Returns flat samples, row-major.
+        rowb = nsamp * isz
+        b = np.frombuffer(raw, np.uint8)
+        rows = len(b) // rowb
+        b = b[: rows * rowb].reshape(rows, rowb).astype(np.int64)
+        b = (np.cumsum(b, axis=1) & 0xFF).astype(np.uint8)
+        planes = b.reshape(rows, isz, nsamp).transpose(0, 2, 1)
+        be = np.ascontiguousarray(planes).reshape(rows * rowb)
+        return np.frombuffer(be.tobytes(), ">" + dt).astype(
+            np.dtype(dt))
 
     if "tile_offsets" in t:
         # tiled layout: tiles are always full tile_width x tile_length
@@ -231,7 +249,12 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
                     raw = _fit(_decompress(buf[offs[i]: offs[i] + cnts[i]],
                                            comp), tw * th * cpp * isz)
                     i += 1
-                    ta = np.frombuffer(raw, dtype).reshape(th, tw, cpp)
+                    if pred == 3:
+                        ta = fp_undiff(raw, tw * cpp).reshape(
+                            th, tw, cpp)
+                    else:
+                        ta = np.frombuffer(raw, dtype).reshape(
+                            th, tw, cpp)
                     ta = ta.transpose(2, 0, 1)  # (bands, th, tw)
                     if pred == 2:
                         ta = np.stack([undiff(bnd) for bnd in ta])
@@ -259,19 +282,30 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
                                nrows * w * spp_strip * isz))
         raw = b"".join(strips)
         if spp == 1:
-            arr = np.frombuffer(raw, dtype, count=w * h).reshape(h, w)
+            if pred == 3:
+                arr = fp_undiff(raw, w)[: w * h].reshape(h, w)
+            else:
+                arr = np.frombuffer(raw, dtype, count=w * h).reshape(h, w)
             if pred == 2:
                 arr = undiff(arr)
         else:
             if planar == 2:
-                # separate planes: strips run band-major
-                arr = np.frombuffer(raw, dtype, count=spp * w * h) \
-                    .reshape(spp, h, w)
+                # separate planes: strips run band-major (rows of w)
+                if pred == 3:
+                    arr = fp_undiff(raw, w)[: spp * w * h].reshape(
+                        spp, h, w)
+                else:
+                    arr = np.frombuffer(raw, dtype, count=spp * w * h) \
+                        .reshape(spp, h, w)
             else:
                 # chunky: pixel-interleaved; differencing strides per
                 # sample
-                arr = np.frombuffer(raw, dtype, count=spp * w * h) \
-                    .reshape(h, w, spp).transpose(2, 0, 1)
+                if pred == 3:
+                    arr = fp_undiff(raw, w * spp)[: spp * w * h] \
+                        .reshape(h, w, spp).transpose(2, 0, 1)
+                else:
+                    arr = np.frombuffer(raw, dtype, count=spp * w * h) \
+                        .reshape(h, w, spp).transpose(2, 0, 1)
             if pred == 2:
                 arr = np.stack([undiff(b) for b in arr])
     meta = {"width": w, "height": h, "bits": int(bits),

@@ -256,6 +256,86 @@ def test_transform_df_forward_and_inverse(spark):
     np.testing.assert_allclose(inv["ty"], [p[2] for p in pts], atol=1e-7)
 
 
+def test_suggested_warp_output_bounds_autotest():
+    # gcore/geoloc.py test_geoloc_bounds: the output extent must take
+    # the geoloc-array min/max into account (gdaltransformer.cpp:899
+    # geoloc special case) — gt[0] ~ -179.9, gt[3] ~ 60.4 + 0.5*59,
+    # exactly the reference's assertions (float32 fixture wobble incl.)
+    lon = np.array([np.float32(91 + 0.5 * x) for x in range(178)]
+                   + [np.float32(-179.9 + 0.5 * x) for x in range(182)],
+                   np.float64)
+    lat = np.array([np.float32(60.4 + 0.5 * x) for x in range(60)]
+                   + [np.float32(89 - 0.5 * x) for x in range(20)],
+                   np.float64)
+    gl = G.GeolocArray.from_regular(lon, lat, geographic=True)
+    gt, pixels, lines = G.suggested_warp_output(gl, 360, 80)
+    assert gt[0] == pytest.approx(-179.9, abs=1e-4)
+    assert gt[3] == pytest.approx(60.4 + 0.5 * 59, abs=1e-4)
+    assert pixels > 0 and lines > 0
+
+
+def test_warp_geoloc_affine_identity(spark):
+    # an affine geoloc grid warped onto its own suggested grid must
+    # reproduce the source values 1:1 (nearest sampling, exact inverse)
+    gl = _affine_gl(1, True)
+    W = H = 20
+    src = spark.range(W * H).selectExpr(
+        f"cast(id % {W} as int) as bx", f"cast(id / {W} as int) as by",
+        "cast(id as double) as value")
+    gt, pw, ph = G.suggested_warp_output(gl, W, H)
+    out = G.warp_geoloc(src, gl, gt, pw, ph).toPandas()
+    assert len(out) == pw * ph  # full coverage, no holes
+    # spot-check: dst pixel (x,y) center -> geo -> the same cell
+    got = {(r.bx, r.by): r.value for r in out.itertuples()}
+    gx = gt[0] + (3 + 0.5) * gt[1]
+    gy = gt[3] + (4 + 0.5) * gt[5]
+    px, py, ok = G.inverse(gl, [gx], [gy])
+    assert ok[0]
+    exp = int(py[0]) * W + int(px[0])
+    assert got[(3, 4)] == float(exp)
+
+
+def test_pole_fixture_end_to_end(spark):
+    # the reference's own north-pole scene (alg/data/geoloc/*.tif,
+    # float32 + predictor 3): decode, build the transformer, suggest
+    # the output grid, warp a constant raster — every landed pixel
+    # must carry the constant and the output must cover a substantial
+    # fraction of the suggested grid (the fill_line autotest's warp
+    # shape; its exact checksum needs GDAL's approx-transformer
+    # scanline interpolation, documented out of scope)
+    from lib_gdal_spark.sources.tiff import decode_tiff
+    base = "/root/reference/autotest/alg/data/geoloc"
+    lon, _ = decode_tiff(open(f"{base}/longitude_including_pole.tif",
+                              "rb").read())
+    lat, _ = decode_tiff(open(f"{base}/latitude_including_pole.tif",
+                              "rb").read())
+    gl = G.GeolocArray(lon=lon.astype(np.float64),
+                       lat=lat.astype(np.float64), geographic=True)
+    H, W = gl.shape   # 372 x 200 (raster size == geoloc size here)
+    gt, pw, ph = G.suggested_warp_output(gl, W, H)
+    assert gt[3] <= 90.0 + 1e-6 and gt[0] >= -180.0 - 1e-6
+    src = spark.range(W * H).selectExpr(
+        f"cast(id % {W} as int) as bx", f"cast(id / {W} as int) as by",
+        "cast(1.0 as double) as value")
+    out = G.warp_geoloc(src, gl, gt, pw, ph).toPandas()
+    assert (out["value"] == 1.0).all()
+    assert len(out) > 0.2 * pw * ph
+
+
+def test_tiff_float_predictor3():
+    # predictor-3 (floating-point) TIFF decode round-trips the
+    # reference fixture values into plausible lon/lat ranges
+    from lib_gdal_spark.sources.tiff import decode_tiff
+    base = "/root/reference/autotest/alg/data/geoloc"
+    lon, meta = decode_tiff(open(f"{base}/longitude_including_pole.tif",
+                                 "rb").read())
+    assert lon.shape == (372, 200) and lon.dtype == np.float32
+    assert -180.0 <= lon.min() and lon.max() <= 180.0
+    lat, _ = decode_tiff(open(f"{base}/latitude_including_pole.tif",
+                              "rb").read())
+    assert 75.0 < lat.min() and lat.max() < 90.0
+
+
 def test_forward_cells_rejects_nodata_and_wrap(spark):
     lon = np.array([[0.0, 1.0], [0.0, 1.0]])
     lat = np.array([[1.0, 1.0], [0.0, 0.0]])
