@@ -66,8 +66,10 @@ HEADLINE = [
     "tile_geodetic",
     "hybrid_rrf",
     # round 4 session 3: geolocation-array broadcast bilinear (pure
-    # JVM column math over a broadcast cell table)
+    # JVM column math over a broadcast cell table) and the coverage
+    # validator (polygon x polygon cell pair join + exact kernel)
     "geoloc_forward",
+    "coverage_check",
 ]
 
 
