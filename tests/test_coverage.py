@@ -275,6 +275,49 @@ def test_clean_coverage_rejects_unknown_strategy(spark):
                          merge_strategy="bogus")
 
 
+def test_clean_coverage_property_no_residual_overlap(spark):
+    # the cleaning postcondition: whatever the strategy, the cleaned
+    # polygons are pairwise overlap-free (exact overlay intersection
+    # area 0). Deterministic pseudo-random rect sets, including
+    # identical rects (full-overlap loser -> empty result, n_parts 0).
+    import random
+
+    from lib_gdal_spark.geo import clip as _clip
+    from lib_gdal_spark.geo.wkb import decode
+    from lib_gdal_spark.operators.coverage import _poly_area
+
+    rng = random.Random(7)
+    for case in range(4):
+        polys = []
+        for i in range(6):
+            x0 = rng.randint(0, 30) * 1.0
+            y0 = rng.randint(0, 30) * 1.0
+            w = rng.randint(4, 12) * 1.0
+            h = rng.randint(4, 12) * 1.0
+            polys.append(_rect(x0, y0, x0 + w, y0 + h))
+        if case == 3:
+            polys[1] = polys[0]  # identical pair
+        strat = ("longest-border", "min-index", "max-area",
+                 "min-area")[case]
+        out = (C.clean_coverage(_df(spark, polys), cell_size=16.0,
+                                merge_strategy=strat)
+               .orderBy("poly_id").collect())
+        assert len(out) == 6
+        geoms = []
+        for r in out:
+            kind, data = decode(bytes(r.geometry))
+            geoms.append((kind, data))
+        for i in range(6):
+            for j in range(i + 1, 6):
+                ka, da = geoms[i]
+                kb, db = geoms[j]
+                if not da or not db:
+                    continue
+                k, d = _clip.overlay(ka, da, kb, db, "intersection")
+                resid = _poly_area(_clip.as_polys(k, d))
+                assert resid <= 1e-9, (case, strat, i, j, resid)
+
+
 def test_strictly_inside_boundary_excluded():
     xs = np.array([0.0, 10, 10, 0, 0])
     ys = np.array([0.0, 0, 10, 10, 0])
