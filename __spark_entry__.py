@@ -3970,15 +3970,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         outputs so the class is dead); the two whose only driver rows
         predate their exact oracles (dem_hillshade r1 `no_oracle`,
         grid_linear r2 `no_oracle`); and the nine never swept at all;
-    (2) NEW queries added this round — never swept (warp_rotate,
-        warp_gcp, mdim_resample_mask, curve_stroke, proj_conic,
-        mdim_arith);
+    (2) NEW queries added this round — never swept: session 1
+        (warp_rotate, warp_gcp, mdim_resample_mask, curve_stroke,
+        proj_conic, mdim_arith), session 2 (gpkg/mbtiles/pmtiles
+        roundtrips, vrt_mosaic, tile_geodetic, unimax_alloc,
+        ogr_special_fields, hybrid_rrf, quality_classifier,
+        shp/geojson/geocsv roundtrips), session 3 (geoloc_forward,
+        geoloc_roundtrip, coverage_check, coverage_simplify,
+        coverage_clean);
     (3) the round-1-verified set, two rounds stale (every entry here is
         double-verified: r01 driver row + the every-session local
-        parity sweep at both scales). With (1)+(2) = 20 slots, the
-        50-cap now falls inside this section: 30 fit, and the last 5
-        (rasterize_rects footprint_boundary raster_calc histogram
-        ogr_first_match_join) slip past the cap — they rotate first in
+        parity sweep at both scales). With (1)+(2) = 34 slots, the
+        50-cap falls inside this section after dem_roughness (pos 49):
+        the slipped r1 entries (dem_aspect onward) rotate first in
         round 5 together with (4);
     (4) past the cap: the rest of the r1 set (8 cheap pure-Catalyst
         ogr_* entries), then the round-2-verified set, then the
