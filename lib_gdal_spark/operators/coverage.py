@@ -189,13 +189,130 @@ def _candidate_pairs(polys: DataFrame, id_col: str, xs_col: str,
         F.col("b.xs").alias("bxs"), F.col("b.ys").alias("bys"))
 
 
+#: rings longer than this fall back to the per-pair loop (the padded
+#: batch kernel's memory is P_chunk * Smax^2 floats)
+_VEC_MAX_SEGS = 256
+
+
+def _pad_rings(col_x, col_y):
+    """Ragged coordinate lists -> padded (P, Vmax, 2) array + per-row
+    vertex counts (closure point included). Uniform-length batches (the
+    common case — e.g. rect coverages) stack without the Python row
+    loop."""
+    n = np.fromiter((len(v) for v in col_x), np.int64, len(col_x))
+    vmax = int(n.max()) if len(n) else 0
+    if len(n) and (n == vmax).all():
+        pts = np.empty((len(col_x), vmax, 2), np.float64)
+        pts[:, :, 0] = np.concatenate(list(col_x)).reshape(-1, vmax)
+        pts[:, :, 1] = np.concatenate(list(col_y)).reshape(-1, vmax)
+        return pts, n
+    pts = np.zeros((len(col_x), vmax, 2), np.float64)
+    for k, (xs, ys) in enumerate(zip(col_x, col_y)):
+        m = len(xs)
+        pts[k, :m, 0] = xs
+        pts[k, :m, 1] = ys
+        if m < vmax:          # repeat last vertex: degenerate filler
+            pts[k, m:, :] = pts[k, m - 1, :]
+    return pts, n
+
+
+def _classify_block(pa, na, pb, nb):
+    """Vectorized _classify_pair over a BLOCK of pairs: pa/pb are
+    padded vertex arrays (P, V, 2), na/nb the true vertex counts.
+    Padding repeats the closure vertex, so filler segments are
+    zero-length and masked out. Returns (P, Sa) invalid masks plus the
+    (P, Sa, 4) segment array. One Python loop over ring slots (bounded
+    by _VEC_MAX_SEGS), everything else broadcast across pairs."""
+    P, Va, _ = pa.shape
+    Vb = pb.shape[1]
+    sa = np.concatenate([pa[:, :-1, :], pa[:, 1:, :]], axis=2)  # (P,Sa,4)
+    sb = np.concatenate([pb[:, :-1, :], pb[:, 1:, :]], axis=2)
+    va = ((sa[:, :, 0] != sa[:, :, 2]) | (sa[:, :, 1] != sa[:, :, 3]))
+    vb = ((sb[:, :, 0] != sb[:, :, 2]) | (sb[:, :, 1] != sb[:, :, 3]))
+    va &= np.arange(Va - 1)[None, :] < (na - 1)[:, None]
+    vb &= np.arange(Vb - 1)[None, :] < (nb - 1)[:, None]
+
+    def canon(s):
+        a, b = s[..., 0:2], s[..., 2:4]
+        swap = (b[..., 0] < a[..., 0]) | (
+            (b[..., 0] == a[..., 0]) & (b[..., 1] < a[..., 1]))
+        lo = np.where(swap[..., None], b, a)
+        hi = np.where(swap[..., None], a, b)
+        return np.concatenate([lo, hi], axis=-1)
+
+    ca = canon(sa)[:, :, None, :]          # (P,Sa,1,4)
+    cb = canon(sb)[:, None, :, :]          # (P,1,Sb,4)
+    pairmask = va[:, :, None] & vb[:, None, :]
+    exact = (ca == cb).all(axis=3) & pairmask
+    matched = exact.any(axis=2)
+
+    a1x = sa[:, :, 0][:, :, None]
+    a1y = sa[:, :, 1][:, :, None]
+    dax = (sa[:, :, 2] - sa[:, :, 0])[:, :, None]
+    day = (sa[:, :, 3] - sa[:, :, 1])[:, :, None]
+    b1x = sb[:, :, 0][:, None, :]
+    b1y = sb[:, :, 1][:, None, :]
+    b2x = sb[:, :, 2][:, None, :]
+    b2y = sb[:, :, 3][:, None, :]
+    d1 = dax * (b1y - a1y) - day * (b1x - a1x)
+    d2 = dax * (b2y - a1y) - day * (b2x - a1x)
+    coll = (d1 == 0.0) & (d2 == 0.0)
+    use_x = np.abs(dax) >= np.abs(day)
+    a2x = sa[:, :, 2][:, :, None]
+    a2y = sa[:, :, 3][:, :, None]
+    alo = np.where(use_x, np.minimum(a1x, a2x), np.minimum(a1y, a2y))
+    ahi = np.where(use_x, np.maximum(a1x, a2x), np.maximum(a1y, a2y))
+    blo = np.where(use_x, np.minimum(b1x, b2x), np.minimum(b1y, b2y))
+    bhi = np.where(use_x, np.maximum(b1x, b2x), np.maximum(b1y, b2y))
+    pos_overlap = (np.minimum(ahi, bhi) - np.maximum(alo, blo)) > 0.0
+    coll_bad = (coll & pos_overlap & ~exact & pairmask).any(axis=2)
+
+    dbx = b2x - b1x
+    dby = b2y - b1y
+    d3 = dbx * (a1y - b1y) - dby * (a1x - b1x)
+    d4 = dbx * (a2y - b1y) - dby * (a2x - b1x)
+    crossing = (((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+                & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0))
+    cross_bad = (crossing & pairmask).any(axis=2)
+
+    # midpoint strictly inside b: ray cast + boundary test, one Python
+    # loop over b's ring slots, broadcast over (P, Sa)
+    mx = (sa[:, :, 0] + sa[:, :, 2]) * 0.5
+    my = (sa[:, :, 1] + sa[:, :, 3]) * 0.5
+    inside = np.zeros(mx.shape, bool)
+    onb = np.zeros(mx.shape, bool)
+    for k in range(Vb - 1):
+        alive = (k < nb - 1)[:, None]
+        ax, ay = pb[:, k, 0][:, None], pb[:, k, 1][:, None]
+        bx, by = pb[:, k + 1, 0][:, None], pb[:, k + 1, 1][:, None]
+        cond = (ay > my) != (by > my)
+        dy = by - ay
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = ax + (my - ay) / np.where(dy == 0, 1.0, dy) * (bx - ax)
+        inside ^= alive & cond & (dy != 0) & (mx < xi)
+        cross = (bx - ax) * (my - ay) - dy * (mx - ax)
+        onb |= alive & ((cross == 0.0)
+                        & (mx >= np.minimum(ax, bx))
+                        & (mx <= np.maximum(ax, bx))
+                        & (my >= np.minimum(ay, by))
+                        & (my <= np.maximum(ay, by)))
+    mid_in = inside & ~onb
+
+    bad = va & ~matched & (mid_in | coll_bad | cross_bad)
+    return bad, sa
+
+
 def invalid_edges(polys: DataFrame, id_col: str = "poly_id",
                   xs_col: str = "xs", ys_col: str = "ys",
                   cell_size: float = 1.0) -> DataFrame:
     """(poly_id, seg_id, x1, y1, x2, y2) for every boundary segment that
     violates coverage validity — the row form of the reference's
     ``invalid_edge`` layer. ``seg_id`` is the segment's index along the
-    ring, so results are deterministic and partition-independent."""
+    ring, so results are deterministic and partition-independent.
+
+    The pair kernel is fully vectorized across pairs (padded block
+    broadcasting, chunked so a block holds ~16M segment-pair lanes);
+    rings longer than _VEC_MAX_SEGS fall back to the per-pair loop."""
     from ..session import ship_package
 
     ship_package(polys.sparkSession)
@@ -203,23 +320,54 @@ def invalid_edges(polys: DataFrame, id_col: str = "poly_id",
 
     def kern(batches):
         for pdf in batches:
-            out = []
-            for pid, axs, ays, bxs, bys in zip(
-                    pdf["poly_id"], pdf["axs"], pdf["ays"],
-                    pdf["bxs"], pdf["bys"]):
-                axs = np.asarray(axs, np.float64)
-                ays = np.asarray(ays, np.float64)
-                bxs = np.asarray(bxs, np.float64)
-                bys = np.asarray(bys, np.float64)
-                sa = _segments(axs, ays)
-                sb = _segments(bxs, bys)
-                bad = _classify_pair(sa, sb, bxs, bys)
-                for sid in np.nonzero(bad)[0]:
-                    out.append((int(pid), int(sid),
-                                float(sa[sid, 0]), float(sa[sid, 1]),
-                                float(sa[sid, 2]), float(sa[sid, 3])))
-            yield pd.DataFrame(
-                out, columns=["poly_id", "seg_id", "x1", "y1", "x2", "y2"])
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[
+                    "poly_id", "seg_id", "x1", "y1", "x2", "y2"])
+                continue
+            pa, nva = _pad_rings(pdf["axs"].to_numpy(),
+                                 pdf["ays"].to_numpy())
+            pb, nvb = _pad_rings(pdf["bxs"].to_numpy(),
+                                 pdf["bys"].to_numpy())
+            big = ((nva > _VEC_MAX_SEGS) | (nvb > _VEC_MAX_SEGS))
+            ids = pdf["poly_id"].to_numpy(np.int64)
+            frames = []
+            small = np.nonzero(~big)[0]
+            if small.size:
+                sm_a, sm_b = pa[small], pb[small]
+                lanes = (sm_a.shape[1] - 1) * max(1, sm_b.shape[1] - 1)
+                chunk = max(1, (1 << 24) // max(1, lanes))
+                for lo in range(0, small.size, chunk):
+                    sl = slice(lo, lo + chunk)
+                    bad, sa = _classify_block(
+                        sm_a[sl], nva[small][sl],
+                        sm_b[sl], nvb[small][sl])
+                    pi, si = np.nonzero(bad)
+                    if pi.size:
+                        frames.append(pd.DataFrame({
+                            "poly_id": ids[small][sl][pi],
+                            "seg_id": si.astype(np.int32),
+                            "x1": sa[pi, si, 0], "y1": sa[pi, si, 1],
+                            "x2": sa[pi, si, 2], "y2": sa[pi, si, 3]}))
+            for k in np.nonzero(big)[0]:
+                axs = np.asarray(pdf["axs"].iloc[k], np.float64)
+                ays = np.asarray(pdf["ays"].iloc[k], np.float64)
+                bxs = np.asarray(pdf["bxs"].iloc[k], np.float64)
+                bys = np.asarray(pdf["bys"].iloc[k], np.float64)
+                sa1 = _segments(axs, ays)
+                sb1 = _segments(bxs, bys)
+                badk = _classify_pair(sa1, sb1, bxs, bys)
+                sid = np.nonzero(badk)[0]
+                if sid.size:
+                    frames.append(pd.DataFrame({
+                        "poly_id": np.full(sid.size, ids[k]),
+                        "seg_id": sid.astype(np.int32),
+                        "x1": sa1[sid, 0], "y1": sa1[sid, 1],
+                        "x2": sa1[sid, 2], "y2": sa1[sid, 3]}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame(columns=[
+                    "poly_id", "seg_id", "x1", "y1", "x2", "y2"])
 
     edges = pair.mapInPandas(kern, _PAIR_SCHEMA)
     # a segment can be flagged by several neighbors -> one row per seg
