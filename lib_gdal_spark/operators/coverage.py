@@ -677,6 +677,16 @@ def clean_coverage(polys: DataFrame, id_col: str = "poly_id",
 
     pair = _candidate_pairs(polys, id_col, xs_col, ys_col, cell_size)
     pair = pair.filter(F.col("poly_id") < F.col("other_id"))
+    # Catalyst pushdown: a positive-area intersection needs a
+    # positive-area bbox overlap in BOTH axes, so the touching-only
+    # majority of a near-valid coverage never reaches the Python
+    # overlay kernel (check_coverage must NOT do this — exact-match /
+    # T-join classification lives exactly on zero-area contacts).
+    ov_x = (F.least(F.array_max("axs"), F.array_max("bxs"))
+            - F.greatest(F.array_min("axs"), F.array_min("bxs")))
+    ov_y = (F.least(F.array_max("ays"), F.array_max("bys"))
+            - F.greatest(F.array_min("ays"), F.array_min("bys")))
+    pair = pair.filter((ov_x > 0) & (ov_y > 0))
 
     def decide(batches):
         for pdf in batches:
