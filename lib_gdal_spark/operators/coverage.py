@@ -526,23 +526,38 @@ def simplify_coverage(polys: DataFrame, tolerance: float,
                   "_", F.sort_array(F.collect_set("poly_id")))
                   .alias("own_key")))
 
-    def chains_fn(key, pdf):
-        edges = pdf[["lox", "loy", "hix", "hiy"]].to_numpy(np.float64)
-        rows = _walk_chains(edges, str(key[0]), tol)
-        return pd.DataFrame(rows, columns=[
-            "lox", "loy", "hix", "hiy", "chain", "cxs", "cys"])
+    # per-group work is tiny (a pair boundary), so per-group
+    # applyInPandas calls would dominate the wall at millions of
+    # owner-sets; instead hash-co-locate the key and run ONE pandas
+    # kernel per partition with a vectorized groupby inside (measured
+    # ~4x on the 500k-rect probe, BENCH/VOLUME.md)
+    cols = ["lox", "loy", "hix", "hiy"]
 
-    chains = owners.groupBy("own_key").applyInPandas(
-        chains_fn, _CHAIN_SCHEMA)
+    def chains_part(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            yield pd.DataFrame(columns=cols + ["chain", "cxs", "cys"])
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        rows = []
+        for key, g in pdf.groupby("own_key", sort=False):
+            rows.extend(_walk_chains(g[cols].to_numpy(np.float64),
+                                     str(key), tol))
+            if len(rows) >= 65536:
+                yield pd.DataFrame(rows, columns=cols
+                                   + ["chain", "cxs", "cys"])
+                rows = []
+        yield pd.DataFrame(rows, columns=cols + ["chain", "cxs", "cys"])
 
-    joined = segs.join(chains, ["lox", "loy", "hix", "hiy"])
+    chains = (owners.repartition("own_key")
+              .mapInPandas(chains_part, _CHAIN_SCHEMA))
 
-    def rebuild_fn(key, pdf):
-        pdf = pdf.sort_values("pos")
+    joined = segs.join(chains, cols)
+
+    def _rebuild_ring(rows):
         xs_out = []
         ys_out = []
         i = 0
-        rows = pdf.to_dict("records")
         # the ring's (arbitrary) start vertex may fall mid-chain,
         # splitting that chain into a head run and a tail run — rotate
         # so the ring starts at a chain boundary (a no-op when the
@@ -581,12 +596,27 @@ def simplify_coverage(polys: DataFrame, tolerance: float,
         if xs_out and (xs_out[0], ys_out[0]) != (xs_out[-1], ys_out[-1]):
             xs_out.append(xs_out[0])
             ys_out.append(ys_out[0])
-        # drop an accidental duplicate closure from chain joins
-        return pd.DataFrame({"poly_id": [key[0]],
-                             "xs": [xs_out], "ys": [ys_out]})
+        return xs_out, ys_out
 
-    return joined.groupBy("poly_id").applyInPandas(
-        rebuild_fn, "poly_id long, xs array<double>, ys array<double>")
+    def rebuild_part(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            yield pd.DataFrame(columns=["poly_id", "xs", "ys"])
+            return
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+            ["poly_id", "pos"])
+        out = []
+        for pid, g in pdf.groupby("poly_id", sort=False):
+            xs_out, ys_out = _rebuild_ring(g.to_dict("records"))
+            out.append((int(pid), xs_out, ys_out))
+            if len(out) >= 65536:
+                yield pd.DataFrame(out, columns=["poly_id", "xs", "ys"])
+                out = []
+        yield pd.DataFrame(out, columns=["poly_id", "xs", "ys"])
+
+    return (joined.repartition("poly_id")
+            .mapInPandas(rebuild_part,
+                         "poly_id long, xs array<double>, ys array<double>"))
 
 
 def _closed(r) -> np.ndarray:
@@ -769,6 +799,48 @@ def clean_coverage(polys: DataFrame, id_col: str = "poly_id",
     return full.mapInPandas(
         subtract,
         "poly_id long, geometry binary, area double, n_parts int")
+
+
+def invalid_edge_geometries(polys: DataFrame, id_col: str = "poly_id",
+                            xs_col: str = "xs", ys_col: str = "ys",
+                            cell_size: float = 1.0,
+                            include_valid: bool = False) -> DataFrame:
+    """The reference's exact output shape: one row per feature with an
+    ``invalid_edge`` MultiLineString WKB (empty geometry for valid
+    features when ``include_valid``, matching the --include-valid flag;
+    feature count semantics pinned against the three-rectangles
+    autotest in tests/test_coverage.py). Segments are ordered by their
+    ring position, so the geometry is deterministic."""
+    from ..geo import wkb as _wkb
+    from ..session import ship_package
+
+    ship_package(polys.sparkSession)
+    edges = invalid_edges(polys, id_col, xs_col, ys_col, cell_size)
+    grouped = edges.groupBy("poly_id").agg(
+        F.array_sort(F.collect_list(F.struct(
+            "seg_id", "x1", "y1", "x2", "y2"))).alias("segs"))
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for pid, segs in zip(pdf["poly_id"], pdf["segs"]):
+                lines = [np.array([[s["x1"], s["y1"]], [s["x2"], s["y2"]]])
+                         for s in segs]
+                rows.append((int(pid),
+                             _wkb.encode_geometry("multilinestring",
+                                                  lines)))
+            yield pd.DataFrame(rows, columns=["poly_id", "invalid_edge"])
+
+    out = grouped.mapInPandas(encode,
+                              "poly_id long, invalid_edge binary")
+    if not include_valid:
+        return out
+    ids = polys.select(F.col(id_col).alias("poly_id")).distinct()
+    empty = _wkb.encode_geometry("multilinestring", [])
+    return (ids.join(out, "poly_id", "left")
+            .select("poly_id",
+                    F.coalesce("invalid_edge", F.lit(empty))
+                     .alias("invalid_edge")))
 
 
 def check_coverage(polys: DataFrame, id_col: str = "poly_id",

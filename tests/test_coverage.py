@@ -269,6 +269,30 @@ def test_clean_coverage_no_overlap_passthrough(spark):
     assert kind == "polygon"
 
 
+def test_invalid_edge_geometries_autotest_shape(spark):
+    # the reference output layer shape: MultiLineString per invalid
+    # feature, empty geometry for valid ones under --include-valid
+    # (test_gdalalg_vector_check_coverage.py:41 — 3 rows with
+    # include-valid, 2 without, third geometry empty)
+    from lib_gdal_spark.geo.wkb import decode
+    polys = [_rect(0, 0, 10, 10), _rect(9.9, 0, 20, 10),
+             _rect(20, 0, 30, 10)]
+    out = (C.invalid_edge_geometries(_df(spark, polys), cell_size=10.0,
+                                     include_valid=True)
+           .orderBy("poly_id").collect())
+    assert len(out) == 3
+    kinds = []
+    for r in out:
+        kind, data = decode(bytes(r.invalid_edge))
+        kinds.append((kind, len(data)))
+    assert kinds[0][0] == "multilinestring" and kinds[0][1] > 0
+    assert kinds[1][0] == "multilinestring" and kinds[1][1] > 0
+    assert kinds[2] == ("multilinestring", 0)   # valid -> empty
+    out2 = C.invalid_edge_geometries(_df(spark, polys), cell_size=10.0,
+                                     include_valid=False).collect()
+    assert len(out2) == 2
+
+
 def test_clean_coverage_rejects_unknown_strategy(spark):
     with pytest.raises(ValueError):
         C.clean_coverage(_df(spark, [_rect(0, 0, 1, 1)]),
