@@ -856,9 +856,13 @@ def check_coverage(polys: DataFrame, id_col: str = "poly_id",
     seg_len = F.sqrt((F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
                      + (F.col("y2") - F.col("y1"))
                      * (F.col("y2") - F.col("y1")))
+    # partition-count independence: a double SUM over segment lengths is
+    # an order-dependent float fold — round each segment to 6 dp and sum
+    # as DECIMAL so the total is exact regardless of partitioning
     agg = edges.groupBy("poly_id").agg(
         F.count("*").cast("long").alias("n_invalid"),
-        F.sum(seg_len).alias("invalid_len"))
+        F.sum(F.round(seg_len, 6).cast("decimal(28,6)"))
+         .cast("double").alias("invalid_len"))
     if not include_valid:
         return agg
     ids = polys.select(F.col(id_col).alias("poly_id")).distinct()

@@ -215,17 +215,25 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
         # are deltas; integer cumsum with native wraparound restores them
         return np.cumsum(a2d.astype(np.int64), axis=-1).astype(dtype)
 
-    def fp_undiff(raw: bytes, nsamp: int) -> np.ndarray:
+    def fp_undiff(raw: bytes, nsamp: int, stride: int = 1) -> np.ndarray:
         # floating-point predictor (3, libtiff tif_predict.c fpAcc):
         # per row, undo byte-level horizontal differencing over the
         # whole row, then de-interleave the byte planes (stored most-
         # significant plane first, independent of file byte order) and
         # reassemble big-endian floats. Returns flat samples, row-major.
+        # libtiff accumulates with stride = samples-per-pixel on chunky
+        # multi-sample data (tif_predict.c PredictorSetupDecode): byte
+        # lane k only sums bytes at positions ≡ k (mod stride).
         rowb = nsamp * isz
         b = np.frombuffer(raw, np.uint8)
         rows = len(b) // rowb
         b = b[: rows * rowb].reshape(rows, rowb).astype(np.int64)
-        b = (np.cumsum(b, axis=1) & 0xFF).astype(np.uint8)
+        if stride == 1:
+            b = (np.cumsum(b, axis=1) & 0xFF).astype(np.uint8)
+        else:
+            b = b.reshape(rows, rowb // stride, stride)
+            b = ((np.cumsum(b, axis=1) & 0xFF).astype(np.uint8)
+                 .reshape(rows, rowb))
         planes = b.reshape(rows, isz, nsamp).transpose(0, 2, 1)
         be = np.ascontiguousarray(planes).reshape(rows * rowb)
         return np.frombuffer(be.tobytes(), ">" + dt).astype(
@@ -250,7 +258,7 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
                                            comp), tw * th * cpp * isz)
                     i += 1
                     if pred == 3:
-                        ta = fp_undiff(raw, tw * cpp).reshape(
+                        ta = fp_undiff(raw, tw * cpp, stride=cpp).reshape(
                             th, tw, cpp)
                     else:
                         ta = np.frombuffer(raw, dtype).reshape(
@@ -301,7 +309,7 @@ def decode_tiff(buf: bytes) -> tuple[np.ndarray, dict]:
                 # chunky: pixel-interleaved; differencing strides per
                 # sample
                 if pred == 3:
-                    arr = fp_undiff(raw, w * spp)[: spp * w * h] \
+                    arr = fp_undiff(raw, w * spp, stride=spp)[: spp * w * h] \
                         .reshape(h, w, spp).transpose(2, 0, 1)
                 else:
                     arr = np.frombuffer(raw, dtype, count=spp * w * h) \

@@ -346,9 +346,10 @@ def read_vrt(spark, path: str, band: int = 1):
         u = reduce(lambda a, b: a.unionByName(b), parts)
         out = u.groupBy("c", "r").agg(
             F.max_by(F.col("value"), F.col("i")).alias("value"))
-        if bdef["dtype"] == "Byte" and any(
-                s["kind"] == "AveragedSource" for s in bdef["sources"]):
-            # VRTAveragedSource Byte write rule (vrtsources.cpp)
+        if bdef["dtype"] == "Byte":
+            # Byte write rule (GDALCopyWords round+clamp, applied on
+            # every source kind — a ComplexSource with fractional
+            # ScaleRatio/ScaleOffset rounds too, not just AveragedSource)
             out = out.withColumn(
                 "value", F.least(F.lit(255.0), F.greatest(
                     F.lit(0.0), F.floor(F.col("value") + 0.5))))
@@ -413,6 +414,11 @@ def build_vrt(out_path: str, inputs, *, resolution: str = "average",
 
     Returns the parsed meta of the written file.
     """
+    if resolution not in ("average", "highest", "lowest"):
+        # validate up front: the per-input loop only reaches the else
+        # branch from the second input on, so a single-input call would
+        # otherwise silently accept an unknown strategy
+        raise ValueError(f"resolution strategy {resolution!r}")
     props = []
     for item in inputs:
         if isinstance(item, str):

@@ -970,3 +970,81 @@ class TestPMTiles:
         pm.write_pmtiles(df, p)
         assert pm.read_pmtiles(spark, p, zoom=2).count() == 2
         assert pm.read_pmtiles(spark, p, zoom=7).count() == 0
+
+
+class TestFpPredictorStride:
+    """libtiff tif_predict.c fpDiff/fpAcc use stride = samples-per-pixel
+    for chunky multi-sample data: byte lane k only accumulates bytes at
+    positions ≡ k (mod stride). A stride-1 decode of stride-2-encoded
+    rows produces garbage floats (NaN/denormals)."""
+
+    @staticmethod
+    def _fp_diff_row(row_f32, stride):
+        # libtiff fpDiff: split the row's samples into big-endian byte
+        # planes (MSB plane first), then horizontal byte differencing
+        # with the given stride.
+        import numpy as np
+        nsamp = row_f32.size
+        be = np.frombuffer(row_f32.astype(">f4").tobytes(), np.uint8)
+        planes = be.reshape(nsamp, 4).T.reshape(-1).astype(np.int64)
+        out = planes.copy()
+        out[stride:] -= planes[:-stride]
+        return (out & 0xFF).astype(np.uint8).tobytes()
+
+    def _build_tiff(self, arr):
+        # minimal little-endian classic TIFF: one deflate strip, chunky,
+        # float32, predictor 3
+        import struct
+        import zlib
+
+        import numpy as np
+        spp, h, w = arr.shape
+        chunky = arr.transpose(1, 2, 0)  # (h, w, spp)
+        strip = b"".join(self._fp_diff_row(
+            np.ascontiguousarray(chunky[y]).reshape(-1), spp)
+            for y in range(h))
+        comp = zlib.compress(strip)
+        ntags = 11
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * ntags + 4
+        tags = [
+            (256, 3, 1, w), (257, 3, 1, h),
+            (258, 3, spp, int.from_bytes(
+                struct.pack("<" + "H" * spp, *([32] * spp))[:4], "little")),
+            (259, 3, 1, 8),  # deflate
+            (273, 4, 1, data_off), (277, 3, 1, spp),
+            (278, 3, 1, h), (279, 4, 1, len(comp)),
+            (284, 3, 1, 1), (317, 3, 1, 3),
+            (339, 3, spp, int.from_bytes(
+                struct.pack("<" + "H" * spp, *([3] * spp))[:4], "little")),
+        ]
+        buf = struct.pack("<2sHI", b"II", 42, ifd_off)
+        buf += struct.pack("<H", ntags)
+        for tag, typ, cnt, val in tags:
+            buf += struct.pack("<HHII", tag, typ, cnt, val)
+        buf += struct.pack("<I", 0)
+        assert len(buf) == data_off
+        return buf + comp
+
+    def test_chunky_spp2_roundtrip(self):
+        import numpy as np
+
+        from lib_gdal_spark.sources.tiff import decode_tiff
+
+        rng = np.random.default_rng(7)
+        arr = (rng.standard_normal((2, 5, 9)) * 100).astype(np.float32)
+        got, meta = decode_tiff(self._build_tiff(arr))
+        assert meta["bands"] == 2
+        assert got.shape == (2, 5, 9) and got.dtype == np.float32
+        assert np.array_equal(got, arr)
+        assert np.isfinite(got).all()
+
+    def test_spp1_unchanged(self):
+        import numpy as np
+
+        from lib_gdal_spark.sources.tiff import decode_tiff
+
+        arr = np.linspace(-3.0, 7.0, 24).astype(
+            np.float32).reshape(1, 4, 6)
+        got, _ = decode_tiff(self._build_tiff(arr))
+        assert np.array_equal(got, arr[0])

@@ -174,6 +174,17 @@ class TestBuildVrt:
         got = {(r.bx, r.by): r.value for r in cells.collect()}
         assert got == {(0, 1): 5.0, (1, 0): 6.0}
 
+    def test_unknown_resolution_rejected_single_input(self, tmp_path):
+        from lib_gdal_spark.sources.vrt import build_vrt
+
+        out = str(tmp_path / "m.vrt")
+        with pytest.raises(ValueError, match="resolution strategy"):
+            # must raise even with ONE input (the per-input loop only
+            # reaches its validating else-branch from input 2 onward)
+            build_vrt(out, [
+                ("x.tif", (4, 4), (0.0, 1.0, 0.0, 4.0, 0.0, -1.0))],
+                resolution="typo")
+
     def test_probe_tuple_inputs(self, tmp_path):
         from lib_gdal_spark.sources.vrt import build_vrt
 
