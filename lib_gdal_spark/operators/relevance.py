@@ -145,25 +145,33 @@ def inverted_index(df: DataFrame, *, id_col: str = "doc_id",
     under any partitioning (collect_list order is not, sort_array fixes
     it) and bit-exact cross-engine (integer ids, no floats anywhere).
 
-    Scale: ONE groupBy(term) shuffle over the distinct (doc, term)
-    pairs; the global top-k is orderBy().limit(k) =
-    TakeOrderedAndProject. The posting STRING per term is bounded by
-    that term's df — fine for the capped top-k result this returns, but
-    a full-corpus index should persist `inverted_postings` instead
-    (pairs, bucketed by term), never one giant row per stopword."""
+    Scale: TWO passes over the (doc, term) pairs, so the posting
+    strings are built ONLY for the <= k surviving terms. Pass 1 counts
+    df per term (a count shuffle carries no postings); the min_df +
+    top-k filter runs on those counts (TakeOrderedAndProject, <= k
+    rows); pass 2 semi-joins the pairs to that broadcast term set and
+    only then collect_lists. The naive one-pass shape (aggregate the
+    posting string for EVERY term, filter after) materializes an
+    O(corpus) row per stopword before dropping it — a guaranteed
+    executor OOM on a 100 TB corpus. A full-corpus index should still
+    persist `inverted_postings` (pairs, bucketed by term), never one
+    giant row per stopword."""
     from pyspark.sql import Window
 
     pairs = inverted_postings(df, id_col=id_col, text_col=text_col)
-    agg = pairs.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.array_join(
-            F.transform(F.sort_array(F.collect_list("doc_id")),
-                        lambda x: x.cast("string")), ",").alias("postings"))
-    top = (agg.filter(F.col("df") >= min_df)
+    dfc = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    top = (dfc.filter(F.col("df") >= min_df)
               .orderBy(F.desc("df"), F.asc("term")).limit(k))
     w = Window.orderBy(F.desc("df"), F.asc("term"))
-    return top.select("term", "df", "postings",
-                      F.row_number().over(w).alias("rank"))
+    ranked = top.select("term", "df",
+                        F.row_number().over(w).alias("rank"))
+    post = (pairs.join(F.broadcast(ranked), "term")
+                 .groupBy("term", "df", "rank")
+                 .agg(F.array_join(
+                     F.transform(F.sort_array(F.collect_list("doc_id")),
+                                 lambda x: x.cast("string")),
+                     ",").alias("postings")))
+    return post.select("term", "df", "postings", "rank").orderBy("rank")
 
 
 def pmi_topk(df: DataFrame, k: int = 25, *, min_count: int = 5,

@@ -188,6 +188,33 @@ class TestInvertedIndex:
                                      k=10).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
+    def test_stopword_postings_never_aggregated_outside_topk(self, spark):
+        # 100-TB shape: the posting string must be built ONLY for the
+        # <= k surviving terms. Corpus: 'the' in every doc (stopword),
+        # k=1 keeps only 'the'; the 200 body terms (df=1 each) must be
+        # dropped by the df-count pass BEFORE any collect_list — the
+        # physical plan's posting aggregation must sit above the join
+        # with the k-limited term set, not directly on the raw pairs.
+        rows = [(i, f"the w{i} w{i}x") for i in range(200)]
+        q = relevance.inverted_index(_docs(spark, rows), min_df=2, k=1)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        seg_after_last_agg = plan[:plan.find("collect_list")]
+        # the collect_list aggregate's input comes from a join (the
+        # broadcast semi-join with the surviving term set), which in
+        # turn sits above the TakeOrderedAndProject top-k of the
+        # df-count pass — both must appear BELOW it in the plan tree
+        assert "collect_list" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        # tree is printed root-first: everything the aggregate consumes
+        # appears AFTER the collect_list line
+        post_agg = plan[plan.find("collect_list"):]
+        assert "BroadcastHashJoin" in post_agg
+        assert "TakeOrderedAndProject" in post_agg
+        out = q.collect()
+        assert [(r.term, r.df, r.rank) for r in out] == [("the", 200, 1)]
+        assert out[0].postings == ",".join(str(i) for i in range(200))
+
 
 class TestPMI:
     ROWS = [(1, "a b a b"), (2, "b c b c")]
