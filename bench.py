@@ -76,6 +76,65 @@ HEADLINE = [
 _PAGES_SRC: dict = {}
 
 
+def _ancestors(pid: int) -> set:
+    """PID ancestor chain via /proc/<pid>/stat field 4 (ppid)."""
+    out = set()
+    while pid > 1:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                # comm may contain spaces/parens: split after the last ')'
+                rest = f.read().rsplit(")", 1)[1].split()
+            pid = int(rest[1])  # field 4 overall = field 2 after comm+state
+        except (OSError, IndexError, ValueError):
+            break
+        out.add(pid)
+    return out
+
+
+def competing_procs() -> list:
+    """JVM / Spark / pytest processes that are NOT this process or its
+    descendants. Benchmarks taken while any of these run are inflated
+    uniformly 1.2-1.5x (BENCH/ROUNDS.md r4 postmortem) and must not be
+    compared across rounds — the round-4 driver bench hit exactly this."""
+    import glob
+
+    me = os.getpid()
+    out = []
+    for path in glob.glob("/proc/[0-9]*/cmdline"):
+        pid = int(path.split("/")[2])
+        if pid == me:
+            continue
+        try:
+            with open(path, "rb") as f:
+                cmd = f.read().decode("utf-8", "replace").replace("\0", " ").strip()
+        except OSError:
+            continue
+        if not cmd:
+            continue
+        argv0 = cmd.split()[0].rsplit("/", 1)[-1]
+        low = cmd.lower()
+        suspicious = (
+            argv0 == "java"
+            or "org.apache.spark" in low
+            or (argv0.startswith("python") and any(
+                k in low for k in ("pytest", "bench", "pyspark", "spark")))
+        )
+        if not suspicious:
+            continue
+        if me in _ancestors(pid):
+            continue  # our own JVM / worker pool
+        out.append({"pid": pid, "cmd": cmd[:160]})
+    return out
+
+
+def _cpu_counters() -> tuple:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat line."""
+    with open("/proc/stat") as f:
+        vals = [int(v) for v in f.readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def flagship_pipeline(spark, n_pages: int):
     """The north-star job over the synthetic pages table. Returns
     (n_pages, join_rows, tiles, engine_sec): synthesis is MATERIALIZED
@@ -156,6 +215,11 @@ def main():
     from lib_gdal_spark.session import get_spark
     import __spark_entry__ as em
 
+    # Load guard BEFORE the session exists (everything running now is
+    # foreign); re-probed at the end. See competing_procs() docstring.
+    competing_start = competing_procs()
+    steal0, total0 = _cpu_counters()
+
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     qs = em.queries()
     times: dict[str, float] = {}
@@ -190,6 +254,11 @@ def main():
     runs["flagship_pipeline"] = fl_samples
     times["flagship_pipeline"] = flagship_sec
 
+    competing_end = competing_procs()
+    steal1, total1 = _cpu_counters()
+    steal_pct = round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
+    load_clean = not competing_start and not competing_end and steal_pct < 5.0
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -208,6 +277,12 @@ def main():
         "refshapes": refshapes,
         "reps": REPS,
         "runs": runs,
+        "load_clean": load_clean,
+        "load": {
+            "steal_pct": steal_pct,
+            "competing_start": competing_start,
+            "competing_end": competing_end,
+        },
     }
     print(json.dumps(out))
 
