@@ -46,6 +46,8 @@ _ELLPS = {
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "intl": (6378388.0, 1.0 / 297.0),
     "clrk66": (6378206.4, 1.0 / 294.9786982),
+    "airy": (6377563.396, 1.0 / 299.3249646),
+    "bessel": (6377397.155, 1.0 / 299.1528128),
     "sphere": (6370997.0, 0.0),
 }
 
@@ -179,7 +181,11 @@ def _stere_k0_from_lat_ts(lat_ts: float, e: float) -> float:
 
 
 def from_proj4(s: str) -> _Projection:
-    """Parse a proj-string into a Projection instance."""
+    """Parse a proj-string into a Projection instance, annotated with
+    its ellipsoid (`.ellps = (a, f)`) and datum (`.towgs84` — a
+    7-tuple, or None when the string carries no datum information;
+    `+datum=WGS84` means the null shift (0,)*7). geo/datum.py applies
+    the Helmert hop when a _Composed transform crosses datums."""
     kv = {}
     for tok in s.split():
         tok = tok.lstrip("+")
@@ -188,6 +194,21 @@ def from_proj4(s: str) -> _Projection:
             kv[k] = v
         else:
             kv[tok] = True
+    if kv.get("datum") == "WGS84":
+        kv.setdefault("ellps", "WGS84")
+    p = _from_proj4_core(kv)
+    p.ellps = _ellps_from_kv(kv)
+    if "towgs84" in kv:
+        from .datum import parse_towgs84
+        p.towgs84 = parse_towgs84(kv["towgs84"])
+    elif kv.get("datum") == "WGS84":
+        p.towgs84 = (0.0,) * 7
+    else:
+        p.towgs84 = None
+    return p
+
+
+def _ellps_from_kv(kv: dict) -> tuple:
     if "a" in kv:
         a = float(kv["a"])
         if "rf" in kv:
@@ -202,6 +223,11 @@ def from_proj4(s: str) -> _Projection:
         a, f = _ELLPS[kv.get("ellps", "WGS84")]
     if "R" in kv:
         a, f = float(kv["R"]), 0.0
+    return a, f
+
+
+def _from_proj4_core(kv: dict) -> _Projection:
+    a, f = _ellps_from_kv(kv)
 
     proj = kv.get("proj")
     g = lambda k, d=0.0: float(kv.get(k, d))
@@ -289,15 +315,32 @@ def from_epsg(code: int) -> _Projection:
 
 
 class _Composed(_Projection):
+    """src.inverse -> [Helmert datum hop, geo/datum.py] -> dst.forward.
+    The hop is a no-op unless BOTH sides carry datum information and
+    they differ (the reference's null-transform rule for unknown
+    datums, autotest/osr/osr_ct.py:300)."""
+
     def __init__(self, src, dst):
         self.src, self.dst = src, dst
 
+    def _hop(self, lon, lat, a, b):
+        from .datum import datum_shift_lonlat
+        atw = getattr(a, "towgs84", None)
+        btw = getattr(b, "towgs84", None)
+        if atw is None or btw is None:
+            return lon, lat
+        aell = getattr(a, "ellps", _ELLPS["WGS84"])
+        bell = getattr(b, "ellps", _ELLPS["WGS84"])
+        return datum_shift_lonlat(lon, lat, aell, atw, bell, btw)
+
     def forward(self, x, y):
         lon, lat = self.src.inverse(x, y)
+        lon, lat = self._hop(lon, lat, self.src, self.dst)
         return self.dst.forward(lon, lat)
 
     def inverse(self, x, y):
         lon, lat = self.dst.inverse(x, y)
+        lon, lat = self._hop(lon, lat, self.dst, self.src)
         return self.src.forward(lon, lat)
 
 

@@ -125,3 +125,89 @@ class TestProj4Parse:
     def test_sphere_radius(self):
         p = P.from_proj4("+proj=tmerc +lon_0=0 +R=6370997")
         assert p.a == 6370997.0 and p.f == 0.0
+
+
+class TestDatumShift:
+    """Helmert +towgs84 legs (geo/datum.py) — replays the reference's
+    autotest/osr/osr_ct.py #1156 matrix plus exactness invariants."""
+
+    def test_towgs84_only_one_side_is_null(self):
+        # osr_ct.py:300 — unknown datum on one side -> null transform
+        for a, b in (("+proj=longlat +ellps=GRS80 +towgs84=100,200,300",
+                      "+proj=longlat +ellps=GRS80"),
+                     ("+proj=longlat +ellps=GRS80",
+                      "+proj=longlat +ellps=GRS80 +towgs84=100,200,300")):
+            t = P.transform(a, b)
+            x, y = t.forward(np.array([0.0]), np.array([0.0]))
+            assert x[0] == 0.0 and y[0] == 0.0
+
+    def test_towgs84_both_sides_applies(self):
+        # osr_ct.py:325 — both sides carry datum info -> real shift;
+        # hand value at (0,0): geocentric (a,0,0)+(100,200,300)
+        t = P.transform("+proj=longlat +ellps=GRS80 +towgs84=100,200,300",
+                        "+proj=longlat +ellps=GRS80 +towgs84=0,0,0")
+        x, y = t.forward(np.array([0.0]), np.array([0.0]))
+        assert x[0] != 0.0 and y[0] != 0.0
+        exp_lon = np.degrees(np.arctan2(200.0, 6378137.0 + 100.0))
+        assert abs(x[0] - exp_lon) < 1e-12
+        # +datum=WGS84 counts as datum info too (same autotest)
+        t2 = P.transform("+proj=longlat +ellps=GRS80 +towgs84=100,200,300",
+                         "+proj=longlat +datum=WGS84")
+        x2, y2 = t2.forward(np.array([0.0]), np.array([0.0]))
+        assert x2[0] != 0.0 and y2[0] != 0.0
+
+    def test_parse_towgs84_padding(self):
+        # osr_basic.py:211 — 3-term form zero-pads to 7
+        from lib_gdal_spark.geo.datum import parse_towgs84
+        assert parse_towgs84("1,2,3") == (1.0, 2.0, 3.0, 0, 0, 0, 0)
+        with pytest.raises(ValueError):
+            parse_towgs84("1,2,3,4")
+
+    def test_helmert_exact_inverse(self):
+        from lib_gdal_spark.geo import datum as D
+        tw = (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489)
+        X = np.array([4e6, -2e6]); Y = np.array([3e5, 1e6]); Z = np.array([5e6, -4e6])
+        X2, Y2, Z2 = D.helmert_apply(X, Y, Z, D.helmert_coeffs(tw))
+        X3, Y3, Z3 = D.helmert_apply(X2, Y2, Z2,
+                                     D.helmert_coeffs(tw, inverse=True))
+        assert np.max(np.abs(X3 - X)) < 1e-6
+        assert np.max(np.abs(Y3 - Y)) < 1e-6
+        assert np.max(np.abs(Z3 - Z)) < 1e-6
+
+    def test_osgb36_roundtrip_2d(self):
+        # 2D hop discards the height leg (push/pop v_3), so the round
+        # trip is exact only to ~h*e2 ~ mm level — same as the reference
+        src = ("+proj=longlat +ellps=airy "
+               "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")
+        t = P.transform(src, "+proj=longlat +datum=WGS84")
+        lon0 = RNG.uniform(-5, 1, 200); lat0 = RNG.uniform(50, 58, 200)
+        lon1, lat1 = t.forward(lon0, lat0)
+        # the shift is real: ~100 m displacement over Britain
+        assert np.all(np.abs(lon1 - lon0) * 111000 > 20)
+        lon2, lat2 = t.inverse(lon1, lat1)
+        assert np.max(np.abs(lon2 - lon0)) < 1e-6
+        assert np.max(np.abs(lat2 - lat0)) < 1e-6
+
+    def test_pure_translation_geocentric_hand_value(self):
+        # translation-only ED50-style shift at the equator/prime
+        # meridian moves geocentric coords by exactly the deltas
+        from lib_gdal_spark.geo import datum as D
+        X, Y, Z = D.geodetic_to_geocentric(
+            np.array([0.0]), np.array([0.0]), 6378388.0, 1 / 297.0)
+        assert X[0] == 6378388.0 and Y[0] == 0.0 and Z[0] == 0.0
+        X2, Y2, Z2 = D.helmert_apply(
+            X, Y, Z, D.helmert_coeffs((-87.0, -96.0, -120.0, 0, 0, 0, 0)))
+        assert (X2[0], Y2[0], Z2[0]) == (6378388.0 - 87.0, -96.0, -120.0)
+
+    def test_datum_hop_composes_with_projection(self):
+        # ED50 UTM31 -> WGS84 UTM31: pure-datum displacement of ~130 m,
+        # and inverse returns to start at mm level
+        src = "+proj=utm +zone=31 +ellps=intl +towgs84=-87,-96,-120"
+        dst = "+proj=utm +zone=31 +datum=WGS84"
+        t = P.transform(src, dst)
+        x0 = np.array([500000.0 + 1 / 997.0]); y0 = np.array([4649776.0])
+        x1, y1 = t.forward(x0, y0)
+        d = float(np.hypot(x1 - x0, y1 - y0))
+        assert 50.0 < d < 300.0
+        x2, y2 = t.inverse(x1, y1)
+        assert abs(float(x2 - x0)) < 0.01 and abs(float(y2 - y0)) < 0.01
