@@ -1853,6 +1853,106 @@ FROM {o} o JOIN {e} e USING (gid)
 """)
 
 
+def _q_nearblack_collar(spark, sf_dir):
+    # nearblack twopasses collar removal (apps/nearblack_lib.cpp;
+    # operators/nearblack.py) over a synthetic ragged-border grid:
+    # hash-width black margins on all four sides plus interior
+    # near-black speckles. max_non_black=0 (the lib_1 autotest config).
+    # Engine side runs the real two-pass operator (two windows + two
+    # per-line Arrow kernels); the oracle replays the same semantics as
+    # closed-form window SQL — see _o_nearblack_collar.
+    from lib_gdal_spark.operators import nearblack as nbk
+
+    W = 25
+    d = _tbl(spark, sf_dir, "documents").select("doc_id")
+    H = d.count() // W
+    did = F.col("doc_id")
+    x = did % W
+    y = F.expr("doc_id div 25")
+    border = ((x < (y * 13 + 5) % 4) | (x >= W - (y * 11 + 2) % 4)
+              | (y >= H - (x * 17 + 1) % 4) | (y < (x * 19 + 7) % 4))
+    speck = ((did * 31 + 11) % 37) == 0
+    v = (F.when(border, F.lit(0)).when(speck, F.lit(5))
+         .otherwise(F.lit(20) + (did * 7) % 200)).cast("double")
+    cells = d.select(x.cast("long").alias("bx"), y.cast("long").alias("by"),
+                     F.array(v).alias("vals"))
+    out = nbk.nearblack(cells, W, H, near_dist=15, max_non_black=0)
+    return out.select("bx", "by",
+                      F.col("vals")[0].cast("bigint").alias("value"),
+                      F.col("mask").cast("bigint").alias("mask"))
+
+
+def _o_nearblack_collar() -> str:
+    # Closed form of nearblack_lib.cpp's twopasses under
+    # max_non_black=0, all-integer math:
+    # - nonblack pixels carry counter>=1, so the horizontal scans never
+    #   replace them and nonblackness is PASS-INVARIANT;
+    # - per-column counter before+through a line is least(cum,1);
+    # - a directional scan's do_test state is last-event-wins: a cnt=0
+    #   column re-arms, a nonblack column stops -> LAST_VALUE IGNORE
+    #   NULLS window over the scan order (the loop never processes the
+    #   final column of a scan: x<24 / x>0 guards);
+    # - pass 2 re-runs the machinery with the bottom-up cumulative.
+    def scan(p, order, guard, dtc, rc):
+        return f"""{dtc} AS (
+  SELECT *, COALESCE(LAST_VALUE(
+      CASE WHEN cnt{p} = 0 THEN 1 WHEN nb = 1 THEN 0 END IGNORE NULLS)
+    OVER (PARTITION BY y ORDER BY {order}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1) AS dt
+  FROM {rc}),
+{dtc}r AS (
+  SELECT * EXCLUDE (dt),
+         CASE WHEN dt = 1 AND nb = 0 AND {guard} THEN 1 ELSE 0 END
+           AS repl_{dtc}
+  FROM {dtc})"""
+
+    passes = []
+    for p, order_v in ((1, "y DESC"), (2, "y ASC")):
+        src = "g" if p == 1 else "p1dtRr"
+        passes.append(f"""p{p} AS (
+  SELECT *, COALESCE(SUM(nb) OVER
+      (PARTITION BY x ORDER BY {order_v}
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum{p}
+  FROM {src}),
+p{p}v AS (
+  SELECT * EXCLUDE (cum{p}), LEAST(cum{p} + nb, 1) AS cnt{p},
+         CASE WHEN cum{p} = 0 AND nb = 0 THEN 1 ELSE 0 END AS repl_v{p}
+  FROM p{p}),
+{scan(p, "x ASC", "x < 24", f"p{p}dtL", f"p{p}v")},
+{scan(p, "x DESC", "x > 0", f"p{p}dtR", f"p{p}dtLr")}""")
+    return ("""WITH dims AS (
+  SELECT CAST(count(*) // 25 AS BIGINT) AS h FROM documents),
+g AS (
+  SELECT CAST(doc_id % 25 AS BIGINT) AS x,
+         CAST(doc_id // 25 AS BIGINT) AS y,
+         CASE WHEN (doc_id % 25) < ((doc_id // 25) * 13 + 5) % 4
+                OR (doc_id % 25) >= 25 - ((doc_id // 25) * 11 + 2) % 4
+                OR (doc_id // 25) >= h - ((doc_id % 25) * 17 + 1) % 4
+                OR (doc_id // 25) < ((doc_id % 25) * 19 + 7) % 4
+              THEN CAST(0 AS BIGINT)
+              WHEN (doc_id * 31 + 11) % 37 = 0 THEN CAST(5 AS BIGINT)
+              ELSE CAST(20 + (doc_id * 7) % 200 AS BIGINT) END AS v,
+         CASE WHEN (doc_id % 25) < ((doc_id // 25) * 13 + 5) % 4
+                OR (doc_id % 25) >= 25 - ((doc_id // 25) * 11 + 2) % 4
+                OR (doc_id // 25) >= h - ((doc_id % 25) * 17 + 1) % 4
+                OR (doc_id // 25) < ((doc_id % 25) * 19 + 7) % 4
+              THEN 0
+              WHEN (doc_id * 31 + 11) % 37 = 0 THEN 0
+              ELSE 1 END AS nb
+  FROM documents CROSS JOIN dims),
+"""
+            + ",\n".join(passes) + """
+SELECT x AS bx, y AS by,
+  CASE WHEN repl_v1 + repl_p1dtL + repl_p1dtR
+          + repl_v2 + repl_p2dtL + repl_p2dtR > 0
+       THEN CAST(0 AS BIGINT) ELSE v END AS value,
+  CASE WHEN repl_v1 + repl_p1dtL + repl_p1dtR
+          + repl_v2 + repl_p2dtL + repl_p2dtR > 0
+       THEN CAST(0 AS BIGINT) ELSE CAST(255 AS BIGINT) END AS mask
+FROM p2dtRr
+""")
+
+
 def _q_pansharpen(spark, sf_dir):
     # weighted-Brovey pansharpening (gdalpansharpen.h:40): pan + three
     # derived bands over the dense doc grid; DYADIC weights (0.25/0.5/
@@ -4123,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_stroke": _q_curve_stroke,           # CircularString stroking
         "proj_conic": _q_proj_conic,               # LCC/Albers/PolarStereo
         "proj_datum": _q_proj_datum,               # Helmert +towgs84 hops
+        "nearblack_collar": _q_nearblack_collar,   # twopasses collar removal
         "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
         "gpkg_roundtrip": _q_gpkg_roundtrip,       # GeoPackage src+sink
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,  # MBTiles src+sink
@@ -7256,6 +7357,7 @@ def oracle_sql() -> dict[str, str]:
         "curve_stroke": _o_curve_stroke(),
         "proj_conic": _o_proj_conic(),
         "proj_datum": _o_proj_datum(),
+        "nearblack_collar": _o_nearblack_collar(),
         "mdim_arith": _o_mdim_arith(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
