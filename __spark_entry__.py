@@ -1853,6 +1853,52 @@ FROM {o} o JOIN {e} e USING (gid)
 """)
 
 
+def _q_coverage_gaps(spark, sf_dir):
+    # clean-coverage gap merging (maximum-gap-width,
+    # gdalalg_vector_clean_coverage.cpp / GEOS CoverageCleaner;
+    # operators/coverage.py _merge_gaps): a 10-wide cell grid where
+    # hashed cells carry a right-edge notch — narrow notches (0.25/0.5
+    # < gap width 1.0) merge back into the longest-border neighbor (the
+    # notched cell, border 6+2s vs 6), wide ones (2.0/3.0) stay open.
+    # Dyadic coordinates keep every area an exact double.
+    from lib_gdal_spark.operators import coverage as cov
+
+    d = _tbl(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id") % 10
+    j = F.expr("doc_id div 10")
+    k = (i * 3 + j * 7) % 11
+    par = ((i + j) % 2).cast("double")
+    s = (F.when((k == 0) & (i < 9), F.lit(0.25) + F.lit(0.25) * par)
+         .when((k == 1) & (i < 9), F.lit(2.0) + par)
+         .otherwise(F.lit(0.0)))
+    x0 = i.cast("double") * 10.0
+    y0 = j.cast("double") * 10.0
+    x1, y1 = x0 + 10.0, y0 + 10.0
+    polys = d.select(
+        F.col("doc_id").alias("poly_id"),
+        F.array(x0, x1, x1, x1 - s, x1 - s, x1, x1, x0, x0).alias("xs"),
+        F.array(y0, y0, y0 + 2.0, y0 + 2.0, y0 + 8.0, y0 + 8.0,
+                y1, y1, y0).alias("ys"))
+    out = cov.clean_coverage(polys, cell_size=10.0, max_gap_width=1.0)
+    return out.select("poly_id", "area", "n_parts")
+
+
+def _o_coverage_gaps() -> str:
+    return """
+WITH g AS (
+  SELECT doc_id,
+         CAST(doc_id % 10 AS BIGINT) AS i,
+         CAST(doc_id // 10 AS BIGINT) AS j
+  FROM documents)
+SELECT doc_id AS poly_id,
+  CASE WHEN i < 9 AND (i*3 + j*7) % 11 = 1
+       THEN 100.0 - 6.0*(2.0 + CAST((i+j) % 2 AS DOUBLE))
+       ELSE 100.0 END AS area,
+  CAST(1 AS INTEGER) AS n_parts
+FROM g
+"""
+
+
 def _q_nearblack_collar(spark, sf_dir):
     # nearblack twopasses collar removal (apps/nearblack_lib.cpp;
     # operators/nearblack.py) over a synthetic ragged-border grid:
@@ -4224,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_conic": _q_proj_conic,               # LCC/Albers/PolarStereo
         "proj_datum": _q_proj_datum,               # Helmert +towgs84 hops
         "nearblack_collar": _q_nearblack_collar,   # twopasses collar removal
+        "coverage_gaps": _q_coverage_gaps,         # clean-coverage gap merge
         "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
         "gpkg_roundtrip": _q_gpkg_roundtrip,       # GeoPackage src+sink
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,  # MBTiles src+sink
@@ -7358,6 +7405,7 @@ def oracle_sql() -> dict[str, str]:
         "proj_conic": _o_proj_conic(),
         "proj_datum": _o_proj_datum(),
         "nearblack_collar": _o_nearblack_collar(),
+        "coverage_gaps": _o_coverage_gaps(),
         "mdim_arith": _o_mdim_arith(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),

@@ -150,38 +150,42 @@ def _with_bbox(df: DataFrame, id_col, xs_col, ys_col) -> DataFrame:
         F.array_min(ys_col).alias("ymin"), F.array_max(ys_col).alias("ymax"))
 
 
-def _cells(side: DataFrame, cell_size: float) -> DataFrame:
-    cs = float(cell_size)
+def _cells(side: DataFrame, cell_size: float,
+           expand: float = 0.0) -> DataFrame:
+    cs, e = float(cell_size), float(expand)
     return side.withColumn(
-        "cx", F.explode(F.sequence(F.floor(F.col("xmin") / cs),
-                                   F.floor(F.col("xmax") / cs)))
+        "cx", F.explode(F.sequence(F.floor((F.col("xmin") - e) / cs),
+                                   F.floor((F.col("xmax") + e) / cs)))
     ).withColumn(
-        "cy", F.explode(F.sequence(F.floor(F.col("ymin") / cs),
-                                   F.floor(F.col("ymax") / cs))))
+        "cy", F.explode(F.sequence(F.floor((F.col("ymin") - e) / cs),
+                                   F.floor((F.col("ymax") + e) / cs))))
 
 
 def _candidate_pairs(polys: DataFrame, id_col: str, xs_col: str,
-                     ys_col: str, cell_size: float) -> DataFrame:
+                     ys_col: str, cell_size: float,
+                     expand: float = 0.0) -> DataFrame:
     """Both-direction candidate neighbor pairs (poly_id, axs, ays,
     other_id, bxs, bys) from the grid-cell equi-join with bbox-overlap
     pushdown and report-point dedup (a pair is emitted only in the cell
-    holding its bbox-intersection's min corner — no distinct shuffle)."""
+    holding its bbox-intersection's min corner — no distinct shuffle).
+    ``expand`` grows every bbox symmetrically — the gap-merge stage
+    needs near-but-not-touching neighbors (within the gap width)."""
     base = _with_bbox(polys, id_col, xs_col, ys_col)
-    cs = float(cell_size)
-    a = _cells(base, cs).alias("a")
-    b = _cells(base, cs).alias("b")
+    cs, e = float(cell_size), float(expand)
+    a = _cells(base, cs, e).alias("a")
+    b = _cells(base, cs, e).alias("b")
     pair = a.join(
         b,
         (F.col("a.cx") == F.col("b.cx")) & (F.col("a.cy") == F.col("b.cy"))
         & (F.col("a.poly_id") != F.col("b.poly_id"))
-        & (F.col("a.xmin") <= F.col("b.xmax"))
-        & (F.col("b.xmin") <= F.col("a.xmax"))
-        & (F.col("a.ymin") <= F.col("b.ymax"))
-        & (F.col("b.ymin") <= F.col("a.ymax"))
+        & (F.col("a.xmin") - e <= F.col("b.xmax") + e)
+        & (F.col("b.xmin") - e <= F.col("a.xmax") + e)
+        & (F.col("a.ymin") - e <= F.col("b.ymax") + e)
+        & (F.col("b.ymin") - e <= F.col("a.ymax") + e)
         & (F.col("a.cx") == F.floor(
-            F.greatest(F.col("a.xmin"), F.col("b.xmin")) / cs))
+            (F.greatest(F.col("a.xmin"), F.col("b.xmin")) - e) / cs))
         & (F.col("a.cy") == F.floor(
-            F.greatest(F.col("a.ymin"), F.col("b.ymin")) / cs)))
+            (F.greatest(F.col("a.ymin"), F.col("b.ymin")) - e) / cs)))
     return pair.select(
         F.col("a.poly_id").alias("poly_id"),
         F.col("a.xs").alias("axs"), F.col("a.ys").alias("ays"),
@@ -668,10 +672,189 @@ def _border_len(piece_polys, ring_xs, ring_ys, scale) -> float:
     return float(lens[hit].sum())
 
 
+def _mic_diameter(ring: np.ndarray, iters: int = 6,
+                  grid: int = 16) -> float:
+    """Maximum-inscribed-circle diameter of a simple ring — the gap
+    width measure (GEOS CoverageGapFinder classifies a face as a gap
+    when its inscribed width is under the threshold). Deterministic
+    refine-around-argmax grid search: each round shrinks the window to
+    one cell of the previous grid, so resolution improves by grid/2 per
+    round — plenty against the driver fixtures' >=2x width margins."""
+    r = _closed(np.asarray(ring, np.float64))
+    xs, ys = r[:, 0], r[:, 1]
+    segs = _segments(xs, ys)
+    ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+
+    def boundary_dist(px, py):
+        t = ((px[:, None] - ax) * dx + (py[:, None] - ay) * dy) / L2
+        t = np.clip(t, 0.0, 1.0)
+        qx, qy = ax + t * dx, ay + t * dy
+        return np.sqrt(np.min((px[:, None] - qx) ** 2
+                              + (py[:, None] - qy) ** 2, axis=1))
+
+    x0, x1 = float(xs.min()), float(xs.max())
+    y0, y1 = float(ys.min()), float(ys.max())
+    best, bx_, by_ = 0.0, 0.5 * (x0 + x1), 0.5 * (y0 + y1)
+    for _ in range(iters):
+        gx = np.linspace(x0, x1, grid)
+        gy = np.linspace(y0, y1, grid)
+        X, Y = np.meshgrid(gx, gy)
+        px, py = X.ravel(), Y.ravel()
+        inside = _strictly_inside(px, py, xs, ys)
+        if inside.any():
+            d = np.where(inside, boundary_dist(px, py), -1.0)
+            k = int(np.argmax(d))
+            if d[k] > best:
+                best, bx_, by_ = float(d[k]), float(px[k]), float(py[k])
+        wx = (x1 - x0) / (grid - 1)
+        wy = (y1 - y0) / (grid - 1)
+        x0, x1 = bx_ - wx, bx_ + wx
+        y0, y1 = by_ - wy, by_ + wy
+    return 2.0 * best
+
+
+def _merge_gaps(cleaned: DataFrame, polys: DataFrame, id_col: str,
+                xs_col: str, ys_col: str, cell_size: float,
+                gw: float) -> DataFrame:
+    """Gap-merge stage of clean-coverage (maximum-gap-width > 0,
+    gdalalg_vector_clean_coverage.cpp / GEOS CoverageCleaner): a gap is
+    an enclosed uncovered face — a HOLE of the union of a polygon with
+    its (gap-width-expanded bbox) neighborhood — whose inscribed width
+    is under the threshold; it merges into the bounding polygon sharing
+    the longest border (ties to the lower id).
+
+    Distributed shape: every bounding polygon discovers the same gap
+    from its own neighborhood union (the bounding set is mutually
+    bbox-near, so each union contains the identical face); discoveries
+    agree on the winner, and the winner-side union is idempotent, so
+    duplicates are collapsed by an exact ring key with no cross-
+    neighborhood coordination. Gaps whose bounding polygons are NOT
+    mutually within the expanded-bbox join (a narrow channel much
+    longer than the gap width, bounded by distant polygons) are not
+    detected — documented divergence from GEOS's whole-coverage noding;
+    the reference's own gap autotest (the circles fixture) replays
+    exactly (tests/test_coverage.py)."""
+    from ..geo import clip as _clip
+    from ..geo import wkb as _wkb
+
+    spark = cleaned.sparkSession
+    pairs = _candidate_pairs(polys, id_col, xs_col, ys_col, cell_size,
+                             expand=gw).select("poly_id", "other_id")
+    geo = cleaned.select("poly_id", "geometry")
+    nbr = pairs.join(
+        geo.select(F.col("poly_id").alias("other_id"),
+                   F.col("geometry").alias("b_geom")), "other_id")
+    grouped = nbr.groupBy("poly_id").agg(
+        F.array_sort(F.collect_list(
+            F.struct("other_id", "b_geom"))).alias("nbrs"))
+    # left join: an isolated polygon still gap-checks its own holes
+    work = geo.join(grouped, "poly_id", "left")
+
+    def find_gaps(batches):
+        for pdf in batches:
+            rows = []
+            for pid, geom, nbrs in zip(pdf["poly_id"], pdf["geometry"],
+                                       pdf["nbrs"]):
+                kind, data = _wkb.decode(bytes(geom))
+                apolys = _clip.as_polys(kind, data)
+                if not apolys:
+                    continue
+                cand = [(int(pid), apolys)]
+                ukind, udata = kind, data
+                if nbrs is not None:
+                    for nb in nbrs:   # array_sort -> ascending other_id
+                        k2, d2 = _wkb.decode(bytes(nb["b_geom"]))
+                        bp = _clip.as_polys(k2, d2)
+                        if not bp:
+                            continue
+                        cand.append((int(nb["other_id"]), bp))
+                        ukind, udata = _clip.overlay(ukind, udata,
+                                                     k2, d2, "union")
+                upolys = _clip.as_polys(ukind, udata)
+                scale = max(
+                    (float(np.abs(np.asarray(r)).max())
+                     for rings in upolys for r in rings), default=1.0)
+                scale = max(scale, 1.0)
+                for rings in upolys:
+                    for h in rings[1:]:
+                        hr = _closed(np.asarray(h, np.float64))
+                        lens = []
+                        for oid, op_ in cand:
+                            bl = sum(
+                                _border_len([[hr]], rr[:, 0], rr[:, 1],
+                                            scale)
+                                for rings2 in op_
+                                for rr in map(_closed, rings2))
+                            if bl > 0.0:
+                                lens.append((-bl, oid))
+                        if not any(o == int(pid) for _, o in lens):
+                            continue   # gap not bounded by this poly
+                        if _mic_diameter(hr) >= gw:
+                            continue
+                        lens.sort()
+                        winner = lens[0][1]
+                        x2, y2 = hr[:, 0], hr[:, 1]
+                        kx = float(x2.min())
+                        ky = float(y2[x2 == x2.min()].min())
+                        area = abs(0.5 * float(
+                            np.sum(x2[:-1] * y2[1:] - x2[1:] * y2[:-1])))
+                        gkey = f"{kx:.9e}:{ky:.9e}:{area:.6e}:{len(hr)}"
+                        rows.append((gkey, int(winner),
+                                     [float(v) for v in x2],
+                                     [float(v) for v in y2]))
+            yield pd.DataFrame(rows, columns=[
+                "gkey", "winner", "gxs", "gys"])
+
+    gaps = work.mapInPandas(
+        find_gaps, "gkey string, winner long, gxs array<double>, "
+                   "gys array<double>")
+    # every discoverer computes the identical row; keep one per key
+    one = gaps.groupBy("gkey").agg(
+        F.min(F.struct("winner", "gxs", "gys")).alias("g"))
+    per_winner = one.select(F.col("g.winner").alias("poly_id"),
+                            F.col("g.gxs").alias("gxs"),
+                            F.col("g.gys").alias("gys"))
+    per_winner = per_winner.groupBy("poly_id").agg(
+        F.array_sort(F.collect_list(
+            F.struct("gxs", "gys"))).alias("gaps"))
+    merged = cleaned.join(per_winner, "poly_id", "left")
+
+    def apply_gaps(batches):
+        for pdf in batches:
+            rows = []
+            for pid, geom, area, nparts, gaps_ in zip(
+                    pdf["poly_id"], pdf["geometry"], pdf["area"],
+                    pdf["n_parts"], pdf["gaps"]):
+                if gaps_ is None or not len(gaps_):
+                    rows.append((int(pid), bytes(geom), float(area),
+                                 int(nparts)))
+                    continue
+                kind, data = _wkb.decode(bytes(geom))
+                for gp in gaps_:
+                    ring = np.stack(
+                        [np.asarray(gp["gxs"], np.float64),
+                         np.asarray(gp["gys"], np.float64)], axis=1)
+                    kind, data = _clip.overlay(kind, data, "polygon",
+                                               [ring], "union")
+                plist = _clip.as_polys(kind, data)
+                rows.append((int(pid),
+                             _wkb.encode_geometry(kind, data),
+                             _poly_area(plist), len(plist)))
+            yield pd.DataFrame(rows, columns=[
+                "poly_id", "geometry", "area", "n_parts"])
+
+    return merged.mapInPandas(
+        apply_gaps,
+        "poly_id long, geometry binary, area double, n_parts int")
+
+
 def clean_coverage(polys: DataFrame, id_col: str = "poly_id",
                    xs_col: str = "xs", ys_col: str = "ys",
                    cell_size: float = 1.0,
-                   merge_strategy: str = "longest-border") -> DataFrame:
+                   merge_strategy: str = "longest-border",
+                   max_gap_width: float = 0.0) -> DataFrame:
     """`gdal vector clean-coverage`
     (apps/gdalalg_vector_clean_coverage.cpp / GEOS 3.12
     CoverageCleaner): remove pairwise overlaps from a would-be coverage
@@ -689,9 +872,11 @@ def clean_coverage(polys: DataFrame, id_col: str = "poly_id",
     check_coverage, each unordered pair decided once (id_a < id_b) in
     an Arrow batch kernel over clip.py's exact overlay; losers group
     their winners (sorted by id — deterministic sequential difference)
-    in one groupBy. Gap merging (maximum-gap-width) is not implemented
-    — the reference's default 0 means no gap merging, which is the
-    behavior here; triple-overlap arrangements resolve pairwise (GEOS
+    in one groupBy. With ``max_gap_width`` > 0 the _merge_gaps stage
+    then merges enclosed uncovered faces narrower than the threshold
+    into their longest-border neighbor (GEOS CoverageCleaner gap
+    merging; replays test_gdalalg_vector_clean_coverage.py:110's
+    circles case). Triple-overlap arrangements resolve pairwise (GEOS
     nodes the full arrangement), documented divergence.
 
     Returns (poly_id, geometry WKB, area, n_parts)."""
@@ -704,6 +889,10 @@ def clean_coverage(polys: DataFrame, id_col: str = "poly_id",
     if strat not in ("longest-border", "min-index", "max-area",
                      "min-area"):
         raise ValueError(f"unknown merge strategy {strat!r}")
+    # NaN fails this comparison too (the reference rejects both:
+    # test_gdalalg_vector_clean_coverage.py:128 'should be >= 0')
+    if not (float(max_gap_width) >= 0.0):
+        raise ValueError("maximum-gap-width should be >= 0")
 
     pair = _candidate_pairs(polys, id_col, xs_col, ys_col, cell_size)
     pair = pair.filter(F.col("poly_id") < F.col("other_id"))
@@ -796,9 +985,13 @@ def clean_coverage(polys: DataFrame, id_col: str = "poly_id",
             yield pd.DataFrame(rows, columns=[
                 "poly_id", "geometry", "area", "n_parts"])
 
-    return full.mapInPandas(
+    cleaned = full.mapInPandas(
         subtract,
         "poly_id long, geometry binary, area double, n_parts int")
+    if max_gap_width <= 0.0:
+        return cleaned
+    return _merge_gaps(cleaned, polys, id_col, xs_col, ys_col,
+                       cell_size, float(max_gap_width))
 
 
 def invalid_edge_geometries(polys: DataFrame, id_col: str = "poly_id",

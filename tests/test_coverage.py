@@ -349,3 +349,67 @@ def test_strictly_inside_boundary_excluded():
     py = np.array([5.0, 5.0, 5.0, 0.0, 5.0])
     got = C._strictly_inside(px, py, xs, ys)
     assert got.tolist() == [True, False, False, False, False]
+
+
+def _notched_rect(x0, y0, s):
+    # 10x10 cell with a depth-s notch on the right edge, y in [y0+2, y0+8]
+    x0, y0, s = float(x0), float(y0), float(s)
+    x1, y1 = x0 + 10.0, y0 + 10.0
+    xs = [x0, x1, x1, x1 - s, x1 - s, x1, x1, x0, x0]
+    ys = [y0, y0, y0 + 2, y0 + 2, y0 + 8, y0 + 8, y1, y1, y0]
+    return xs, ys
+
+
+def test_clean_coverage_gap_width_circles_autotest(spark):
+    # test_gdalalg_vector_clean_coverage.py:110 — maximum-gap-width=2
+    # merges the central curvilinear gap (area ~2.95, inscribed width
+    # < 2) into the first circle: areas [80.80, 132.67, 80.82]
+    polys = [_circle(5, 5, 5), _circle(10, 15, 6.5), _circle(15, 5, 5.1)]
+    out = (C.clean_coverage(_df(spark, polys), cell_size=10.0,
+                            max_gap_width=2.0)
+           .orderBy("poly_id").collect())
+    areas = [r.area for r in out]
+    for got, want in zip(areas, [80.80, 132.67, 80.82]):
+        assert got == pytest.approx(want, abs=0.01)
+
+
+def test_clean_coverage_gap_width_rect_exact(spark):
+    # dyadic notched grid: the 0.5-wide slot (inscribed width 0.5 < 1)
+    # merges back into the notched cell (longest border: 6+2s vs 6) ->
+    # exactly 100; the 3-wide slot stays open -> exactly 82
+    polys = [_notched_rect(0, 0, 0.5), _rect(10, 0, 20, 10),
+             _notched_rect(20, 0, 3.0), _rect(30, 0, 40, 10),
+             _rect(0, 10, 10, 20), _rect(10, 10, 20, 20),
+             _rect(20, 10, 30, 20), _rect(30, 10, 40, 20)]
+    out = (C.clean_coverage(_df(spark, polys), cell_size=10.0,
+                            max_gap_width=1.0)
+           .orderBy("poly_id").collect())
+    got = [(r.poly_id, r.area, r.n_parts) for r in out]
+    assert got == [(0, 100.0, 1), (1, 100.0, 1), (2, 82.0, 1),
+                   (3, 100.0, 1), (4, 100.0, 1), (5, 100.0, 1),
+                   (6, 100.0, 1), (7, 100.0, 1)]
+
+
+def test_clean_coverage_gap_width_zero_unchanged(spark):
+    # default 0 = no gap merging (the reference default)
+    polys = [_notched_rect(0, 0, 0.5), _rect(10, 0, 20, 10)]
+    out = (C.clean_coverage(_df(spark, polys), cell_size=10.0)
+           .orderBy("poly_id").collect())
+    assert [r.area for r in out] == [97.0, 100.0]
+
+
+def test_clean_coverage_bad_gap_width(spark):
+    # test_gdalalg_vector_clean_coverage.py:128 — negative and NaN
+    for bad in (-5.0, float("nan")):
+        with pytest.raises(ValueError, match="should be >= 0"):
+            C.clean_coverage(_df(spark, [_rect(0, 0, 1, 1)]),
+                             max_gap_width=bad)
+
+
+def test_mic_diameter_rect():
+    # exact: inscribed diameter of an s x 6 slot is s
+    ring = np.array([[0, 0], [0.5, 0], [0.5, 6], [0, 6], [0, 0]], float)
+    d = C._mic_diameter(ring)
+    assert d == pytest.approx(0.5, abs=0.01)
+    ring = np.array([[0, 0], [3, 0], [3, 6], [0, 6], [0, 0]], float)
+    assert C._mic_diameter(ring) == pytest.approx(3.0, abs=0.02)
