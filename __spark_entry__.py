@@ -1853,6 +1853,51 @@ FROM {o} o JOIN {e} e USING (gid)
 """)
 
 
+_RAT_ROWS = ([(r, r * 30, r * 30 + 24, f"c{r}") for r in range(8)]
+             + [(8, 0, 239, "rest")])
+
+
+def _q_rat_classify(spark, sf_dir):
+    # Raster-attribute-table classify (gcore/gdal_rat.cpp GetRowOfValue
+    # first-match scan; operators/rat.py): 8 disjoint min/max classes
+    # plus a catch-all last row (values in the 25..29-style gaps land
+    # there — first record-order match wins). The scan compiles to one
+    # Catalyst CASE chain + broadcast payload join; pixels never leave
+    # the JVM. Aggregates per class name.
+    from lib_gdal_spark.operators import rat as ratmod
+
+    rdf = spark.createDataFrame(
+        _RAT_ROWS, "_row long, vmin long, vmax long, name string")
+    rat = ratmod.RasterAttributeTable(
+        rdf, {"vmin": "min", "vmax": "max", "name": "name"})
+    d = _tbl(spark, sf_dir, "documents")
+    px = d.select(((F.col("doc_id") * 13 + F.col("n_chars")) % 240)
+                  .cast("long").alias("value"))
+    out = ratmod.classify(px, rat, "value")
+    return out.groupBy("name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pix"),
+        F.sum("value").cast("long").alias("sum_val"))
+
+
+def _o_rat_classify() -> str:
+    whens = "\n".join(
+        f"  WHEN v >= {lo} AND v <= {hi} THEN '{nm}'"
+        for _r, lo, hi, nm in _RAT_ROWS)
+    return f"""
+WITH px AS (
+  SELECT CAST((doc_id*13 + n_chars) % 240 AS BIGINT) AS v
+  FROM documents),
+cls AS (
+  SELECT v, CASE
+{whens}
+  END AS name
+  FROM px)
+SELECT name, CAST(count(*) AS BIGINT) AS n_pix,
+       CAST(SUM(v) AS BIGINT) AS sum_val
+FROM cls GROUP BY name
+"""
+
+
 def _q_coverage_gaps(spark, sf_dir):
     # clean-coverage gap merging (maximum-gap-width,
     # gdalalg_vector_clean_coverage.cpp / GEOS CoverageCleaner;
@@ -4271,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_datum": _q_proj_datum,               # Helmert +towgs84 hops
         "nearblack_collar": _q_nearblack_collar,   # twopasses collar removal
         "coverage_gaps": _q_coverage_gaps,         # clean-coverage gap merge
+        "rat_classify": _q_rat_classify,           # raster attribute table
         "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
         "gpkg_roundtrip": _q_gpkg_roundtrip,       # GeoPackage src+sink
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,  # MBTiles src+sink
@@ -7406,6 +7452,7 @@ def oracle_sql() -> dict[str, str]:
         "proj_datum": _o_proj_datum(),
         "nearblack_collar": _o_nearblack_collar(),
         "coverage_gaps": _o_coverage_gaps(),
+        "rat_classify": _o_rat_classify(),
         "mdim_arith": _o_mdim_arith(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
