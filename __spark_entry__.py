@@ -4260,37 +4260,17 @@ WHERE nn.ix >= 0 AND nn.ix < 32 AND nn.iy >= 0 AND nn.iy < 32
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
-    dict order and caps at 50/round (proven rounds 1-3). Rotation rule:
+    dict order and caps at 50/round (proven rounds 1-4). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
-    driver row is OLDEST. Round-4 order:
-    (1) the 14 queries WITHOUT a green hash row after r3 (VERDICT r3
-        item 2): the three r3 hash-fails whose oracles carried the
-        duckdb HUGEINT->float64 defect, now fixed (lm_xent also moved
-        to a DECIMAL(38,18) per-term fold — VERDICT item 3;
-        tests/test_oracle_types.py binds all oracles and bans HUGEINT
-        outputs so the class is dead); the two whose only driver rows
-        predate their exact oracles (dem_hillshade r1 `no_oracle`,
-        grid_linear r2 `no_oracle`); and the nine never swept at all;
-    (2) NEW queries added this round — never swept: session 1
-        (warp_rotate, warp_gcp, mdim_resample_mask, curve_stroke,
-        proj_conic, mdim_arith), session 2 (gpkg/mbtiles/pmtiles
-        roundtrips, vrt_mosaic, tile_geodetic, unimax_alloc,
-        ogr_special_fields, hybrid_rrf, quality_classifier,
-        shp/geojson/geocsv roundtrips), session 3 (geoloc_forward,
-        geoloc_roundtrip, coverage_check, coverage_simplify,
-        coverage_clean);
-    (3) the round-1-verified set, two rounds stale (every entry here is
-        double-verified: r01 driver row + the every-session local
-        parity sweep at both scales). With (1)+(2) = 34 slots, the
-        50-cap falls inside this section after dem_roughness (pos 49):
-        the slipped r1 entries (dem_aspect onward) rotate first in
-        round 5 together with (4);
-    (4) past the cap: the rest of the r1 set (8 cheap pure-Catalyst
-        ogr_* entries), then the round-2-verified set, then the
-        round-3-verified set (freshest rows last). Everything past the
-        cap stays in the local parity sweep every session.
+    driver row is OLDEST. The round-5 window is _SWEEP_FIRST (computed
+    from CORRECTNESS_r01-r04: the 4 queries new this round, the 31
+    remaining r1-cohort keys, and the 15 oldest r2-cohort keys — after
+    this window every contract key's newest green row is <= 3 rounds
+    old). The body dict below keeps the stable r4 grouping; the
+    _SWEEP_FIRST reorder is applied on return. Everything past the cap
+    stays in the local parity sweep every session.
     """
-    return {
+    q = {
         # ---- (1) no green hash row after r3: sweep FIRST ----
         "lm_xent": _q_lm_xent,                     # oracle HUGEINT fixed +
                                                    # DECIMAL per-term fold
@@ -4477,6 +4457,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
     }
+    ordered = {k: q[k] for k in _SWEEP_FIRST}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
+
+
+#: Round-5 driver sweep window (the FIRST 50 keys hashed this round):
+#: the 4 queries new in r5 (never swept), then the r1 cohort (newest
+#: green row is round 1), then the 15 oldest r2-cohort keys — computed
+#: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
+_SWEEP_FIRST = [
+    "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
+    "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
+    "proximity_dist", "grid_idw", "grid_metrics", "grid_nearest",
+    "overview_gauss", "overview_cubic", "overview_avg", "focal_mean",
+    "warp_avg", "zonal_stats", "zonal_mode", "zonal_weighted",
+    "events_sliding", "rasterize_rects", "footprint_boundary",
+    "raster_calc", "histogram", "ogr_first_match_join",
+    "ogr_filter_in_between", "ogr_summary_agg", "ogr_count_distinct",
+    "ogr_hstore_get", "ogr_union_all", "ogr_cast_concat_substr",
+    "ogr_order_limit_offset", "ogr_filter_like", "ogr_distinct",
+    "tile_pyramid", "pip_rect_join", "knn_ring", "contour_segments",
+    "tpch_q1_groupby", "window_topk", "window_running_sum",
+    "set_intersect", "set_except", "pivot_status", "events_tumbling",
+    "events_sessionize", "dedup_exact", "minhash_signatures", "simhash",
+]
 
 
 # ----------------------------------------------------------------- oracles
