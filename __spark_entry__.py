@@ -1195,6 +1195,32 @@ def _q_shp_roundtrip(spark, sf_dir):
         back.select(F.col("fidv").cast("long").alias("fid"), "x", "y"))
 
 
+def _q_fgb_roundtrip(spark, sf_dir):
+    # FlatGeobuf sink+source with the hand-rolled flatbuffers codec IN
+    # the loop (sources/flatgeobuf.py — vtable/offset layout validated
+    # against the reference's own testfgb fixtures): point features +
+    # a long property out as size-prefixed Feature tables, read back
+    # through read_df, coordinates recovered from the WKB geometry.
+    import os
+    import tempfile
+
+    from lib_gdal_spark import functions as fns
+    from lib_gdal_spark.sources import flatgeobuf as fgb
+
+    rows = _rt_points(spark, sf_dir).collect()
+    feats = [{"geometry": ("point", (float(r["x"]), float(r["y"]))),
+              "fidv": int(r["fid"])} for r in rows]
+    path = os.path.join(tempfile.mkdtemp(prefix="fgb_rt_"), "rt.fgb")
+    fgb.write_fgb(path, feats, [("fidv", "long")],
+                  geometry_type="point")
+    back = fgb.read_df(spark, path)
+    fns.register_all(spark)
+    pts = back.select(F.col("fidv").alias("fid"),
+                      F.expr("st_x(geometry)").alias("x"),
+                      F.expr("st_y(geometry)").alias("y"))
+    return _rt_summarize(pts)
+
+
 def _q_geojson_roundtrip(spark, sf_dir):
     # GeoJSONSeq sink+source with the RFC 7946 JSON codec IN the loop:
     # distributed write (mapInPandas part files), line-split
@@ -4313,6 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
         "shp_roundtrip": _q_shp_roundtrip,         # Shapefile src+sink
+        "fgb_roundtrip": _q_fgb_roundtrip,         # FlatGeobuf src+sink
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
@@ -4468,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
+    "fgb_roundtrip",
     "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
     "proximity_dist", "grid_idw", "grid_metrics", "grid_nearest",
     "overview_gauss", "overview_cubic", "overview_avg", "focal_mean",
@@ -4480,7 +4508,7 @@ _SWEEP_FIRST = [
     "tile_pyramid", "pip_rect_join", "knn_ring", "contour_segments",
     "tpch_q1_groupby", "window_topk", "window_running_sum",
     "set_intersect", "set_except", "pivot_status", "events_tumbling",
-    "events_sessionize", "dedup_exact", "minhash_signatures", "simhash",
+    "events_sessionize", "dedup_exact", "minhash_signatures",
 ]
 
 
@@ -7474,6 +7502,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_simplify": _o_coverage_simplify(),
         "coverage_clean": _o_coverage_clean(),
         "shp_roundtrip": _RT_ORACLE,
+        "fgb_roundtrip": _RT_ORACLE,
         "geojson_roundtrip": _RT_ORACLE,
         "geocsv_roundtrip": _RT_ORACLE,
         "warp_bilinear": _o_warp_bilinear(),
