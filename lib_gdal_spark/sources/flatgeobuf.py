@@ -24,10 +24,13 @@ generated schemas). File layout:
 The reader replays the reference's own fixtures byte-for-byte
 (autotest/ogr/data/testfgb/poly.fgb extent/counts, poly_no_index.fgb,
 alldatatypes.fgb's full column-type matrix — tests/test_flatgeobuf.py).
-The writer emits index_node_size=0 files (the spec-valid unindexed
-variant, the reference's own poly_no_index.fgb precedent); it is
-anchored by the fixture-validated reader (write -> read round trip) —
-a vtable layout error would break the shared decode path on the
+The writer emits either the spec-valid unindexed variant
+(index_node_size=0, the reference's own poly_no_index.fgb precedent)
+or the full Hilbert-sorted packed-R-tree layout — the sort reproduces
+poly.fgb's feature permutation exactly and the written leaf nodes are
+byte-identical to the reference file's (tests/test_flatgeobuf.py). It
+is anchored by the fixture-validated reader (write -> read round trip)
+— a vtable layout error would break the shared decode path on the
 reference fixtures. Like the shapefile sink, single-file assembly is
 driver-side: FlatGeobuf is a dimension-sized sidecar format here;
 corpus-scale outputs use parquet.
@@ -392,15 +395,130 @@ def _encode_properties(columns, rec: dict) -> bytes:
     return bytes(out)
 
 
+_HILBERT_MAX = (1 << 16) - 1
+
+
+def _hilbert_u16(x, y):
+    """Hilbert d-index of 16-bit cells — the exact bit-twiddling
+    algorithm packedrtree.cpp:74 uses (rawrunprotected hilbert_curves,
+    public domain; referenced by the FlatGeobuf spec), vectorized."""
+    x = np.asarray(x, np.uint32)
+    y = np.asarray(y, np.uint32)
+    M = np.uint32(0xFFFF)
+    a = x ^ y
+    b = M ^ a
+    c = M ^ (x | y)
+    d = x & (y ^ M)
+    A = a | (b >> 1)
+    B = (a >> 1) ^ a
+    C = ((c >> 1) ^ (b & (d >> 1))) ^ c
+    D = ((a & (c >> 1)) ^ (d >> 1)) ^ d
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 2)) ^ (b & (b >> 2))
+    B = (a & (b >> 2)) ^ (b & ((a ^ b) >> 2))
+    C = c ^ ((a & (c >> 2)) ^ (b & (d >> 2)))
+    D = d ^ ((b & (c >> 2)) ^ ((a ^ b) & (d >> 2)))
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 4)) ^ (b & (b >> 4))
+    B = (a & (b >> 4)) ^ (b & ((a ^ b) >> 4))
+    C = c ^ ((a & (c >> 4)) ^ (b & (d >> 4)))
+    D = d ^ ((b & (c >> 4)) ^ ((a ^ b) & (d >> 4)))
+    a, b, c, d = A, B, C, D
+    C = C ^ ((a & (c >> 8)) ^ (b & (d >> 8)))
+    D = D ^ ((b & (c >> 8)) ^ ((a ^ b) & (d >> 8)))
+    a = C ^ (C >> 1)
+    b = D ^ (D >> 1)
+    i0 = x ^ y
+    i1 = b | (M ^ (i0 | a))
+    for i in (np.uint32(8), np.uint32(4), np.uint32(2), np.uint32(1)):
+        mask = {8: 0x00FF00FF, 4: 0x0F0F0F0F,
+                2: 0x33333333, 1: 0x55555555}[int(i)]
+        i0 = (i0 | (i0 << i)) & np.uint32(mask)
+        i1 = (i1 | (i1 << i)) & np.uint32(mask)
+    return (i1 << 1) | i0
+
+
+def _feat_bbox(rec):
+    xs = [x for x, _y in _iter_xy(*rec["geometry"])]
+    ys = [y for _x, y in _iter_xy(*rec["geometry"])]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _packed_rtree(leaf_boxes: np.ndarray, offsets: np.ndarray,
+                  node_size: int) -> bytes:
+    """Packed Hilbert R-tree block (packedrtree.cpp layout): nodes
+    top-down, leaves last; parent offset = first-child NODE INDEX,
+    leaf offset = feature byte offset (poly.fgb ground truth)."""
+    num = len(leaf_boxes)
+    # level bounds (top-down storage) per generateLevelBounds
+    level_sizes = [num]
+    n = num
+    while n != 1:
+        n = (n + node_size - 1) // node_size
+        level_sizes.append(n)
+    nn = sum(level_sizes)
+    nodes = np.zeros((nn, 4), np.float64)
+    offs = np.zeros(nn, np.uint64)
+    starts = []
+    acc = nn
+    for sz in level_sizes:          # bottom-up level start indices
+        acc -= sz
+        starts.append(acc)
+    nodes[starts[0]:starts[0] + num] = leaf_boxes
+    offs[starts[0]:starts[0] + num] = offsets
+    for lvl in range(len(level_sizes) - 1):
+        lo, hi = starts[lvl], starts[lvl] + level_sizes[lvl]
+        newpos = starts[lvl + 1]
+        pos = lo
+        while pos < hi:
+            first = pos
+            chunk = nodes[pos:min(pos + node_size, hi)]
+            nodes[newpos, 0] = chunk[:, 0].min()
+            nodes[newpos, 1] = chunk[:, 1].min()
+            nodes[newpos, 2] = chunk[:, 2].max()
+            nodes[newpos, 3] = chunk[:, 3].max()
+            offs[newpos] = first
+            newpos += 1
+            pos += node_size
+    out = bytearray()
+    for i in range(nn):
+        out += _NODE.pack(nodes[i, 0], nodes[i, 1], nodes[i, 2],
+                          nodes[i, 3], int(offs[i]))
+    return bytes(out)
+
+
 def write_fgb(path: str, feats: list, columns: list,
               geometry_type: str = "unknown", name: str = "layer",
-              crs_wkt: str = None):
-    """feats: [{"geometry": (kind, data), **properties}]. Writes the
-    unindexed variant (index_node_size=0 — poly_no_index.fgb
-    precedent); envelope and features_count computed here."""
+              crs_wkt: str = None, index_node_size: int = 0):
+    """feats: [{"geometry": (kind, data), **properties}]. With
+    index_node_size > 0, features are Hilbert-sorted (the reference
+    writer's order — validated by reproducing poly.fgb's permutation
+    from poly_no_index.fgb's features) and a packed R-tree is emitted;
+    0 writes the spec-valid unindexed variant (poly_no_index.fgb
+    precedent). Envelope and features_count computed here."""
+    boxes = np.array([_feat_bbox(r) for r in feats], np.float64) \
+        if feats else np.zeros((0, 4))
+    if feats:
+        xmin, ymin = boxes[:, 0].min(), boxes[:, 1].min()
+        xmax, ymax = boxes[:, 2].max(), boxes[:, 3].max()
+    else:
+        xmin = ymin = xmax = ymax = 0.0
+    order = np.arange(len(feats))
+    if index_node_size > 0 and feats:
+        w = max(xmax - xmin, 1e-300)
+        h = max(ymax - ymin, 1e-300)
+        hx = np.floor(_HILBERT_MAX * ((boxes[:, 0] + boxes[:, 2]) / 2
+                                      - xmin) / w).astype(np.uint32)
+        hy = np.floor(_HILBERT_MAX * ((boxes[:, 1] + boxes[:, 3]) / 2
+                                      - ymin) / h).astype(np.uint32)
+        # DESCENDING: packedrtree.cpp hilbertSort compares ha > hb
+        order = np.argsort(-_hilbert_u16(hx, hy).astype(np.int64),
+                           kind="stable")
+        feats = [feats[i] for i in order]
+        boxes = boxes[order]
+
     body = bytearray()
-    xmin = ymin = float("inf")
-    xmax = ymax = float("-inf")
+    f_offsets = []
     for rec in feats:
         b = _Builder()
         fields = []
@@ -412,10 +530,8 @@ def write_fgb(path: str, feats: list, columns: list,
             pv = b.byte_vector(props)
             fields.append((6, "offset", pv))
         root = b.table(sorted(fields))
+        f_offsets.append(len(body))
         body += b.finish_size_prefixed(root)
-        for x, y in _iter_xy(kind, data):
-            xmin, ymin = min(xmin, x), min(ymin, y)
-            xmax, ymax = max(xmax, x), max(ymax, y)
 
     hb = _Builder()
     hfields = []
@@ -437,11 +553,15 @@ def write_fgb(path: str, feats: list, columns: list,
     hfields.append((4, "offset", nm))
     hfields.append((8, "scalar:B", GEOM_CODES.get(geometry_type, 0)))
     hfields.append((20, "scalar:Q", len(feats)))
-    hfields.append((22, "scalar:H", 0))        # unindexed variant
+    hfields.append((22, "scalar:H", int(index_node_size)))
     hroot = hb.table(sorted(hfields))
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(hb.finish_size_prefixed(hroot))
+        if index_node_size > 0 and feats:
+            f.write(_packed_rtree(boxes,
+                                  np.asarray(f_offsets, np.uint64),
+                                  int(index_node_size)))
         f.write(bytes(body))
 
 

@@ -165,3 +165,36 @@ class TestSparkRead:
         from lib_gdal_spark.geo.wkb import decode
         kind, _data = decode(bytes(df.head().geometry))
         assert kind == "polygon"
+
+
+class TestHilbertIndex:
+    def test_index_write_reproduces_poly_fgb(self, tmp_path):
+        # Hilbert-sorting poly_no_index.fgb's (original-order) features
+        # must reproduce poly.fgb's permutation EXACTLY, and the
+        # written leaf nodes must be byte-identical to the reference
+        # file's index leaves (packedrtree.cpp hilbertSort: descending
+        # 16-bit-cell Hilbert codes of bbox centers)
+        _h1, orig = FGB.read_fgb(f"{TESTFGB}/poly_no_index.fgb")
+        hdr_ref, sorted_ref = FGB.read_fgb(f"{TESTFGB}/poly.fgb")
+        out = str(tmp_path / "idx.fgb")
+        FGB.write_fgb(out, orig, _h1["columns"],
+                      geometry_type="polygon", name="poly",
+                      index_node_size=16)
+        h2, f2 = FGB.read_fgb(out)
+        assert [f["EAS_ID"] for f in f2] == \
+            [f["EAS_ID"] for f in sorted_ref]
+        bb_mine, _o = h2["leaves"]
+        bb_ref, _o2 = hdr_ref["leaves"]
+        assert np.array_equal(bb_mine, bb_ref)
+        # root node: bbox == envelope, offset == first-child index 1
+        import struct
+        buf = open(out, "rb").read()
+        hlen = struct.unpack_from("<I", buf, 8)[0]
+        root = np.frombuffer(buf, dtype="<f8", count=5, offset=12 + hlen)
+        roff = np.frombuffer(buf, dtype="<u8", count=5, offset=12 + hlen)
+        assert list(root[:4]) == h2["envelope"] and roff[4] == 1
+        # bbox pushdown works on our own indexed file
+        rect = (479586.0, 4764618.6, 479808.2, 4764797.8)
+        keep = ~((bb_mine[:, 2] < rect[0]) | (bb_mine[:, 0] > rect[2])
+                 | (bb_mine[:, 3] < rect[1]) | (bb_mine[:, 1] > rect[3]))
+        assert int(keep.sum()) == 5
