@@ -48,6 +48,7 @@ _ELLPS = {
     "clrk66": (6378206.4, 1.0 / 294.9786982),
     "airy": (6377563.396, 1.0 / 299.3249646),
     "bessel": (6377397.155, 1.0 / 299.1528128),
+    "krass": (6378245.0, 1.0 / 298.3),
     "sphere": (6370997.0, 0.0),
 }
 
@@ -167,6 +168,85 @@ class TransverseMercator(_Projection):
         return (np.degrees(lam) + self.lon0, np.degrees(phi))
 
 
+class ObliqueStereographic(_Projection):
+    """+proj=sterea — Oblique (double) Stereographic, EPSG method 9809
+    (the reference reaches it through PROJ from proj strings like
+    autotest/osr/osr_esri.py:657's Stereo-70). Formulas from EPSG
+    Guidance Note 7-2: conformal-sphere radius R = sqrt(rho0*nu0),
+    sphere latitude chi via the (S1*S2^e)^n ladder, then the spherical
+    oblique stereographic on the conformal sphere. Validated against
+    the Guidance Note's own RD New worked example
+    (tests/test_proj.py)."""
+
+    def __init__(self, lat0: float, lon0: float, k0: float = 1.0,
+                 false_e: float = 0.0, false_n: float = 0.0,
+                 a: float = 6378137.0, f: float = 1.0 / 298.257223563):
+        self.a, self.f = a, f
+        e2 = f * (2.0 - f)
+        self.e = e = np.sqrt(e2)
+        p0 = np.radians(lat0)
+        self.lam0 = np.radians(lon0)
+        self.k0, self.fe, self.fn = k0, false_e, false_n
+        s0 = np.sin(p0)
+        rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+        nu0 = a / np.sqrt(1 - e2 * s0 * s0)
+        self.R = np.sqrt(rho0 * nu0)
+        self.n = np.sqrt(1 + e2 * np.cos(p0) ** 4 / (1 - e2))
+        S1 = (1 + s0) / (1 - s0)
+        S2 = (1 - e * s0) / (1 + e * s0)
+        w1 = (S1 * S2 ** e) ** self.n
+        sc0 = (w1 - 1) / (w1 + 1)
+        self.c = ((self.n + s0) * (1 - sc0)) / ((self.n - s0) * (1 + sc0))
+        w2 = self.c * w1
+        self.chi0 = np.arcsin((w2 - 1) / (w2 + 1))
+
+    def _conformal(self, lat):
+        phi = np.radians(np.asarray(lat, float))
+        s = np.sin(phi)
+        Sa = (1 + s) / (1 - s)
+        Sb = (1 - self.e * s) / (1 + self.e * s)
+        w = self.c * (Sa * Sb ** self.e) ** self.n
+        return np.arcsin((w - 1) / (w + 1))
+
+    def forward(self, lon, lat):
+        lam = self.n * (np.radians(np.asarray(lon, float))
+                        - self.lam0) + self.lam0
+        chi = self._conformal(lat)
+        dl = lam - self.lam0
+        B = (1 + np.sin(chi) * np.sin(self.chi0)
+             + np.cos(chi) * np.cos(self.chi0) * np.cos(dl))
+        x = self.fe + 2 * self.R * self.k0 * np.cos(chi) * np.sin(dl) / B
+        y = self.fn + 2 * self.R * self.k0 * (
+            np.sin(chi) * np.cos(self.chi0)
+            - np.cos(chi) * np.sin(self.chi0) * np.cos(dl)) / B
+        return x, y
+
+    def inverse(self, x, y):
+        e, e2 = self.e, self.e * self.e
+        Ep = np.asarray(x, float) - self.fe
+        Np = np.asarray(y, float) - self.fn
+        g = 2 * self.R * self.k0 * np.tan(np.pi / 4 - self.chi0 / 2)
+        h = 4 * self.R * self.k0 * np.tan(self.chi0) + g
+        i = np.arctan2(Ep, h + Np)
+        j = np.arctan2(Ep, g - Np) - i
+        chi = self.chi0 + 2 * np.arctan(
+            (Np - Ep * np.tan(j / 2)) / (2 * self.R * self.k0))
+        lam = j + 2 * i + self.lam0
+        lon = np.degrees((lam - self.lam0) / self.n + self.lam0)
+        # isometric latitude of the conformal-sphere point, then the
+        # Guidance Note's fixed-point recovery of the geodetic latitude
+        psi = (np.log((1 + np.sin(chi)) / (self.c * (1 - np.sin(chi))))
+               / (2 * self.n))
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        for _ in range(8):
+            s = e * np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2 + np.pi / 4)
+                           * ((1 - s) / (1 + s)) ** (e / 2))
+            phi = phi - (psi_i - psi) * np.cos(phi) \
+                * (1 - e2 * np.sin(phi) ** 2) / (1 - e2)
+        return lon, np.degrees(phi)
+
+
 def _stere_k0_from_lat_ts(lat_ts: float, e: float) -> float:
     """Polar Stereographic variant B -> A: k0 implied by a standard
     parallel (EPSG Guidance Note 7-2, method 9829):
@@ -261,11 +341,16 @@ def _from_proj4_core(kv: dict) -> _Projection:
             lat1=g("lat_1"), lat2=g("lat_2"), lat0=g("lat_0"),
             lon0=g("lon_0"), false_e=g("x_0"), false_n=g("y_0"),
             a=a, f=f)
+    if proj == "sterea":
+        return ObliqueStereographic(
+            lat0=g("lat_0"), lon0=g("lon_0"), k0=g("k_0", g("k", 1.0)),
+            false_e=g("x_0"), false_n=g("y_0"), a=a, f=f)
     if proj == "stere":
         lat0 = g("lat_0")
         if abs(abs(lat0) - 90.0) > 1e-9:
             raise NotImplementedError(
-                "oblique stereographic; polar aspect only (lat_0=+-90)")
+                "oblique +proj=stere; polar aspect only (lat_0=+-90; "
+                "the double stereographic +proj=sterea IS supported)")
         e = np.sqrt(f * (2.0 - f))
         if "lat_ts" in kv:
             k0 = _stere_k0_from_lat_ts(g("lat_ts"), e)

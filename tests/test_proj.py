@@ -211,3 +211,66 @@ class TestDatumShift:
         assert 50.0 < d < 300.0
         x2, y2 = t.inverse(x1, y1)
         assert abs(float(x2 - x0)) < 0.01 and abs(float(y2 - y0)) < 0.01
+
+
+class TestObliqueStereographic:
+    """+proj=sterea (EPSG 9809, double stereographic) — validated
+    against EPSG Guidance Note 7-2's own RD New worked example."""
+
+    def _rd_new(self):
+        return P.ObliqueStereographic(
+            lat0=52 + 9 / 60 + 22.178 / 3600,
+            lon0=5 + 23 / 60 + 15.500 / 3600,
+            k0=0.9999079, false_e=155000.0, false_n=463000.0,
+            a=6377397.155, f=1 / 299.1528128)
+
+    def test_guidance_note_worked_example(self):
+        # GN7-2: lat 53N lon 6E -> E 196105.283, N 557057.739
+        p = self._rd_new()
+        x, y = p.forward(np.array([6.0]), np.array([53.0]))
+        assert abs(x[0] - 196105.283) < 1e-3
+        assert abs(y[0] - 557057.739) < 1e-3
+
+    def test_inverse_roundtrip(self):
+        p = self._rd_new()
+        lon = RNG.uniform(3.5, 7.5, 300)
+        lat = RNG.uniform(50.5, 53.8, 300)
+        x, y = p.forward(lon, lat)
+        lon2, lat2 = p.inverse(x, y)
+        assert np.max(np.abs(lon2 - lon)) < 1e-10
+        assert np.max(np.abs(lat2 - lat)) < 1e-10
+
+    def test_scale_k0_at_origin_and_conformal(self):
+        p = self._rd_new()
+        a, f = 6377397.155, 1 / 299.1528128
+        e2 = f * (2 - f)
+        for lon0, lat0 in ((5.39, 52.16), (6.0, 53.0), (4.0, 51.0)):
+            eps = 1e-7
+            x0, y0 = p.forward(np.array([lon0]), np.array([lat0]))
+            x1, y1 = p.forward(np.array([lon0 + eps]), np.array([lat0]))
+            x2, y2 = p.forward(np.array([lon0]), np.array([lat0 + eps]))
+            s = np.sin(np.radians(lat0))
+            nu = a / np.sqrt(1 - e2 * s * s)
+            rho = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+            dlam = np.radians(eps)
+            k_lon = float(np.hypot(x1 - x0, y1 - y0)) \
+                / (nu * np.cos(np.radians(lat0)) * dlam)
+            k_lat = float(np.hypot(x2 - x0, y2 - y0)) / (rho * dlam)
+            assert abs(k_lon / k_lat - 1) < 1e-5      # conformal
+            if (lon0, lat0) == (5.39, 52.16):          # near origin
+                assert abs(k_lon - 0.9999079) < 1e-5
+
+    def test_proj4_dispatch_stereo70(self):
+        # the Stereo-70 string from osr_esri.py:657
+        p = P.from_proj4("+proj=sterea +lat_0=46 +lon_0=25 +k=0.99975 "
+                         "+x_0=500000 +y_0=500000 +ellps=krass")
+        x, y = p.forward(np.array([25.0]), np.array([46.0]))
+        assert abs(x[0] - 500000.0) < 1e-6
+        assert abs(y[0] - 500000.0) < 1e-6
+        x2, y2 = p.forward(np.array([26.0]), np.array([47.0]))
+        lon, lat = p.inverse(x2, y2)
+        assert abs(lon[0] - 26.0) < 1e-10 and abs(lat[0] - 47.0) < 1e-10
+
+    def test_oblique_plain_stere_still_refuses(self):
+        with pytest.raises(NotImplementedError, match="sterea"):
+            P.from_proj4("+proj=stere +lat_0=52 +lon_0=5 +ellps=WGS84")
