@@ -4585,7 +4585,13 @@ WITH q AS (SELECT s_suppkey AS qid, (s_suppkey*7919 % 2000)/10.0 AS qx,
                   (s_suppkey*104729 % 2000)/10.0 AS qy FROM supplier),
 t AS (SELECT p_partkey AS tid, (p_partkey*9973 % 2000)/10.0 AS tx,
              (p_partkey*6151 % 2000)/10.0 AS ty FROM part),
-j AS (SELECT qid, tid, sqrt((qx-tx)*(qx-tx) + (qy-ty)*(qy-ty)) AS dist FROM q, t),
+j AS (SELECT qid, tid, sqrt((qx-tx)*(qx-tx) + (qy-ty)*(qy-ty)) AS dist
+      -- box prune instead of a bare cross join: the top-3 distance is
+      -- measured <= 19.95 at EVERY sf (densest-to-sparsest 4.57..19.94;
+      -- scripts/volume_parity.py postmortem — the unpruned form
+      -- materialized 2e9 rows at sf1.0 and OOM-killed duckdb), so a
+      -- 40-unit box keeps the result bit-identical with 2x margin
+      FROM q JOIN t ON abs(qx-tx) <= 40 AND abs(qy-ty) <= 40),
 r AS (SELECT qid, tid, dist,
              row_number() OVER (PARTITION BY qid ORDER BY dist ASC, tid ASC) AS rnk FROM j)
 SELECT qid, tid, dist, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3

@@ -38,6 +38,9 @@ def main():
     oracles = em.oracle_sql()
     spark = get_spark("volume", cores=32, shuffle_partitions=32)
     con = duckdb.connect()
+    # a quadratic oracle at 10x scale should ERROR, not OOM-kill the
+    # process (hit: knn_ring's unpruned cross join at sf1.0)
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
