@@ -221,10 +221,27 @@ def _resolve(frags: np.ndarray, region, scale: float) -> list:
     frags = frags[np.sort(first)]
     key = key[np.sort(first)]
 
-    # stitch: out-adjacency keyed on quantized start point
+    # stitch: out-adjacency keyed on quantized start point. Lookups
+    # scan the 3x3 neighboring quanta: the SAME crossing point is
+    # computed twice (once per split direction) and the two doubles can
+    # straddle a quantization boundary — a 1-ulp pair then got distinct
+    # keys, the chain dead-ended, and a real ring was silently dropped
+    # (hit ~1e-4 per ring at the sf1.0 volume probe: geom_overlay pairs
+    # 30177/130809). Distinct vertices sit thousands of quanta apart,
+    # so the widened lookup cannot merge different points.
     starts: dict = {}
     for i, k in enumerate(key):
         starts.setdefault((k[0], k[1]), []).append(i)
+
+    def _succs(kx, ky, used):
+        out = []
+        for ddx in (-1, 0, 1):
+            for ddy in (-1, 0, 1):
+                for j in starts.get((kx + ddx, ky + ddy), ()):
+                    if not used[j]:
+                        out.append(j)
+        return out
+
     used = np.zeros(len(frags), dtype=bool)
     rings = []
     for i0 in range(len(frags)):
@@ -237,7 +254,7 @@ def _resolve(frags: np.ndarray, region, scale: float) -> list:
             guard += 1
             cur = frags[chain[-1]]
             ek = (key[chain[-1]][2], key[chain[-1]][3])
-            cands = [j for j in starts.get(ek, ()) if not used[j]]
+            cands = _succs(ek[0], ek[1], used)
             if not cands:
                 break
             if len(cands) == 1:
@@ -256,8 +273,10 @@ def _resolve(frags: np.ndarray, region, scale: float) -> list:
                 nxt = best
             chain.append(nxt)
             used[nxt] = True
-            if (key[nxt][2], key[nxt][3]) == (key[chain[0]][0],
-                                              key[chain[0]][1]):
+            # ring closes when the end returns to the start — same
+            # 1-ulp straddle tolerance as the successor lookup
+            if (abs(int(key[nxt][2]) - int(key[chain[0]][0])) <= 1
+                    and abs(int(key[nxt][3]) - int(key[chain[0]][1])) <= 1):
                 rings.append(frags[chain][:, 0:2])
                 chain = []
                 break

@@ -678,3 +678,58 @@ class TestIsValid:
             "'POLYGON((0 0,10 10,10 0,0 10,0 0))')) AS why").collect()
         assert rows[0].ok is True
         assert "self-intersection" in rows[0].why
+
+
+class TestStitchQuantizationStraddle:
+    """Regression: the same crossing point computed from the two split
+    directions can differ by 1 ulp AND straddle a stitch-quantization
+    boundary; the chain then dead-ended and a real result ring was
+    silently dropped (found by the sf1.0 volume probe — geom_overlay
+    pairs 30177 / 130809). The stitcher now scans neighboring quanta."""
+
+    CASES = {
+        30177: (
+            [3.602920645342242, 6.882487114446482, 9.357904978369596,
+             0.7102869262225395],
+            [3.663917138138597, 3.4580732843935573, 9.43130969781059,
+             8.8199027086526],
+            [4.618186443744159, 9.166717317065569, 9.91912666049517,
+             3.2422284533635155],
+            [0.9939815755618691, -0.048192177594093444,
+             7.476468134604435, 7.404952345813099],
+            {"intersection": 15.825384, "union": 56.359036,
+             "difference": 17.401989}),
+        130809: (
+            [3.1053876581291666, 9.038427479995459, 6.878428194504276,
+             3.9656266869836987],
+            [3.1017720057126015, 0.7654427093374556, 9.078969211621667,
+             9.139724095847507],
+            [4.316218126169325, 12.934890901331462, 9.901457217227305,
+             3.7755987052010296],
+            [5.587071510790879, 5.583393626163353, 10.929169252439774,
+             8.771954918822235],
+            {"intersection": 11.441776, "union": 52.886396,
+             "difference": 19.517041}),
+    }
+
+    @staticmethod
+    def _area(polys):
+        s = 0.0
+        for rings in polys:
+            for ring in rings:
+                rr = np.vstack([ring, ring[:1]])
+                s += 0.5 * np.sum(rr[:-1, 0] * rr[1:, 1]
+                                  - rr[1:, 0] * rr[:-1, 1])
+        return s
+
+    def test_straddle_pairs_no_dropped_rings(self):
+        from lib_gdal_spark.geo import clip
+        for pid, (xa, ya, xb, yb, exp) in self.CASES.items():
+            A = np.vstack([np.stack([xa, ya], 1), [[xa[0], ya[0]]]])
+            B = np.vstack([np.stack([xb, yb], 1), [[xb[0], yb[0]]]])
+            for op, want in exp.items():
+                k, d = clip.overlay("polygon", [A], "polygon", [B], op)
+                polys = clip.as_polys(k, d)
+                assert polys, (pid, op)
+                assert self._area(polys) == pytest.approx(want, abs=1e-6), \
+                    (pid, op)
