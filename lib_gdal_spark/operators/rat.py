@@ -142,6 +142,66 @@ def classify(pixels: DataFrame, rat: RasterAttributeTable,
     return px.join(F.broadcast(rat.df), "_row", how)
 
 
+def to_color_table(rat: RasterAttributeTable,
+                   n_entries: int = -1) -> list:
+    """GDALRasterAttributeTable::TranslateToColorTable (gdal_rat.cpp):
+    needs red/green/blue usage columns; entry i takes the color of
+    GetRowOfValue(i) ((0,0,0,0) when unmatched; alpha defaults 255
+    without an alpha column); n_entries=-1 scans the max 'max'/'minmax'
+    value + 1, capped at 65535. Returns [(r, g, b, a), ...]."""
+    cr = rat.usage_col("red")
+    cg = rat.usage_col("green")
+    cb = rat.usage_col("blue")
+    if cr is None or cg is None or cb is None:
+        return None
+    ca = rat.usage_col("alpha")
+    rows = rat.df.orderBy("_row").collect()            # row-bounded
+    if n_entries == -1:
+        cmax = rat.usage_col("max")
+        if cmax is None or not rows:
+            return None
+        n_entries = max(min(65535, int(r[cmax])) + 1 for r in rows)
+        n_entries = min(65535, n_entries)
+    cmin, cmax = rat.usage_col("min"), rat.usage_col("max")
+    out = []
+    for v in range(n_entries):
+        hit = None
+        if rat.binsize is not None:
+            b = int((v - rat.row0min) // rat.binsize)
+            hit = rows[b] if 0 <= b < len(rows) else None
+        else:
+            for r in rows:
+                if cmin is not None and v < r[cmin]:
+                    continue
+                if cmax is not None and v > r[cmax]:
+                    continue
+                hit = r
+                break
+        if hit is None:
+            out.append((0, 0, 0, 0))
+        else:
+            out.append((int(hit[cr]), int(hit[cg]), int(hit[cb]),
+                        255 if ca is None else int(hit[ca])))
+    return out
+
+
+def from_color_table(spark: SparkSession,
+                     entries: list) -> RasterAttributeTable:
+    """InitializeFromColorTable (gdal_rat.cpp): Value(minmax)/Red/
+    Green/Blue/Alpha columns, one row per entry, linear binning
+    (0, 1)."""
+    rows = [(i, i, int(e[0]), int(e[1]), int(e[2]),
+             int(e[3]) if len(e) > 3 else 255)
+            for i, e in enumerate(entries)]
+    df = spark.createDataFrame(
+        rows, "_row long, Value long, Red long, Green long, "
+              "Blue long, Alpha long")
+    return RasterAttributeTable(
+        df, {"Value": "minmax", "Red": "red", "Green": "green",
+             "Blue": "blue", "Alpha": "alpha"},
+        row0min=0.0, binsize=1.0)
+
+
 def from_histogram(pixels: DataFrame, value_col: str = "value",
                    spark: SparkSession = None) -> RasterAttributeTable:
     """VALUE/COUNT RAT from a pixel table (ascending distinct values,

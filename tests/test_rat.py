@@ -108,3 +108,33 @@ class TestFromHistogram:
         rows = {r.VALUE: (r._row, r.COUNT) for r in rat.df.collect()}
         assert rows == {5: (0, 2), 7: (1, 1), 9: (2, 3)}
         assert rat.row_of_value(7) == 1
+
+
+class TestColorTableBridge:
+    def test_translate_to_color_table(self, spark):
+        # gdal_rat.cpp TranslateToColorTable: entry value -> row color,
+        # unmatched entries transparent black, alpha defaults 255
+        df = spark.createDataFrame(
+            [(0, 0, 1, 10, 20, 30), (1, 3, 4, 40, 50, 60)],
+            "_row long, vmin long, vmax long, r long, g long, b long")
+        rat = R.RasterAttributeTable(
+            df, {"vmin": "min", "vmax": "max", "r": "red",
+                 "g": "green", "b": "blue"})
+        ct = R.to_color_table(rat)          # scans max 'max' + 1 = 5
+        assert len(ct) == 5
+        assert ct[0] == (10, 20, 30, 255) and ct[1] == (10, 20, 30, 255)
+        assert ct[2] == (0, 0, 0, 0)        # gap value -> no row
+        assert ct[3] == (40, 50, 60, 255) and ct[4] == (40, 50, 60, 255)
+
+    def test_translate_requires_rgb(self, spark):
+        rat = _autotest_rat(spark)
+        assert R.to_color_table(rat) is None
+
+    def test_from_color_table_roundtrip(self, spark):
+        entries = [(255, 0, 0, 255), (0, 255, 0, 128), (0, 0, 255)]
+        rat = R.from_color_table(spark, entries)
+        assert rat.binsize == 1.0 and rat.row0min == 0.0
+        assert rat.row_of_value(1) == 1
+        ct = R.to_color_table(rat, n_entries=3)
+        assert ct == [(255, 0, 0, 255), (0, 255, 0, 128),
+                      (0, 0, 255, 255)]
