@@ -511,3 +511,37 @@ class TestCoveragePlans:
         # owner-set agg + chain group + edge-key join + poly reassembly
         # + the n_before join: bounded, data-scale-independent count
         assert p.count("Exchange hashpartitioning") <= 8
+
+
+class TestRound5Plans:
+    def test_rat_classify_broadcast_no_pixel_shuffle_before_agg(self, spark):
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["rat_classify"](spark,
+                                               "/root/testdata/sf0.001"))
+        # the RAT payload join must broadcast (row-bounded side) and the
+        # pixel side must reach the final agg without a join shuffle
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        # CASE-chain classify is pure Catalyst: no Python on the pixels
+        assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+    def test_proj_datum_is_single_pass_no_shuffle(self, spark):
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["proj_datum"](spark,
+                                             "/root/testdata/sf0.001"))
+        # two broadcast-constant Arrow UDF hops over one scan: no
+        # Exchange anywhere in the plan
+        assert "Exchange" not in p
+        assert "ArrowEvalPython" in p
+
+    def test_nearblack_two_passes_bounded_exchanges(self, spark):
+        import __spark_entry__ as em
+
+        p = _plan(em.queries()["nearblack_collar"](spark,
+                                                   "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in p
+        # two window stages + two per-line kernels; exchange count is
+        # pass-structure-bound, not data-bound
+        assert p.count("Exchange hashpartitioning") <= 6
