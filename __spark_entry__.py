@@ -4234,6 +4234,66 @@ _WG_GCPS = [(0.0, 0.0, 100.0, 220.0), (32.0, 0.0, 180.0, 236.0),
             (32.0, 32.0, 196.0, 156.0), (0.0, 32.0, 116.0, 140.0)]
 _WG_DST_GT = (96.0, 3.25, 0.0, 240.0, 0.0, -3.25)
 
+#: 6 exact-decimal GCPs for the homography key: a keystone quadrilateral
+#: (genuinely projective — h7/h8 nonzero) plus two interior points that
+#: make the DLT system overdetermined, exercising the reference's least
+#: squares path (alg/gdal_homography.cpp:121 "perform least squares fit
+#: as a homography").
+_HG_GCPS = [(0.0, 0.0, 0.0, 0.0), (100.0, 0.0, 100.0, 0.0),
+            (100.0, 100.0, 80.0, 90.0), (0.0, 100.0, 20.0, 90.0),
+            (50.0, 50.0, 50.0, 47.0), (25.0, 75.0, 31.0, 69.0)]
+
+
+def _q_homography_project(spark, sf_dir):
+    # GDALGCPsToHomography + GDALApplyHomography
+    # (alg/gdal_homography.cpp:121-141): >=4-GCP projective DLT least
+    # squares (unit-scale normalization, h6 pinned to 1, hour-glass fold
+    # rejection) fitted driver-side from _HG_GCPS, then applied to a
+    # prime-denominator synthetic point table as pure Column rational
+    # math — broadcast constants, zero Exchanges, whole-stage codegen.
+    # Exactly oracle-able: the oracle injects the SAME fitted
+    # coefficients (.17e) into the SAME-shaped rational expression (+ *
+    # / only, identical associativity). Fit goldens (all 7 reference
+    # expectations): tests/test_homography.py.
+    from lib_gdal_spark.geo.homography import (apply_homography_cols,
+                                               gcps_to_homography)
+
+    h = gcps_to_homography(_HG_GCPS)
+    pts = _tbl(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("gid"),
+        (((F.col("doc_id") * 13 + 5) % 997).cast("double")
+         * F.lit(100.0 / 997.0)).alias("p"),
+        (((F.col("doc_id") * 7 + 3) % 991).cast("double")
+         * F.lit(100.0 / 991.0)).alias("l"),
+    )
+    hx, hy = apply_homography_cols(h, F.col("p"), F.col("l"))
+    return pts.select("gid", hx.alias("hx"), hy.alias("hy"))
+
+
+def _o_homography_project() -> str:
+    # duckdb twin: the IDENTICAL rational fold over the IDENTICAL fitted
+    # coefficients, injected as e-notation literals (CLAUDE.md: e-notation
+    # lexes as DOUBLE directly — no DECIMAL double-rounding).
+    from lib_gdal_spark.geo.homography import gcps_to_homography
+
+    h = gcps_to_homography(_HG_GCPS)
+
+    def dl(x):
+        return f"{float(x):.17e}"
+
+    den = f"({dl(h[6])} + p * {dl(h[7])} + l * {dl(h[8])})"
+    return f"""
+WITH pts AS (
+  SELECT doc_id AS gid,
+         CAST((doc_id * 13 + 5) % 997 AS DOUBLE) * {dl(100.0 / 997.0)} AS p,
+         CAST((doc_id * 7 + 3) % 991 AS DOUBLE) * {dl(100.0 / 991.0)} AS l
+  FROM documents)
+SELECT gid,
+       ({dl(h[0])} + p * {dl(h[1])} + l * {dl(h[2])}) / {den} AS hx,
+       ({dl(h[3])} + p * {dl(h[4])} + l * {dl(h[5])}) / {den} AS hy
+FROM pts
+"""
+
 
 def _q_warp_gcp(spark, sf_dir):
     # gdalwarp -order 1 (GDALCreateGCPTransformer, alg/gdal_crs.cpp):
@@ -4323,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearblack_collar": _q_nearblack_collar,   # twopasses collar removal
         "coverage_gaps": _q_coverage_gaps,         # clean-coverage gap merge
         "rat_classify": _q_rat_classify,           # raster attribute table
+        "homography_project": _q_homography_project,  # GCPsToHomography
         "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
         "gpkg_roundtrip": _q_gpkg_roundtrip,       # GeoPackage src+sink
         "mbtiles_roundtrip": _q_mbtiles_roundtrip,  # MBTiles src+sink
@@ -4495,7 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
-    "fgb_roundtrip",
+    "fgb_roundtrip", "homography_project",
     "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
     "proximity_dist", "grid_idw", "grid_metrics", "grid_nearest",
     "overview_gauss", "overview_cubic", "overview_avg", "focal_mean",
@@ -7492,6 +7553,7 @@ def oracle_sql() -> dict[str, str]:
         "nearblack_collar": _o_nearblack_collar(),
         "coverage_gaps": _o_coverage_gaps(),
         "rat_classify": _o_rat_classify(),
+        "homography_project": _o_homography_project(),
         "mdim_arith": _o_mdim_arith(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
