@@ -1195,6 +1195,50 @@ def _q_shp_roundtrip(spark, sf_dir):
         back.select(F.col("fidv").cast("long").alias("fid"), "x", "y"))
 
 
+def _q_dted_roundtrip(spark, sf_dir):
+    # DTED level-0 sink+source with the sign-magnitude column-record
+    # codec IN the loop (sources/rawgrids.py; dted_api.c:639-660
+    # semantics incl. the mis-generated two's-complement fixup, column
+    # checksums VERIFIED on the read side). Values straddle zero so the
+    # sign bit is genuinely exercised; absent cells round-trip as the
+    # -32767 nodata and stay absent. A wrong header offset, column
+    # order, sign encoding or checksum can never hash-match the oracle.
+    import tempfile
+
+    from lib_gdal_spark.sources import rawgrids as rg
+
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % 121).alias("bx"),
+                      F.expr("(doc_id div 121) % 121").alias("by"))
+             .agg((F.min("n_chars") % 1500 - 700)
+                  .cast("double").alias("value")))
+    # lat 30 < 50: no longitude zone thinning, full 121x121 tile
+    path = rg.write_dted(cells, tempfile.mkdtemp(prefix="dted_rt_"),
+                         30, 13, level=0)
+    back, _meta = rg.read_dted(spark, path, verify_checksum=True)
+    return (back.groupBy((F.col("bx") % 10).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum(F.col("value").cast("long")).alias("v_sum")))
+
+
+def _o_dted_roundtrip() -> str:
+    return """
+WITH cells AS (
+  SELECT CAST(doc_id % 121 AS BIGINT) AS bx,
+         CAST((doc_id // 121) % 121 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 1500 - 700 AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2)
+SELECT bx % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum
+FROM cells GROUP BY 1
+"""
+
+
 def _q_fgb_roundtrip(spark, sf_dir):
     # FlatGeobuf sink+source with the hand-rolled flatbuffers codec IN
     # the loop (sources/flatgeobuf.py — vtable/offset layout validated
@@ -4401,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
         "shp_roundtrip": _q_shp_roundtrip,         # Shapefile src+sink
         "fgb_roundtrip": _q_fgb_roundtrip,         # FlatGeobuf src+sink
+        "dted_roundtrip": _q_dted_roundtrip,       # DTED src+sink
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
@@ -4556,7 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
-    "fgb_roundtrip", "homography_project",
+    "fgb_roundtrip", "homography_project", "dted_roundtrip",
     "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
     "proximity_dist", "grid_idw", "grid_metrics", "grid_nearest",
     "overview_gauss", "overview_cubic", "overview_avg", "focal_mean",
@@ -7554,6 +7599,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_gaps": _o_coverage_gaps(),
         "rat_classify": _o_rat_classify(),
         "homography_project": _o_homography_project(),
+        "dted_roundtrip": _o_dted_roundtrip(),
         "mdim_arith": _o_mdim_arith(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
