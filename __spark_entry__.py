@@ -1288,6 +1288,40 @@ def _q_geojson_roundtrip(spark, sf_dir):
     return _rt_summarize(back, fid="fid", x="xmin", y="ymin")
 
 
+def _q_kml_roundtrip(spark, sf_dir):
+    # KML sink+source with the old-KML-driver codec IN the loop
+    # (sources/kml.py — writer layout line-golden against the
+    # reference's write_schema/two_layers autotests, reader replayed
+    # against samples.kml): point Placemarks out through
+    # kml_document (Name carries the fid, SchemaData unused), read
+    # back through the distributed binaryFile reader, coordinates
+    # recovered from the WKB geometry. Several part files so the
+    # read is multi-task.
+    import os
+    import tempfile
+
+    from lib_gdal_spark import functions as fns
+    from lib_gdal_spark.sources import kml as kmlmod
+
+    rows = _rt_points(spark, sf_dir).collect()
+    d = tempfile.mkdtemp(prefix="kml_rt_")
+    nparts = 4
+    parts = [[] for _ in range(nparts)]
+    for r in rows:
+        parts[int(r["fid"]) % nparts].append(
+            {"geom": ("point", (float(r["x"]), float(r["y"]))),
+             "fields": {"Name": int(r["fid"])}})
+    for i, feats in enumerate(parts):
+        kmlmod.write_kml(os.path.join(d, f"part{i}.kml"),
+                         [("pts", [("Name", "string")], feats)])
+    back = kmlmod.read_kml(spark, d)
+    fns.register_all(spark)
+    pts = back.select(F.col("name").cast("long").alias("fid"),
+                      F.expr("st_x(wkb)").alias("x"),
+                      F.expr("st_y(wkb)").alias("y"))
+    return _rt_summarize(pts)
+
+
 def _q_geocsv_roundtrip(spark, sf_dir):
     # CSV vector sink+source: WKT column out (GEOMETRY=AS_WKT), the
     # splittable spark.read.csv scan + Arrow WKT decode back.
@@ -4448,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dted_roundtrip": _q_dted_roundtrip,       # DTED src+sink
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
+        "kml_roundtrip": _q_kml_roundtrip,         # KML src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -4600,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
+    "kml_roundtrip",
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
     "fgb_roundtrip", "homography_project", "dted_roundtrip",
     "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
@@ -7619,6 +7655,7 @@ def oracle_sql() -> dict[str, str]:
         "fgb_roundtrip": _RT_ORACLE,
         "geojson_roundtrip": _RT_ORACLE,
         "geocsv_roundtrip": _RT_ORACLE,
+        "kml_roundtrip": _RT_ORACLE,
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),
