@@ -1288,6 +1288,41 @@ def _q_geojson_roundtrip(spark, sf_dir):
     return _rt_summarize(back, fid="fid", x="xmin", y="ymin")
 
 
+def _q_gpx_roundtrip(spark, sf_dir):
+    # GPX sink+source with the GPX-driver codec IN the loop
+    # (sources/gpx.py — writer grouping byte-golden against
+    # ogr_gpx_8_ref.txt, reader replayed against test.gpx): point
+    # waypoints out through gpx_document (name carries the fid),
+    # read back through the distributed binaryFile reader across
+    # several part files.
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import gpx as gpxmod
+
+    # GPX coordinates must be REAL lon/lat (the writer validates
+    # ranges, ogrgpxlayer.cpp CheckAndFixCoordinatesValidity) — fold
+    # the roundtrip integers into [-180,180)/[-90,90) and summarize
+    # the folded values (oracle mirrors the fold)
+    rows = _rt_points(spark, sf_dir).collect()
+    d = tempfile.mkdtemp(prefix="gpx_rt_")
+    nparts = 4
+    parts = [[] for _ in range(nparts)]
+    for r in rows:
+        parts[int(r["fid"]) % nparts].append(
+            {"lon": float(int(r["x"]) % 360 - 180),
+             "lat": float(int(r["y"]) % 180 - 90),
+             "name": str(int(r["fid"]))})
+    for i, feats in enumerate(parts):
+        gpxmod.write_gpx(os.path.join(d, f"part{i}.gpx"),
+                         waypoints=feats)
+    back = gpxmod.read_gpx(spark, d, "waypoints")
+    pts = back.select(F.col("name").cast("long").alias("fid"),
+                      F.col("xmin").alias("x"),
+                      F.col("ymin").alias("y"))
+    return _rt_summarize(pts)
+
+
 def _q_kml_roundtrip(spark, sf_dir):
     # KML sink+source with the old-KML-driver codec IN the loop
     # (sources/kml.py — writer layout line-golden against the
@@ -4483,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
         "kml_roundtrip": _q_kml_roundtrip,         # KML src+sink
+        "gpx_roundtrip": _q_gpx_roundtrip,         # GPX src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -4635,7 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "kml_roundtrip",
+    "kml_roundtrip", "gpx_roundtrip",
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
     "fgb_roundtrip", "homography_project", "dted_roundtrip",
     "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
@@ -7656,6 +7692,19 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": _RT_ORACLE,
         "geocsv_roundtrip": _RT_ORACLE,
         "kml_roundtrip": _RT_ORACLE,
+        "gpx_roundtrip": """
+WITH pts AS (
+  SELECT c_custkey AS fid,
+         CAST((c_custkey*13+1) % 997 % 360 - 180 AS BIGINT) AS x,
+         CAST((c_custkey*29+2) % 991 % 180 - 90 AS BIGINT) AS y
+  FROM customer)
+SELECT fid % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(fid) AS BIGINT) AS fid_sum,
+       CAST(SUM(x) AS BIGINT) AS x_sum,
+       CAST(SUM(y) AS BIGINT) AS y_sum
+FROM pts GROUP BY fid % 10
+""",
         "warp_bilinear": _o_warp_bilinear(),
         "warp_cubic": _o_warp_conv("cubic"),
         "warp_cubicspline": _o_warp_conv("cubicspline"),

@@ -35,6 +35,7 @@ fixtures and the streaming-text shape Spark natively distributes:
 
 from .aaigrid import read_aaigrid, write_aaigrid
 from .geocsv import read_geocsv, write_geocsv
+from .gpx import read_gpx, write_gpx
 from .kml import read_kml, write_kml, write_kml_parts
 from .geojson import (read_geojson, read_geojson_seq,
                       read_geojson_seq_stream, write_geojson_seq)
@@ -47,4 +48,4 @@ __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "encode_tiff", "decode_png", "encode_png", "read_png",
            "read_geojson", "read_geojson_seq", "read_geojson_seq_stream",
            "write_geojson_seq", "read_geocsv", "write_geocsv",
-           "read_kml", "write_kml", "write_kml_parts"]
+           "read_kml", "write_kml", "write_kml_parts", "read_gpx", "write_gpx"]
