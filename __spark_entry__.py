@@ -1239,6 +1239,120 @@ FROM cells GROUP BY 1
 """
 
 
+def _q_gif_roundtrip(spark, sf_dir):
+    # GIF sink+source with the pure-Python LZW codec IN the loop
+    # (sources/gif.py — decode replays the reference's bug407
+    # checksum 57921 incl. Adam-style interlace; encode round-trips
+    # byte.tif to 4672): a dense 64x64 uint8 grid derived from the
+    # documents table goes out through encode_gif and back through
+    # read_gif; absent cells write as 0. A wrong LZW width bump,
+    # dictionary reset, or sub-block framing can never hash-match.
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from lib_gdal_spark.sources import gif as gifmod
+
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % 64).alias("bx"),
+                      F.expr("(doc_id div 64) % 64").alias("by"))
+             .agg((F.min("n_chars") % 256).cast("int").alias("v"))
+             ).collect()  # bounded: 4096 cells
+    arr = np.zeros((64, 64), np.uint8)
+    for r in cells:
+        arr[63 - int(r["by"]), int(r["bx"])] = int(r["v"])
+    path = os.path.join(tempfile.mkdtemp(prefix="gif_rt_"), "rt.gif")
+    with open(path, "wb") as f:
+        f.write(gifmod.encode_gif(arr))
+    back, _meta = gifmod.read_gif(spark, path)
+    return (back.groupBy((F.col("bx") % 10).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum(F.col("value").cast("long")).alias("v_sum")))
+
+
+def _o_gif_roundtrip() -> str:
+    return """
+WITH src AS (
+  SELECT CAST(doc_id % 64 AS BIGINT) AS bx,
+         CAST((doc_id // 64) % 64 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 256 AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2),
+grid AS (SELECT gx.range AS bx, gy.range AS byy
+         FROM range(64) gx, range(64) gy),
+dense AS (
+  SELECT g.bx, g.byy, COALESCE(s.v, 0) AS v
+  FROM grid g LEFT JOIN src s ON s.bx = g.bx AND s.byy = g.byy)
+SELECT bx % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum
+FROM dense GROUP BY 1
+"""
+
+
+def _q_surfer_roundtrip(spark, sf_dir):
+    # Surfer grid chain with all THREE codecs IN the loop
+    # (sources/surfer.py — each decodes the reference's own gsg
+    # fixture to checksum 4672 and gt (440720,60,0,3751320,0,-60)):
+    # dense 40x40 grid -> GSAG ASCII -> GSBG float32 -> GS7BG float64
+    # -> distributed cell table. Values are integer-valued doubles
+    # (exact through float32) straddling zero.
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from lib_gdal_spark.sources import surfer as sfm
+
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % 40).alias("bx"),
+                      F.expr("(doc_id div 40) % 40").alias("by"))
+             .agg((F.min("n_chars") % 1500 - 700)
+                  .cast("double").alias("v"))).collect()
+    arr = np.zeros((40, 40), np.float64)
+    for r in cells:
+        arr[39 - int(r["by"]), int(r["bx"])] = float(r["v"])
+    meta = {"xmin": 440750.0, "xmax": 440750.0 + 60.0 * 39,
+            "ymin": 3750150.0, "ymax": 3750150.0 + 60.0 * 39,
+            "dx": 60.0, "dy": 60.0}
+    a1, m1 = sfm.decode_gsag(sfm.encode_gsag(arr, meta))
+    a2, m2 = sfm.decode_gsbg(sfm.encode_gsbg(a1, m1))
+    path = os.path.join(tempfile.mkdtemp(prefix="gsg_rt_"), "rt.grd")
+    with open(path, "wb") as f:
+        f.write(sfm.encode_gs7bg(a2, m2))
+    back, _meta = sfm.read_surfer(spark, path)
+    return (back.groupBy((F.col("bx") % 10).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum(F.col("value").cast("long")).alias("v_sum")))
+
+
+def _o_surfer_roundtrip() -> str:
+    return """
+WITH src AS (
+  SELECT CAST(doc_id % 40 AS BIGINT) AS bx,
+         CAST((doc_id // 40) % 40 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 1500 - 700 AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2),
+grid AS (SELECT gx.range AS bx, gy.range AS byy
+         FROM range(40) gx, range(40) gy),
+dense AS (
+  SELECT g.bx, g.byy, COALESCE(s.v, 0) AS v
+  FROM grid g LEFT JOIN src s ON s.bx = g.bx AND s.byy = g.byy)
+SELECT bx % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum
+FROM dense GROUP BY 1
+"""
+
+
 def _q_fgb_roundtrip(spark, sf_dir):
     # FlatGeobuf sink+source with the hand-rolled flatbuffers codec IN
     # the loop (sources/flatgeobuf.py — vtable/offset layout validated
@@ -4515,6 +4629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shp_roundtrip": _q_shp_roundtrip,         # Shapefile src+sink
         "fgb_roundtrip": _q_fgb_roundtrip,         # FlatGeobuf src+sink
         "dted_roundtrip": _q_dted_roundtrip,       # DTED src+sink
+        "gif_roundtrip": _q_gif_roundtrip,         # GIF src+sink
+        "surfer_roundtrip": _q_surfer_roundtrip,   # Surfer GSAG/GSBG/GS7BG
         "geojson_roundtrip": _q_geojson_roundtrip,  # GeoJSONSeq src+sink
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
         "kml_roundtrip": _q_kml_roundtrip,         # KML src+sink
@@ -4671,7 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "kml_roundtrip", "gpx_roundtrip",
+    "kml_roundtrip", "gpx_roundtrip", "gif_roundtrip", "surfer_roundtrip",
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
     "fgb_roundtrip", "homography_project", "dted_roundtrip",
     "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
@@ -7672,6 +7788,8 @@ def oracle_sql() -> dict[str, str]:
         "rat_classify": _o_rat_classify(),
         "homography_project": _o_homography_project(),
         "dted_roundtrip": _o_dted_roundtrip(),
+        "gif_roundtrip": _o_gif_roundtrip(),
+        "surfer_roundtrip": _o_surfer_roundtrip(),
         "mdim_arith": _o_mdim_arith(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),

@@ -35,12 +35,14 @@ fixtures and the streaming-text shape Spark natively distributes:
 
 from .aaigrid import read_aaigrid, write_aaigrid
 from .geocsv import read_geocsv, write_geocsv
+from .gif import decode_gif, encode_gif, read_gif
 from .gpx import read_gpx, write_gpx
 from .kml import read_kml, write_kml, write_kml_parts
 from .geojson import (read_geojson, read_geojson_seq,
                       read_geojson_seq_stream, write_geojson_seq)
 from .png import decode_png, encode_png, read_png
 from .tiff import decode_tiff, encode_tiff, read_bmp, read_tiff, write_tiff
+from .surfer import decode_surfer, read_surfer
 from .xyz import read_xyz, write_xyz
 
 __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
@@ -48,4 +50,6 @@ __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "encode_tiff", "decode_png", "encode_png", "read_png",
            "read_geojson", "read_geojson_seq", "read_geojson_seq_stream",
            "write_geojson_seq", "read_geocsv", "write_geocsv",
-           "read_kml", "write_kml", "write_kml_parts", "read_gpx", "write_gpx"]
+           "read_kml", "write_kml", "write_kml_parts", "read_gpx", "write_gpx",
+           "decode_gif", "encode_gif", "read_gif", "decode_surfer",
+           "read_surfer"]
