@@ -1471,6 +1471,38 @@ def _q_kml_roundtrip(spark, sf_dir):
     return _rt_summarize(pts)
 
 
+def _q_gml_roundtrip(spark, sf_dir):
+    # GML sink+source with the GML2 codec IN the loop (sources/gml.py
+    # — reader replayed against ionic_wfs/rnf_eg/bom + the fid-variant
+    # quartet, writer round-trips through the same reader): point
+    # features out through gml_document (fid carried in a typed
+    # Integer field), read back through the distributed binaryFile
+    # reader across several part files, values recovered from the
+    # properties JSON (the HSTORE pattern).
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import gml as gmlmod
+
+    rows = _rt_points(spark, sf_dir).collect()
+    d = tempfile.mkdtemp(prefix="gml_rt_")
+    nparts = 4
+    parts = [[] for _ in range(nparts)]
+    for r in rows:
+        parts[int(r["fid"]) % nparts].append(
+            {"geom": ("point", (float(r["x"]), float(r["y"]))),
+             "fields": {"custkey": int(r["fid"])}})
+    for i, feats in enumerate(parts):
+        gmlmod.write_gml(os.path.join(d, f"part{i}.gml"),
+                         [("pts", feats)])
+    back = gmlmod.read_gml(spark, d)
+    pts = back.select(
+        F.get_json_object("properties", "$.custkey")
+        .cast("long").alias("fid"),
+        F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    return _rt_summarize(pts)
+
+
 def _q_geocsv_roundtrip(spark, sf_dir):
     # CSV vector sink+source: WKT column out (GEOMETRY=AS_WKT), the
     # splittable spark.read.csv scan + Arrow WKT decode back.
@@ -4635,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocsv_roundtrip": _q_geocsv_roundtrip,   # CSV-WKT src+sink
         "kml_roundtrip": _q_kml_roundtrip,         # KML src+sink
         "gpx_roundtrip": _q_gpx_roundtrip,         # GPX src+sink
+        "gml_roundtrip": _q_gml_roundtrip,         # GML src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -4787,7 +4820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "kml_roundtrip", "gpx_roundtrip", "gif_roundtrip", "surfer_roundtrip",
+    "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "gif_roundtrip",
+    "surfer_roundtrip",
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
     "fgb_roundtrip", "homography_project", "dted_roundtrip",
     "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
@@ -7810,6 +7844,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": _RT_ORACLE,
         "geocsv_roundtrip": _RT_ORACLE,
         "kml_roundtrip": _RT_ORACLE,
+        "gml_roundtrip": _RT_ORACLE,
         "gpx_roundtrip": """
 WITH pts AS (
   SELECT c_custkey AS fid,

@@ -36,6 +36,7 @@ fixtures and the streaming-text shape Spark natively distributes:
 from .aaigrid import read_aaigrid, write_aaigrid
 from .geocsv import read_geocsv, write_geocsv
 from .gif import decode_gif, encode_gif, read_gif
+from .gml import read_gml, write_gml
 from .gpx import read_gpx, write_gpx
 from .kml import read_kml, write_kml, write_kml_parts
 from .geojson import (read_geojson, read_geojson_seq,
@@ -53,4 +54,5 @@ __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "write_geojson_seq", "read_geocsv", "write_geocsv",
            "read_kml", "write_kml", "write_kml_parts", "read_gpx", "write_gpx",
            "decode_gif", "encode_gif", "read_gif", "decode_surfer",
-           "read_surfer", "decode_usgsdem", "read_usgsdem"]
+           "read_surfer", "decode_usgsdem", "read_usgsdem", "read_gml",
+           "write_gml"]
