@@ -1503,6 +1503,32 @@ def _q_gml_roundtrip(spark, sf_dir):
     return _rt_summarize(pts)
 
 
+def _q_mif_roundtrip(spark, sf_dir):
+    # MapInfo MIF/MID sink+source with the interchange codec IN the
+    # loop (sources/mif.py — geometry stroking matched vertex-exact
+    # against all_geoms.mif.golden.csv incl. RoundRect/Ellipse/Arc
+    # arcs): point features + an Integer column out through write_mif
+    # (paired .mid), read back through read_mif, fid recovered from
+    # the typed attribute.
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import mif as mifmod
+
+    rows = _rt_points(spark, sf_dir).collect()
+    d = tempfile.mkdtemp(prefix="mif_rt_")
+    feats = [{"geom": ("point", (float(r["x"]), float(r["y"]))),
+              "fields": {"custkey": int(r["fid"])}} for r in rows]
+    path = os.path.join(d, "rt.mif")
+    mifmod.write_mif(path, [("custkey", "Integer")], feats)
+    back = mifmod.read_mif(spark, path)
+    pts = back.select(
+        F.get_json_object("properties", "$.custkey")
+        .cast("long").alias("fid"),
+        F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    return _rt_summarize(pts)
+
+
 def _q_geocsv_roundtrip(spark, sf_dir):
     # CSV vector sink+source: WKT column out (GEOMETRY=AS_WKT), the
     # splittable spark.read.csv scan + Arrow WKT decode back.
@@ -4668,6 +4694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_roundtrip": _q_kml_roundtrip,         # KML src+sink
         "gpx_roundtrip": _q_gpx_roundtrip,         # GPX src+sink
         "gml_roundtrip": _q_gml_roundtrip,         # GML src+sink
+        "mif_roundtrip": _q_mif_roundtrip,         # MapInfo MIF/MID src+sink
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -4820,8 +4847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "gif_roundtrip",
-    "surfer_roundtrip",
+    "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
+    "gif_roundtrip", "surfer_roundtrip",
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
     "fgb_roundtrip", "homography_project", "dted_roundtrip",
     "dem_aspect", "graph_sssp", "graph_components", "fillnodata_idw",
@@ -7845,6 +7872,7 @@ def oracle_sql() -> dict[str, str]:
         "geocsv_roundtrip": _RT_ORACLE,
         "kml_roundtrip": _RT_ORACLE,
         "gml_roundtrip": _RT_ORACLE,
+        "mif_roundtrip": _RT_ORACLE,
         "gpx_roundtrip": """
 WITH pts AS (
   SELECT c_custkey AS fid,

@@ -227,6 +227,33 @@ def from_wkt(text: str):
             else:
                 out.append(("polygon", [_ring(r) for r in it]))
         return "multisurface", out
+    if kind == "MULTILINESTRING":
+        return "multilinestring", [_ring(l) for l in items]
+    if kind == "MULTIPOINT":
+        # both spellings: MULTIPOINT (0 1,2 3) and ((0 1),(2 3))
+        pts = [(_pt(it[0]) if isinstance(it, list) else _pt(it))
+               for it in items]
+        import numpy as _np
+        return "multipoint", _np.asarray(pts, dtype=float)
+    if kind == "GEOMETRYCOLLECTION":
+        out = []
+        depth = 0
+        start = None
+        body = t[p + 1:t.rfind(")")]
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if start is None and c.isalpha():
+                start = i
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and start is not None:
+                    out.append(from_wkt(body[start:i + 1]))
+                    start = None
+            i += 1
+        return "collection", out
     if kind == "TRIANGLE":
         return "triangle", [_ring(r) for r in items]
     if kind in ("POLYHEDRALSURFACE", "TIN"):

@@ -39,6 +39,7 @@ from .gif import decode_gif, encode_gif, read_gif
 from .gml import read_gml, write_gml
 from .gpx import read_gpx, write_gpx
 from .kml import read_kml, write_kml, write_kml_parts
+from .mif import read_mif, write_mif
 from .geojson import (read_geojson, read_geojson_seq,
                       read_geojson_seq_stream, write_geojson_seq)
 from .png import decode_png, encode_png, read_png
@@ -55,4 +56,4 @@ __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_kml", "write_kml", "write_kml_parts", "read_gpx", "write_gpx",
            "decode_gif", "encode_gif", "read_gif", "decode_surfer",
            "read_surfer", "decode_usgsdem", "read_usgsdem", "read_gml",
-           "write_gml"]
+           "write_gml", "read_mif", "write_mif"]
