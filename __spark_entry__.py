@@ -1529,6 +1529,57 @@ def _q_mif_roundtrip(spark, sf_dir):
     return _rt_summarize(pts)
 
 
+def _q_topojson_read(spark, sf_dir):
+    # TopoJSON quantized-topology read with the arc/point transform
+    # codec IN the loop (sources/topojson.py — full junk-tolerance
+    # matrix replayed against ogr_topojson.py): customer points
+    # quantized as integer positions under transform scale (2,3)
+    # translate (7,11), read back distributed, decoded coordinates
+    # summarized. A wrong transform application or id stringification
+    # can never hash-match.
+    import json
+    import os
+    import tempfile
+
+    rows = _rt_points(spark, sf_dir).collect()
+    d = tempfile.mkdtemp(prefix="tj_rt_")
+    nparts = 4
+    parts = [[] for _ in range(nparts)]
+    for r in rows:
+        parts[int(r["fid"]) % nparts].append(
+            {"type": "Point",
+             "coordinates": [int(r["x"]), int(r["y"])],
+             "id": int(r["fid"])})
+    for i, objs in enumerate(parts):
+        topo = {"type": "Topology", "arcs": [],
+                "transform": {"scale": [2, 3], "translate": [7, 11]},
+                "objects": objs}
+        with open(os.path.join(d, f"p{i}.topojson"), "w") as f:
+            json.dump(topo, f)
+    from lib_gdal_spark.sources import topojson as tj
+    back = tj.read_topojson(spark, d)
+    pts = back.select(F.col("id").cast("long").alias("fid"),
+                      F.col("xmin").alias("x"),
+                      F.col("ymin").alias("y"))
+    return _rt_summarize(pts)
+
+
+def _o_topojson_read() -> str:
+    return """
+WITH pts AS (
+  SELECT c_custkey AS fid,
+         CAST(2 * ((c_custkey*13+1) % 997) + 7 AS BIGINT) AS x,
+         CAST(3 * ((c_custkey*29+2) % 991) + 11 AS BIGINT) AS y
+  FROM customer)
+SELECT fid % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(fid) AS BIGINT) AS fid_sum,
+       CAST(SUM(x) AS BIGINT) AS x_sum,
+       CAST(SUM(y) AS BIGINT) AS y_sum
+FROM pts GROUP BY fid % 10
+"""
+
+
 def _q_geocsv_roundtrip(spark, sf_dir):
     # CSV vector sink+source: WKT column out (GEOMETRY=AS_WKT), the
     # splittable spark.read.csv scan + Arrow WKT decode back.
@@ -4695,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_roundtrip": _q_gpx_roundtrip,         # GPX src+sink
         "gml_roundtrip": _q_gml_roundtrip,         # GML src+sink
         "mif_roundtrip": _q_mif_roundtrip,         # MapInfo MIF/MID src+sink
+        "topojson_read": _q_topojson_read,         # TopoJSON source
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
         "pip_triangle_join": _q_pip_triangle,
@@ -4848,6 +4900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
+    "topojson_read",
     "gif_roundtrip", "surfer_roundtrip",
     "proj_datum", "nearblack_collar", "coverage_gaps", "rat_classify",
     "fgb_roundtrip", "homography_project", "dted_roundtrip",
@@ -7873,6 +7926,7 @@ def oracle_sql() -> dict[str, str]:
         "kml_roundtrip": _RT_ORACLE,
         "gml_roundtrip": _RT_ORACLE,
         "mif_roundtrip": _RT_ORACLE,
+        "topojson_read": _o_topojson_read(),
         "gpx_roundtrip": """
 WITH pts AS (
   SELECT c_custkey AS fid,

@@ -45,6 +45,7 @@ from .geojson import (read_geojson, read_geojson_seq,
 from .png import decode_png, encode_png, read_png
 from .tiff import decode_tiff, encode_tiff, read_bmp, read_tiff, write_tiff
 from .surfer import decode_surfer, read_surfer
+from .topojson import read_topojson
 from .usgsdem import decode_usgsdem, read_usgsdem
 from .xyz import read_xyz, write_xyz
 
@@ -56,4 +57,4 @@ __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_kml", "write_kml", "write_kml_parts", "read_gpx", "write_gpx",
            "decode_gif", "encode_gif", "read_gif", "decode_surfer",
            "read_surfer", "decode_usgsdem", "read_usgsdem", "read_gml",
-           "write_gml", "read_mif", "write_mif"]
+           "write_gml", "read_mif", "write_mif", "read_topojson"]
