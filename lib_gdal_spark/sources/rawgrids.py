@@ -618,3 +618,147 @@ def _cells_to_array(cells, width: int, height: int, nodata: float,
         if 0 <= x < width and 0 <= y < height:
             arr[height - 1 - y, x] = v
     return arr
+
+
+# ------------------------------------------------------------------ BT
+
+def decode_bt(data: bytes):
+    """VTP .bt binary terrain (frmts/raw/btdataset.cpp:556-700):
+    "binterr1.x" magic, LE cols@10/rows@14, datasize@18 + float
+    flag@20 select Int16/Int32/Float32, extents as doubles at
+    28/36/44/52, vscale float at 62. Data is COLUMN-major,
+    bottom-to-top within each profile (:120-175). -> (top-down
+    (rows, cols) float64, meta)."""
+    if not data.startswith(b"binterr"):
+        raise ValueError("not a .bt file (missing binterr magic)")
+    version = data[7:10].decode("ascii", "replace")
+    cols, rows = struct.unpack_from("<ii", data, 10)
+    (datasize,) = struct.unpack_from("<h", data, 18)
+    is_float = data[20] != 0
+    if is_float and datasize == 4:
+        dt = np.dtype("<f4")
+    elif not is_float and datasize == 4:
+        dt = np.dtype("<i4")
+    elif not is_float and datasize == 2:
+        dt = np.dtype("<i2")
+    else:
+        raise ValueError(f".bt data type unknown (datasize={datasize})")
+    hunits, utm_zone, datum = struct.unpack_from("<hhh", data, 22)
+    left, right, bottom, top = struct.unpack_from("<4d", data, 28)
+    (vscale,) = struct.unpack_from("<f", data, 62)
+    body = np.frombuffer(data, dt, cols * rows, 256)
+    # columns of bottom-up profiles -> top-down row-major
+    arr = body.reshape(cols, rows).T[::-1].astype(np.float64)
+    gt = (left, (right - left) / cols, 0.0, top, 0.0,
+          -(top - bottom) / rows)
+    return arr.copy(), {"version": version, "cols": cols, "rows": rows,
+                        "dtype": str(dt), "geotransform": gt,
+                        "utm_zone": utm_zone, "datum": datum,
+                        "hunits": hunits,
+                        "vscale": float(vscale) if vscale else 1.0}
+
+
+def encode_bt(arr: np.ndarray, geotransform, dtype: str = "<i2",
+              datum: int = 6267, utm_zone: int = 0,
+              hunits: int = 0) -> bytes:
+    """Top-down array -> .bt v1.3 (IWriteBlock's bottom-up column
+    profiles; header layout btdataset.cpp:385-540)."""
+    dt = np.dtype(dtype)
+    rows, cols = arr.shape
+    gt = geotransform
+    left = gt[0]
+    right = gt[0] + gt[1] * cols
+    top = gt[3]
+    bottom = gt[3] + gt[5] * rows
+    hdr = bytearray(256)
+    hdr[0:10] = b"binterr1.3"
+    struct.pack_into("<ii", hdr, 10, cols, rows)
+    struct.pack_into("<h", hdr, 18, dt.itemsize)
+    hdr[20] = 1 if dt.kind == "f" else 0
+    struct.pack_into("<hhh", hdr, 22, hunits, utm_zone, datum)
+    struct.pack_into("<4d", hdr, 28, left, right, bottom, top)
+    hdr[60] = 0
+    struct.pack_into("<f", hdr, 62, 1.0)
+    body = arr[::-1].T.astype(dt).tobytes()  # bottom-up columns
+    return bytes(hdr) + body
+
+
+def read_bt(spark, path: str):
+    with open(path, "rb") as f:
+        arr, meta = decode_bt(f.read())
+    return _cells_df(spark, arr, None), meta
+
+
+def write_bt(cells, path: str, width: int, height: int,
+             geotransform, dtype: str = "<i2") -> str:
+    arr = _cells_to_array(cells, width, height, 0.0, "f8")
+    with open(path, "wb") as f:
+        f.write(encode_bt(arr, geotransform, dtype))
+    return path
+
+
+# ----------------------------------------------------------------- LAN
+
+def decode_lan(data: bytes):
+    """Erdas 7.x LAN/GIS (frmts/raw/landataset.cpp:26-82 header doc +
+    :354-520 open): "HEADER" (float32 width/height) or "HEAD74"
+    (int32), pixel type 0=8bit/1=4bit/2=16bit at 6, band count at 8,
+    coord system at 88, UL center + pixel size floats at 112-127;
+    byte order inferred from the band-count sanity test (:361-410).
+    Data: band-interleaved-by-line after the 128-byte header; 4-bit
+    packs two pixels per byte, high nibble first. -> (bands, h, w)
+    float64 + meta."""
+    if not (data[:6] in (b"HEADER", b"HEAD74")):
+        raise ValueError("not an Erdas LAN/GIS file")
+    head74 = data[:6] == b"HEAD74"
+    for bo in ("<", ">"):
+        nbands = struct.unpack_from(bo + "h", data, 8)[0]
+        if 0 < nbands < 256:
+            break
+    ptype = struct.unpack_from(bo + "h", data, 6)[0]
+    if head74:
+        w, h = struct.unpack_from(bo + "ii", data, 16)
+    else:
+        wf, hf = struct.unpack_from(bo + "ff", data, 16)
+        w, h = int(wf), int(hf)
+    coord_sys = struct.unpack_from(bo + "h", data, 88)[0]
+    ulx, uly, dx, dy = struct.unpack_from(bo + "4f", data, 112)
+    if ptype == 0:
+        px = 1
+        dt = np.uint8
+    elif ptype == 2:
+        px = 2
+        dt = np.dtype(bo + "i2")
+    elif ptype == 1:
+        px = -1  # 4-bit
+        dt = np.uint8
+    else:
+        raise ValueError(f"LAN pixel type {ptype} unsupported")
+    bands = np.empty((nbands, h, w), dtype=np.float64)
+    if px == -1:
+        line_bytes = (w + 1) // 2
+        for b in range(nbands):
+            for r in range(h):
+                off = 128 + (r * nbands + b) * line_bytes
+                packed = np.frombuffer(data, np.uint8, line_bytes, off)
+                nib = np.empty(line_bytes * 2, np.uint8)
+                nib[0::2] = packed >> 4
+                nib[1::2] = packed & 0x0F
+                bands[b, r] = nib[:w]
+    else:
+        line = w * px
+        for b in range(nbands):
+            for r in range(h):
+                off = 128 + (r * nbands + b) * line
+                bands[b, r] = np.frombuffer(data, dt, w, off)
+    gt = (float(ulx) - float(dx) / 2, float(dx), 0.0,
+          float(uly) + float(dy) / 2, 0.0, -float(dy))
+    return bands, {"bands": nbands, "width": w, "height": h,
+                   "pixel_type": ptype, "coord_system": coord_sys,
+                   "geotransform": gt, "head74": head74}
+
+
+def read_lan(spark, path: str, band: int = 1):
+    with open(path, "rb") as f:
+        bands, meta = decode_lan(f.read())
+    return _cells_df(spark, bands[band - 1], None), meta

@@ -233,3 +233,68 @@ class TestCellsRoundtrip:
         # 0.0 survives (only -32767 is nodata); absent cells are nodata
         assert got == {(0, 0): -250.0, (120, 120): 801.0, (60, 60): 0.0}
         assert meta["width"] == 121
+
+
+def _cs(a):
+    # GDALChecksumImage twin (C-style truncated modulo)
+    from lib_gdal_spark.operators.raster import CHECKSUM_PRIMES
+    P = np.array(CHECKSUM_PRIMES, dtype=np.int64)
+    v = np.floor(a.astype(np.float64) + 0.5).astype(np.int64)
+    m = np.fmod(v.ravel(), P[np.arange(v.size) % 11])
+    return int(np.sum(m)) & 0xFFFF
+
+
+class TestBt:
+    GT = (-67.00041667, 0.00083333, 0.0, 50.000416667, 0.0,
+          -0.00083333)
+
+    @pytest.mark.parametrize("dtype", ["<i2", "<i4", "<f4"])
+    def test_createcopy_byte_4672(self, dtype):
+        # gdrivers/bt.py test_bt_create_copy: byte/int16/float32
+        # sources all round-trip to checksum 4672 with the NAD27 gt
+        from lib_gdal_spark.sources.tiff import decode_tiff
+        with open("/root/reference/autotest/gcore/data/byte.tif",
+                  "rb") as f:
+            src, _ = decode_tiff(f.read())
+        back, meta = rg.decode_bt(
+            rg.encode_bt(src.astype(np.float64), self.GT, dtype=dtype))
+        assert np.array_equal(back, src)
+        assert _cs(back) == 4672
+        np.testing.assert_allclose(meta["geotransform"], self.GT)
+        assert meta["version"] == "1.3"
+
+    def test_column_major_bottom_up_layout(self):
+        a = np.arange(6, dtype=np.float64).reshape(2, 3)
+        enc = rg.encode_bt(a, (0, 1, 0, 2, 0, -1))
+        # first profile = column 0 bottom-to-top: (row1, row0)
+        import struct as st
+        v = st.unpack_from("<hh", enc, 256)
+        assert v == (3, 0)
+        back, _ = rg.decode_bt(enc)
+        assert np.array_equal(back, a)
+
+    def test_not_bt(self):
+        with pytest.raises(ValueError):
+            rg.decode_bt(b"NOTBT" + b"\0" * 300)
+
+
+class TestLan:
+    DATA = "/root/reference/autotest/gdrivers/data/lan"
+
+    def test_fakelan_checksum(self):
+        # gdrivers/lan.py test_lan_1: checksum 10
+        with open(f"{self.DATA}/fakelan.lan", "rb") as f:
+            bands, meta = rg.decode_lan(f.read())
+        assert _cs(bands[0]) == 10
+        assert meta["pixel_type"] == 0
+
+    def test_fakelan_4bit_checksum(self):
+        # gdrivers/lan.py test_lan_2: 4-bit nibbles, checksum 10
+        with open(f"{self.DATA}/fakelan4bit.lan", "rb") as f:
+            bands, meta = rg.decode_lan(f.read())
+        assert _cs(bands[0]) == 10
+        assert meta["pixel_type"] == 1
+
+    def test_read_lan_spark(self, spark):
+        cells, meta = rg.read_lan(spark, f"{self.DATA}/fakelan.lan")
+        assert cells.count() == meta["width"] * meta["height"]
