@@ -4684,13 +4684,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
     dict order and caps at 50/round (proven rounds 1-4). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
-    driver row is OLDEST. The round-5 window is _SWEEP_FIRST (computed
-    from CORRECTNESS_r01-r04: the 4 queries new this round, the 31
-    remaining r1-cohort keys, and the 15 oldest r2-cohort keys — after
-    this window every contract key's newest green row is <= 3 rounds
-    old). The body dict below keeps the stable r4 grouping; the
-    _SWEEP_FIRST reorder is applied on return. Everything past the cap
-    stays in the local parity sweep every session.
+    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 14
+    keys new this round (7 format-codec roundtrips from the final
+    session, then proj_datum/nearblack_collar/coverage_gaps/
+    rat_classify/fgb_roundtrip/homography_project/dted_roundtrip) take
+    the front — never-swept keys outrank staleness — followed by the
+    r1 cohort; the 9 r1-cohort keys past the 50-cap (window_topk ..
+    minhash_signatures) stay r1-stale this round, the accepted cost of
+    sweeping the new codecs. The body dict below keeps the stable r4
+    grouping; the _SWEEP_FIRST reorder is applied on return.
+    Everything past the cap stays in the local parity sweep every
+    session.
     """
     q = {
         # ---- (1) no green hash row after r3: sweep FIRST ----
