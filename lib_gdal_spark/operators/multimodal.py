@@ -185,10 +185,18 @@ def decode_real(payload: bytes, kind: str | None = None):
         return arr, {"codec": "png", **{k: meta[k] for k in
                                         ("width", "height", "depth",
                                          "color_type")}}
+    if p[:2] == b"\xff\xd8":
+        # baseline JPEG decodes natively too — libjpeg-islow bit
+        # parity (sources/jpeg.py; albania.jpg band-2 checksum 17016,
+        # one of the reference autotest's accepted values)
+        from ..sources.jpeg import decode_jpeg
+
+        arr, meta = decode_jpeg(p)
+        return arr, {"codec": "jpeg", **meta}
     raise NotImplementedError(
         "decode requires a codec library (PIL/ffmpeg) for compressed "
-        "formats; uncompressed BMP/PPM/PGM/WAV and PNG (stdlib zlib) "
-        "parse natively"
+        "formats; uncompressed BMP/PPM/PGM/WAV, PNG (stdlib zlib) and "
+        "baseline JPEG parse natively"
     )
 
 

@@ -38,6 +38,7 @@ from .geocsv import read_geocsv, write_geocsv
 from .gif import decode_gif, encode_gif, read_gif
 from .gml import read_gml, write_gml
 from .gpx import read_gpx, write_gpx
+from .jpeg import decode_jpeg, decode_jpeg_mask, read_jpeg
 from .kml import read_kml, write_kml, write_kml_parts
 from .mif import read_mif, write_mif
 from .geojson import (read_geojson, read_geojson_seq,
@@ -57,4 +58,5 @@ __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_kml", "write_kml", "write_kml_parts", "read_gpx", "write_gpx",
            "decode_gif", "encode_gif", "read_gif", "decode_surfer",
            "read_surfer", "decode_usgsdem", "read_usgsdem", "read_gml",
-           "write_gml", "read_mif", "write_mif", "read_topojson"]
+           "write_gml", "read_mif", "write_mif", "read_topojson",
+           "decode_jpeg", "decode_jpeg_mask", "read_jpeg"]
