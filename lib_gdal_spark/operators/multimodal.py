@@ -214,7 +214,11 @@ def _real_features(payload: bytes, dim: int) -> np.ndarray | None:
     None when the payload needs a codec library (compressed formats)."""
     try:
         arr, meta = decode_real(payload)
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # NotImplementedError: codec not supported natively.
+        # ValueError: recognized magic but corrupt/truncated stream —
+        # at crawl scale a single bad payload must not kill the job,
+        # so both degrade to "no features" instead of raising.
         return None
     a = arr.astype(np.float64)
     if "rate" in meta:  # audio
@@ -321,7 +325,10 @@ def resize_images(media: DataFrame, width: int, height: int,
                 if codec == "real":
                     try:
                         img, dm = decode_real(bytes(p))
-                    except NotImplementedError:
+                    except (NotImplementedError, ValueError):
+                        # unsupported codec OR corrupt stream: pass the
+                        # payload through untouched (crawl-scale jobs
+                        # must survive individual bad payloads)
                         pay.append(p)
                         meta.append(m)
                         continue

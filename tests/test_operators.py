@@ -313,8 +313,14 @@ class TestMultimodal:
         assert all(np.allclose(x, y) for x, y in zip(a.feat, b.feat))
 
     def test_real_decode_unknown_format_raises(self):
-        # unknown formats still raise with the dependency note
+        # unknown formats still raise with the dependency note (JPEG is
+        # no longer one of them — sources/jpeg.py decodes baseline
+        # natively, so use an H.264/mp4 magic here instead)
         with pytest.raises(NotImplementedError):
+            multimodal.decode_real(b"\x00\x00\x00\x18ftypmp42....", "video")
+        # a truncated-but-recognized JPEG is invalid input, not an
+        # unsupported codec: it surfaces the codec's own error
+        with pytest.raises(ValueError):
             multimodal.decode_real(b"\xff\xd8\xff\xe0jpeg...", "image")
 
     def test_png_decodes_via_sources_codec(self):
