@@ -1529,6 +1529,38 @@ def _q_mif_roundtrip(spark, sf_dir):
     return _rt_summarize(pts)
 
 
+def _q_dxf_roundtrip(spark, sf_dir):
+    # AutoCAD DXF sink+source with the entity codec IN the loop
+    # (sources/dxf.py — reader replayed vertex-exact against the
+    # reference's assorted/OCS/bulge/dimension autotest goldens): point
+    # features out as TEXT entities (the text carries the fid, the
+    # layer cycles), read back through the full entity reader (LABEL
+    # style synthesis, layer table defaulting), fid recovered from the
+    # Text field. A wrong group-code parse, %.17g coordinate
+    # formatting, or TEXT translation can never hash-match.
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import dxf as dxfmod
+    from lib_gdal_spark.geo import wkb as wkbmod
+
+    rows = _rt_points(spark, sf_dir).collect()
+    d = tempfile.mkdtemp(prefix="dxf_rt_")
+    wrows = [(f"L{int(r['fid']) % 5}", "point",
+              bytearray(wkbmod.encode_point(float(r["x"]),
+                                            float(r["y"]))),
+              str(int(r["fid"]))) for r in rows]
+    wdf = spark.createDataFrame(
+        wrows, "layer string, kind string, wkb binary, text string")
+    path = os.path.join(d, "rt.dxf")
+    dxfmod.write_dxf(wdf, path)
+    back = dxfmod.read_dxf(spark, path)
+    pts = back.select(F.col("text").cast("long").alias("fid"),
+                      F.col("xmin").alias("x"),
+                      F.col("ymin").alias("y"))
+    return _rt_summarize(pts)
+
+
 def _q_topojson_read(spark, sf_dir):
     # TopoJSON quantized-topology read with the arc/point transform
     # codec IN the loop (sources/topojson.py — full junk-tolerance
@@ -4684,14 +4716,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
     dict order and caps at 50/round (proven rounds 1-4). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
-    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 14
-    keys new this round (7 format-codec roundtrips from the final
-    session, then proj_datum/nearblack_collar/coverage_gaps/
-    rat_classify/fgb_roundtrip/homography_project/dted_roundtrip) take
-    the front — never-swept keys outrank staleness — followed by the
-    r1 cohort; the 9 r1-cohort keys past the 50-cap (window_topk ..
-    minhash_signatures) stay r1-stale this round, the accepted cost of
-    sweeping the new codecs. The body dict below keeps the stable r4
+    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 15
+    keys new this round (dxf_roundtrip plus 7 format-codec roundtrips
+    from the final session, then proj_datum/nearblack_collar/
+    coverage_gaps/rat_classify/fgb_roundtrip/homography_project/
+    dted_roundtrip) take the front — never-swept keys outrank
+    staleness — followed by the r1 cohort; the 10 r1-cohort keys past
+    the 50-cap (tpch_q1_groupby .. minhash_signatures) stay r1-stale
+    this round, the accepted cost of sweeping the new codecs. The body dict below keeps the stable r4
     grouping; the _SWEEP_FIRST reorder is applied on return.
     Everything past the cap stays in the local parity sweep every
     session.
@@ -4750,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_roundtrip": _q_gpx_roundtrip,         # GPX src+sink
         "gml_roundtrip": _q_gml_roundtrip,         # GML src+sink
         "mif_roundtrip": _q_mif_roundtrip,         # MapInfo MIF/MID src+sink
+        "dxf_roundtrip": _q_dxf_roundtrip,         # AutoCAD DXF src+sink
         "topojson_read": _q_topojson_read,         # TopoJSON source
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
@@ -4903,6 +4936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
+    "dxf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
     "topojson_read",
     "gif_roundtrip", "surfer_roundtrip",
@@ -7930,6 +7964,7 @@ def oracle_sql() -> dict[str, str]:
         "kml_roundtrip": _RT_ORACLE,
         "gml_roundtrip": _RT_ORACLE,
         "mif_roundtrip": _RT_ORACLE,
+        "dxf_roundtrip": _RT_ORACLE,
         "topojson_read": _o_topojson_read(),
         "gpx_roundtrip": """
 WITH pts AS (

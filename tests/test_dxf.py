@@ -1,0 +1,259 @@
+"""DXF source/sink: replays of the reference's own ogr_dxf autotest
+expectations (counts, fields, styles, vertex-exact geometry goldens),
+ACI palette parity against the reference table, and writer roundtrips.
+"""
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from lib_gdal_spark.geo import wkb as wkbmod
+from lib_gdal_spark.sources import dxf
+
+DATA = "/root/reference/autotest/ogr/data/dxf"
+AUTOTEST = "/root/reference/autotest/ogr/ogr_dxf.py"
+
+
+def _env_area(geom):
+    c = np.vstack(list(dxf._coords(geom)))
+    return float((c[:, 0].max() - c[:, 0].min())
+                 * (c[:, 1].max() - c[:, 1].min()))
+
+
+def _autotest_golden(prefix: str) -> np.ndarray:
+    """Pull a check_feature_geometry WKT golden out of the reference's
+    own ogr_dxf.py by a distinctive coordinate prefix, honoring the
+    "..." + "..." string concatenation, and parse the coordinates."""
+    src = open(AUTOTEST).read()
+    start = src.index(prefix)
+    q0 = src.rindex('"', 0, start)
+    # accumulate string literal parts until the closing paren
+    parts = []
+    i = q0
+    while True:
+        j = src.index('"', i + 1)
+        parts.append(src[i + 1:j])
+        k = j + 1
+        while src[k] in " \n\r\t":
+            k += 1
+        if src[k] == "+":
+            i = src.index('"', k)
+        else:
+            break
+    wkt = "".join(parts)
+    nums = re.findall(r"[-+]?\d+\.?\d*(?:[eE][-+]?\d+)?", wkt)
+    vals = np.array([float(x) for x in nums])
+    dims = 3 if (" Z " in wkt or wkt.split("(")[0].strip().endswith("25D")
+                 or len(vals) % 3 == 0 and " 0," in wkt) else 2
+    # infer dims from the first coordinate group instead: count items
+    # between '(' and the first ','
+    first = wkt[wkt.rindex("(") + 1:]
+    first = first.split(",")[0]
+    dims = len(first.split())
+    return vals.reshape(-1, dims)
+
+
+class TestAciPalette:
+    def test_table_matches_reference(self):
+        src = open("/root/reference/ogr/ogrsf_frmts/dxf/"
+                   "ogr_autocad_services.cpp").read()
+        block = src[src.index("abyDXFColors[768]"):]
+        block = re.sub(r"//[^\n]*", "", block[:block.index("};")])
+        nums = [int(x) for x in re.findall(r"\b(\d+)\b", block)][1:]
+        ref = np.array(nums, np.uint8).reshape(256, 3)
+        np.testing.assert_array_equal(dxf.ACI_COLORS, ref)
+
+
+class TestAssorted:
+    """test_ogr_dxf_1..9 ladder over assorted.dxf."""
+
+    @pytest.fixture(scope="class")
+    def rows(self):
+        return dxf.parse_dxf(f"{DATA}/assorted.dxf")
+
+    def test_feature_count(self, rows):
+        assert len(rows) == 22
+
+    def test_ellipse(self, rows):
+        r = rows[0]
+        assert r["layer"] == "0"
+        assert r["paperspace"] is None
+        assert r["subclasses"] == "AcDbEntity:AcDbEllipse"
+        assert r["linetype"] == "ByLayer"
+        assert r["entityhandle"] == "43"
+        assert r["style"] == "PEN(c:#000000)"
+        kind, a = r["geom"]
+        assert kind == "linestring" and r["has_z"]
+        assert abs(_env_area(r["geom"]) - 1596.12) <= 0.5
+        assert a[0, 0] == pytest.approx(73.25, abs=0.001)
+        assert a[0, 1] == pytest.approx(139.75, abs=0.001)
+
+    def test_partial_ellipse(self, rows):
+        r = rows[1]
+        assert abs(_env_area(r["geom"]) - 311.864) <= 0.5
+        a = r["geom"][1]
+        assert a[0, 0] == pytest.approx(61.133, abs=0.01)
+        assert a[0, 1] == pytest.approx(103.592, abs=0.01)
+
+    def test_point_truecolor(self, rows):
+        r = rows[2]
+        np.testing.assert_allclose(r["geom"][1], [83.5, 160.0, 0.0])
+        assert r["has_z"]
+        assert r["style"] == "PEN(c:#ffbeb8)"
+
+    def test_line_3d(self, rows):
+        r = rows[3]
+        assert r["has_z"]
+        np.testing.assert_allclose(
+            r["geom"][1], [[97.0, 159.5, 0], [108.5, 132.25, 0]])
+
+    def test_mtext(self, rows):
+        r = rows[4]
+        assert not r["has_z"]
+        np.testing.assert_allclose(r["geom"][1][:2], [84, 126])
+        assert r["style"] == \
+            'LABEL(f:"Arial",t:"Test",a:30,s:5g,p:7,c:#000000)'
+
+    def test_partial_circle(self, rows):
+        r = rows[5]
+        assert abs(_env_area(r["geom"]) - 445.748) <= 0.5
+        a = r["geom"][1]
+        assert a[0, 0] == pytest.approx(115.258, abs=0.01)
+        assert a[0, 1] == pytest.approx(107.791, abs=0.01)
+
+    def test_paperspace_line(self, rows):
+        assert rows[6]["paperspace"] == 1
+
+    def test_dimension_fallback(self, rows):
+        r = rows[7]
+        kind, lines = r["geom"]
+        assert kind == "multilinestring"
+        golden = _autotest_golden("63.8628719444825 149.209935992088")
+        got = np.vstack([a[:, :2] for a in lines])
+        np.testing.assert_allclose(got, golden, atol=1e-9)
+        # arrowheads
+        g1 = _autotest_golden("61.7583023958313 147.797704380064")
+        np.testing.assert_allclose(rows[8]["geom"][1][0], g1, atol=1e-9)
+        g2 = _autotest_golden("26.4465302172018 113.346762650677")
+        np.testing.assert_allclose(rows[9]["geom"][1][0], g2, atol=1e-9)
+        # text
+        r = rows[10]
+        np.testing.assert_allclose(
+            r["geom"][1][:2],
+            [42.815907752635709, 131.936242584545397], atol=1e-12)
+        assert r["style"] == \
+            'LABEL(f:"Arial",t:"54.33",p:5,a:43.3,s:2.5g,c:#000000)'
+
+    def test_block_inline_merged(self, rows):
+        r = rows[19]
+        kind, lines = r["geom"]
+        assert kind == "multilinestring" and r["has_z"]
+        golden = _autotest_golden("79.069506278985116 121.003652476272777")
+        got = np.vstack(lines)
+        np.testing.assert_allclose(got, golden, atol=1e-9)
+
+    def test_block_mtexts(self, rows):
+        sample_text = 'Text Sample1¿λ\n"abc"'
+        sample_style = 'Text Sample1¿λ\n\\"abc\\"'
+        r = rows[20]
+        assert r["text"] == sample_text
+        assert r["style"] == ('LABEL(f:"Arial",t:"%s",a:45,s:0.5g,'
+                              "p:5,c:#000000)" % sample_style)
+        np.testing.assert_allclose(
+            r["geom"][1][:2],
+            [77.602201427662891, 120.775897075866169], atol=1e-12)
+        r = rows[21]
+        assert r["text"] == "Second"
+        assert r["subclasses"] == "AcDbEntity:AcDbMText"
+        np.testing.assert_allclose(
+            r["geom"][1][:2],
+            [79.977331629005178, 119.698291706738644], atol=1e-12)
+
+
+class TestFixtures:
+    def test_entities_only(self):
+        rows = dxf.parse_dxf(f"{DATA}/entities_only.dxf")
+        np.testing.assert_allclose(rows[0]["geom"][1],
+                                   [672500.0, 242000.0, 539.986])
+        np.testing.assert_allclose(rows[1]["geom"][1],
+                                   [672750.0, 242000.0, 558.974])
+
+    @pytest.mark.parametrize("name,want_z", [
+        ("polyline_smooth.dxf", True), ("lwpolyline_smooth.dxf", False)])
+    def test_smooth_polyline(self, name, want_z):
+        rows = dxf.parse_dxf(f"{DATA}/{name}")
+        r = rows[0]
+        assert r["layer"] == "1"
+        kind, a = r["geom"]
+        assert kind == "linestring" and r["has_z"] == want_z
+        assert abs(_env_area(r["geom"]) - 1350.43) <= 0.5
+        assert len(a) == 146
+        assert a[0, 0] == pytest.approx(251297.8179, abs=0.001)
+        assert a[0, 1] == pytest.approx(412226.8286, abs=0.001)
+
+    def test_solid(self):
+        rows = dxf.parse_dxf(f"{DATA}/solid.dxf")
+        kind, rings = rows[0]["geom"]
+        assert kind == "polygon"
+        np.testing.assert_allclose(
+            rings[0][:, :2],
+            [[2.716846, 2.762514], [2.393674, 1.647962],
+             [4.391042, 1.06881], [4.714214, 2.183362],
+             [2.716846, 2.762514]], atol=1e-12)
+
+    def test_ellipse_z_extrusion_minus_1(self):
+        rows = dxf.parse_dxf(f"{DATA}/ellipse_z_extrusion_minus_1.dxf")
+        g1 = _autotest_golden("247.379588068074 525.677518653024")
+        np.testing.assert_allclose(rows[0]["geom"][1], g1, atol=1e-9)
+        g2 = _autotest_golden("290.988651614349 531.01336644407")
+        np.testing.assert_allclose(rows[1]["geom"][1], g2, atol=1e-9)
+
+    def test_lwpolyline_ocs(self):
+        rows = dxf.parse_dxf(f"{DATA}/LWPOLYLINE-OCS.dxf")
+        g1 = _autotest_golden("600325.567999998573214")
+        np.testing.assert_allclose(rows[1]["geom"][1], g1, atol=1e-8)
+        g12 = _autotest_golden("611415.459819656 3139300.00002682")
+        np.testing.assert_allclose(rows[12]["geom"][1], g12, atol=1e-6)
+
+    def test_binary_dxf_refused(self, tmp_path):
+        p = tmp_path / "b.dxf"
+        p.write_bytes(b"AutoCAD Binary DXF\r\n\x1a\x00rest")
+        with pytest.raises(NotImplementedError):
+            dxf.parse_dxf(str(p))
+
+
+class TestSpark:
+    def test_read_dxf_schema(self, spark):
+        df = dxf.read_dxf(spark, f"{DATA}/assorted.dxf")
+        assert df.count() == 22
+        pdf = df.orderBy("fid").toPandas()
+        assert list(pdf.columns) == [
+            "fid", "layer", "subclasses", "linetype", "entityhandle",
+            "text", "paperspace", "style", "kind", "wkb",
+            "xmin", "ymin", "xmax", "ymax"]
+        assert pdf.kind[0] == "linestring z"
+        # wkb decodes back
+        k, a, z = wkbmod.decode_z(bytes(pdf.wkb[0]))
+        assert k == "linestring" and z
+
+    def test_write_read_roundtrip_exact(self, spark, tmp_path):
+        # coordinates with non-terminating decimals (prime denominators,
+        # CLAUDE.md knife-edge rule) survive %.17g bit-exactly
+        pts = [(i, (i * 9973 % 170000) / 997.0 - 85.0,
+                (i * 7919 % 360000) / 997.0 - 180.0) for i in range(50)]
+        rows = [(f"L{i % 3}", "point",
+                 bytearray(wkbmod.encode_point(x, y)), f"t{i}")
+                for i, x, y in pts]
+        df = spark.createDataFrame(
+            rows, "layer string, kind string, wkb binary, text string")
+        path = str(tmp_path / "rt.dxf")
+        dxf.write_dxf(df, path)
+        back = dxf.parse_dxf(path)
+        assert len(back) == 50
+        for (i, x, y), r in zip(pts, back):
+            assert r["text"] == f"t{i}"
+            assert r["layer"] == f"L{i % 3}"
+            assert float(r["geom"][1][0]) == x   # bit-exact
+            assert float(r["geom"][1][1]) == y
