@@ -102,6 +102,10 @@ ACI_COLORS = np.frombuffer(bytes.fromhex(_ACI_HEX), np.uint8).reshape(256, 3)
 
 DEFAULT_ARC_STEP_DEG = 4.0  # OGR_ARC_STEPSIZE default
 
+#: Set > 0 to override the default 4-degree stroking step, mirroring
+#: the OGR_ARC_STEPSIZE configuration option.
+ARC_STEP_DEG_OVERRIDE = 0.0
+
 # DIMSTYLE properties the dimension fallback needs, with AutoCAD's
 # defaults (ogr_autocad_services.cpp:ACGetDimStylePropertyDefault).
 _DIMSTYLE_CODES = {
@@ -135,7 +139,7 @@ def approximate_arc_angles(cx, cy, z, r_primary, r_secondary, rotation_deg,
     (ogrgeometryfactory.cpp:4449): returns an (n, 3) float64 array.
     Angles are degrees clockwise-of-X-positive; internally negated."""
     if max_step_deg < 1e-6:
-        max_step_deg = DEFAULT_ARC_STEP_DEG
+        max_step_deg = ARC_STEP_DEG_OVERRIDE or DEFAULT_ARC_STEP_DEG
     full_circle = abs(end_deg - start_deg) == 360.0
     a0, a1 = -start_deg, -end_deg
     n = max(2, int(math.ceil(abs(a1 - a0) / max_step_deg) + 1))
@@ -1929,10 +1933,14 @@ class _EntityReader:
                 feat = self.t_dimension()
             elif w in ("SOLID", "TRACE"):
                 feat = self.t_solid()
-            # SPLINE/HELIX/HATCH/LEADER/MLEADER/MLINE/WIPEOUT/3DSOLID/
-            # BODY/REGION/SURFACE are skipped like the reference's
-            # ignored-entity path (their pairs are consumed lazily by
-            # the next read-ahead loop)
+            elif w in ("SPLINE", "HELIX"):
+                feat = self.t_spline()
+            elif w == "HATCH":
+                feat = self.t_hatch()
+            # LEADER/MLEADER/MLINE/WIPEOUT/3DSOLID/BODY/REGION/SURFACE
+            # are skipped like the reference's ignored-entity path
+            # (their pairs are consumed lazily by the next read-ahead
+            # loop)
             if feat is not None:
                 return feat
 
@@ -2115,3 +2123,547 @@ def write_dxf(df: DataFrame, path: str):
     out.append("  0\nENDSEC\n  0\nEOF\n")
     with open(path, "w") as fh:
         fh.write("".join(out))
+
+
+# ------------------------------------------------------- NURBS spline
+
+def _nurbs_open_knots(npts: int, order: int) -> np.ndarray:
+    """Open uniform knot vector with end multiplicity = order
+    (intronurbs.cpp:knot)."""
+    n = npts + order
+    x = np.zeros(n)
+    for i in range(1, n):
+        if i + 1 > order and i + 1 < npts + 2:
+            x[i] = x[i - 1] + 1.0
+        else:
+            x[i] = x[i - 1]
+    return x
+
+
+def _nurbs_basis(order: int, t: float, npts: int,
+                 knots: np.ndarray) -> np.ndarray:
+    """Cox-de-Boor nonrational basis with the reference's zero-denominator
+    and end-point conventions (intronurbs.cpp:basis)."""
+    nplusc = npts + order
+    N = np.zeros(nplusc)
+    for i in range(nplusc - 1):
+        N[i] = 1.0 if (knots[i] <= t < knots[i + 1]) else 0.0
+    for k in range(2, order + 1):
+        for i in range(nplusc - k):
+            d = 0.0
+            e = 0.0
+            if N[i] != 0:
+                denom = knots[i + k - 1] - knots[i]
+                if denom != 0:
+                    d = ((t - knots[i]) * N[i]) / denom
+            if N[i + 1] != 0:
+                denom = knots[i + k] - knots[i + 1]
+                if denom != 0:
+                    e = ((knots[i + k] - t) * N[i + 1]) / denom
+            N[i] = d + e
+    if t == knots[nplusc - 1]:
+        N[npts - 1] = 1.0
+    return N[:npts]
+
+
+def nurbs_interpolate(ctrl: np.ndarray, order: int, weights: np.ndarray,
+                      knots: np.ndarray | None, n_out: int) -> np.ndarray:
+    """rbspline2 re-expression (intronurbs.cpp:279): sample the rational
+    B-spline at n_out evenly spaced parameter values, snapping the final
+    samples onto the last knot within the 5e-6-span epsilon."""
+    npts = len(ctrl)
+    if knots is None:
+        knots = _nurbs_open_knots(npts, order)
+    nplusc = npts + order
+    t0, t1 = knots[0], knots[nplusc - 1]
+    step = (t1 - t0) / (n_out - 1)
+    eps = 5e-6 * (t1 - t0)
+    out = np.zeros((n_out, 3))
+    t = t0
+    for i in range(n_out):
+        if t1 - t < eps:
+            t = t1
+        basis = _nurbs_basis(order, t, npts, knots)
+        r = basis * weights
+        s = r.sum()
+        if s != 0:
+            r = r / s
+        else:
+            r = np.zeros_like(r)
+        out[i] = r @ ctrl
+        t += step
+    return out
+
+
+def _spline_with_checks(degree: int, ctrl: np.ndarray, n_ctrl: int,
+                        knots: list[float], n_knots: int,
+                        weights: list[float]):
+    """InsertSplineWithChecks (ogrdxflayer.cpp:2310): validate counts,
+    regenerate missing knots/weights, sample at 8x control points."""
+    order = degree + 1
+    if order < 2:
+        return None
+    if n_ctrl == -1:
+        n_ctrl = len(ctrl)
+    if not (n_ctrl >= order and n_ctrl == len(ctrl)):
+        return None
+    calc_knots = len(knots) == 0
+    if calc_knots:
+        kv = None
+    else:
+        kv = np.asarray(knots, np.float64)
+        if n_knots == -1:
+            n_knots = len(knots)
+        if not (n_knots == n_ctrl + order and n_knots == len(knots)):
+            return None
+    if len(weights) == 0:
+        w = np.ones(n_ctrl)
+    else:
+        w = np.asarray(weights, np.float64)
+        if len(w) != n_ctrl:
+            return None
+    return nurbs_interpolate(ctrl, order, w, kv, n_ctrl * 8)
+
+
+def _c_round(x: float) -> float:
+    """C round(): half away from zero (Python round is half-even)."""
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+# extend the entity reader with SPLINE and HATCH
+
+def _t_spline(self):
+    """SPLINE/HELIX translator (ogrdxflayer.cpp:2151), incl. the
+    interleaved-control-point null-Z dance and the #1969 knot fix."""
+    f = Feat()
+    ctrl: list[float] = []
+    knots: list[float] = []
+    weights: list[float] = []
+    degree = -1
+    n_ctrl = -1
+    n_knots = -1
+    insert_null_z = False
+    has_z = False
+    rd = self.ds.rd
+    while True:
+        c, v = rd.read()
+        if c <= 0:
+            if c == 0:
+                rd.unread()
+            break
+        if c == 10:
+            if insert_null_z:
+                ctrl.append(0.0)
+                insert_null_z = False
+            ctrl.append(_atof(v))
+        elif c == 20:
+            ctrl.append(_atof(v))
+            insert_null_z = True
+        elif c == 30:
+            ctrl.append(_atof(v))
+            has_z = True
+            insert_null_z = False
+        elif c == 40:
+            x = _atof(v)
+            if -1e-10 < x < 0:   # gdal #1969
+                x = 0.0
+            knots.append(x)
+        elif c == 41:
+            weights.append(_atof(v))
+        elif c == 70:
+            pass
+        elif c == 71:
+            degree = _atoi(v)
+            if degree < 0 or degree > 100:
+                return None
+        elif c == 72:
+            n_knots = _atoi(v)
+            if n_knots < 0 or n_knots > 10000000:
+                return None
+        elif c == 73:
+            n_ctrl = _atoi(v)
+            if n_ctrl < 0 or n_ctrl > 10000000:
+                return None
+        elif c == 100:
+            stop = v.strip() == "AcDbHelix"
+            self.generic(f, c, v)
+            if stop:
+                break
+        else:
+            self.generic(f, c, v)
+    if insert_null_z:
+        ctrl.append(0.0)
+    if len(ctrl) % 3 != 0:
+        return None
+    pts = _spline_with_checks(degree, np.asarray(ctrl).reshape(-1, 3),
+                              n_ctrl, knots, n_knots, weights)
+    if pts is None:
+        return None
+    f.geom = ("linestring", pts)
+    f.has_z = has_z
+    prepare_line_style(self.ds, f)
+    return f
+
+
+def _hatch_polyline_path(self, edges: list, elevation: float,
+                         zctx: dict) -> bool:
+    """CollectPolylinePath (ogrdxf_hatch.cpp:602)."""
+    rd = self.ds.rd
+    sp = SmoothPolyline()
+    if elevation != 0:
+        sp.dim = 3
+    bulge = 0.0
+    x = y = 0.0
+    have_x = have_y = False
+    closed = False
+    n_verts = -1
+    have_bulges = False
+    while True:
+        c, v = rd.read()
+        if c <= 0:
+            break
+        if n_verts > 0 and len(sp.v) == n_verts:
+            # reference quirk: a trailing 10/20/42 code at the count
+            # boundary is DISCARDED, any other code is unread
+            if c not in (10, 20, 42):
+                rd.unread()
+            c = 1   # mid-entity stop marker (skip the unread below)
+            break
+        if c == 93:
+            n_verts = _atoi(v)
+        elif c == 72:
+            have_bulges = bool(_atoi(v))
+        elif c == 73:
+            closed = bool(_atoi(v))
+        elif c == 10:
+            if have_x and have_y:
+                sp.add(x, y, elevation, bulge)
+                bulge = 0.0
+                have_y = False
+            x = _atof(v)
+            have_x = True
+        elif c == 20:
+            if have_x and have_y:
+                sp.add(x, y, elevation, bulge)
+                bulge = 0.0
+                have_x = False
+            y = _atof(v)
+            have_y = True
+            if have_x and not have_bulges:
+                sp.add(x, y, elevation, bulge)
+                bulge = 0.0
+                have_x = have_y = False
+        elif c == 42:
+            bulge = _atof(v)
+            if have_x and have_y:
+                sp.add(x, y, elevation, bulge)
+                bulge = 0.0
+                have_x = have_y = False
+    if c < 0:
+        return False
+    if c == 0:
+        rd.unread()
+    if have_x and have_y:
+        sp.add(x, y, elevation, bulge)
+    if closed:
+        sp.close()
+    if not sp.v:
+        return False
+    if n_verts >= 2:
+        kind, data, _ = sp.tessellate(False)
+        if kind == "linestring":
+            edges.append(data)
+            if elevation != 0:
+                zctx["z"] = True
+    return _hatch_skip_source_objects(self)
+
+
+def _hatch_skip_source_objects(self) -> bool:
+    rd = self.ds.rd
+    c, v = rd.read()
+    if c != 97:
+        if c < 0:
+            return False
+        rd.unread()
+    else:
+        for _ in range(_atoi(v)):
+            if rd.read()[0] < 0:
+                return False
+    return True
+
+
+def _hatch_boundary_path(self, edges: list, elevation: float,
+                         zctx: dict) -> bool:
+    """CollectBoundaryPath (ogrdxf_hatch.cpp:160): line / circular-arc /
+    elliptic-arc / spline edge types."""
+    rd = self.ds.rd
+    c, v = rd.read()
+    if c != 92:
+        return False
+    if _atoi(v) & 0x02:
+        return _hatch_polyline_path(self, edges, elevation, zctx)
+    c, v = rd.read()
+    if c != 93:
+        return False
+    n_edges = _atoi(v)
+    for _ in range(n_edges):
+        c, v = rd.read()
+        if c != 72:
+            return False
+        et = _atoi(v)
+        if et == 1:      # line
+            vals = []
+            ok = True
+            for want in (10, 20, 11, 21):
+                c, v = rd.read()
+                if c != want:
+                    ok = False
+                    break
+                vals.append(_atof(v))
+            if not ok:
+                break
+            # the reference emits LINE edges as 3D points always
+            # (ogrdxf_hatch.cpp:262 addPoint with elevation)
+            edges.append(np.array([[vals[0], vals[1], elevation],
+                                   [vals[2], vals[3], elevation]]))
+            zctx["z"] = True
+        elif et in (2, 3):   # circular / elliptic arc
+            want = ((10, 20, 40, 50, 51) if et == 2
+                    else (10, 20, 11, 21, 40, 50, 51))
+            vals = []
+            ok = True
+            for w in want:
+                c, v = rd.read()
+                if c != w:
+                    ok = False
+                    break
+                vals.append(_atof(v))
+            if not ok:
+                break
+            ccw = False
+            c, v = rd.read()
+            if c == 73:
+                ccw = _atoi(v) != 0
+            elif c >= 0:
+                rd.unread()
+            else:
+                break
+            if et == 2:
+                cx, cy, r, a0, a1 = vals
+                rot, rp, rs = 0.0, r, r
+            else:
+                cx, cy, mx, my, ratio, a0, a1 = vals
+                if ratio == 0.0:
+                    break
+                rp = math.sqrt(mx * mx + my * my)
+                rs = rp * ratio
+                rot = -1 * math.atan2(my, mx) * 180.0 / math.pi
+            if a0 > a1:
+                a1 += 360.0
+            if ccw:
+                a0, a1 = -a0, -a1
+            if et == 3:
+                # circular angle -> elliptical parameter
+                # (ogrdxf_hatch.cpp:426, exact op order incl. C round)
+                def param(a):
+                    return (180.0 * _c_round(a / 180.0)
+                            + ((180.0 if a < 0 or (a == 0 and
+                                                   math.copysign(1, a) < 0)
+                                else -180.0)
+                               if abs(math.fmod(a, 180.0)) == 90.0 else 0.0)
+                            + math.atan((1.0 / ratio)
+                                        * math.tan(a * math.pi / 180.0))
+                            * 180.0 / math.pi)
+                a0, a1 = param(a0), param(a1)
+            if abs(a1 - a0) <= 361.0:
+                # arcs flatten to 2D when the elevation is zero
+                arc = approximate_arc_angles(cx, cy, elevation, rp, rs,
+                                             rot, a0, a1)
+                edges.append(arc)
+                if elevation != 0.0:
+                    zctx["z"] = True
+        elif et == 4:    # spline edge
+            c, v = rd.read()
+            if c != 94:
+                break
+            degree = _atoi(v)
+            if rd.read()[0] != 73:
+                break
+            if rd.read()[0] != 74:
+                break
+            c, v = rd.read()
+            if c != 95:
+                break
+            n_knots = _atoi(v)
+            c, v = rd.read()
+            if c != 96:
+                break
+            n_ctrl = _atoi(v)
+            knots = []
+            c, v = rd.read()
+            if c != 40:
+                break
+            while c == 40:
+                knots.append(_atof(v))
+                c, v = rd.read()
+            ctrl = []
+            weights = []
+            if c != 10:
+                break
+            while c == 10:
+                px = _atof(v)
+                c, v = rd.read()
+                if c != 20:
+                    break
+                ctrl.append([px, _atof(v), 0.0])
+                c, v = rd.read()
+                if c == 42:
+                    weights.append(_atof(v))
+                    c, v = rd.read()
+            if c != 97:
+                break
+            c, v = rd.read()
+            while c > 0 and c not in (72, 97):
+                c, v = rd.read()
+            if c > 0:
+                rd.unread()
+            pts = _spline_with_checks(degree, np.asarray(ctrl), n_ctrl,
+                                      knots, n_knots, weights)
+            if pts is None:
+                return False
+            edges.append(pts)
+        else:
+            return False   # unsupported edge type
+    if c < 0:
+        return False
+    return _hatch_skip_source_objects(self)
+
+
+def _check_pts(p1, p2, tol):
+    """CheckPoints (ograssemblepolygon.cpp:34): returns (hit, new_tol)."""
+    if tol == 0.0:
+        return (p1[0] == p2[0] and p1[1] == p2[1]), tol
+    dx = abs(p1[0] - p2[0])
+    if dx > tol:
+        return False, tol
+    dy = abs(p1[1] - p2[1])
+    if dy > tol:
+        return False, tol
+    d = math.sqrt(dx * dx + dy * dy)
+    if d < tol:
+        return True, d
+    return False, tol
+
+
+def build_polygon_from_edges(edges: list[np.ndarray], tolerance: float):
+    """OGRBuildPolygonFromEdges re-expression (ograssemblepolygon.cpp:123)
+    with bBestEffort + bAutoClose: chain edges end-to-end within
+    tolerance into rings, then organizePolygons. Returns
+    (ok, geom, touched) — touched mirrors OGR's Z-promotion: True when
+    any ring needed the 3-argument auto-close addPoint or endpoint snap
+    (ograssemblepolygon.cpp:300), which makes the result 25D."""
+    from .mif import organize_polygons
+
+    pool = [e for e in edges if len(e) >= 2]
+    rings = []
+    ok = True
+    touched = False
+    while pool:
+        ring = pool.pop(0).copy()
+        work_done = True
+        while not (ring[0][0] == ring[-1][0] and ring[0][1] == ring[-1][1]) \
+                and pool and work_done:
+            work_done = False
+            best_dist = tolerance
+            best = None
+            best_i = -1
+            best_rev = False
+            for i, e in enumerate(pool):
+                hit, best_dist = _check_pts(e[0], ring[-1], best_dist)
+                if hit:
+                    best, best_i, best_rev = e, i, False
+                hit, best_dist = _check_pts(e[-1], ring[-1], best_dist)
+                if hit:
+                    best, best_i, best_rev = e, i, True
+                if best_dist == 0.0 and best is not None:
+                    break
+            if best is not None:
+                e = best[::-1] if best_rev else best
+                skip, _ = _check_pts(e[0], ring[-1], tolerance)
+                ring = np.vstack([ring, e[1:] if skip else e])
+                pool.pop(best_i)
+                work_done = True
+        closed, _ = _check_pts(ring[0], ring[-1], tolerance)
+        if not closed:
+            ok = False
+        exact, _ = _check_pts(ring[0], ring[-1], 0.0)
+        if not closed:
+            ring = np.vstack([ring, ring[:1]])
+            touched = True
+        elif not exact:
+            ring[-1] = ring[0]
+            touched = True
+        rings.append(ring)
+    return ok, organize_polygons(rings), touched
+
+
+def _t_hatch(self):
+    """TranslateHATCH (ogrdxf_hatch.cpp:32): boundary paths assembled
+    into polygons; multilinestring fallback when rings don't close."""
+    f = Feat()
+    elevation = 0.0
+    edges: list[np.ndarray] = []
+    zctx = {"z": False}
+    extended = ""
+    rd = self.ds.rd
+    while True:
+        c, v = rd.read()
+        if c <= 0:
+            if c == 0:
+                rd.unread()
+            break
+        if c == 30:
+            elevation = _atof(v)
+        elif c == 70:
+            f.props["FillFlag"] = "Filled" if _atoi(v) else "Pattern"
+        elif c == 2:
+            f.fields["Text"] = v.strip()
+        elif c == 91:
+            for _ in range(_atoi(v)):
+                if not _hatch_boundary_path(self, edges, elevation,
+                                            zctx):
+                    break
+        elif c == 52:
+            f.props["HatchPatternRotation"] = v.strip()
+        elif c == 41:
+            f.props["HatchPatternScale"] = v.strip()
+        elif c == 1001:
+            extended = v.strip()
+        elif c == 1071:
+            if extended == "HATCHBACKGROUNDCOLOR":
+                f.props["HatchBackgroundColor"] = v.strip()
+        else:
+            self.generic(f, c, v)
+    if not edges:
+        return None
+    allc = np.vstack(edges)
+    tol = max(allc[:, 0].max() - allc[:, 0].min(),
+              allc[:, 1].max() - allc[:, 1].min()) * 1e-7
+    ok, geom, touched = build_polygon_from_edges(edges, tol)
+    if ok:
+        f.geom = geom
+        # OGR's auto-close/snap setPoint carries a Z and promotes the
+        # ring to 25D even at zero elevation
+        f.has_z = zctx["z"] or elevation != 0.0 or touched
+    else:
+        f.geom = ("multilinestring", edges)
+        f.has_z = zctx["z"] or elevation != 0.0
+    brush = True   # reference styles HATCH with PrepareBrushStyle
+    f.apply_ocs()
+    if brush:
+        prepare_brush_style(self.ds, f)
+    return f
+
+
+_EntityReader.t_spline = _t_spline
+_EntityReader.t_hatch = _t_hatch

@@ -102,6 +102,60 @@ def _point_in_ring(x: float, y: float, ring: np.ndarray) -> bool:
     return bool(np.sum(cross) % 2)
 
 
+def _point_on_ring_boundary(x: float, y: float, ring: np.ndarray) -> bool:
+    """OGRLinearRing::isPointOnRingBoundary re-expression
+    (ogrlinearring.cpp:533): exact-zero cross product + projection
+    within the segment."""
+    for i in range(1, len(ring)):
+        dx1, dy1 = x - ring[i, 0], y - ring[i, 1]
+        dx2, dy2 = x - ring[i - 1, 0], y - ring[i - 1, 1]
+        if dx1 * dy2 - dx2 * dy1 == 0:
+            if dx1 == dx2 and dy1 == dy2:
+                continue
+            sx = ring[i, 0] - ring[i - 1, 0]
+            sy = ring[i, 1] - ring[i - 1, 1]
+            proj = dx2 * sx + dy2 * sy
+            if 0 <= proj <= sx * sx + sy * sy:
+                return True
+    return False
+
+
+def _ring_contains_ring(outer: np.ndarray, inner: np.ndarray) -> bool:
+    """organizePolygons' DEFAULT containment walk
+    (ogrgeometryfactory.cpp:2060): the outer ENVELOPE must contain the
+    inner envelope, then walk inner's vertices — on-boundary points are
+    inconclusive (advance), a strictly-inside point decides True, an
+    outside point decides False; if every vertex sits on the boundary,
+    repeat with segment midpoints."""
+    if not (outer[:, 0].min() <= inner[:, 0].min()
+            and outer[:, 0].max() >= inner[:, 0].max()
+            and outer[:, 1].min() <= inner[:, 1].min()
+            and outer[:, 1].max() >= inner[:, 1].max()):
+        return False
+    prev = None
+    all_on_boundary = True
+    for k in range(len(inner)):
+        x, y = float(inner[k, 0]), float(inner[k, 1])
+        if prev is not None and x == prev[0] and y == prev[1]:
+            continue
+        if _point_on_ring_boundary(x, y, outer):
+            prev = (x, y)
+            continue
+        all_on_boundary = False
+        return _point_in_ring(x, y, outer)
+    if all_on_boundary and len(inner) > 3:
+        prev = (float(inner[0, 0]), float(inner[0, 1]))
+        for k in range(1, len(inner)):
+            x, y = float(inner[k, 0]), float(inner[k, 1])
+            if x == prev[0] and y == prev[1]:
+                continue
+            mx, my = (x + prev[0]) / 2.0, (y + prev[1]) / 2.0
+            if not _point_on_ring_boundary(mx, my, outer):
+                return _point_in_ring(mx, my, outer)
+            prev = (x, y)
+    return False
+
+
 def organize_polygons(rings: list[np.ndarray]):
     """organizePolygons METHOD=DEFAULT re-expression: containment
     depth decides shells (even) vs holes (odd, assigned to their
@@ -115,12 +169,11 @@ def organize_polygons(rings: list[np.ndarray]):
     depth = [0] * n
     container = [-1] * n
     for i in range(n):
-        px, py = float(rings[i][0, 0]), float(rings[i][0, 1])
         best = -1
         for j in range(n):
             if i == j or areas[j] <= areas[i]:
                 continue
-            if _point_in_ring(px, py, rings[j]):
+            if _ring_contains_ring(rings[j], rings[i]):
                 depth[i] += 1
                 if best < 0 or areas[j] < areas[best]:
                     best = j

@@ -257,3 +257,54 @@ class TestSpark:
             assert r["layer"] == f"L{i % 3}"
             assert float(r["geom"][1][0]) == x   # bit-exact
             assert float(r["geom"][1][1]) == y
+
+
+class TestSplineHatch:
+    def test_spline_qcad(self):
+        rows = dxf.parse_dxf(f"{DATA}/spline_qcad.dxf")
+        g = _autotest_golden("10.75 62.75 0,20.6377527691461")
+        np.testing.assert_allclose(rows[0]["geom"][1], g, atol=1e-9)
+
+    def test_spline_weights(self):
+        rows = dxf.parse_dxf(f"{DATA}/spline_weight.dxf")
+        for r, prefix in zip(rows, [
+                "2 2 0,2.1025641025641 2.15371128980596",
+                "2 2 0,2.10976572340247 2.16451423293308",
+                "2 2 0,2.09894267472891 2.14827889065297"]):
+            g = _autotest_golden(prefix)
+            np.testing.assert_allclose(r["geom"][1], g, atol=1e-9)
+
+    def test_spline_closed_and_recalc_knots(self):
+        rows = dxf.parse_dxf(f"{DATA}/spline_closed.dxf")
+        g = _autotest_golden("14 2 0,13.9043277090443 2.1111553863727")
+        np.testing.assert_allclose(rows[0]["geom"][1], g, atol=1e-9)
+        np.testing.assert_allclose(rows[1]["geom"][1], g, atol=1e-9)
+
+    def test_hatch_as_multipolygon(self):
+        rows = dxf.parse_dxf(f"{DATA}/hatch_as_multipolygon.dxf")
+        kind, data = rows[0]["geom"]
+        assert kind == "multipolygon" and len(data) == 5
+        g = _autotest_golden("358.626489135389 -3222.17795096722")
+        got = np.vstack([np.asarray(rings[0])[:, :2] for rings in data])
+        np.testing.assert_allclose(got, g, atol=1e-9)
+
+    def test_hatch_arc_step_override(self):
+        # test_ogr_dxf_24 runs under OGR_ARC_STEPSIZE=45
+        dxf.ARC_STEP_DEG_OVERRIDE = 45.0
+        try:
+            rows = dxf.parse_dxf(f"{DATA}/hatch.dxf")
+        finally:
+            dxf.ARC_STEP_DEG_OVERRIDE = 0.0
+        r = rows[0]
+        assert r["geom"][0] == "polygon" and not r["has_z"]
+        g = _autotest_golden("2 1,1.646446609406726 0.853553390593274")
+        np.testing.assert_allclose(r["geom"][1][0][:, :2], g, atol=1e-9)
+        r = rows[1]
+        assert r["geom"][0] == "polygon" and r["has_z"]
+        g = _autotest_golden("0.0 0.0 0,-0.353553390593274")
+        np.testing.assert_allclose(r["geom"][1][0], g, atol=1e-9)
+        r = rows[2]
+        assert r["geom"][0] == "polygon" and r["has_z"]
+        np.testing.assert_allclose(
+            r["geom"][1][0],
+            [[-1, -1, 0], [-1, 0, 0], [0, 0, 0], [-1, -1, 0]], atol=1e-12)
