@@ -371,6 +371,10 @@ class DxfFile:
     # ----- section scan
 
     def _read_structure(self):
+        """Forgiving sequential section scan: the reference tolerates
+        files missing the 0/SECTION introducers (text.dxf has a bare
+        '2 ENTITIES' after ENDSEC — ogrdxfdatasource.cpp:240-330 checks
+        each keyword independently)."""
         rd = self.rd
         # entities-only file? (test #3412): first 0-code is an entity
         first = rd.read()
@@ -382,19 +386,14 @@ class DxfFile:
             c, v = rd.read()
             if c < 0:
                 break
-            if c != 0 or v.strip() != "SECTION":
-                continue
-            c, v = rd.read()
-            if c != 2:
-                continue
-            name = v.strip()
-            if name == "HEADER":
+            w = v.strip()
+            if c == 2 and w == "HEADER":
                 self._read_header()
-            elif name == "TABLES":
+            elif c == 2 and w == "TABLES":
                 self._read_tables()
-            elif name == "BLOCKS":
+            elif c == 2 and w == "BLOCKS":
                 self._read_blocks()
-            elif name == "ENTITIES":
+            elif c == 2 and w == "ENTITIES":
                 self._entities_start = rd.i
                 return
 
@@ -1937,7 +1936,9 @@ class _EntityReader:
                 feat = self.t_spline()
             elif w == "HATCH":
                 feat = self.t_hatch()
-            # LEADER/MLEADER/MLINE/WIPEOUT/3DSOLID/BODY/REGION/SURFACE
+            elif w == "WIPEOUT":
+                feat = self.t_wipeout()
+            # LEADER/MLEADER/MLINE/3DSOLID/BODY/REGION/SURFACE
             # are skipped like the reference's ignored-entity path
             # (their pairs are consumed lazily by the next read-ahead
             # loop)
@@ -2667,3 +2668,57 @@ def _t_hatch(self):
 
 _EntityReader.t_spline = _t_spline
 _EntityReader.t_hatch = _t_hatch
+
+
+def _t_wipeout(self):
+    """TranslateWIPEOUT (ogrdxflayer.cpp:2881): clipping-boundary
+    outline only — insertion point + u/v scale vectors, vertices
+    mapped by (0.5+x)*sx / (0.5-y)*sy, closed to a polygon."""
+    f = Feat()
+    sp = SmoothPolyline()
+    st = {"ox": 0.0, "oy": 0.0, "sx": 1.0, "sy": 1.0,
+          "x": 0.0, "nv": 0, "nb": 0, "bad": False}
+    rd = self.ds.rd
+    while True:
+        c, v = rd.read()
+        if c <= 0:
+            if c == 0:
+                rd.unread()
+            break
+        if st["nb"] > st["nv"]:
+            return None   # too many vertices
+        if c == 10:
+            st["ox"] = _atof(v)
+        elif c == 20:
+            st["oy"] = _atof(v)
+            sp.add(st["ox"], st["oy"], 0.0, 0.0)
+        elif c == 11:
+            st["sx"] = _atof(v)
+        elif c == 22:
+            st["sy"] = _atof(v)
+        elif c == 71:
+            if _atoi(v) == 1:   # point format 1 unsupported
+                st["bad"] = True
+        elif c == 91:
+            st["nv"] = _atoi(v)
+        elif c == 14:
+            st["x"] = _atof(v)
+        elif c == 24:
+            sp.add(st["ox"] + (0.5 + st["x"]) * st["sx"],
+                   st["oy"] + (0.5 - _atof(v)) * st["sy"], 0.0, 0.0)
+            st["nb"] += 1
+        elif c in (31, 281, 282, 293):
+            pass
+        else:
+            self.generic(f, c, v)
+    if st["bad"] or not sp.v:
+        return None
+    sp.close()
+    kind, data, has_z = sp.tessellate(True)
+    f.geom = (kind, data)
+    f.has_z = has_z
+    prepare_line_style(self.ds, f)
+    return f
+
+
+_EntityReader.t_wipeout = _t_wipeout

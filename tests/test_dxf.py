@@ -308,3 +308,65 @@ class TestSplineHatch:
         np.testing.assert_allclose(
             r["geom"][1][0],
             [[-1, -1, 0], [-1, 0, 0], [0, 0, 0], [-1, -1, 0]], atol=1e-12)
+
+
+def _test_body(name):
+    src = open(AUTOTEST).read()
+    i = src.index(f"def {name}(")
+    j = src.find("\ndef ", i)
+    return src[i:j if j > 0 else len(src)]
+
+
+def _body_goldens(body):
+    out = []
+    for m in re.finditer(
+            r'check_feature_geometry\(\s*feat,\s*'
+            r'("(?:[^"\\]|\\.)*"(?:\s*\+\s*"(?:[^"\\]|\\.)*")*)', body):
+        parts = re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1))
+        out.append("".join(parts))
+    return out
+
+
+def _parse_wkt(wkt):
+    nums = [float(x) for x in re.findall(
+        r"[-+]?\d+\.?\d*(?:[eE][-+]?\d+)?", wkt[wkt.index("("):])]
+    first = wkt[wkt.index("(") + 1:].lstrip("(").split(",")[0]
+    dims = len(first.split())
+    return np.array(nums).reshape(-1, dims)
+
+
+class TestAutotestLadders:
+    """Full GetNextFeature ladders: every check_feature_geometry golden
+    from the reference's own test function, in order, vertex-exact."""
+
+    @pytest.mark.parametrize("test,fixture", [
+        ("test_ogr_dxf_25", "3dface.dxf"),
+        ("test_ogr_dxf_read_wipeout", "wipeout.dxf"),
+        ("test_ogr_dxf_31", "ocs2wcs1.dxf"),
+        ("test_ogr_dxf_32", "ocs2wcs2.dxf"),
+    ])
+    def test_ladder(self, test, fixture):
+        goldens = _body_goldens(_test_body(test))
+        rows = dxf.parse_dxf(f"{DATA}/{fixture}")
+        assert len(goldens) == len(rows)
+        for g, r in zip(goldens, rows):
+            exp = _parse_wkt(g)
+            got = np.vstack(list(dxf._coords(r["geom"])))
+            if not r["has_z"]:
+                got = got[:, :2]
+            assert got.shape == exp.shape
+            np.testing.assert_allclose(got, exp, atol=1e-8)
+
+    def test_text_mtext_styles(self):
+        # test_ogr_dxf_22: escape-sequence stack + STYLE-table lookups
+        r = dxf.parse_dxf(f"{DATA}/text.dxf")[0]
+        test_text = "test\ttext ab/c~d±ef^g.h#i jklm"
+        assert r["text"] == test_text
+        assert r["style"] == ('LABEL(f:"SwissCheese",bo:1,t:"'
+                              + test_text + '",a:45,s:10g,w:51,c:#ff0000)')
+        np.testing.assert_allclose(r["geom"][1], [1, 2, 3])
+        assert r["has_z"]
+
+    def test_binary_wipeout_refused(self):
+        with pytest.raises(NotImplementedError):
+            dxf.parse_dxf(f"{DATA}/BINARY_wipeout.dxf")
