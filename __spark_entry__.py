@@ -1561,6 +1561,66 @@ def _q_dxf_roundtrip(spark, sf_dir):
     return _rt_summarize(pts)
 
 
+def _q_netcdf_roundtrip(spark, sf_dir):
+    # netCDF classic sink+source with the CDF-1 codec IN the loop
+    # (sources/netcdf.py — reader replays byte.nc cs 4672 / bug636 tas
+    # cs 31621 / trmm-2x2 geotransform): an sf-sensitive W x H grid of
+    # integer-valued doubles v = ((y*W+x)*13+7) % 997 goes out through
+    # write_netcdf (bottom-up with lat/lon coordinate vars), comes back
+    # through the north-up flip, and per-row-band sums are compared.
+    # A wrong begin offset, record/row order, or flip direction can
+    # never hash-match the oracle.
+    import math
+    import os
+    import tempfile
+
+    from lib_gdal_spark.sources import netcdf as ncmod
+
+    n_cust = _tbl(spark, sf_dir, "customer").count()
+    W = 64
+    H = int(math.isqrt(n_cust))
+    yy, xx = np.mgrid[0:H, 0:W]
+    a = (((yy * W + xx) * 13 + 7) % 997).astype(np.float64)
+    path = os.path.join(tempfile.mkdtemp(prefix="nc_rt_"), "rt.nc")
+    ncmod.write_netcdf(path, a)
+    cells, _meta = ncmod.read_netcdf(spark, path)
+    return (cells
+            .groupBy((F.col("by") % 8).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("long")).alias("v_sum"),
+                 F.sum((F.col("bx") * F.col("value").cast("long")))
+                 .cast("long").alias("xv_sum")))
+
+
+def _o_netcdf_roundtrip() -> str:
+    # duckdb's range() table function only takes CONSTANT bounds — the
+    # data-derived grid size is cut from a row_number sequence instead:
+    # customer x range(0,64) yields 64n complete row numbers and
+    # 64n >= 64*isqrt(n) always, so filtering i < w*h leaves exactly
+    # the set {0 .. w*h-1} regardless of scan order
+    return """
+WITH dims AS (
+  SELECT CAST(64 AS BIGINT) AS w,
+         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS h
+  FROM customer
+), seq AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i
+  FROM customer CROSS JOIN range(0, 64)
+), g AS (
+  SELECT CAST(t.i % d.w AS BIGINT) AS bx,
+         CAST(d.h - 1 - (t.i // d.w) AS BIGINT) AS by,
+         CAST(((t.i * 13 + 7) % 997) AS BIGINT) AS v
+  FROM seq t, dims d
+  WHERE t.i < d.w * d.h
+)
+SELECT by % 8 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS v_sum,
+       CAST(SUM(bx * v) AS BIGINT) AS xv_sum
+FROM g GROUP BY by % 8
+"""
+
+
 def _q_topojson_read(spark, sf_dir):
     # TopoJSON quantized-topology read with the arc/point transform
     # codec IN the loop (sources/topojson.py — full junk-tolerance
@@ -4716,13 +4776,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
     dict order and caps at 50/round (proven rounds 1-4). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
-    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 15
-    keys new this round (dxf_roundtrip plus 7 format-codec roundtrips
+    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 16
+    keys new this round (dxf_roundtrip and netcdf_roundtrip plus 7
+    format-codec roundtrips
     from the final session, then proj_datum/nearblack_collar/
     coverage_gaps/rat_classify/fgb_roundtrip/homography_project/
     dted_roundtrip) take the front — never-swept keys outrank
-    staleness — followed by the r1 cohort; the 10 r1-cohort keys past
-    the 50-cap (tpch_q1_groupby .. minhash_signatures) stay r1-stale
+    staleness — followed by the r1 cohort; the 11 r1-cohort keys past
+    the 50-cap (contour_segments .. minhash_signatures) stay r1-stale
     this round, the accepted cost of sweeping the new codecs. The body dict below keeps the stable r4
     grouping; the _SWEEP_FIRST reorder is applied on return.
     Everything past the cap stays in the local parity sweep every
@@ -4783,6 +4844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gml_roundtrip": _q_gml_roundtrip,         # GML src+sink
         "mif_roundtrip": _q_mif_roundtrip,         # MapInfo MIF/MID src+sink
         "dxf_roundtrip": _q_dxf_roundtrip,         # AutoCAD DXF src+sink
+        "netcdf_roundtrip": _q_netcdf_roundtrip,   # netCDF classic src+sink
         "topojson_read": _q_topojson_read,         # TopoJSON source
         # ---- (3) round-1-verified, two rounds stale: refresh ----
         "tile_assign": _q_tile_assign,
@@ -4936,7 +4998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "dxf_roundtrip",
+    "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
     "topojson_read",
     "gif_roundtrip", "surfer_roundtrip",
@@ -7965,6 +8027,7 @@ def oracle_sql() -> dict[str, str]:
         "gml_roundtrip": _RT_ORACLE,
         "mif_roundtrip": _RT_ORACLE,
         "dxf_roundtrip": _RT_ORACLE,
+        "netcdf_roundtrip": _o_netcdf_roundtrip(),
         "topojson_read": _o_topojson_read(),
         "gpx_roundtrip": """
 WITH pts AS (
