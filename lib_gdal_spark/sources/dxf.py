@@ -1776,7 +1776,7 @@ class _EntityReader:
         f.has_z = True
 
     def insert_block_inline(self, name: str, x: "_InsertXform",
-                            f: Feat, merge: bool):
+                            f: Feat, merge: bool, recursive: bool = True):
         """InsertBlockInline (ogrdxflayer.cpp:3082). Features except
         text merge into one geometry; the rest land on self.pending.
         Raises KeyError when the block doesn't exist."""
@@ -1800,7 +1800,7 @@ class _EntityReader:
                 sub = sub0.clone()
                 if f.fields.get("PaperSpace"):
                     sub.fields["PaperSpace"] = 1
-                if sub.is_blockref:
+                if recursive and sub.is_blockref:
                     ix = _InsertXform()
                     ix.ox, ix.oy, ix.oz = sub.block_coords
                     ix.angle = sub.block_angle * math.pi / 180.0
@@ -1834,7 +1834,7 @@ class _EntityReader:
                             and sub.geom is not None:
                         merged.append(sub.geom)
                         merged_z = merged_z or sub.has_z
-                    elif not self.inline or sub.attribute_tag == "":
+                    elif not recursive or sub.attribute_tag == "":
                         if sub.fields.get("Layer", "") == "0" and \
                                 f.fields.get("Layer", ""):
                             sub.fields["Layer"] = f.fields["Layer"]
@@ -2020,9 +2020,44 @@ def parse_dxf(path: str, inline_blocks: bool = True,
                "text": f.fields["Text"],
                "paperspace": f.fields["PaperSpace"],
                "style": f.style, "geom": f.geom, "has_z": f.has_z}
+        if f.is_blockref:
+            # DXF_INLINE_BLOCKS=FALSE surface (ogrdxflayer.cpp:3040):
+            # the INSERT stays a point feature carrying the reference
+            row.update(blockname=f.block_name,
+                       blockangle=f.block_angle,
+                       blockscale=list(f.block_scale),
+                       blockocscoords=list(f.block_coords))
         rows.append(row)
         fid += 1
     return rows
+
+
+def parse_dxf_blocks(path: str) -> dict[str, list[dict]]:
+    """The 'blocks' layer surface (DXF_INLINE_BLOCKS=FALSE,
+    ogrdxfblockslayer.cpp:96): each block inserted at the origin with
+    identity transform, geometries merged, nested INSERTs NOT expanded
+    (bInlineRecursively=false); features keyed by block name in
+    definition order."""
+    ds = DxfFile(path, inline_blocks=False)
+    out: dict[str, list[dict]] = {}
+    for name in ds.blocks:
+        rdr = _EntityReader(ds, inline_blocks=False)
+        try:
+            merged = rdr.insert_block_inline(
+                name, _InsertXform(), Feat(),
+                merge=ds.merge_block_geometries, recursive=False)
+        except KeyError:
+            continue
+        feats = ([merged] if merged is not None else []) + rdr.pending
+        rows = []
+        for f in feats:
+            rows.append({"block": name, "layer": f.fields["Layer"],
+                         "subclasses": f.fields["SubClasses"],
+                         "text": f.fields["Text"], "style": f.style,
+                         "geom": f.geom, "has_z": f.has_z,
+                         "attribute_tag": f.attribute_tag})
+        out[name] = rows
+    return out
 
 
 def _geom_wkb(geom, has_z: bool) -> tuple[str, bytes, tuple]:

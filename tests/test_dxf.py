@@ -370,3 +370,35 @@ class TestAutotestLadders:
     def test_binary_wipeout_refused(self):
         with pytest.raises(NotImplementedError):
             dxf.parse_dxf(f"{DATA}/BINARY_wipeout.dxf")
+
+
+class TestBlocksLayer:
+    """test_ogr_dxf_16: DXF_INLINE_BLOCKS=FALSE surfaces."""
+
+    def test_insert_block_reference_point(self):
+        rows = dxf.parse_dxf(f"{DATA}/assorted.dxf", inline_blocks=False)
+        br = [r for r in rows if r.get("blockname")]
+        assert len(br) == 1
+        r = br[0]
+        assert r["blockname"] == "STAR"
+        assert r["blockangle"] == 0.0
+        assert r["blockscale"] == [1.0, 1.0, 1.0]
+        np.testing.assert_allclose(
+            r["geom"][1],
+            [79.097653776656188, 119.962195062443342, 0], atol=1e-12)
+
+    def test_blocks_layer_star(self):
+        blocks = dxf.parse_dxf_blocks(f"{DATA}/assorted.dxf")
+        star = blocks["STAR"]
+        assert len(star) == 3
+        kind, lines = star[0]["geom"]
+        assert kind == "multilinestring"
+        golden = _autotest_golden("-0.028147497671066 1.041457413829428")
+        np.testing.assert_allclose(np.vstack(lines), golden, atol=1e-12)
+        np.testing.assert_allclose(
+            star[1]["geom"][1],
+            [-1.495452348993292, 0.813702013422821, 0], atol=1e-12)
+        assert star[2]["text"] == "Second"
+        np.testing.assert_allclose(
+            star[2]["geom"][1],
+            [0.879677852348995, -0.263903355704699, 0], atol=1e-12)
