@@ -1938,7 +1938,9 @@ class _EntityReader:
                 feat = self.t_hatch()
             elif w == "WIPEOUT":
                 feat = self.t_wipeout()
-            # LEADER/MLEADER/MLINE/3DSOLID/BODY/REGION/SURFACE
+            elif w == "LEADER":
+                feat = self.t_leader()
+            # MLEADER/MLINE/3DSOLID/BODY/REGION/SURFACE
             # are skipped like the reference's ignored-entity path
             # (their pairs are consumed lazily by the next read-ahead
             # loop)
@@ -2757,3 +2759,216 @@ def _t_wipeout(self):
 
 
 _EntityReader.t_wipeout = _t_wipeout
+
+
+# --------------------------------------------------------- LEADER
+
+#: arrowhead blocks treated as having no length (no endpoint shift)
+_SPECIAL_ARROWHEADS = {"_ArchTick", "_DotSmall", "_Integral", "_None",
+                       "_Oblique", "_Small"}
+
+
+def _bspline_control_points(params, knots, data, degree,
+                            start_tangent, end_tangent):
+    """GetBSplineControlPoints re-expression (ogrdxf_leader.cpp:1245):
+    solve N P = D for the interpolating control net, with tangent rows
+    at positions 1 and n (Piegl & Tiller sections 2.2/9.2)."""
+    n = len(data)
+    D = np.zeros((n + 2, 3))
+    D[0] = data[0]
+    D[2:n] = data[1:n - 1]
+    D[n + 1] = data[n - 1]
+    D[1] = np.asarray(start_tangent) * (knots[degree + 1] / degree)
+    D[n] = np.asarray(end_tangent) * ((1.0 - knots[n + 1]) / degree)
+    N = np.zeros((n + 2, n + 2))
+    N[0, 0] = 1.0
+    N[1, 0], N[1, 1] = -1.0, 1.0
+    kv = np.asarray(knots, np.float64)
+    for row in range(2, n):
+        N[row, :] = _nurbs_basis(degree + 1, params[row - 1], n + 2, kv)
+    N[n, n], N[n, n + 1] = -1.0, 1.0
+    N[n + 1, n + 1] = 1.0
+    try:
+        return np.linalg.solve(N, D)
+    except np.linalg.LinAlgError:
+        return None
+
+
+def interpolate_leader_spline(pts: np.ndarray,
+                              end_tangent=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """InterpolateSpline (ogrdxf_leader.cpp:1351): chord-length
+    parameterisation, tangents scaled by total chord length, knot
+    vector 0*3 + params + 1*3, control solve, 8x sampling."""
+    keep = [0] + [i for i in range(1, len(pts))
+                  if not np.array_equal(pts[i], pts[i - 1])]
+    data = pts[keep]
+    n = len(data)
+    if n < 2:
+        return pts
+    chord = np.concatenate([[0.0], np.cumsum(
+        np.sqrt(((data[1:] - data[:-1]) ** 2).sum(axis=1)))])
+    if np.any(np.diff(chord) == 0.0):
+        return pts
+    total = chord[-1]
+    start_tan = (data[1] - data[0]) * (total / chord[1])
+    et = np.asarray(end_tangent, np.float64)
+    if not et.any():
+        et = (data[-1] - data[-2]) / (total - chord[-2])
+    et = et * total
+    params = chord / total
+    degree = 3
+    knots = np.zeros(n + degree + 3)
+    knots[degree:degree + n] = params
+    knots[-degree:] = 1.0
+    ctrl = _bspline_control_points(params, knots, data, degree,
+                                   start_tan, et)
+    if ctrl is None:
+        return pts
+    return nurbs_interpolate(ctrl, degree + 1, np.ones(len(ctrl)),
+                             knots, len(ctrl) * 8)
+
+
+def _t_leader(self):
+    """TranslateLEADER (ogrdxf_leader.cpp:47): 3D vertex triplets,
+    DIMSTYLE lookups/overrides, arrowhead insertion with the
+    endpoint-shift rule, spline interpolation, DIMTAD text extension."""
+    f = Feat()
+    ds = self.ds
+    pts: list[list[float]] = []
+    cur = [0.0, 0.0, 0.0]
+    have = [False, False, False]
+    dimprops = ds.default_dimstyle()
+    st = {"hdx": 1.0, "hdy": 0.0, "hdz": 0.0, "flip": True,
+          "has_text": False, "text_width": 0.0, "spline": False,
+          "arrow": True}
+    rd = ds.rd
+    while True:
+        c, v = rd.read()
+        if c <= 0:
+            if c == 0:
+                rd.unread()
+            break
+        if c == 3:
+            dimprops.update(ds.dimstyles.get(v.strip(),
+                                             ds.default_dimstyle()))
+        elif c in (10, 20, 30):
+            if all(have):
+                pts.append(list(cur))
+                have = [c == 10, c == 20, c == 30]
+            cur[(c // 10) - 1] = _atof(v)
+            have[(c // 10) - 1] = True
+        elif c == 41:
+            st["text_width"] = _atof(v)
+        elif c == 71:
+            st["arrow"] = _atoi(v) != 0
+        elif c == 72:
+            st["spline"] = _atoi(v) != 0
+        elif c == 73:
+            st["has_text"] = _atoi(v) == 0
+        elif c == 74:
+            # spec is backwards: nonzero means flip (reference comment)
+            st["flip"] = _atoi(v) != 0
+        elif c == 211:
+            st["hdx"] = _atof(v)
+        elif c == 221:
+            st["hdy"] = _atof(v)
+        elif c == 231:
+            st["hdz"] = _atof(v)
+        elif c == 1001:
+            st["xdata_acad"] = v.strip() == "ACAD"
+        elif c == 1070:
+            if st.get("xdata_acad"):
+                code = _atoi(v)
+                if code in _DIMSTYLE_CODES:
+                    c2, v2 = rd.read()
+                    if c2 in (1005, 1040, 1070):
+                        dimprops[_DIMSTYLE_CODES[code][0]] = v2.strip()
+                    else:
+                        rd.unread()
+        else:
+            self.generic(f, c, v)
+    if all(have):
+        pts.append(list(cur))
+    line = np.asarray(pts, np.float64).reshape(-1, 3)
+
+    scale = _atof(dimprops["DIMSCALE"]) or 1.0
+    asz = _atof(dimprops["DIMASZ"])
+    want_ext = _atoi(dimprops["DIMTAD"]) > 0
+    text_offset = _atof(dimprops["DIMGAP"])
+    leader_color = _atoi(dimprops["DIMCLRD"])
+    arrow_handle = dimprops["DIMLDRBLK"].strip().strip('"')
+    if leader_color > 0:
+        f.props["Color"] = dimprops["DIMCLRD"]
+
+    if st["arrow"] and len(line) >= 2:
+        line = self._leader_arrowhead(f, line, arrow_handle, asz * scale)
+
+    if st["flip"]:
+        st["hdx"] *= -1.0   # the reference flips X three times (net -1)
+
+    if st["spline"] and len(line) >= 2:
+        et = ((st["hdx"], st["hdy"], st["hdz"]) if st["has_text"]
+              else (0.0, 0.0, 0.0))
+        line = interpolate_leader_spline(line, et)
+
+    if want_ext and st["has_text"] and len(line) >= 2:
+        ext_len = text_offset * scale + st["text_width"]
+        last = line[-1] + np.array([st["hdx"], st["hdy"], st["hdz"]]) \
+            * ext_len
+        line = np.vstack([line, last])
+
+    f.geom = ("linestring", line)
+    f.has_z = True
+    prepare_line_style(ds, f)
+    return f
+
+
+def _leader_arrowhead(self, f: Feat, line: np.ndarray, block_handle: str,
+                      size: float) -> np.ndarray:
+    """InsertArrowhead with block support and the endpoint-shift rule
+    (ogrdxf_leader.cpp:1089): returns the possibly-shifted line."""
+    p1, p2 = line[0], line[1]
+    seg = math.hypot(p2[0] - p1[0], p2[1] - p1[1])
+    if size == 0.0 or seg == 0.0 or size > 0.5 * seg:
+        return line
+    block_name = self.ds.block_handles.get(block_handle, "") \
+        if block_handle else ""
+    if not block_name:
+        ah = f.clone()
+        s = size / seg
+        par = np.array([s * (p2[0] - p1[0]), s * (p2[1] - p1[1])])
+        perp = np.array([par[1], -par[0]])
+        ring = np.array([
+            [p1[0] + par[0] + perp[0] / 6, p1[1] + par[1] + perp[1] / 6,
+             p1[2]],
+            [p1[0], p1[1], p1[2]],
+            [p1[0] + par[0] - perp[0] / 6, p1[1] + par[1] - perp[1] / 6,
+             p1[2]],
+        ])
+        ah.geom = ("polygon", [np.vstack([ring, ring[:1]])])
+        ah.has_z = True
+        prepare_brush_style(self.ds, ah)
+        self.pending.append(ah)
+    else:
+        x = _InsertXform()
+        x.ox, x.oy, x.oz = p1
+        x.angle = math.atan2(p2[1] - p1[1], p2[0] - p1[0]) + math.pi
+        x.sx = x.sy = x.sz = size
+        mark = len(self.pending)
+        try:
+            out = self.insert_block_inline(block_name, x, f.clone(),
+                                           merge=False)
+            if out is not None:
+                self.pending.insert(mark, out)
+        except KeyError:
+            pass
+    if block_name not in _SPECIAL_ARROWHEADS:
+        # move the line endpoint out of the way of the arrowhead
+        line = line.copy()
+        line[0, 0] += size * (p2[0] - p1[0]) / seg
+        line[0, 1] += size * (p2[1] - p1[1]) / seg
+    return line
+
+
+_EntityReader.t_leader = _t_leader
+_EntityReader._leader_arrowhead = _leader_arrowhead

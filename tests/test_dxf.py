@@ -402,3 +402,50 @@ class TestBlocksLayer:
         np.testing.assert_allclose(
             star[2]["geom"][1],
             [0.879677852348995, -0.263903355704699, 0], atol=1e-12)
+
+
+class TestLeader:
+    """test_ogr_dxf_44 LEADER expectations (MLEADERs are skipped, so
+    indices compact onto the plain-LEADER features)."""
+
+    @pytest.fixture(scope="class")
+    def rows(self):
+        return dxf.parse_dxf(f"{DATA}/leader-mleader.dxf")
+
+    def test_default_arrowhead_with_overrides(self, rows):
+        # 6.0 arrowhead size x 1.5 scale: line start shifted to 21,
+        # DIMTAD text extension to -13.599...
+        g = _autotest_golden("21 40 0,10 40 0,19.3125")
+        np.testing.assert_allclose(rows[0]["geom"][1], g, atol=1e-9)
+        np.testing.assert_allclose(
+            rows[1]["geom"][1][0],
+            [[21, 41.5, 0], [30, 40, 0], [21, 38.5, 0], [21, 41.5, 0]],
+            atol=1e-12)
+
+    def test_basic_leader(self, rows):
+        assert rows[3]["style"] == "PEN(c:#ff0000)"
+        g = _autotest_golden("-20.9782552979609 38.1443878852919")
+        np.testing.assert_allclose(rows[3]["geom"][1], g, atol=1e-9)
+        assert rows[4]["style"] == "BRUSH(fc:#ff0000)"
+        g = _autotest_golden("-20.9601206293303 38.1204894796201")
+        np.testing.assert_allclose(rows[4]["geom"][1][0], g, atol=1e-9)
+
+    def test_custom_arrowhead_block(self, rows):
+        assert rows[5]["style"] == "PEN(c:#00ff00)"
+        g = _autotest_golden("26.8 77.6 0,10 65 0")
+        np.testing.assert_allclose(rows[5]["geom"][1], g, atol=1e-9)
+        # the arrowhead block expands to a polygon and a line
+        g = _autotest_golden("27.2 80.4,30.4 82.8")
+        np.testing.assert_allclose(rows[6]["geom"][1][0][:, :2], g,
+                                   atol=1e-9)
+        np.testing.assert_allclose(
+            rows[7]["geom"][1], [[28.4, 78.8, 0], [26.8, 77.6, 0]],
+            atol=1e-12)
+
+    def test_long_text_xdata(self, rows):
+        assert len(rows[8]["text"]) == 319
+
+    def test_spline_leader(self, rows):
+        # chord-parameterised interpolative B-spline, 5 control pts x 8
+        g = _autotest_golden("75 -5 0,75.3293039686015")
+        np.testing.assert_allclose(rows[12]["geom"][1], g, atol=1e-9)
