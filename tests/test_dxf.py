@@ -449,3 +449,57 @@ class TestLeader:
         # chord-parameterised interpolative B-spline, 5 control pts x 8
         g = _autotest_golden("75 -5 0,75.3293039686015")
         np.testing.assert_allclose(rows[12]["geom"][1], g, atol=1e-9)
+
+
+class TestStylesAndInserts:
+    def test_block_insert_order_counts(self):
+        # test_ogr_dxf_42: the three config combinations
+        f = f"{DATA}/block-insert-order.dxf"
+        assert len(dxf.parse_dxf(f)) == 2
+        rows = dxf.parse_dxf(f, inline_blocks=False)
+        assert len(rows) == 2
+        np.testing.assert_allclose(rows[0]["geom"][1], [8.0, 2.5, 6])
+        np.testing.assert_allclose(rows[1]["geom"][1], [-1, -2, -3])
+        assert len(dxf.parse_dxf(f, merge_block_geometries=False)) == 4
+
+    def test_recursive_insert_guard(self):
+        # test_ogr_dxf_43: recursively-included blocks don't blow up
+        assert len(dxf.parse_dxf(
+            f"{DATA}/insert-recursive-pair.dxf")) == 1
+
+    def test_linetype_scaling(self):
+        # test_ogr_dxf_45: LTSCALE x LinetypeScale x same-sign merging
+        rows = dxf.parse_dxf(f"{DATA}/linetypes.dxf")
+        exp = [("DASHED2", 'PEN(c:#000000,p:"12.5g 6.25g")'),
+               ("DASHED2", 'PEN(c:#000000,p:"0.625g 0.3125g")'),
+               ("DASHED2_FLIPPED", 'PEN(c:#000000,p:"0.625g 0.3125g")'),
+               ("Drain_Pipe_Inv_100", 'PEN(c:#000000,p:"35g 22.5g")')]
+        for r, (lt, style) in zip(rows, exp):
+            assert r["linetype"] == lt
+            assert r["style"] == style
+
+    def test_byblock_bylayer_resolution(self):
+        # test at ogr_dxf.py:3516: nested anonymous dimension block with
+        # ByBlock/ByLayer colors resolved through two INSERT levels
+        rows = dxf.parse_dxf(f"{DATA}/byblock-bylayer.dxf",
+                             merge_block_geometries=False)
+        exp = {0: 'PEN(c:#ff00ff,p:"1.5875g 1.5875g")',
+               2: "PEN(c:#0000ff)", 4: "BRUSH(fc:#ff0000)",
+               5: "PEN(c:#0000ff)", 6: "BRUSH(fc:#0000ff)",
+               7: 'LABEL(f:"Arial",t:"10.141 (2C)",s:0.4g,p:5,'
+                  "c:#ff00ff)"}
+        for i, want in exp.items():
+            assert rows[i]["style"] == want, (i, rows[i]["style"])
+
+    def test_frozen_off_visibility_matrix(self):
+        # hidden/frozen layers produce #rrggbb00 colors; the autotest's
+        # 104-entry expected-visibility string replays exactly
+        rows = dxf.parse_dxf(f"{DATA}/frozen-off.dxf",
+                             merge_block_geometries=False)
+        vis = (".hhh..hhh..hhhhhhhhhhhhhh.hhhhhhhhhhhhhhhhhhhhhhhhhhh"
+               "hhhhhhhhhhhhhhhhhhhhhhhhhhh.hhh..hhhhhhhhhhhhhh.hhh")
+        assert len(rows) == len(vis)
+        for n, h in enumerate(vis):
+            s = rows[n]["style"] or ""
+            visible = "#000000)" in s or "#ff0000)" in s
+            assert visible != (h == "h"), n
