@@ -1940,7 +1940,9 @@ class _EntityReader:
                 feat = self.t_wipeout()
             elif w == "LEADER":
                 feat = self.t_leader()
-            # MLEADER/MLINE/3DSOLID/BODY/REGION/SURFACE
+            elif w == "MLINE":
+                feat = self.t_mline()
+            # MLEADER/3DSOLID/BODY/REGION/SURFACE
             # are skipped like the reference's ignored-entity path
             # (their pairs are consumed lazily by the next read-ahead
             # loop)
@@ -2972,3 +2974,96 @@ def _leader_arrowhead(self, f: Feat, line: np.ndarray, block_handle: str,
 
 _EntityReader.t_leader = _t_leader
 _EntityReader._leader_arrowhead = _leader_arrowhead
+
+
+def _t_mline(self):
+    """TranslateMLINE (ogrdxflayer.cpp:1547): per-vertex element
+    parameters — the first is a miter-vector distance to the element
+    start, then alternating pen-down/pen-up distances along the segment
+    direction; open segments close at the next vertex start (or the
+    initial vertices when flag 2 closes the mline). Extrusions are
+    ignored for MLINE, matching the reference."""
+    f = Feat()
+    rd = self.ds.rd
+    closed = False
+    n_verts = 0
+    n_elems = 0
+    while True:
+        c, v = rd.read()
+        if c <= 0 or c == 11:
+            break
+        if c == 71:
+            closed = (_atoi(v) & 2) == 2
+        elif c == 72:
+            n_verts = _atoi(v)
+        elif c == 73:
+            n_elems = _atoi(v)
+            if n_elems <= 0 or n_elems > 1000:
+                return None
+        else:
+            self.generic(f, c, v)
+    if c < 0:
+        return None
+    if c in (0, 11):
+        rd.unread()
+
+    lines: list[np.ndarray] = []
+    current: list = [None] * n_elems
+    initial: list = [None] * n_elems
+
+    def expect(code):
+        c2, v2 = rd.read()
+        if c2 != code:
+            raise ValueError(f"MLINE: expected code {code}, got {c2}")
+        return v2
+
+    try:
+        for ivert in range(n_verts):
+            vx = _atof(expect(11))
+            vy = _atof(expect(21))
+            vz = _atof(expect(31))
+            sx = _atof(expect(12))
+            sy = _atof(expect(22))
+            sz = _atof(expect(32))
+            mx = _atof(expect(13))
+            my = _atof(expect(23))
+            mz = _atof(expect(33))
+            for ielem in range(n_elems):
+                n_params = _atoi(expect(74))
+                start = np.zeros(3)
+                if n_params > 0:
+                    dist = _atof(expect(41))
+                    start = np.array([vx + mx * dist, vy + my * dist,
+                                      vz + mz * dist])
+                    if closed and ivert == 0:
+                        initial[ielem] = start.copy()
+                    if current[ielem] is not None:
+                        lines.append(np.vstack([current[ielem], start]))
+                        current[ielem] = None
+                for ipar in range(1, n_params):
+                    dist = _atof(expect(41))
+                    cur = np.array([start[0] + sx * dist,
+                                    start[1] + sy * dist,
+                                    start[2] + sz * dist])
+                    if ipar % 2 == 0:   # pen-down segment end
+                        lines.append(np.vstack([current[ielem], cur]))
+                        current[ielem] = None
+                    else:               # pen-up break end
+                        current[ielem] = cur.reshape(1, 3)
+                n_fill = _atoi(expect(75))
+                for _ in range(n_fill):
+                    expect(42)
+    except ValueError:
+        return None
+    if closed:
+        for ielem in range(n_elems):
+            if current[ielem] is not None and initial[ielem] is not None:
+                lines.append(np.vstack([current[ielem], initial[ielem]]))
+                current[ielem] = None
+    f.geom = ("multilinestring", lines)
+    f.has_z = True
+    prepare_line_style(self.ds, f)
+    return f
+
+
+_EntityReader.t_mline = _t_mline

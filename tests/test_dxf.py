@@ -320,7 +320,7 @@ def _test_body(name):
 def _body_goldens(body):
     out = []
     for m in re.finditer(
-            r'check_feature_geometry\(\s*feat,\s*'
+            r'check_feature_geometry\(\s*(?:feat|f),\s*'
             r'("(?:[^"\\]|\\.)*"(?:\s*\+\s*"(?:[^"\\]|\\.)*")*)', body):
         parts = re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1))
         out.append("".join(parts))
@@ -503,3 +503,42 @@ class TestStylesAndInserts:
             s = rows[n]["style"] or ""
             visible = "#000000)" in s or "#ff0000)" in s
             assert visible != (h == "h"), n
+
+
+class TestAdditionalEntities:
+    """test_ogr_dxf_52/53: HELIX, TRACE, HATCH with spline boundary
+    (in OCS), MLINE, MINSERT rows/columns with attributes, a SPLINE
+    whose knot vector doesn't start at zero, and block base points."""
+
+    def test_full_ladder(self):
+        goldens = _body_goldens(_test_body("test_ogr_dxf_52"))
+        rows = dxf.parse_dxf(f"{DATA}/additional-entities.dxf")
+        assert len(rows) == 24
+        # the autotest skips the 2nd/4th-7th MINSERT instances
+        feature_for_golden = [0, 1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 21,
+                              22, 23]
+        assert len(goldens) == len(feature_for_golden)
+        for g, fi in zip(goldens, feature_for_golden):
+            exp = _parse_wkt(g)
+            r = rows[fi]
+            got = np.vstack(list(dxf._coords(r["geom"])))
+            if not r["has_z"]:
+                got = got[:, :2]
+            assert got.shape == exp.shape, fi
+            np.testing.assert_allclose(got, exp, atol=1e-8, err_msg=str(fi))
+
+    def test_minsert_attribute_styles(self):
+        # ACAdjustText carried the dx/dy offsets through the MINSERT
+        rows = dxf.parse_dxf(f"{DATA}/additional-entities.dxf")
+        want = ('LABEL(f:"Arial",t:"N",p:5,a:13,s:8g,w:120,'
+                "dx:2.21818g,dy:4.61732g,c:#000000)")
+        for i in (8, 12, 22):
+            assert rows[i]["style"] == want
+
+    def test_block_basepoint(self):
+        rows = dxf.parse_dxf(f"{DATA}/block-basepoint.dxf")
+        kind, lines = rows[0]["geom"]
+        assert kind == "multilinestring"
+        np.testing.assert_allclose(
+            np.vstack(lines),
+            [[290, 160, 0], [310, 140, 0], [310, 160, 0], [290, 140, 0]])
