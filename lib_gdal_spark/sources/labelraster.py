@@ -272,11 +272,6 @@ def _odl_unit(v: str) -> str:
     return (m.group(1) if m else "").strip().upper()
 
 
-_PDS_DTYPES = {
-    # (bits, signed_kind) resolved after byte order
-}
-
-
 def _pds_dtype(sample_type: str, bits: int) -> np.dtype:
     st = sample_type.strip().strip('"').upper()
     lsb = any(t in st for t in ("LSB", "PC_", "VAX"))
