@@ -2602,6 +2602,18 @@ def _q_viewshed_minheight(spark, sf_dir):
                           mode="min_height")
 
 
+def _q_viewshed_cumulative(spark, sf_dir):
+    # gdal raster viewshed --mode cumulative (alg/viewshed/
+    # cumulative.cpp): observers every 6 cells over the full grid, each
+    # a normal viewshed with visibleVal=1; uint32 rollup then the 8-bit
+    # spread floor((255/max)*v) (scaleOutput :200-213). The observer
+    # grid is the bounded broadcast side; the LOS test stays exact
+    # rational arithmetic, and the scale factor is one IEEE divide on
+    # both engines.
+    return vshed.viewshed_cumulative(_base_grid8(spark, sf_dir),
+                                     spacing=6, observer_height=2.0)
+
+
 def _ramp(spark, sf_dir):
     """Scale-independent 3-stop color ramp at the grid's exact min/mean/
     max (integer-valued -> cross-engine exact doubles)."""
@@ -4776,14 +4788,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
     dict order and caps at 50/round (proven rounds 1-4). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
-    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 16
-    keys new this round (dxf_roundtrip and netcdf_roundtrip plus 7
-    format-codec roundtrips
+    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 17
+    keys new this round (viewshed_cumulative, dxf_roundtrip and
+    netcdf_roundtrip plus 7 format-codec roundtrips
     from the final session, then proj_datum/nearblack_collar/
     coverage_gaps/rat_classify/fgb_roundtrip/homography_project/
     dted_roundtrip) take the front — never-swept keys outrank
-    staleness — followed by the r1 cohort; the 11 r1-cohort keys past
-    the 50-cap (contour_segments .. minhash_signatures) stay r1-stale
+    staleness — followed by the r1 cohort; the 12 r1-cohort keys past
+    the 50-cap (knn_ring .. minhash_signatures) stay r1-stale
     this round, the accepted cost of sweeping the new codecs. The body dict below keeps the stable r4
     grouping; the _SWEEP_FIRST reorder is applied on return.
     Everything past the cap stays in the local parity sweep every
@@ -4935,6 +4947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "color_relief": _q_color_relief,
         "graph_kpaths": _q_graph_kpaths,
         "viewshed_los": _q_viewshed,
+        "viewshed_cumulative": _q_viewshed_cumulative,
         "raster_checksum": _q_raster_checksum,
         "pansharpen_brovey": _q_pansharpen,
         "mdim_subset_reduce": _q_mdim_subset_reduce,
@@ -4998,6 +5011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
+    "viewshed_cumulative",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
     "topojson_read",
@@ -6814,6 +6828,54 @@ FROM t LEFT JOIN mh ON t.bx = mh.bx AND t."by" = mh."by"
 """
 
 
+def _o_viewshed_cumulative() -> str:
+    # cumulative.cpp term-for-term: observer grid every 6 cells, per-pair
+    # sampled LOS (distance cancels — exact rational compare), uint32
+    # rollup, then floor((255/max)*v) with the factor divided FIRST (one
+    # IEEE divide then one multiply, the engine's own op order)
+    return f"""
+WITH {_dd_base8_cte()},
+obs AS (
+  SELECT bx AS ox, "by" AS oy, value + 2.0 AS oz
+  FROM base WHERE bx % 6 = 0 AND "by" % 6 = 0
+),
+p AS (
+  SELECT b.bx, b."by", b.value, o.ox, o.oy, o.oz,
+         b.bx - o.ox AS dx, b."by" - o.oy AS dy,
+         greatest(abs(b.bx - o.ox), abs(b."by" - o.oy)) AS n
+  FROM base b, obs o
+),
+s AS (
+  SELECT bx, "by", value, ox, oy, oz, n, dx, dy,
+         unnest(generate_series(1, CAST(n - 1 AS BIGINT))) AS j
+  FROM p WHERE n >= 2
+),
+sm AS (
+  SELECT bx, "by", value, ox, oy, oz, n, j,
+         CAST(floor(ox + dx*j/n + 0.5) AS BIGINT) AS sx,
+         CAST(floor(oy + dy*j/n + 0.5) AS BIGINT) AS sy
+  FROM s
+),
+blocked AS (
+  SELECT DISTINCT sm.bx, sm."by", sm.ox, sm.oy
+  FROM sm JOIN base d ON d.bx = sm.sx AND d."by" = sm.sy
+  WHERE (d.value - sm.oz) * sm.n / sm.j >= sm.value + 0.0 - sm.oz
+),
+vis AS (
+  SELECT p.bx, p."by",
+         CAST(sum(CASE WHEN bl.ox IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS nvis
+  FROM p LEFT JOIN blocked bl
+    ON p.bx = bl.bx AND p."by" = bl."by" AND p.ox = bl.ox AND p.oy = bl.oy
+  GROUP BY 1, 2
+),
+m AS (SELECT CAST(max(nvis) AS DOUBLE) AS mx FROM vis)
+SELECT bx, "by", nvis,
+       CAST(floor((255.0 / (SELECT mx FROM m)) * nvis) AS BIGINT) AS scaled
+FROM vis
+"""
+
+
 def _o_color_relief() -> str:
     # channel stops: r 0->0->255, g 0->255->0, b 255->0->0 at lo/mu/hi;
     # interp form c0 + (v - v0) * ((c1 - c0)/(v1 - v0)) mirrors the
@@ -7954,6 +8016,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_tri": _o_dem_tri(),
         "color_relief": _o_color_relief(),
         "viewshed_los": _o_viewshed(),
+        "viewshed_cumulative": _o_viewshed_cumulative(),
         "viewshed_curv": _o_viewshed_curv(),
         "viewshed_minheight": _o_viewshed_minheight(),
         "raster_checksum": _o_raster_checksum(),

@@ -186,3 +186,82 @@ def viewshed(cells: DataFrame, observer: tuple, maxdist: float,
                            F.coalesce(F.col("_maxq") - zt_dem, F.lit(0.0)))
                 .alias("min_height_from_dem"))
     )
+
+
+def viewshed_cumulative(cells: DataFrame, spacing: int = 10,
+                        observer_height: float = 0.0,
+                        target_height: float = 0.0) -> DataFrame:
+    """Cumulative viewshed — `gdal raster viewshed --mode cumulative`
+    (alg/viewshed/cumulative.cpp).
+
+    Reference semantics replayed:
+    - observers sit on the grid every `spacing` cells starting at 0
+      (Cumulative::run, cumulative.cpp:66-68; default spacing 10,
+      viewshed_types.h:84);
+    - each observer runs a NORMAL-mode viewshed with visibleVal=1 over
+      the FULL extent — cumulative mode ignores any sub-window and has
+      no distance cutoff (cumulative.cpp:46-48 + 61-63);
+    - per-cell visibility flags are summed into a uint32 rollup
+      (rollupRasters, cumulative.cpp:182-195);
+    - the rollup is spread over 8 bits: factor = 255 / max(sum), then
+      v -> floor(factor * v) (scaleOutput, cumulative.cpp:200-213).
+      factor is computed FIRST (a single IEEE divide), then multiplied —
+      the same two-op order on both engines, so the floor is exact
+      cross-engine.
+
+    Distributed shape: the observer grid is |cells| / spacing^2 rows —
+    bounded by construction — so it travels as one broadcast to a
+    crossJoin, and every (observer, target) pair resolves its LOS with
+    the same bounded explode + equi-join as viewshed(); there is no
+    per-observer driver loop, and `spacing` directly controls the
+    broadcast bound at scale. Sampling variant vs the reference's
+    Wang-et-al. interpolating sweep is as documented on viewshed().
+
+    Output: (bx, by, nvis BIGINT — the raw uint32 rollup, scaled BIGINT
+    — the 8-bit spread value actually written by the reference).
+    """
+    sp = int(spacing)
+    obs = cells.filter((F.col("bx") % sp == 0) & (F.col("by") % sp == 0)).select(
+        F.col("bx").alias("_ox"), F.col("by").alias("_oy"),
+        (F.col("value") + F.lit(float(observer_height))).alias("_oz"),
+    )
+    p = cells.crossJoin(F.broadcast(obs)).select(
+        "bx", "by", "value", "_ox", "_oy", "_oz",
+        (F.col("bx") - F.col("_ox")).alias("_dx"),
+        (F.col("by") - F.col("_oy")).alias("_dy"),
+    ).withColumn("_n", F.greatest(F.abs("_dx"), F.abs("_dy")))
+
+    s = p.filter(F.col("_n") >= 2).select(
+        "bx", "by", "value", "_ox", "_oy", "_oz", "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - 1)).alias("_j"),
+        (F.col("_dx")).alias("_dx"), (F.col("_dy")).alias("_dy"),
+    ).select(
+        "bx", "by", "value", "_ox", "_oy", "_oz", "_n", "_j",
+        F.floor(F.col("_ox") + F.col("_dx") * F.col("_j") / F.col("_n")
+                + F.lit(0.5)).cast("long").alias("_sx"),
+        F.floor(F.col("_oy") + F.col("_dy") * F.col("_j") / F.col("_n")
+                + F.lit(0.5)).cast("long").alias("_sy"),
+    )
+    dem = cells.select(F.col("bx").alias("_sx"), F.col("by").alias("_sy"),
+                       F.col("value").alias("_zj"))
+    blocked = (
+        s.join(dem, on=["_sx", "_sy"], how="inner")
+        .filter((F.col("_zj") - F.col("_oz")) * F.col("_n") / F.col("_j")
+                >= (F.col("value") + F.lit(float(target_height))
+                    - F.col("_oz")))
+        .select("bx", "by", "_ox", "_oy").distinct()
+        .withColumn("_blk", F.lit(1))
+    )
+    vis = (
+        p.join(blocked, on=["bx", "by", "_ox", "_oy"], how="left")
+        .groupBy("bx", "by")
+        .agg(F.sum(F.when(F.col("_blk").isNull(), F.lit(1))
+                   .otherwise(F.lit(0))).cast("long").alias("nvis"))
+    )
+    mx = vis.agg(F.max("nvis").cast("double").alias("_mx"))
+    return (
+        vis.crossJoin(F.broadcast(mx))
+        .select("bx", "by", "nvis",
+                F.floor((F.lit(255.0) / F.col("_mx")) * F.col("nvis"))
+                .cast("long").alias("scaled"))
+    )

@@ -599,3 +599,71 @@ class TestNeighbors:
             a = neighbors(g.repartition(1), "gaussian-3x3", method).collect()
             b = neighbors(g.repartition(16), "gaussian-3x3", method).collect()
             assert sorted(map(tuple, a)) == sorted(map(tuple, b)), method
+
+
+class TestViewshedCumulative:
+    def test_flat_plain_saturates_everywhere(self, spark):
+        from lib_gdal_spark.operators import viewshed as vs
+
+        # flat 9x9, spacing 4 -> 9 observers; every LOS is unobstructed,
+        # so nvis = 9 everywhere and the 8-bit spread is 255 everywhere
+        rows = [(x, y, 0.0) for x in range(9) for y in range(9)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = vs.viewshed_cumulative(df, spacing=4,
+                                     observer_height=2.0).collect()
+        assert len(out) == 81
+        assert all(r.nvis == 9 and r.scaled == 255 for r in out)
+
+    def test_wall_splits_the_two_observers(self, spark):
+        from lib_gdal_spark.operators import viewshed as vs
+
+        # 11x3 plain with a z=10 wall at bx=5, spacing 10 -> observers at
+        # (0,0) and (10,0), eye height 1. Each half-plane sees exactly
+        # one observer; the wall face is seen by both. max=2 ->
+        # factor=127.5, so scaled is 127 / 255.
+        rows = [(x, y, 10.0 if x == 5 else 0.0)
+                for x in range(11) for y in range(3)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+        out = {(r.bx, r.by): (r.nvis, r.scaled)
+               for r in vs.viewshed_cumulative(
+                   df, spacing=10, observer_height=1.0).collect()}
+        for y in range(3):
+            for x in range(11):
+                want = 2 if x == 5 else 1
+                assert out[(x, y)][0] == want, (x, y, out[(x, y)])
+                assert out[(x, y)][1] == (255 if want == 2 else 127)
+
+    def test_bruteforce_twin_on_bumpy_grid(self, spark):
+        import math
+
+        from lib_gdal_spark.operators import viewshed as vs
+
+        # deterministic bumpy 12x9 grid; independent per-observer
+        # brute-force twin of the sampled-LOS semantics + the
+        # reference's rollup/scale (cumulative.cpp:182-213)
+        W, H, SP, OH = 12, 9, 4, 1.5
+        z = {(x, y): float((x * 31 + y * 17) % 23)
+             for x in range(W) for y in range(H)}
+        rows = [(x, y, z[(x, y)]) for x in range(W) for y in range(H)]
+        df = spark.createDataFrame(rows, "bx long, by long, value double")
+
+        def visible(ox, oy, tx, ty):
+            oz = z[(ox, oy)] + OH
+            n = max(abs(tx - ox), abs(ty - oy))
+            for j in range(1, n):
+                sx = math.floor(ox + (tx - ox) * j / n + 0.5)
+                sy = math.floor(oy + (ty - oy) * j / n + 0.5)
+                if (z[(sx, sy)] - oz) * n / j >= z[(tx, ty)] - oz:
+                    return 0
+            return 1
+
+        obs = [(x, y) for x in range(0, W, SP) for y in range(0, H, SP)]
+        nvis = {(tx, ty): sum(visible(ox, oy, tx, ty) for ox, oy in obs)
+                for tx in range(W) for ty in range(H)}
+        m = max(nvis.values())
+        want = {k: (v, math.floor(255.0 / m * v)) for k, v in nvis.items()}
+
+        got = {(r.bx, r.by): (r.nvis, r.scaled)
+               for r in vs.viewshed_cumulative(
+                   df, spacing=SP, observer_height=OH).collect()}
+        assert got == want
