@@ -2382,6 +2382,65 @@ def _q_coverage_gaps(spark, sf_dir):
     return out.select("poly_id", "area", "n_parts")
 
 
+def _q_coverage_check_gaps(spark, sf_dir):
+    # check-coverage maximum-gap-width (gdalalg_vector_check_coverage
+    # .cpp:41 -> GEOSCoverageIsValid_r gapWidth; operators/coverage.py
+    # gap_edges): isolated vertex-matched pairs enclosing an (s x 6)
+    # slot — A carries a right-edge notch of depth s, B's left edge is
+    # split at the notch corners. Narrow slots (s = 0.25/0.5 < 1.0) flag
+    # A's three notch segments + B's slot mouth; wide slots (2.0/3.0)
+    # flag nothing. All coordinates dyadic -> exact doubles.
+    from lib_gdal_spark.operators import coverage as cov
+
+    d = _tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("side"))
+    i = F.col("doc_id") % 20
+    j = F.expr("doc_id div 20")
+    k = (i * 3 + j * 7) % 11
+    par = ((i + j) % 2).cast("double")
+    s = (F.when(k < 6, F.lit(0.25) + F.lit(0.25) * par)
+         .otherwise(F.lit(2.0) + par))
+    ox = i.cast("double") * 30.0
+    oy = j.cast("double") * 30.0
+    a_xs = F.array(ox, ox + 10.0, ox + 10.0, ox + 10.0 - s,
+                   ox + 10.0 - s, ox + 10.0, ox + 10.0, ox, ox)
+    a_ys = F.array(oy, oy, oy + 2.0, oy + 2.0, oy + 8.0, oy + 8.0,
+                   oy + 10.0, oy + 10.0, oy)
+    b_xs = F.array(ox + 10.0, ox + 20.0, ox + 20.0, ox + 10.0,
+                   ox + 10.0, ox + 10.0, ox + 10.0)
+    b_ys = F.array(oy, oy, oy + 10.0, oy + 10.0, oy + 8.0, oy + 2.0, oy)
+    polys = d.select(
+        (F.col("doc_id") * 2 + F.col("side")).alias("poly_id"),
+        F.when(F.col("side") == 0, a_xs).otherwise(b_xs).alias("xs"),
+        F.when(F.col("side") == 0, a_ys).otherwise(b_ys).alias("ys"))
+    return cov.check_coverage(polys, cell_size=10.0, max_gap_width=1.0)
+
+
+def _o_coverage_check_gaps() -> str:
+    return """
+WITH g AS (
+  SELECT doc_id,
+         CAST(doc_id % 20 AS BIGINT) AS i,
+         CAST(doc_id // 20 AS BIGINT) AS j
+  FROM documents),
+e AS (
+  SELECT doc_id, (i*3 + j*7) % 11 AS k,
+         CAST((i+j) % 2 AS DOUBLE) AS par
+  FROM g),
+sides AS (
+  SELECT doc_id, k, par, side
+  FROM e, (SELECT unnest([0, 1]) AS side))
+SELECT CAST(2*doc_id + side AS BIGINT) AS poly_id,
+  CAST(CASE WHEN k < 6 THEN CASE WHEN side = 0 THEN 3 ELSE 1 END
+       ELSE 0 END AS BIGINT) AS n_invalid,
+  CASE WHEN k < 6
+       THEN CASE WHEN side = 0 THEN 6.0 + 2.0*(0.25 + 0.25*par)
+            ELSE 6.0 END
+       ELSE 0.0 END AS invalid_len
+FROM sides
+"""
+
+
 def _o_coverage_gaps() -> str:
     return """
 WITH g AS (
@@ -4788,15 +4847,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's correctness sweep runs entries in
     dict order and caps at 50/round (proven rounds 1-4). Rotation rule:
     never-swept or changed queries first, then the queries whose newest
-    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 17
-    keys new this round (viewshed_cumulative, dxf_roundtrip and
-    netcdf_roundtrip plus 7 format-codec roundtrips
+    driver row is OLDEST. The round-5 window is _SWEEP_FIRST: the 18
+    keys new this round (viewshed_cumulative and coverage_check_gaps,
+    dxf_roundtrip and netcdf_roundtrip plus 7 format-codec roundtrips
     from the final session, then proj_datum/nearblack_collar/
     coverage_gaps/rat_classify/fgb_roundtrip/homography_project/
     dted_roundtrip) take the front — never-swept keys outrank
-    staleness — followed by the r1 cohort; the 12 r1-cohort keys past
-    the 50-cap (knn_ring .. minhash_signatures) stay r1-stale
-    this round, the accepted cost of sweeping the new codecs. The body dict below keeps the stable r4
+    staleness — followed by the r1 cohort; the 13 r1-cohort keys past
+    the 50-cap (pip_rect_join .. minhash_signatures) stay r1-stale
+    this round, the accepted cost of sweeping the new keys. The body dict below keeps the stable r4
     grouping; the _SWEEP_FIRST reorder is applied on return.
     Everything past the cap stays in the local parity sweep every
     session.
@@ -4827,6 +4886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_datum": _q_proj_datum,               # Helmert +towgs84 hops
         "nearblack_collar": _q_nearblack_collar,   # twopasses collar removal
         "coverage_gaps": _q_coverage_gaps,         # clean-coverage gap merge
+        "coverage_check_gaps": _q_coverage_check_gaps,  # check-coverage gaps
         "rat_classify": _q_rat_classify,           # raster attribute table
         "homography_project": _q_homography_project,  # GCPsToHomography
         "mdim_arith": _q_mdim_arith,               # GetUnscaled + arith
@@ -5011,7 +5071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "viewshed_cumulative",
+    "viewshed_cumulative", "coverage_check_gaps",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
     "topojson_read",
@@ -8062,6 +8122,7 @@ def oracle_sql() -> dict[str, str]:
         "proj_datum": _o_proj_datum(),
         "nearblack_collar": _o_nearblack_collar(),
         "coverage_gaps": _o_coverage_gaps(),
+        "coverage_check_gaps": _o_coverage_check_gaps(),
         "rat_classify": _o_rat_classify(),
         "homography_project": _o_homography_project(),
         "dted_roundtrip": _o_dted_roundtrip(),

@@ -413,3 +413,70 @@ def test_mic_diameter_rect():
     assert d == pytest.approx(0.5, abs=0.01)
     ring = np.array([[0, 0], [3, 0], [3, 6], [0, 6], [0, 0]], float)
     assert C._mic_diameter(ring) == pytest.approx(3.0, abs=0.02)
+
+
+def _gap_pair(s, ox=0.0, oy=0.0):
+    """Vertex-matched pair enclosing a (s x 6) slot between them: A has
+    a right-edge notch of depth s over y in [2, 8]; B's left edge is
+    split at the notch corners so every shared border is exactly
+    vertex-matched (valid coverage except the gap)."""
+    a = ([ox + 0, ox + 10, ox + 10, ox + 10 - s, ox + 10 - s, ox + 10,
+          ox + 10, ox + 0, ox + 0],
+         [oy + 0, oy + 0, oy + 2, oy + 2, oy + 8, oy + 8,
+          oy + 10, oy + 10, oy + 0])
+    b = ([ox + 10, ox + 20, ox + 20, ox + 10, ox + 10, ox + 10, ox + 10],
+         [oy + 0, oy + 0, oy + 10, oy + 10, oy + 8, oy + 2, oy + 0])
+    return a, b
+
+
+def test_check_coverage_gap_width_flags_narrow_slot(spark):
+    # narrow slot (0.5 x 6, inscribed width 0.5 < 1.0): A's three notch
+    # segments + B's slot-mouth segment are gap edges; nothing else
+    a, b = _gap_pair(0.5)
+    df = _df(spark, [a, b])
+    out = (C.check_coverage(df, cell_size=10.0, max_gap_width=1.0)
+           .orderBy("poly_id").toPandas())
+    assert list(out["poly_id"]) == [0, 1]
+    assert list(out["n_invalid"]) == [3, 1]
+    assert out["invalid_len"][0] == pytest.approx(6.0 + 2 * 0.5, abs=1e-9)
+    assert out["invalid_len"][1] == pytest.approx(6.0, abs=1e-9)
+    # the flagged segments are exactly the slot boundary
+    ge = (C.gap_edges(df, cell_size=10.0, max_gap_width=1.0)
+          .orderBy("poly_id", "seg_id").toPandas())
+    segs = {(r.x1, r.y1, r.x2, r.y2) for r in ge.itertuples()}
+    assert segs == {(10.0, 2.0, 9.5, 2.0), (9.5, 2.0, 9.5, 8.0),
+                    (9.5, 8.0, 10.0, 8.0), (10.0, 8.0, 10.0, 2.0)}
+
+
+def test_check_coverage_gap_width_ignores_wide_slot(spark):
+    # wide slot (3 x 6, inscribed width 3 >= 1.0): not a gap; the
+    # coverage is otherwise vertex-matched, so everything is valid
+    a, b = _gap_pair(3.0)
+    out = (C.check_coverage(_df(spark, [a, b]), cell_size=10.0,
+                            max_gap_width=1.0)
+           .orderBy("poly_id").toPandas())
+    assert list(out["n_invalid"]) == [0, 0]
+
+
+def test_check_coverage_gap_width_zero_is_off(spark):
+    # default 0 = the reference's default: the narrow slot is NOT
+    # flagged without the argument
+    a, b = _gap_pair(0.5)
+    out = (C.check_coverage(_df(spark, [a, b]), cell_size=10.0)
+           .orderBy("poly_id").toPandas())
+    assert list(out["n_invalid"]) == [0, 0]
+
+
+def test_check_coverage_gap_plus_overlap_dedup(spark):
+    # a pair with BOTH an overlap (A/B overlap by 0.1 on the lower
+    # shared border) and a narrow gap would flag segments through both
+    # paths; the (poly_id, seg_id) dedup keeps counts stable vs the
+    # gap-only fixture on the segments hit twice
+    a, b = _gap_pair(0.5)
+    c = _rect(40, 0, 50, 10)
+    d = _rect(49.9, 0, 60, 10)
+    df = _df(spark, [a, b, c, d])
+    out = (C.check_coverage(df, cell_size=10.0, max_gap_width=1.0)
+           .orderBy("poly_id").toPandas())
+    assert list(out["n_invalid"])[:2] == [3, 1]
+    assert (out["n_invalid"][2] > 0) and (out["n_invalid"][3] > 0)
