@@ -219,10 +219,15 @@ def dsir_scores(raw: DataFrame, target: DataFrame, *,
     data paths — totals ride a 1-row cross-joined aggregate."""
     rb = _hashed_ngram_buckets(raw, id_col, text_col, n_buckets, seed)
     tb = _hashed_ngram_buckets(target, id_col, text_col, n_buckets, seed)
-    r_tot = rb.agg(F.sum("c").alias("_rt"))
-    t_tot = tb.agg(F.sum("c").alias("_tt"))
     r_cnt = rb.groupBy("bucket").agg(F.sum("c").alias("_rc"))
     t_cnt = tb.groupBy("bucket").agg(F.sum("c").alias("_tc"))
+    # totals fold the n_buckets-row per-bucket tables, NOT the corpus:
+    # integer sums are associative, so sum-of-bucket-sums is the same
+    # BIGINT as a direct corpus sum — and this saves one full
+    # tokenize+hash evaluation of rb per corpus (rb is corpus-sized and
+    # deliberately not cached; CLAUDE.md wide-intermediate rule)
+    r_tot = r_cnt.agg(F.sum("_rc").alias("_rt"))
+    t_tot = t_cnt.agg(F.sum("_tc").alias("_tt"))
     # every bucket gets a ratio (missing counts -> 0 via outer join of
     # the two small per-bucket tables), Laplace-smoothed on both sides
     ratios = (r_cnt.join(t_cnt, "bucket", "full_outer")
