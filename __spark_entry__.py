@@ -25,8 +25,10 @@ from lib_gdal_spark.geo import mercator
 from lib_gdal_spark.operators import (
     contour, dedup, dem, focal, gdaldem_compat, graph, grid, interp, knn,
     multimodal, mdim, ogrsql, overlay as ovl, pct, polygonize, proximity,
-    raster, similarity, sjoin, textops, tiles, viewshed as vshed, warp,
+    raster, s2index, similarity, sjoin, textops, tiles, viewshed as vshed,
+    warp,
 )
+from lib_gdal_spark.geo import s2 as s2geo
 from lib_gdal_spark.streaming import events as ev
 
 # ----------------------------------------------------------------- shared
@@ -170,6 +172,44 @@ def _q_knn_ring(spark, sf_dir):
     q, t = _knn_inputs(spark, sf_dir)
     out = knn.knn_ring(q, t, k=3, cell_size=8.0)
     return out.select("qid", "tid", "dist", F.col("rank").cast("long").alias("rank"))
+
+
+def _s2_latlng_inputs(spark, sf_dir):
+    """Spherical kNN inputs: supplier queries vs part targets, lat/lng
+    derived from the keys with the same integer->double math in both
+    engines (trig downstream is bit-exact numpy==duckdb libm,
+    pinned by tests/test_s2.py::test_trig_bit_exact_vs_duckdb)."""
+    q = _tbl(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("qid"),
+        ((F.col("s_suppkey") * 9973 % 170000) / 1000.0 - 85.0).alias("qlat"),
+        ((F.col("s_suppkey") * 104729 % 360000) / 1000.0 - 180.0)
+        .alias("qlng"),
+    )
+    t = _tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("tid"),
+        ((F.col("p_partkey") * 6151 % 170000) / 1000.0 - 85.0).alias("tlat"),
+        ((F.col("p_partkey") * 7919 % 360000) / 1000.0 - 180.0)
+        .alias("tlng"),
+    )
+    return q, t
+
+
+def _q_s2_cell_assign(spark, sf_dir):
+    """Geocode pages to discrete S2 cells (level 12 + level-6 parent +
+    canonical hex token) — the spherical twin of tile_assign."""
+    p = _pages(spark, sf_dir).select(
+        "doc_id", "lat", F.col("lon").alias("lng"))
+    out = s2index.s2_encode(p, level=12, parent_level=6, with_token=True)
+    return out.select("doc_id", "s2_cell", "s2_parent", "s2_token")
+
+
+def _q_s2_knn_sphere(spark, sf_dir):
+    """Exact spherical kNN by S2 ring expansion with level coarsening
+    and chord-space certification (operators/s2index.py)."""
+    q, t = _s2_latlng_inputs(spark, sf_dir)
+    out = s2index.s2_knn(q, t, k=3, level=8)
+    return out.select("qid", "tid", "dist",
+                      F.col("rank").cast("long").alias("rank"))
 
 
 def _q_zonal_stats(spark, sf_dir):
@@ -4951,6 +4991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,  # fastText-style gate
         "geoloc_forward": _q_geoloc_forward,       # GEOLOC array transformer
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
+        "s2_cell_assign": _q_s2_cell_assign,       # S2 Hilbert cell index
+        "s2_knn_sphere": _q_s2_knn_sphere,         # spherical ring kNN
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5121,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
+    "s2_cell_assign", "s2_knn_sphere",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5226,6 +5269,135 @@ j AS (SELECT qid, tid, sqrt((qx-tx)*(qx-tx) + (qy-ty)*(qy-ty)) AS dist
       FROM q JOIN t ON abs(qx-tx) <= 40 AND abs(qy-ty) <= 40),
 r AS (SELECT qid, tid, dist,
              row_number() OVER (PARTITION BY qid ORDER BY dist ASC, tid ASC) AS rnk FROM j)
+SELECT qid, tid, dist, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
+"""
+
+
+def _s2_enc_values() -> str:
+    """The 16-row Hilbert automaton table (o, ij2) -> (pos, next o),
+    injected from the engine's own tables (geo/s2.py) so both engines
+    run the identical published-S2 automaton."""
+    return ",".join(
+        f"({o},{ij2},{int(s2geo._ENC_POS[o * 4 + ij2])},"
+        f"{int(s2geo._ENC_NEXT_O[o * 4 + ij2])})"
+        for o in range(4) for ij2 in range(4))
+
+
+def _o_s2_cell_assign() -> str:
+    # Bit-exact twin of s2index.s2_encode(level=12, parent_level=6):
+    # trig shares libm with numpy (pinned in tests/test_s2.py), the
+    # quadratic uv->st is sqrt-only, and the Hilbert walk is the same
+    # 16-entry integer automaton as a recursive CTE (12 steps, bits
+    # 29..18). Cell-id assembly runs in HUGEINT then maps to the
+    # engine's two's-complement BIGINT view; constants: 2^61, 2^37,
+    # 2^36 (level-12 shift) and 2^49, 2^48 (level-6 parent shift).
+    level, parent = 12, 6
+    sh = 2 * (s2geo.MAX_LEVEL - level) + 1
+    psh = 2 * (s2geo.MAX_LEVEL - parent) + 1
+    return f"""
+WITH RECURSIVE {_PAGES_CTE},
+xyz AS (
+  SELECT doc_id,
+         cos(lat*{_PI180})*cos(lon*{_PI180}) AS x,
+         cos(lat*{_PI180})*sin(lon*{_PI180}) AS y,
+         sin(lat*{_PI180}) AS z
+  FROM pages),
+ax AS (
+  SELECT doc_id, x, y, z,
+         CASE WHEN abs(x) > abs(y)
+              THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+              ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS axis
+  FROM xyz),
+fc AS (
+  SELECT doc_id, x, y, z,
+         CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) >= 0
+              THEN axis ELSE axis + 3 END AS face
+  FROM ax),
+uv AS (
+  SELECT doc_id, face,
+         CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+         CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fc),
+st AS (
+  SELECT doc_id, face,
+         CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u)
+              ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v)
+              ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t
+  FROM uv),
+ij AS (
+  SELECT doc_id, face,
+         CAST(greatest(least(floor(s * 1073741824.0), 1073741823.0), 0.0)
+              AS BIGINT) AS i,
+         CAST(greatest(least(floor(t * 1073741824.0), 1073741823.0), 0.0)
+              AS BIGINT) AS j
+  FROM st),
+enc(o, ij2, p, nxt) AS (VALUES {_s2_enc_values()}),
+walk(doc_id, face, i, j, k, o, pos) AS (
+  SELECT doc_id, face, i, j, 29, face % 2, CAST(0 AS HUGEINT) FROM ij
+  UNION ALL
+  SELECT w.doc_id, w.face, w.i, w.j, w.k - 1, e.nxt, w.pos * 4 + e.p
+  FROM walk w JOIN enc e
+    ON e.o = w.o
+   AND e.ij2 = ((w.i // (CAST(1 AS BIGINT) << w.k)) % 2) * 2
+             + ((w.j // (CAST(1 AS BIGINT) << w.k)) % 2)
+  WHERE w.k >= {s2geo.MAX_LEVEL - level}
+),
+cells AS (
+  SELECT doc_id,
+         CAST(face AS HUGEINT) * {1 << 61} + pos * {1 << sh}
+           + {1 << (sh - 1)} AS h,
+         CAST(face AS HUGEINT) * {1 << 61}
+           + (pos // {1 << (2 * (level - parent))}) * {1 << psh}
+           + {1 << (psh - 1)} AS hp
+  FROM walk WHERE k = {s2geo.MAX_LEVEL - level - 1}
+)
+SELECT doc_id,
+       CAST(CASE WHEN h >= {1 << 63} THEN h - {1 << 64} ELSE h END
+            AS BIGINT) AS s2_cell,
+       CAST(CASE WHEN hp >= {1 << 63} THEN hp - {1 << 64} ELSE hp END
+            AS BIGINT) AS s2_parent,
+       CASE WHEN h = 0 THEN 'X'
+            ELSE rtrim(lower(lpad(hex(CAST(h AS UBIGINT)), 16, '0')), '0')
+       END AS s2_token
+FROM cells
+"""
+
+
+def _o_s2_knn_sphere() -> str:
+    # chord distance on identical trig-derived xyz (bit-exact libm, see
+    # _o_s2_cell_assign). Component box prune instead of a bare cross
+    # join: the 3rd-neighbor chord is measured <= 0.369 at the SPARSEST
+    # sf (0.3689/0.1067/0.0346 at sf0.001/0.01/0.1, densifying with
+    # scale), and chord >= each |coordinate delta|, so a 0.8 box keeps
+    # the result bit-identical with >2x margin while bounding the
+    # sf1.0 join.
+    return f"""
+WITH q AS (SELECT s_suppkey AS qid,
+                  (s_suppkey*9973 % 170000)/1000.0 - 85.0 AS qlat,
+                  (s_suppkey*104729 % 360000)/1000.0 - 180.0 AS qlng
+           FROM supplier),
+t AS (SELECT p_partkey AS tid,
+             (p_partkey*6151 % 170000)/1000.0 - 85.0 AS tlat,
+             (p_partkey*7919 % 360000)/1000.0 - 180.0 AS tlng
+      FROM part),
+qv AS (SELECT qid, cos(qlat*{_PI180})*cos(qlng*{_PI180}) AS qx,
+              cos(qlat*{_PI180})*sin(qlng*{_PI180}) AS qy,
+              sin(qlat*{_PI180}) AS qz FROM q),
+tv AS (SELECT tid, cos(tlat*{_PI180})*cos(tlng*{_PI180}) AS tx,
+              cos(tlat*{_PI180})*sin(tlng*{_PI180}) AS ty,
+              sin(tlat*{_PI180}) AS tz FROM t),
+j AS (SELECT qid, tid,
+             sqrt((qx-tx)*(qx-tx) + (qy-ty)*(qy-ty) + (qz-tz)*(qz-tz))
+               AS dist
+      FROM qv JOIN tv
+        ON abs(qx-tx) <= 0.8 AND abs(qy-ty) <= 0.8 AND abs(qz-tz) <= 0.8),
+r AS (SELECT qid, tid, dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist ASC, tid ASC) AS rnk
+      FROM j)
 SELECT qid, tid, dist, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
 """
 
@@ -8105,6 +8277,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect_join": _o_pip_rect_join(),
         "pip_triangle_join": _o_pip_triangle(),
         "knn_ring": _o_knn_ring(),
+        "s2_cell_assign": _o_s2_cell_assign(),
+        "s2_knn_sphere": _o_s2_knn_sphere(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
