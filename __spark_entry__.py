@@ -212,6 +212,24 @@ def _q_s2_knn_sphere(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _q_s2_cap_join(spark, sf_dir):
+    """Spherical range join: pages within chord 0.25 of 25 nation-
+    derived cap centers — cell-cover equi-join + exact chord test
+    (operators/s2index.py), the spherical twin of pip_rect_join."""
+    caps = _tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cap_id"),
+        ((F.col("n_nationkey") * 9973 % 170000) / 1000.0 - 85.0)
+        .alias("clat"),
+        ((F.col("n_nationkey") * 104729 % 360000) / 1000.0 - 180.0)
+        .alias("clng"),
+    )
+    p = _pages(spark, sf_dir).select(
+        F.col("doc_id").alias("tid"), F.col("lat").alias("tlat"),
+        F.col("lon").alias("tlng"))
+    out = s2index.s2_cap_join(p, caps, radius=0.25, level=6)
+    return out.select("cap_id", F.col("tid").alias("doc_id"), "dist")
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -4993,6 +5011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
         "s2_cell_assign": _q_s2_cell_assign,       # S2 Hilbert cell index
         "s2_knn_sphere": _q_s2_knn_sphere,         # spherical ring kNN
+        "s2_cap_join": _q_s2_cap_join,             # spherical range join
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5163,7 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "s2_cell_assign", "s2_knn_sphere",
+    "s2_cell_assign", "s2_knn_sphere", "s2_cap_join",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5399,6 +5418,30 @@ r AS (SELECT qid, tid, dist,
                                 ORDER BY dist ASC, tid ASC) AS rnk
       FROM j)
 SELECT qid, tid, dist, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3
+"""
+
+
+def _o_s2_cap_join() -> str:
+    # exact twin: the engine's cell cover is a proven superset (the
+    # exact chord filter decides membership), so the oracle is just the
+    # chord test over the caps x pages product — 25 caps keeps it
+    # bounded at every sf. Identical trig/op order as _o_s2_knn_sphere.
+    return f"""
+WITH {_PAGES_CTE},
+caps AS (SELECT n_nationkey AS cap_id,
+                (n_nationkey*9973 % 170000)/1000.0 - 85.0 AS clat,
+                (n_nationkey*104729 % 360000)/1000.0 - 180.0 AS clng
+         FROM nation),
+cv AS (SELECT cap_id, cos(clat*{_PI180})*cos(clng*{_PI180}) AS px,
+              cos(clat*{_PI180})*sin(clng*{_PI180}) AS py,
+              sin(clat*{_PI180}) AS pz FROM caps),
+pv AS (SELECT doc_id, cos(lat*{_PI180})*cos(lon*{_PI180}) AS tx,
+              cos(lat*{_PI180})*sin(lon*{_PI180}) AS ty,
+              sin(lat*{_PI180}) AS tz FROM pages)
+SELECT cap_id, doc_id,
+       sqrt((px-tx)*(px-tx) + (py-ty)*(py-ty) + (pz-tz)*(pz-tz)) AS dist
+FROM cv, pv
+WHERE sqrt((px-tx)*(px-tx) + (py-ty)*(py-ty) + (pz-tz)*(pz-tz)) <= 0.25
 """
 
 
@@ -8279,6 +8322,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ring": _o_knn_ring(),
         "s2_cell_assign": _o_s2_cell_assign(),
         "s2_knn_sphere": _o_s2_knn_sphere(),
+        "s2_cap_join": _o_s2_cap_join(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),

@@ -142,6 +142,114 @@ def _keyed(df: DataFrame, idc: str, lat: str, lng: str, prefix: str,
     return df.mapInPandas(run, schema=schema)
 
 
+def s2_cap_cover(clat, clng, radius, level: int = 6):
+    """Conservative S2 cell cover of spherical caps.
+
+    For each cap (center lat/lng in degrees, radius as unit-sphere CHORD
+    length) return every level-`level` cell that MIGHT intersect it:
+    cells whose center-to-cap-center chord is <= radius + the cell's
+    circumradius (max chord from the cell center to its 4 corners — the
+    cell is the intersection of 4 great-circle half-spaces, so the
+    distance to a fixed point is maximized at a corner). The full
+    level-`level` grid is enumerated vectorized (6*4^level cells; keep
+    level <= ~8 for the driver-side dimension), so no BFS seams at cube
+    edges or poles.
+
+    Returns (cap_idx, cell_id_signed) int64 arrays — the equi-join key
+    table for s2_cap_join.
+    """
+    clat = np.atleast_1d(np.asarray(clat, np.float64))
+    clng = np.atleast_1d(np.asarray(clng, np.float64))
+    radius = np.broadcast_to(np.asarray(radius, np.float64), clat.shape)
+    n = 1 << level
+    sh = s2.MAX_LEVEL - level
+    f, i, j = np.meshgrid(np.arange(6, dtype=np.int64),
+                          np.arange(n, dtype=np.int64),
+                          np.arange(n, dtype=np.int64), indexing="ij")
+    f, i, j = f.ravel(), i.ravel() << sh, j.ravel() << sh
+    ids = s2.cell_id(f, i, j, level)
+    cx, cy, cz = _cell_xyz(f, i, j, level, 0.5, 0.5)
+    circ = np.zeros(len(f))
+    for ds, dt in ((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)):
+        kx, ky, kz = _cell_xyz(f, i, j, level, ds, dt)
+        d = np.sqrt((cx - kx) ** 2 + (cy - ky) ** 2 + (cz - kz) ** 2)
+        circ = np.maximum(circ, d)
+    px, py, pz = s2.latlng_to_xyz(clat, clng)
+    out_cap, out_cell = [], []
+    for c in range(len(clat)):
+        d = np.sqrt((px[c] - cx) ** 2 + (py[c] - cy) ** 2
+                    + (pz[c] - cz) ** 2)
+        m = d <= radius[c] + circ
+        out_cap.append(np.full(int(m.sum()), c, np.int64))
+        out_cell.append(s2.to_signed(ids[m]))
+    return np.concatenate(out_cap), np.concatenate(out_cell)
+
+
+def _cell_xyz(face, i, j, level, ds, dt):
+    """Unit xyz of the point at fractional (ds, dt) within each cell."""
+    size = 1 << (s2.MAX_LEVEL - level)
+    s = (i + ds * size) / s2.MAX_SIZE
+    t = (j + dt * size) / s2.MAX_SIZE
+    x, y, z = s2.face_uv_to_xyz(face, s2.st_to_uv(s), s2.st_to_uv(t))
+    norm = np.sqrt(x * x + y * y + z * z)
+    return x / norm, y / norm, z / norm
+
+
+def s2_cap_join(targets: DataFrame, caps: DataFrame, radius: float,
+                level: int = 6,
+                cap_id: str = "cap_id", clat: str = "clat",
+                clng: str = "clng",
+                tid: str = "tid", tlat: str = "tlat", tlng: str = "tlng"
+                ) -> DataFrame:
+    """Spherical range join: every (cap, target) pair with unit-sphere
+    chord distance <= radius. Caps are a SMALL broadcast dimension
+    (collected driver-side to build the cell cover — bounded by the cap
+    count, never the corpus); targets are equi-joined on their
+    level-`level` cell against the cover, then the exact chord test
+    runs as JVM Column math. Returns (cap_id, tid, dist)."""
+    cap_rows = caps.select(cap_id, clat, clng).collect()
+    ids = np.array([r[0] for r in cap_rows], np.int64)
+    la = np.array([r[1] for r in cap_rows], np.float64)
+    lo = np.array([r[2] for r in cap_rows], np.float64)
+    idx, cells = s2_cap_cover(la, lo, radius, level)
+    spark = targets.sparkSession
+    import pandas as pd
+
+    px, py, pz = s2.latlng_to_xyz(la, lo)
+    cover = spark.createDataFrame(pd.DataFrame({
+        cap_id: ids[idx], "cell": cells,
+        "px": px[idx], "py": py[idx], "pz": pz[idx]}))
+    # one Arrow pass: (tid, level-cell, xyz) — no target-side shuffle
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tla = pdf[tlat].to_numpy(np.float64)
+            tlo = pdf[tlng].to_numpy(np.float64)
+            x, y, z = s2.latlng_to_xyz(tla, tlo)
+            face, u, v = s2.xyz_to_face_uv(x, y, z)
+            i = s2.st_to_ij(s2.uv_to_st(u))
+            j = s2.st_to_ij(s2.uv_to_st(v))
+            cid = s2.to_signed(s2.cell_id(face, i, j, level))
+            yield pd.DataFrame({tid: pdf[tid], "cell": cid,
+                                "tx": x, "ty": y, "tz": z})
+
+    tpos = targets.mapInPandas(
+        run, schema=f"{tid} long, cell long, tx double, ty double,"
+                    f" tz double")
+    dist = F.sqrt(
+        (F.col("px") - F.col("tx")) * (F.col("px") - F.col("tx"))
+        + (F.col("py") - F.col("ty")) * (F.col("py") - F.col("ty"))
+        + (F.col("pz") - F.col("tz")) * (F.col("pz") - F.col("tz")))
+    return (tpos.join(F.broadcast(cover), "cell")
+            .select(cap_id, tid, dist.alias("dist"))
+            .filter(F.col("dist") <= radius))
+
+
 def s2_knn(queries: DataFrame, targets: DataFrame, k: int = 3,
            level: int = 11, max_rounds: int = 10,
            qid: str = "qid", qlat: str = "qlat", qlng: str = "qlng",

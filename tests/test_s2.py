@@ -19,7 +19,8 @@ import pandas as pd
 import pytest
 
 from lib_gdal_spark.geo import s2
-from lib_gdal_spark.operators.s2index import s2_encode, s2_knn
+from lib_gdal_spark.operators.s2index import (
+    s2_cap_cover, s2_cap_join, s2_encode, s2_knn)
 
 
 def _rand_latlng(n, seed=7, polar=False):
@@ -206,6 +207,48 @@ def test_s2_knn_partition_invariance(spark, knn_case):
     pa = a.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     pb = b.toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_cap_cover_is_superset():
+    # every point inside a cap must land in a covered cell — poles and
+    # dateline included
+    clat = np.array([89.9, -89.9, 0.0, 45.0, -30.0])
+    clng = np.array([0.0, 100.0, 179.99, -179.99, 45.0])
+    r = 0.25
+    idx, cells = s2_cap_cover(clat, clng, r, level=6)
+    lat, lng = _rand_latlng(100000, seed=41)
+    px, py, pz = s2.latlng_to_xyz(clat, clng)
+    x, y, z = s2.latlng_to_xyz(lat, lng)
+    pc = s2.to_signed(s2.parent_id(s2.cell_id_from_latlng(lat, lng, 30), 6))
+    for c in range(len(clat)):
+        d = np.sqrt((px[c] - x) ** 2 + (py[c] - y) ** 2 + (pz[c] - z) ** 2)
+        inside = d <= r
+        assert np.isin(pc[inside], cells[idx == c]).all()
+
+
+def test_cap_join_vs_brute_force(spark):
+    clat = np.array([89.0, 0.0, -45.0, 30.0])
+    clng = np.array([10.0, 179.9, -60.0, -179.9])
+    caps = spark.createDataFrame(pd.DataFrame({
+        "cap_id": np.arange(4), "clat": clat, "clng": clng}))
+    tlat, tlng = _rand_latlng(2000, seed=51)
+    t = spark.createDataFrame(pd.DataFrame({
+        "tid": np.arange(2000), "tlat": tlat, "tlng": tlng}))
+    r = 0.3
+    got = s2_cap_join(t.repartition(5), caps, radius=r, level=5) \
+        .toPandas().sort_values(["cap_id", "tid"]).reset_index(drop=True)
+    px, py, pz = s2.latlng_to_xyz(clat, clng)
+    x, y, z = s2.latlng_to_xyz(tlat, tlng)
+    rows = []
+    for c in range(4):
+        d = np.sqrt((px[c] - x) ** 2 + (py[c] - y) ** 2 + (pz[c] - z) ** 2)
+        for tid in np.flatnonzero(d <= r):
+            rows.append((c, int(tid), float(d[tid])))
+    want = pd.DataFrame(rows, columns=["cap_id", "tid", "dist"])
+    assert len(got) == len(want) and len(want) > 0
+    assert (got["cap_id"].to_numpy() == want["cap_id"].to_numpy()).all()
+    assert (got["tid"].to_numpy() == want["tid"].to_numpy()).all()
+    assert (got["dist"].to_numpy() == want["dist"].to_numpy()).all()
 
 
 def test_s2_encode_columns(spark):
