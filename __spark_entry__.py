@@ -230,6 +230,58 @@ def _q_s2_cap_join(spark, sf_dir):
     return out.select("cap_id", F.col("tid").alias("doc_id"), "dist")
 
 
+def _ntv2_toy_grid():
+    """Deterministic NTv2 sub-grid: 11x9 nodes covering lat 10..50 /
+    lon -60..30, offsets k/64 arc-seconds (exact in float32 AND in a
+    decimal SQL literal, so the oracle injection is bit-exact)."""
+    W, H = 11, 9
+    x = np.arange(W)
+    y = np.arange(H)[:, None]
+    bands = np.zeros((4, H, W), np.float32)
+    bands[0] = ((x * 7 + y * 13) % 33 - 16) / 64.0
+    bands[1] = ((x * 11 + y * 5) % 29 - 14) / 64.0
+    return {
+        "name": "TOY", "parent": "NONE", "created": "", "updated": "",
+        "s_lat": 10 * 3600.0, "n_lat": 50 * 3600.0,
+        "w_long": -60 * 3600.0, "e_long": 30 * 3600.0,
+        "lat_inc": 18000.0, "long_inc": 32400.0,
+        "width": W, "height": H, "bands": bands,
+    }
+
+
+def _q_ntv2_shift(spark, sf_dir):
+    """NTv2 datum-shift grid applied to pages, with the .gsb codec IN
+    the loop (write -> read -> bilinear shift; sources/ntv2.py after
+    frmts/raw/ntv2dataset.cpp). Points outside the grid pass through
+    unshifted — both populations are non-degenerate at every sf."""
+    import tempfile
+
+    from lib_gdal_spark.sources import ntv2 as nt
+    from lib_gdal_spark.session import ship_package
+
+    path = nt.write_ntv2(
+        tempfile.mktemp(prefix="ntv2_", suffix=".gsb"), [_ntv2_toy_grid()])
+    grid = nt.read_ntv2_grids(path)[0]
+    ship_package(spark)
+    p = _pages(spark, sf_dir).select("doc_id", "lat", "lon")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon2, lat2, ok = nt.ntv2_shift_np(
+                pdf["lon"].to_numpy(np.float64),
+                pdf["lat"].to_numpy(np.float64), grid)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "lon2": lon2, "lat2": lat2,
+                "shifted": ok.astype(np.int64)})
+
+    return p.mapInPandas(
+        run, schema="doc_id long, lon2 double, lat2 double, shifted long")
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -5012,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell_assign": _q_s2_cell_assign,       # S2 Hilbert cell index
         "s2_knn_sphere": _q_s2_knn_sphere,         # spherical ring kNN
         "s2_cap_join": _q_s2_cap_join,             # spherical range join
+        "ntv2_shift": _q_ntv2_shift,               # NTv2 grid datum shift
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5182,7 +5235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "s2_cell_assign", "s2_knn_sphere", "s2_cap_join",
+    "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5442,6 +5495,50 @@ SELECT cap_id, doc_id,
        sqrt((px-tx)*(px-tx) + (py-ty)*(py-ty) + (pz-tz)*(pz-tz)) AS dist
 FROM cv, pv
 WHERE sqrt((px-tx)*(px-tx) + (py-ty)*(py-ty) + (pz-tz)*(pz-tz)) <= 0.25
+"""
+
+
+def _o_ntv2_shift() -> str:
+    # bit-exact twin of ntv2_shift_np on the toy grid: identical op
+    # order ((lon*3600 - w)/inc folds, floor/clamp, 4-term bilinear
+    # left-assoc sum), grid node values injected as exact k/64 decimal
+    # literals (terminating binary fractions — no double rounding).
+    g = _ntv2_toy_grid()
+    W, H = g["width"], g["height"]
+    la = g["bands"][0].astype(np.float64)
+    lo = g["bands"][1].astype(np.float64)
+    vals = ",".join(
+        f"({x},{y},{la[y, x]!r},{lo[y, x]!r})"
+        for y in range(H) for x in range(W))
+    bil = lambda c: (f"(g00.{c}*(1.0-wx)*(1.0-wy) + g01.{c}*wx*(1.0-wy)"
+                     f" + g10.{c}*(1.0-wx)*wy + g11.{c}*wx*wy)")
+    return f"""
+WITH {_PAGES_CTE},
+grid(gx, gy, la, lo) AS (VALUES {vals}),
+pts AS (
+  SELECT doc_id, lat, lon,
+         (lon*3600.0 - ({g['w_long']!r}))/{g['long_inc']!r} AS fx,
+         ({g['n_lat']!r} - lat*3600.0)/{g['lat_inc']!r} AS fy
+  FROM pages),
+pos AS (
+  SELECT doc_id, lat, lon, fx, fy,
+         (fx >= 0 AND fx <= {W - 1} AND fy >= 0 AND fy <= {H - 1}) AS ok,
+         CAST(greatest(least(floor(fx), {W - 1}.0), 0.0) AS BIGINT) AS x0,
+         CAST(greatest(least(floor(fy), {H - 1}.0), 0.0) AS BIGINT) AS y0
+  FROM pts),
+pos2 AS (
+  SELECT *, least(x0 + 1, {W - 1}) AS x1, least(y0 + 1, {H - 1}) AS y1,
+         fx - x0 AS wx, fy - y0 AS wy
+  FROM pos)
+SELECT doc_id,
+       CASE WHEN ok THEN lon - {bil('lo')}/3600.0 ELSE lon END AS lon2,
+       CASE WHEN ok THEN lat + {bil('la')}/3600.0 ELSE lat END AS lat2,
+       CAST(ok AS BIGINT) AS shifted
+FROM pos2
+JOIN grid g00 ON g00.gx = x0 AND g00.gy = y0
+JOIN grid g01 ON g01.gx = x1 AND g01.gy = y0
+JOIN grid g10 ON g10.gx = x0 AND g10.gy = y1
+JOIN grid g11 ON g11.gx = x1 AND g11.gy = y1
 """
 
 
@@ -8323,6 +8420,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cell_assign": _o_s2_cell_assign(),
         "s2_knn_sphere": _o_s2_knn_sphere(),
         "s2_cap_join": _o_s2_cap_join(),
+        "ntv2_shift": _o_ntv2_shift(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
