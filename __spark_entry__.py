@@ -282,6 +282,35 @@ def _q_ntv2_shift(spark, sf_dir):
         run, schema="doc_id long, lon2 double, lat2 double, shifted long")
 
 
+def _q_gtx_roundtrip(spark, sf_dir):
+    """GTX vertical-shift sink+source with the big-endian bottom-up
+    float32 codec IN the loop (sources/gtx.py after
+    frmts/raw/gtxdataset.cpp). Cell values are eighths (exact in
+    float32); absent (bx, by) combinations become nodata on write and
+    stay absent after the read."""
+    import tempfile
+
+    from lib_gdal_spark.sources import gtx as gx
+
+    W, H = 31, 17
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % W).alias("bx"),
+                      F.expr(f"(doc_id div {W}) % {H}").alias("by"))
+             .agg(((F.min("n_chars") % 97 - 48) / 8.0).alias("value"))
+             .collect())
+    vals = np.full((H, W), np.nan)
+    for r in cells:
+        vals[H - 1 - r["by"], r["bx"]] = r["value"]
+    path = gx.write_gtx(tempfile.mktemp(prefix="gtx_", suffix=".gtx"),
+                        vals, (0.0, 0.25, 0.0, H * 0.25, 0.0, -0.25))
+    back, _meta = gx.read_gtx(spark, path)
+    return (back.groupBy((F.col("bx") % 5).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum((F.col("value") * 8.0).cast("long")).alias("v8_sum")))
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -5065,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_knn_sphere": _q_s2_knn_sphere,         # spherical ring kNN
         "s2_cap_join": _q_s2_cap_join,             # spherical range join
         "ntv2_shift": _q_ntv2_shift,               # NTv2 grid datum shift
+        "gtx_roundtrip": _q_gtx_roundtrip,         # GTX vshift src+sink
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5236,6 +5266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
+    "gtx_roundtrip",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5539,6 +5570,26 @@ JOIN grid g00 ON g00.gx = x0 AND g00.gy = y0
 JOIN grid g01 ON g01.gx = x1 AND g01.gy = y0
 JOIN grid g10 ON g10.gx = x0 AND g10.gy = y1
 JOIN grid g11 ON g11.gx = x1 AND g11.gy = y1
+"""
+
+
+def _o_gtx_roundtrip() -> str:
+    # the /8 quantization is exact in float32, so the *8 recovery is an
+    # integer — the codec can only hash-match if every sample, its
+    # position remap (bottom-up <-> N-up) and the nodata handling
+    # round-tripped exactly.
+    return """
+WITH cells AS (
+  SELECT CAST(doc_id % 31 AS BIGINT) AS bx,
+         CAST((doc_id // 31) % 17 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 97 - 48 AS BIGINT) AS v8
+  FROM documents GROUP BY 1, 2)
+SELECT bx % 5 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v8) AS BIGINT) AS v8_sum
+FROM cells GROUP BY 1
 """
 
 
@@ -8421,6 +8472,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_knn_sphere": _o_s2_knn_sphere(),
         "s2_cap_join": _o_s2_cap_join(),
         "ntv2_shift": _o_ntv2_shift(),
+        "gtx_roundtrip": _o_gtx_roundtrip(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
