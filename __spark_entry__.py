@@ -311,6 +311,37 @@ def _q_gtx_roundtrip(spark, sf_dir):
                  F.sum((F.col("value") * 8.0).cast("long")).alias("v8_sum")))
 
 
+def _q_byn_roundtrip(spark, sf_dir):
+    """BYN geoid sink+source with the 80-byte LE header + Int16 codec
+    IN the loop (sources/byn.py after frmts/raw/byndataset.cpp),
+    x1000-scaled boundaries exercised. Values straddle zero; absent
+    cells become the 32767 nodata and stay absent after the read."""
+    import tempfile
+
+    from lib_gdal_spark.sources import byn as bn
+
+    W, H = 29, 13
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % W).alias("bx"),
+                      F.expr(f"(doc_id div {W}) % {H}").alias("by"))
+             .agg((F.min("n_chars") % 1201 - 600).alias("value"))
+             .collect())
+    vals = np.full((H, W), 32767, np.int64)
+    for r in cells:
+        vals[H - 1 - r["by"], r["bx"]] = r["value"]
+    # scale=1: header units are thousandths of the true arc-seconds
+    path = bn.write_byn(
+        tempfile.mktemp(prefix="byn_", suffix=".byn"), vals,
+        south=36, north=36 + 3 * (H - 1), west=-72,
+        east=-72 + 3 * (W - 1), dlat=3, dlon=3, sizeof=2, scale=1)
+    back, _meta = bn.read_byn(spark, path)
+    return (back.groupBy((F.col("bx") % 4).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum(F.col("value").cast("long")).alias("v_sum")))
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -5095,6 +5126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cap_join": _q_s2_cap_join,             # spherical range join
         "ntv2_shift": _q_ntv2_shift,               # NTv2 grid datum shift
         "gtx_roundtrip": _q_gtx_roundtrip,         # GTX vshift src+sink
+        "byn_roundtrip": _q_byn_roundtrip,         # BYN geoid src+sink
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5266,7 +5298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
-    "gtx_roundtrip",
+    "gtx_roundtrip", "byn_roundtrip",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5589,6 +5621,22 @@ SELECT bx % 5 AS bucket,
        CAST(sum(bx) AS BIGINT) AS bx_sum,
        CAST(sum(byy) AS BIGINT) AS by_sum,
        CAST(sum(v8) AS BIGINT) AS v8_sum
+FROM cells GROUP BY 1
+"""
+
+
+def _o_byn_roundtrip() -> str:
+    return """
+WITH cells AS (
+  SELECT CAST(doc_id % 29 AS BIGINT) AS bx,
+         CAST((doc_id // 29) % 13 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 1201 - 600 AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2)
+SELECT bx % 4 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum
 FROM cells GROUP BY 1
 """
 
@@ -8473,6 +8521,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cap_join": _o_s2_cap_join(),
         "ntv2_shift": _o_ntv2_shift(),
         "gtx_roundtrip": _o_gtx_roundtrip(),
+        "byn_roundtrip": _o_byn_roundtrip(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
