@@ -342,6 +342,36 @@ def _q_byn_roundtrip(spark, sf_dir):
                  F.sum(F.col("value").cast("long")).alias("v_sum")))
 
 
+def _q_leveller_roundtrip(spark, sf_dir):
+    """Leveller v7 sink+source with the tag-stream float32 codec IN
+    the loop (sources/leveller.py after frmts/leveller/
+    levellerdataset.cpp). Halves are exact in float32, so the *2
+    recovery is an integer; absent cells write as 0 heights (the
+    format has no nodata) and the count column pins the full grid."""
+    import tempfile
+
+    from lib_gdal_spark.sources import leveller as lv
+
+    W, H = 27, 11
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % W).alias("bx"),
+                      F.expr(f"(doc_id div {W}) % {H}").alias("by"))
+             .agg(((F.min("n_chars") % 1601 - 800) / 2.0).alias("value"))
+             .collect())
+    vals = np.zeros((H, W))
+    for r in cells:
+        vals[H - 1 - r["by"], r["bx"]] = r["value"]
+    path = lv.write_leveller(
+        tempfile.mktemp(prefix="lev_", suffix=".ter"), vals,
+        (0.0, 30.0, 0.0, 0.0, 0.0, 30.0), elev_scale=2.0)
+    back, _meta = lv.read_leveller(spark, path)
+    return (back.groupBy((F.col("bx") % 6).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum((F.col("value") * 2.0).cast("long")).alias("v2_sum")))
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -5127,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntv2_shift": _q_ntv2_shift,               # NTv2 grid datum shift
         "gtx_roundtrip": _q_gtx_roundtrip,         # GTX vshift src+sink
         "byn_roundtrip": _q_byn_roundtrip,         # BYN geoid src+sink
+        "leveller_roundtrip": _q_leveller_roundtrip,  # Leveller v7 loop
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5298,7 +5329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
-    "gtx_roundtrip", "byn_roundtrip",
+    "gtx_roundtrip", "byn_roundtrip", "leveller_roundtrip",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5638,6 +5669,32 @@ SELECT bx % 4 AS bucket,
        CAST(sum(byy) AS BIGINT) AS by_sum,
        CAST(sum(v) AS BIGINT) AS v_sum
 FROM cells GROUP BY 1
+"""
+
+
+def _o_leveller_roundtrip() -> str:
+    # full-grid aggregation: absent combos contribute value 0 but still
+    # count, so n pins W*H per bucket and the v2 fold can only match if
+    # every written sample survived the tag-stream loop exactly.
+    return """
+WITH xs AS (SELECT unnest(range(0, 27)) AS bx),
+ys AS (SELECT unnest(range(0, 11)) AS byy),
+written AS (
+  SELECT CAST(doc_id % 27 AS BIGINT) AS bx,
+         CAST((doc_id // 27) % 11 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 1601 - 800 AS BIGINT) AS v2
+  FROM documents GROUP BY 1, 2),
+grid AS (
+  SELECT CAST(xs.bx AS BIGINT) AS bx, CAST(ys.byy AS BIGINT) AS byy,
+         coalesce(w.v2, 0) AS v2
+  FROM xs CROSS JOIN ys
+  LEFT JOIN written w ON w.bx = xs.bx AND w.byy = ys.byy)
+SELECT bx % 6 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v2) AS BIGINT) AS v2_sum
+FROM grid GROUP BY 1
 """
 
 
@@ -8522,6 +8579,7 @@ def oracle_sql() -> dict[str, str]:
         "ntv2_shift": _o_ntv2_shift(),
         "gtx_roundtrip": _o_gtx_roundtrip(),
         "byn_roundtrip": _o_byn_roundtrip(),
+        "leveller_roundtrip": _o_leveller_roundtrip(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
