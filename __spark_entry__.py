@@ -372,6 +372,37 @@ def _q_leveller_roundtrip(spark, sf_dir):
                  F.sum((F.col("value") * 2.0).cast("long")).alias("v2_sum")))
 
 
+def _q_vicar_roundtrip(spark, sf_dir):
+    """VICAR sink+source with the labeled-record codec IN the loop
+    (sources/vicar.py after frmts/pds/vicardataset.cpp): HALF (int16)
+    BSQ data behind a generated ASCII label with a PROPERTY group;
+    read-side re-parse of LBLSIZE/RECSIZE/ORG drives the aggregate."""
+    import tempfile
+
+    from lib_gdal_spark.sources import vicar as vc
+
+    W, H = 23, 19
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % W).alias("bx"),
+                      F.expr(f"(doc_id div {W}) % {H}").alias("by"))
+             .agg((F.min("n_chars") % 2001 - 1000).alias("value"))
+             .collect())
+    vals = np.zeros((H, W))
+    for r in cells:
+        vals[H - 1 - r["by"], r["bx"]] = r["value"]
+    path = vc.write_vicar(
+        tempfile.mktemp(prefix="vicar_", suffix=".vic"), vals, "HALF",
+        properties={"MAP": {"MAP_SCALE": 0.025, "TARGET_NAME": "MARS"}})
+    back, meta = vc.read_vicar(spark, path)
+    scale = float(meta["gt"][1])  # 25.0 from the MAP group re-parse
+    return (back.groupBy((F.col("bx") % 7).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum((F.col("value") * F.lit(scale) / 25.0).cast("long"))
+                 .alias("v_sum")))
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -5158,6 +5189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtx_roundtrip": _q_gtx_roundtrip,         # GTX vshift src+sink
         "byn_roundtrip": _q_byn_roundtrip,         # BYN geoid src+sink
         "leveller_roundtrip": _q_leveller_roundtrip,  # Leveller v7 loop
+        "vicar_roundtrip": _q_vicar_roundtrip,     # VICAR label+records
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5330,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SWEEP_FIRST = [
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
     "gtx_roundtrip", "byn_roundtrip", "leveller_roundtrip",
+    "vicar_roundtrip",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5694,6 +5727,32 @@ SELECT bx % 6 AS bucket,
        CAST(sum(bx) AS BIGINT) AS bx_sum,
        CAST(sum(byy) AS BIGINT) AS by_sum,
        CAST(sum(v2) AS BIGINT) AS v2_sum
+FROM grid GROUP BY 1
+"""
+
+
+def _o_vicar_roundtrip() -> str:
+    # full-grid aggregation (absent cells written as 0 still count);
+    # the v fold can only match if every int16 sample survived the
+    # label+record loop and the MAP_SCALE re-parse returned exactly 25
+    return """
+WITH xs AS (SELECT unnest(range(0, 23)) AS bx),
+ys AS (SELECT unnest(range(0, 19)) AS byy),
+written AS (
+  SELECT CAST(doc_id % 23 AS BIGINT) AS bx,
+         CAST((doc_id // 23) % 19 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 2001 - 1000 AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2),
+grid AS (
+  SELECT CAST(xs.bx AS BIGINT) AS bx, CAST(ys.byy AS BIGINT) AS byy,
+         coalesce(w.v, 0) AS v
+  FROM xs CROSS JOIN ys
+  LEFT JOIN written w ON w.bx = xs.bx AND w.byy = ys.byy)
+SELECT bx % 7 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum
 FROM grid GROUP BY 1
 """
 
@@ -8580,6 +8639,7 @@ def oracle_sql() -> dict[str, str]:
         "gtx_roundtrip": _o_gtx_roundtrip(),
         "byn_roundtrip": _o_byn_roundtrip(),
         "leveller_roundtrip": _o_leveller_roundtrip(),
+        "vicar_roundtrip": _o_vicar_roundtrip(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
