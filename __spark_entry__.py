@@ -403,6 +403,37 @@ def _q_vicar_roundtrip(spark, sf_dir):
                  .alias("v_sum")))
 
 
+def _q_georss_roundtrip(spark, sf_dir):
+    """GeoRSS sink+source with the RSS/georss:point XML codec IN the
+    loop (sources/georss.py after ogr/ogrsf_frmts/georss). 311
+    bucket-features carry integer coordinates (exact through the
+    %.15g point serialization); read-side wkt strings are re-parsed
+    with Catalyst regexes."""
+    import tempfile
+
+    from lib_gdal_spark.sources import georss as gr
+
+    agg = (_tbl(spark, sf_dir, "documents")
+           .groupBy((F.col("doc_id") % 311).alias("b"))
+           .agg(F.count("*").alias("n"),
+                (F.sum("doc_id") % 170000 - 85000).alias("lat_i"),
+                (F.sum("n_chars") % 360000 - 180000).alias("lon_i"))
+           .collect())
+    feats = [{"fields": {"title": str(r["b"]),
+                         "description": str(r["n"])},
+              "wkt": f"POINT ({r['lon_i']} {r['lat_i']})"}
+             for r in agg]
+    path = gr.write_georss(
+        tempfile.mktemp(prefix="georss_", suffix=".xml"), feats, "RSS")
+    back = gr.read_georss(spark, path)
+    pt = r"POINT \((-?\d+) (-?\d+)\)"
+    return back.select(
+        F.col("title").cast("long").alias("bucket"),
+        F.col("description").cast("long").alias("n"),
+        F.regexp_extract("wkt", pt, 1).cast("long").alias("lon_i"),
+        F.regexp_extract("wkt", pt, 2).cast("long").alias("lat_i"))
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -5190,6 +5221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byn_roundtrip": _q_byn_roundtrip,         # BYN geoid src+sink
         "leveller_roundtrip": _q_leveller_roundtrip,  # Leveller v7 loop
         "vicar_roundtrip": _q_vicar_roundtrip,     # VICAR label+records
+        "georss_roundtrip": _q_georss_roundtrip,   # GeoRSS RSS feed loop
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5362,7 +5394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SWEEP_FIRST = [
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
     "gtx_roundtrip", "byn_roundtrip", "leveller_roundtrip",
-    "vicar_roundtrip",
+    "vicar_roundtrip", "georss_roundtrip",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5754,6 +5786,16 @@ SELECT bx % 7 AS bucket,
        CAST(sum(byy) AS BIGINT) AS by_sum,
        CAST(sum(v) AS BIGINT) AS v_sum
 FROM grid GROUP BY 1
+"""
+
+
+def _o_georss_roundtrip() -> str:
+    return """
+SELECT CAST(doc_id % 311 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) % 360000 - 180000 AS BIGINT) AS lon_i,
+       CAST(sum(doc_id) % 170000 - 85000 AS BIGINT) AS lat_i
+FROM documents GROUP BY 1
 """
 
 
@@ -8640,6 +8682,7 @@ def oracle_sql() -> dict[str, str]:
         "byn_roundtrip": _o_byn_roundtrip(),
         "leveller_roundtrip": _o_leveller_roundtrip(),
         "vicar_roundtrip": _o_vicar_roundtrip(),
+        "georss_roundtrip": _o_georss_roundtrip(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
