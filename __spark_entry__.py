@@ -434,6 +434,36 @@ def _q_georss_roundtrip(spark, sf_dir):
         F.regexp_extract("wkt", pt, 2).cast("long").alias("lat_i"))
 
 
+def _q_rmf_roundtrip(spark, sf_dir):
+    """RMF/Panorama MTW sink+source with the tiled Int32 codec IN the
+    loop (sources/rmf.py after frmts/rmf/rmfdataset.cpp): a 300x73
+    grid forces edge tiles at tile=64, so the tile table, last-tile
+    clipping and offsets must all round-trip for the hash to match."""
+    import tempfile
+
+    from lib_gdal_spark.sources import rmf as rm
+
+    W, H = 73, 41
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % W).alias("bx"),
+                      F.expr(f"(doc_id div {W}) % {H}").alias("by"))
+             .agg((F.min("n_chars") * 977 % 2000003 - 1000000)
+                  .alias("value"))
+             .collect())
+    vals = np.zeros((H, W), np.int32)
+    for r in cells:
+        vals[H - 1 - r["by"], r["bx"]] = r["value"]
+    path = rm.write_rmf(
+        tempfile.mktemp(prefix="rmf_", suffix=".mtw"), vals, mtw=True,
+        gt=(440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0), tile=64)
+    back, _meta = rm.read_rmf(spark, path)
+    return (back.groupBy((F.col("bx") % 9).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum(F.col("value").cast("long")).alias("v_sum")))
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -5222,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leveller_roundtrip": _q_leveller_roundtrip,  # Leveller v7 loop
         "vicar_roundtrip": _q_vicar_roundtrip,     # VICAR label+records
         "georss_roundtrip": _q_georss_roundtrip,   # GeoRSS RSS feed loop
+        "rmf_roundtrip": _q_rmf_roundtrip,         # RMF/Panorama MTW loop
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5394,7 +5425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SWEEP_FIRST = [
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
     "gtx_roundtrip", "byn_roundtrip", "leveller_roundtrip",
-    "vicar_roundtrip", "georss_roundtrip",
+    "vicar_roundtrip", "georss_roundtrip", "rmf_roundtrip",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5796,6 +5827,29 @@ SELECT CAST(doc_id % 311 AS BIGINT) AS bucket,
        CAST(sum(n_chars) % 360000 - 180000 AS BIGINT) AS lon_i,
        CAST(sum(doc_id) % 170000 - 85000 AS BIGINT) AS lat_i
 FROM documents GROUP BY 1
+"""
+
+
+def _o_rmf_roundtrip() -> str:
+    return """
+WITH xs AS (SELECT unnest(range(0, 73)) AS bx),
+ys AS (SELECT unnest(range(0, 41)) AS byy),
+written AS (
+  SELECT CAST(doc_id % 73 AS BIGINT) AS bx,
+         CAST((doc_id // 73) % 41 AS BIGINT) AS byy,
+         CAST(min(n_chars) * 977 % 2000003 - 1000000 AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2),
+grid AS (
+  SELECT CAST(xs.bx AS BIGINT) AS bx, CAST(ys.byy AS BIGINT) AS byy,
+         coalesce(w.v, 0) AS v
+  FROM xs CROSS JOIN ys
+  LEFT JOIN written w ON w.bx = xs.bx AND w.byy = ys.byy)
+SELECT bx % 9 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum
+FROM grid GROUP BY 1
 """
 
 
@@ -8683,6 +8737,7 @@ def oracle_sql() -> dict[str, str]:
         "leveller_roundtrip": _o_leveller_roundtrip(),
         "vicar_roundtrip": _o_vicar_roundtrip(),
         "georss_roundtrip": _o_georss_roundtrip(),
+        "rmf_roundtrip": _o_rmf_roundtrip(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
