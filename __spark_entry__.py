@@ -464,6 +464,36 @@ def _q_rmf_roundtrip(spark, sf_dir):
                  F.sum(F.col("value").cast("long")).alias("v_sum")))
 
 
+def _q_ilwis_roundtrip(spark, sf_dir):
+    """ILWIS sink+source with the ini-ODF + raw .mp# codec IN the loop
+    (sources/ilwis.py after frmts/ilwis/ilwisdataset.cpp): Int (i2)
+    store, GeoRefCorners georef re-parsed on read."""
+    import tempfile, os
+
+    from lib_gdal_spark.sources import ilwis as il
+
+    W, H = 37, 21
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % W).alias("bx"),
+                      F.expr(f"(doc_id div {W}) % {H}").alias("by"))
+             .agg((F.min("n_chars") % 3001 - 1500).alias("value"))
+             .collect())
+    vals = np.zeros((H, W), np.int16)
+    for r in cells:
+        vals[H - 1 - r["by"], r["bx"]] = r["value"]
+    d = tempfile.mkdtemp(prefix="ilwis_")
+    path = il.write_ilwis(os.path.join(d, "grid.mpr"), vals, store="Int",
+                          gt=(795480.0, 20.0, 0.0, 8090520.0, 0.0, -20.0))
+    back, meta = il.read_ilwis(spark, path)
+    px = float(meta["gt"][1])  # 20.0 from the .grf re-parse
+    return (back.groupBy((F.col("bx") % 5).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum((F.col("value") * F.lit(px) / 20.0).cast("long"))
+                 .alias("v_sum")))
+
+
 def _q_zonal_stats(spark, sf_dir):
     p = _pages(spark, sf_dir).select(
         F.floor(F.col("lon") / 30.0).cast("long").alias("zone"),
@@ -5253,6 +5283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vicar_roundtrip": _q_vicar_roundtrip,     # VICAR label+records
         "georss_roundtrip": _q_georss_roundtrip,   # GeoRSS RSS feed loop
         "rmf_roundtrip": _q_rmf_roundtrip,         # RMF/Panorama MTW loop
+        "ilwis_roundtrip": _q_ilwis_roundtrip,     # ILWIS ODF+raw loop
         "coverage_check": _q_coverage_check,       # GEOS coverage validator
         "coverage_simplify": _q_coverage_simplify,  # coverage simplifier
         "coverage_clean": _q_coverage_clean,       # coverage cleaner
@@ -5426,6 +5457,7 @@ _SWEEP_FIRST = [
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
     "gtx_roundtrip", "byn_roundtrip", "leveller_roundtrip",
     "vicar_roundtrip", "georss_roundtrip", "rmf_roundtrip",
+    "ilwis_roundtrip",
     "viewshed_cumulative", "coverage_check_gaps", "bpe_encode_docs",
     "dxf_roundtrip", "netcdf_roundtrip",
     "kml_roundtrip", "gpx_roundtrip", "gml_roundtrip", "mif_roundtrip",
@@ -5845,6 +5877,29 @@ grid AS (
   FROM xs CROSS JOIN ys
   LEFT JOIN written w ON w.bx = xs.bx AND w.byy = ys.byy)
 SELECT bx % 9 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bx) AS BIGINT) AS bx_sum,
+       CAST(sum(byy) AS BIGINT) AS by_sum,
+       CAST(sum(v) AS BIGINT) AS v_sum
+FROM grid GROUP BY 1
+"""
+
+
+def _o_ilwis_roundtrip() -> str:
+    return """
+WITH xs AS (SELECT unnest(range(0, 37)) AS bx),
+ys AS (SELECT unnest(range(0, 21)) AS byy),
+written AS (
+  SELECT CAST(doc_id % 37 AS BIGINT) AS bx,
+         CAST((doc_id // 37) % 21 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 3001 - 1500 AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2),
+grid AS (
+  SELECT CAST(xs.bx AS BIGINT) AS bx, CAST(ys.byy AS BIGINT) AS byy,
+         coalesce(w.v, 0) AS v
+  FROM xs CROSS JOIN ys
+  LEFT JOIN written w ON w.bx = xs.bx AND w.byy = ys.byy)
+SELECT bx % 5 AS bucket,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(bx) AS BIGINT) AS bx_sum,
        CAST(sum(byy) AS BIGINT) AS by_sum,
@@ -8738,6 +8793,7 @@ def oracle_sql() -> dict[str, str]:
         "vicar_roundtrip": _o_vicar_roundtrip(),
         "georss_roundtrip": _o_georss_roundtrip(),
         "rmf_roundtrip": _o_rmf_roundtrip(),
+        "ilwis_roundtrip": _o_ilwis_roundtrip(),
         "zonal_stats": _o_zonal_stats(),
         "zonal_mode": _o_zonal_mode(),
         "zonal_weighted": _o_zonal_weighted(),
