@@ -40,7 +40,12 @@ def main():
     con = duckdb.connect()
     # a quadratic oracle at 10x scale should ERROR, not OOM-kill the
     # process (hit: knn_ring's unpruned cross join at sf1.0)
-    con.execute("SET memory_limit='24GB'")
+    # 24GB default makes a quadratic oracle at 10x scale ERROR rather
+    # than OOM-kill the process; raise via env for the few legitimately
+    # memory-hungry oracles (grid_linear's TIN twin needs ~70GB at
+    # sf0.1 if forced to spill — it finishes in-RAM with a high cap)
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("SPARK_GRAFT_DUCKDB_MEMLIMIT", "24GB"))
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
