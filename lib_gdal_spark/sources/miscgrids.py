@@ -28,6 +28,39 @@ import numpy as np
 GSC_NODATA = -1.0000000150474662199e+30
 
 
+def read_loslas_grid(path: str) -> dict:
+    """NOAA LOS/LAS/GEO datum-shift grid (frmts/raw/loslasdataset.cpp):
+    int32 LE dims at offsets 64/68, float32 min_lon/delta_lon/min_lat/
+    delta_lat at 76; records of nx*4+4 bytes with a 4-byte prefix,
+    stored SOUTH-first (the raster reads bottom-up, :237-244); gt =
+    (min_lon - dlon/2, dlon, 0, min_lat + (ny-0.5)*dlat, 0, -dlat).
+    Band meaning by extension: .los = longitude offset (positive
+    west), .las = latitude offset, .geo = geoid undulation."""
+    with open(path, "rb") as f:
+        data = f.read()
+    nx, ny = struct.unpack_from("<ii", data, 64)
+    if not (0 < nx < 100000 and 0 < ny < 100000):
+        raise ValueError("LOSLAS: implausible dimensions")
+    min_lon, dlon, min_lat, dlat = struct.unpack_from("<4f", data, 76)
+    reclen = nx * 4 + 4
+    vals = np.empty((ny, nx), np.float64)
+    for r in range(ny):
+        # raster row r = file record ny-1-r (records are S-first);
+        # record r's payload starts after its 4-byte prefix
+        off = (ny - r) * reclen + 4
+        chunk = data[off:off + nx * 4]
+        chunk = chunk + b"\x00" * (nx * 4 - len(chunk))
+        vals[r] = np.frombuffer(chunk, "<f4", nx)
+    ext = os.path.splitext(path)[1].lower()
+    desc = {".los": "Longitude Offset (arc seconds)",
+            ".las": "Latitude Offset (arc seconds)",
+            ".geo": "Geoid undulation (meters)"}.get(ext, "")
+    gt = (min_lon - dlon * 0.5, float(dlon), 0.0,
+          min_lat + (ny - 0.5) * dlat, 0.0, -1.0 * dlat)
+    return {"width": nx, "height": ny, "values": vals, "gt": gt,
+            "description": desc}
+
+
 def read_jdem_grid(path: str) -> dict:
     with open(path, "rb") as f:
         data = f.read()
