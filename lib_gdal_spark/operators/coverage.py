@@ -383,7 +383,8 @@ def invalid_edges(polys: DataFrame, id_col: str = "poly_id",
 
 
 _CHAIN_SCHEMA = ("lox double, loy double, hix double, hiy double, "
-                 "chain string, cxs array<double>, cys array<double>")
+                 "chain string, cxs array<double>, cys array<double>, "
+                 "oxs array<double>, oys array<double>")
 
 
 def _walk_chains(edges: np.ndarray, own_key: str, tolerance: float):
@@ -465,16 +466,135 @@ def _walk_chains(edges: np.ndarray, own_key: str, tolerance: float):
         chain_n += 1
         cxs = simp[:, 0].tolist()
         cys = simp[:, 1].tolist()
-        for k in path:
+        # original (unsimplified) chain polyline — carried on the FIRST
+        # edge row only, so the per-edge payload stays O(simplified) and
+        # a long chain never multiplies its own vertex list
+        orig = (np.asarray(arr, np.float64) if is_cycle
+                else np.asarray(verts, np.float64))
+        oxs = orig[:, 0].tolist()
+        oys = orig[:, 1].tolist()
+        for j, k in enumerate(path):
             e = edges[k]
             out.append((float(e[0]), float(e[1]), float(e[2]),
-                        float(e[3]), cid, cxs, cys))
+                        float(e[3]), cid, cxs, cys,
+                        oxs if j == 0 else None,
+                        oys if j == 0 else None))
     return out
+
+
+def _uncross_chains(uniq: DataFrame, max_rounds: int = 8):
+    """Cross-chain crossing re-check (GEOS CoverageSimplifier's corrected
+    variant, TPVWSimplifier's edge-index guard re-expressed post-hoc):
+    detect any contact between segments of DIFFERENT simplified chains
+    (or non-adjacent contact within one chain) that is not a shared
+    endpoint vertex, and revert every chain involved to its ORIGINAL
+    vertex run. Reverting is iterated to a fixed point — an original
+    chain cannot cross another original chain (the input coverage is
+    valid), but a still-simplified chain can cross a reverted one.
+
+    Coarser than GEOS (whole-chain revert instead of per-vertex
+    reinstatement — strictly more conservative: the output stays a valid
+    coverage, some chains keep more vertices than GEOS would). The
+    detection itself is exact and pure Catalyst column math over a
+    grid-cell pair join, so the revert SET is deterministic and
+    partition-independent.
+
+    ``uniq``: (chain, cxs, cys, oxs, oys), one row per chain.
+    Returns the fixed (chain, cxs, cys) DataFrame, or None when the
+    first round finds no crossing (caller keeps its unmodified plan)."""
+    first = True
+    for _ in range(max_rounds):
+        seg = (uniq.select(
+            "chain",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("cxs") - 2),
+                lambda i: F.struct(
+                    F.col("cxs")[i].alias("ax"),
+                    F.col("cys")[i].alias("ay"),
+                    F.col("cxs")[i + 1].alias("bx"),
+                    F.col("cys")[i + 1].alias("by"))))
+            .alias("i", "s"))
+            .select("chain", "i", "s.ax", "s.ay", "s.bx", "s.by")
+            .filter((F.col("ax") != F.col("bx"))
+                    | (F.col("ay") != F.col("by"))))
+        # grid cell size from the data: the longest segment bbox side,
+        # so every segment covers at most 2x2 cells (one tiny job)
+        cs = seg.agg(F.max(F.greatest(
+            F.abs(F.col("bx") - F.col("ax")),
+            F.abs(F.col("by") - F.col("ay"))))).first()[0]
+        if cs is None or cs <= 0.0:
+            break
+        cells = (seg
+                 .withColumn("cx", F.explode(F.sequence(
+                     F.floor(F.least("ax", "bx") / cs),
+                     F.floor(F.greatest("ax", "bx") / cs))))
+                 .withColumn("cy", F.explode(F.sequence(
+                     F.floor(F.least("ay", "by") / cs),
+                     F.floor(F.greatest("ay", "by") / cs)))))
+        # self-join with RENAMED right-side columns — a plain alias()
+        # self-join on identical lineage is ambiguity-prone (Spark can
+        # resolve both sides to the same attribute)
+        a = cells
+        b = cells.select([F.col(c).alias("r_" + c) for c in
+                          ["chain", "i", "ax", "ay", "bx", "by",
+                           "cx", "cy"]])
+        A = F.col
+        B = lambda c: F.col("r_" + c)  # noqa: E731
+        pairs = a.join(b, on=(
+            (A("cx") == B("cx")) & (A("cy") == B("cy"))
+            & ((A("chain") < B("chain"))
+               | ((A("chain") == B("chain")) & (A("i") < B("i"))))))
+        ax, ay, bx, by = A("ax"), A("ay"), A("bx"), A("by")
+        cx, cy, dx, dy = B("ax"), B("ay"), B("bx"), B("by")
+        d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+        d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+        d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+        proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+
+        def on_seg(px, py, d, x1, y1, x2, y2):
+            return ((d == 0)
+                    & (px >= F.least(x1, x2)) & (px <= F.greatest(x1, x2))
+                    & (py >= F.least(y1, y2)) & (py <= F.greatest(y1, y2)))
+
+        def is_pt(px, py, qx, qy):
+            return (px == qx) & (py == qy)
+
+        interior = (
+            (on_seg(cx, cy, d1, ax, ay, bx, by)
+             & ~is_pt(cx, cy, ax, ay) & ~is_pt(cx, cy, bx, by))
+            | (on_seg(dx, dy, d2, ax, ay, bx, by)
+               & ~is_pt(dx, dy, ax, ay) & ~is_pt(dx, dy, bx, by))
+            | (on_seg(ax, ay, d3, cx, cy, dx, dy)
+               & ~is_pt(ax, ay, cx, cy) & ~is_pt(ax, ay, dx, dy))
+            | (on_seg(bx, by, d4, cx, cy, dx, dy)
+               & ~is_pt(bx, by, cx, cy) & ~is_pt(bx, by, dx, dy)))
+        dup = ((is_pt(ax, ay, cx, cy) & is_pt(bx, by, dx, dy))
+               | (is_pt(ax, ay, dx, dy) & is_pt(bx, by, cx, cy)))
+        bad = pairs.filter(proper | interior | dup)
+        revert = (bad.select(A("chain").alias("chain"))
+                  .union(bad.select(B("chain").alias("chain")))
+                  .distinct())
+        n_bad = revert.count()
+        if n_bad == 0:
+            return None if first else uniq.select("chain", "cxs", "cys")
+        first = False
+        uniq = (uniq.join(revert.withColumn("_rv", F.lit(True)),
+                          "chain", "left")
+                .select("chain",
+                        F.when(F.col("_rv"), F.col("oxs"))
+                         .otherwise(F.col("cxs")).alias("cxs"),
+                        F.when(F.col("_rv"), F.col("oys"))
+                         .otherwise(F.col("cys")).alias("cys"),
+                        "oxs", "oys")
+                .localCheckpoint())
+    return uniq.select("chain", "cxs", "cys")
 
 
 def simplify_coverage(polys: DataFrame, tolerance: float,
                       id_col: str = "poly_id", xs_col: str = "xs",
-                      ys_col: str = "ys") -> DataFrame:
+                      ys_col: str = "ys",
+                      crossing_recheck: bool = True) -> DataFrame:
     """`gdal vector simplify-coverage`
     (apps/gdalalg_vector_simplify_coverage.cpp / GEOS 3.12
     CoverageSimplifier): topology-aware simplification where a boundary
@@ -493,11 +613,16 @@ def simplify_coverage(polys: DataFrame, tolerance: float,
       4. join chains back to the per-polygon segment sequence and
          rebuild each ring in pos order (one groupBy(poly_id)).
 
-    Divergence from GEOS, documented: chain-wise DP with pinned chain
-    endpoints does not re-check cross-chain crossings (GEOS's corrected
-    variant does); the reference autotest's assertions (feature count
-    preserved, point count reduced) replay in tests/test_coverage.py on
-    the reference's own poly.shp.
+    ``crossing_recheck`` (default on) runs the cross-chain crossing
+    re-check after DP (`_uncross_chains`): any chain whose simplified
+    run contacts another chain beyond shared endpoint vertices reverts
+    to its original vertices, iterated to a fixed point — coarser than
+    GEOS's per-vertex reinstatement (documented), but the output is
+    always a valid coverage. The clean case costs one cheap probe job
+    over the simplified chain segments and leaves results unchanged;
+    the reference autotest's assertions (feature count preserved, point
+    count reduced) replay in tests/test_coverage.py on the reference's
+    own poly.shp.
 
     Returns (poly_id, xs, ys) simplified closed rings."""
     from ..session import ship_package
@@ -542,7 +667,7 @@ def simplify_coverage(polys: DataFrame, tolerance: float,
     def chains_part(batches):
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
-            yield pd.DataFrame(columns=cols + ["chain", "cxs", "cys"])
+            yield pd.DataFrame(columns=cols + ["chain", "cxs", "cys", "oxs", "oys"])
             return
         pdf = pd.concat(pdfs, ignore_index=True)
         rows = []
@@ -551,12 +676,27 @@ def simplify_coverage(polys: DataFrame, tolerance: float,
                                      str(key), tol))
             if len(rows) >= 65536:
                 yield pd.DataFrame(rows, columns=cols
-                                   + ["chain", "cxs", "cys"])
+                                   + ["chain", "cxs", "cys",
+                                      "oxs", "oys"])
                 rows = []
-        yield pd.DataFrame(rows, columns=cols + ["chain", "cxs", "cys"])
+        yield pd.DataFrame(rows, columns=cols + ["chain", "cxs", "cys", "oxs", "oys"])
 
     chains = (owners.repartition("own_key")
               .mapInPandas(chains_part, _CHAIN_SCHEMA))
+    if crossing_recheck:
+        # materialize once: the re-check probe runs actions against the
+        # chain walk, and the rebuild join below reads it again
+        chains = chains.localCheckpoint()
+        fixed = _uncross_chains(
+            chains.filter(F.col("oxs").isNotNull())
+                  .select("chain", "cxs", "cys", "oxs", "oys"))
+        if fixed is not None:
+            chains = (chains.drop("cxs", "cys", "oxs", "oys")
+                      .join(fixed, "chain"))
+        else:
+            chains = chains.drop("oxs", "oys")
+    else:
+        chains = chains.drop("oxs", "oys")
 
     joined = segs.join(chains, cols)
 

@@ -480,3 +480,44 @@ def test_check_coverage_gap_plus_overlap_dedup(spark):
            .orderBy("poly_id").toPandas())
     assert list(out["n_invalid"])[:2] == [3, 1]
     assert (out["n_invalid"][2] > 0) and (out["n_invalid"][3] > 0)
+
+
+def test_simplify_coverage_crossing_recheck(spark):
+    # C-shaped polygon with a thin slot + sliver polygon inside the
+    # slot: DP (tol 0.5) drops the slot-tip vertex of the C, so the
+    # simplified chain cuts straight across the sliver (a cross-chain
+    # crossing GEOS's corrected simplifier prevents). The re-check must
+    # detect it and revert BOTH chains to their original vertices.
+    c_xs = [0.0, 8.0, 8.0, 2.0, 2.0, 8.0, 8.0, 0.0, 0.0]
+    c_ys = [0.0, 0.0, 1.9, 1.9, 2.1, 2.1, 4.0, 4.0, 0.0]
+    s_xs = [3.0, 9.0, 9.0, 3.0, 3.0]
+    s_ys = [1.95, 1.95, 2.05, 2.05, 1.95]
+    df = _df(spark, [(c_xs, c_ys), (s_xs, s_ys)])
+
+    out = {r.poly_id: r for r in
+           C.simplify_coverage(df, tolerance=0.5).collect()}
+    # both rings reverted: original vertex sets and areas preserved
+    for pid, (xs, ys) in ((0, (c_xs, c_ys)), (1, (s_xs, s_ys))):
+        r = out[pid]
+        assert set(zip(r.xs, r.ys)) == set(zip(xs, ys))
+        assert abs(_ring_area(r.xs, r.ys) - _ring_area(xs, ys)) < 1e-9
+        assert (r.xs[0], r.ys[0]) == (r.xs[-1], r.ys[-1])
+    # the re-check output is itself a valid coverage
+    chk = {r.poly_id: r.n_invalid for r in
+           C.check_coverage(C.simplify_coverage(df, tolerance=0.5),
+                            cell_size=10.0).collect()}
+    assert chk == {0: 0, 1: 0}
+
+    # recheck off reproduces the documented divergence: the C's chain
+    # crosses the sliver (and the sliver degenerates)
+    raw = {r.poly_id: r for r in
+           C.simplify_coverage(df, tolerance=0.5,
+                               crossing_recheck=False).collect()}
+    assert (2.0, 1.9) not in set(zip(raw[0].xs, raw[0].ys))
+
+    # clean case: recheck finds nothing and leaves the plan untouched
+    clean = _df(spark, [(c_xs, c_ys)])
+    a = C.simplify_coverage(clean, tolerance=0.05).collect()
+    b = C.simplify_coverage(clean, tolerance=0.05,
+                            crossing_recheck=False).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
