@@ -468,3 +468,55 @@ def _cells_to_array(cells, width: int, height: int, fill) -> np.ndarray:
     for r in rows:
         vals[height - 1 - int(r["by"]), int(r["bx"])] = float(r["value"])
     return vals
+
+
+# ----------------------------------------------------------- PCRaster CSF
+
+_CSF_SIG = b"RUU CROSS SYSTEM MAP FORMAT"
+_CSF_CR = {0x00: "u1", 0x04: "i1", 0x11: "u2", 0x15: "i2",
+           0x22: "u4", 0x26: "i4", 0x5A: "f4", 0xDB: "f8"}
+_CSF_MV = {0x00: 255, 0x04: -128, 0x11: 65535, 0x15: -32768,
+           0x22: 4294967295, 0x26: -2147483648}
+_CSF_VS = {0xE0: "boolean", 0xE2: "nominal", 0xF2: "ordinal",
+           0xEB: "scalar", 0xFB: "direction", 0xF0: "ldd",
+           0: "notdetermined", 1: "classified", 2: "continuous"}
+
+
+def decode_csf(data: bytes):
+    """PCRaster CSF 2.0 (frmts/pcraster/libcsf): 64-byte main header
+    ("RUU CROSS SYSTEM MAP FORMAT" signature, csfimpl.h layout), raster
+    header at 64 (valueScale/cellRepr/min/max/xUL/yUL/rows/cols/
+    cellSize/angle), cells at 256 row-major top-down. Missing values
+    per csftypes.h MV_* (REAL4/8 use all-ones NaN patterns).
+
+    -> (values (h, w) float64 north-up with NaN at MV, meta)."""
+    if data[:27] != _CSF_SIG:
+        raise ValueError("not a PCRaster CSF payload")
+    import struct as _st
+
+    byte_order = _st.unpack_from("<I", data, 46)[0]
+    end = "<" if byte_order == 1 else ">"
+    (value_scale, cell_repr) = _st.unpack_from(end + "2H", data, 64)
+    xul, yul = _st.unpack_from(end + "2d", data, 84)
+    nrows, ncols = _st.unpack_from(end + "2I", data, 100)
+    cell_size, _dup, angle = _st.unpack_from(end + "3d", data, 108)
+    if cell_repr not in _CSF_CR:
+        raise ValueError(f"unsupported CSF cell representation "
+                         f"{cell_repr:#x}")
+    dt = np.dtype(end + _CSF_CR[cell_repr])
+    vals = np.frombuffer(data, dt, count=nrows * ncols, offset=256) \
+        .astype(np.float64).reshape(nrows, ncols)
+    if cell_repr in _CSF_MV:
+        vals = np.where(vals == _CSF_MV[cell_repr], np.nan, vals)
+    # REAL4/REAL8 MV is the all-ones bit pattern = NaN already
+    gt = (xul, cell_size, 0.0, yul, 0.0, -cell_size)
+    return vals, {"width": int(ncols), "height": int(nrows), "gt": gt,
+                  "angle": angle,
+                  "value_scale": _CSF_VS.get(value_scale, "undefined"),
+                  "cell_repr": int(cell_repr),
+                  "nodata": _CSF_MV.get(cell_repr)}
+
+
+def read_csf(spark, path: str):
+    vals, meta = decode_csf(open(path, "rb").read())
+    return _cells_df(spark, vals), meta

@@ -196,3 +196,23 @@ class TestSparkFaces:
         a = {(r.bx, r.by): r.value for r in df.collect()}
         b = {(r.bx, r.by): r.value for r in back.collect()}
         assert a == b
+
+
+class TestPCRaster:
+    def test_ldd_map(self):
+        vals, meta = gp.decode_csf(
+            open(f"{GD}/pcraster/ldd.map", "rb").read())
+        assert (meta["width"], meta["height"]) == (80, 100)
+        assert meta["value_scale"] == "ldd"
+        assert meta["nodata"] == 255
+        assert meta["gt"][1] == 10.0 and meta["gt"][5] == -10.0
+        # GDAL checksums the RAW band incl. the 255 MV cells (cs 4528,
+        # autotest pcraster.py:27)
+        raw = np.where(np.isnan(vals), 255.0, vals)
+        assert _cs(raw) == 4528
+        # ldd values are drain directions 1..9
+        assert np.nanmin(vals) >= 1 and np.nanmax(vals) <= 9
+
+    def test_signature_refused(self):
+        with pytest.raises(ValueError, match="CSF"):
+            gp.decode_csf(b"NOT A MAP" + b"\x00" * 300)
