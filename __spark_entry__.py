@@ -430,6 +430,58 @@ def _q_rst_roundtrip(spark, sf_dir):
                  F.sum(F.col("value").cast("long")).alias("v_sum")))
 
 
+def _q_zmap_roundtrip(spark, sf_dir):
+    """ZMap Plus sink+source with the column-major fixed-width ASCII
+    codec IN the loop (sources/gridpack2.py after
+    frmts/zmap/zmapdataset.cpp). Eighths print exactly at 7 decimals,
+    so the hash can only match if the column-major ordering, the
+    per-column EOL framing and the nodata sentinel all round-trip."""
+    import tempfile
+
+    from lib_gdal_spark.sources import gridpack2 as gp2
+
+    W, H = 21, 13
+    vals = _grid_roundtrip_cells(spark, sf_dir, W, H, 211, 105)
+    path = tempfile.mktemp(prefix="zmap_", suffix=".dat")
+    open(path, "w").write(
+        gp2.encode_zmap(vals, (0.0, 1.0, 0.0, float(H), 0.0, -1.0)))
+    back, _meta = gp2.read_zmap(spark, path)
+    return (back.groupBy((F.col("bx") % 4).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum((F.col("value") * 8.0).cast("long")).alias("v8_sum")))
+
+
+def _q_hf2_roundtrip(spark, sf_dir):
+    """HF2 sink+source with the tiled delta codec IN the loop
+    (sources/hf2.py after frmts/hf2/hf2dataset.cpp), Int16 exact path,
+    tile size 16 so the synthetic grid spans multiple tiles."""
+    import tempfile
+
+    from lib_gdal_spark.sources import hf2 as h2
+    from lib_gdal_spark.sources.gridpack import _cells_to_array
+
+    W, H = 37, 19
+    cells = (_tbl(spark, sf_dir, "documents")
+             .groupBy((F.col("doc_id") % W).alias("bx"),
+                      F.expr(f"(doc_id div {W}) % {H}").alias("by"))
+             .agg((F.min("n_chars") % 4001 - 2000).alias("value")))
+    vals = _cells_to_array(cells, W, H, 0.0)
+    path = tempfile.mktemp(prefix="hf2_", suffix=".hf2")
+    open(path, "wb").write(
+        h2.encode_hf2(vals, gt=(0.0, 1.0, 0.0, float(H), 0.0, -1.0),
+                      tile_size=16, source_int16=True, compress=True))
+    back, _meta = h2.read_hf2(spark, path)
+    # absent cells were filled with 0 on write (HF2 has no nodata),
+    # so the read-back grid is dense: fold every cell
+    return (back.groupBy((F.col("bx") % 5).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum(F.col("value").cast("long")).alias("v_sum")))
+
+
 def _q_sigdem_roundtrip(spark, sf_dir):
     """SIGDEM sink+source with the big-endian scaled-Int32 bottom-up
     codec IN the loop (sources/gridpack.py after
@@ -5386,6 +5438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoloc_forward": _q_geoloc_forward,       # GEOLOC array transformer
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
         "rraster_roundtrip": _q_rraster_roundtrip,  # R raster .grd/.gri
+        "zmap_roundtrip": _q_zmap_roundtrip,       # ZMap column-major ASCII
+        "hf2_roundtrip": _q_hf2_roundtrip,         # HF2 tiled delta (gz)
         "saga_roundtrip": _q_saga_roundtrip,       # SAGA .sgrd/.sdat
         "rst_roundtrip": _q_rst_roundtrip,         # Idrisi RST Int16
         "sigdem_roundtrip": _q_sigdem_roundtrip,   # SIGDEM scaled Int32
@@ -5571,7 +5625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
     "rraster_roundtrip", "saga_roundtrip", "rst_roundtrip",
-    "sigdem_roundtrip",
+    "sigdem_roundtrip", "zmap_roundtrip", "hf2_roundtrip",
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
     "gtx_roundtrip", "byn_roundtrip", "leveller_roundtrip",
     "vicar_roundtrip", "georss_roundtrip", "rmf_roundtrip",
@@ -5948,6 +6002,33 @@ def _o_saga_roundtrip() -> str:
 
 def _o_sigdem_roundtrip() -> str:
     return _o_grid8_roundtrip(33, 7, 241, 120, 6)
+
+
+def _o_zmap_roundtrip() -> str:
+    return _o_grid8_roundtrip(21, 13, 211, 105, 4)
+
+
+def _o_hf2_roundtrip() -> str:
+    # HF2 has no nodata: absent cells were written as 0, so the grid
+    # comes back DENSE — fold the full W x H lattice with coalesce 0
+    return """
+WITH cells AS (
+  SELECT CAST(doc_id % 37 AS BIGINT) AS bx,
+         CAST((doc_id // 37) % 19 AS BIGINT) AS byy,
+         CAST(min(n_chars) % 4001 - 2000 AS BIGINT) AS v
+  FROM documents GROUP BY 1, 2),
+grid AS (
+  SELECT CAST(x.r AS BIGINT) AS bx, CAST(y.r AS BIGINT) AS byy
+  FROM range(0, 37) x(r), range(0, 19) y(r))
+SELECT grid.bx % 5 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(grid.bx) AS BIGINT) AS bx_sum,
+       CAST(sum(grid.byy) AS BIGINT) AS by_sum,
+       CAST(sum(COALESCE(cells.v, 0)) AS BIGINT) AS v_sum
+FROM grid LEFT JOIN cells
+  ON grid.bx = cells.bx AND grid.byy = cells.byy
+GROUP BY 1
+"""
 
 
 def _o_rst_roundtrip() -> str:
@@ -8950,6 +9031,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_triangle_join": _o_pip_triangle(),
         "knn_ring": _o_knn_ring(),
         "rraster_roundtrip": _o_rraster_roundtrip(),
+        "zmap_roundtrip": _o_zmap_roundtrip(),
+        "hf2_roundtrip": _o_hf2_roundtrip(),
         "saga_roundtrip": _o_saga_roundtrip(),
         "rst_roundtrip": _o_rst_roundtrip(),
         "sigdem_roundtrip": _o_sigdem_roundtrip(),
