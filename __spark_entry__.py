@@ -1659,6 +1659,32 @@ def _rt_summarize(df, fid="fid", x="x", y="y"):
         F.sum("yi").alias("y_sum"))
 
 
+def _q_gmt_roundtrip(spark, sf_dir):
+    """GMT ASCII vector sink+source with the @-keyed-header codec IN
+    the loop (sources/gmt.py after ogr/ogrsf_frmts/gmt/ogrgmtlayer.cpp
+    — reader replayed against the test_multi.gmt autotest ladder):
+    point features + an integer column out through write_gmt, read
+    back via read_gmt, fid recovered from the typed JSON property."""
+    import tempfile
+
+    from lib_gdal_spark.geo import wkb as wkbmod
+    from lib_gdal_spark.sources import gmt as gmtmod
+
+    rows = _rt_points(spark, sf_dir).collect()
+    path = tempfile.mktemp(prefix="gmt_rt_", suffix=".gmt")
+    gmtmod.write_gmt(
+        path,
+        [(wkbmod.encode_point(float(r["x"]), float(r["y"])),
+          [int(r["fid"])]) for r in rows],
+        field_names=["custkey"], field_types=["integer"])
+    back = gmtmod.read_gmt(spark, path)
+    pts = back.select(
+        F.get_json_object("properties", "$.custkey")
+        .cast("long").alias("fid"),
+        F.col("xmin").alias("x"), F.col("ymin").alias("y"))
+    return _rt_summarize(pts)
+
+
 def _q_shp_roundtrip(spark, sf_dir):
     # Shapefile writer+reader with the dBASE N-field codec IN the loop:
     # point features -> .shp/.shx/.dbf (driver-side assembly — the
@@ -5468,6 +5494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_roundtrip": _q_gpx_roundtrip,         # GPX src+sink
         "gml_roundtrip": _q_gml_roundtrip,         # GML src+sink
         "mif_roundtrip": _q_mif_roundtrip,         # MapInfo MIF/MID src+sink
+        "gmt_roundtrip": _q_gmt_roundtrip,         # GMT ASCII src+sink
         "dxf_roundtrip": _q_dxf_roundtrip,         # AutoCAD DXF src+sink
         "netcdf_roundtrip": _q_netcdf_roundtrip,   # netCDF classic src+sink
         "topojson_read": _q_topojson_read,         # TopoJSON source
@@ -5626,6 +5653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SWEEP_FIRST = [
     "rraster_roundtrip", "saga_roundtrip", "rst_roundtrip",
     "sigdem_roundtrip", "zmap_roundtrip", "hf2_roundtrip",
+    "gmt_roundtrip",
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
     "gtx_roundtrip", "byn_roundtrip", "leveller_roundtrip",
     "vicar_roundtrip", "georss_roundtrip", "rmf_roundtrip",
@@ -9143,6 +9171,7 @@ def oracle_sql() -> dict[str, str]:
         "kml_roundtrip": _RT_ORACLE,
         "gml_roundtrip": _RT_ORACLE,
         "mif_roundtrip": _RT_ORACLE,
+        "gmt_roundtrip": _RT_ORACLE,
         "dxf_roundtrip": _RT_ORACLE,
         "netcdf_roundtrip": _o_netcdf_roundtrip(),
         "topojson_read": _o_topojson_read(),
