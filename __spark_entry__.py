@@ -430,6 +430,23 @@ def _q_rst_roundtrip(spark, sf_dir):
                  F.sum(F.col("value").cast("long")).alias("v_sum")))
 
 
+def _q_hll_docs(spark, sf_dir):
+    """Deterministic md5 HyperLogLog registers over the documents
+    corpus (operators/sketch.py): bucket = first 12 hash bits, rho =
+    leading-zero run of the next 64 + 1, registers = 4096-group max.
+    The duckdb twin recomputes the identical sketch from md5 — the
+    hash can only match if every register agrees (the approximate-op
+    determinism rule)."""
+    from lib_gdal_spark.operators import sketch
+
+    docs = _tbl(spark, sf_dir, "documents")
+    regs = sketch.hll_registers(docs, "text", p=12)
+    return (regs.groupBy((F.col("bucket") % 64).alias("grp"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("rho").alias("rho_sum"),
+                 F.max("rho").cast("long").alias("rho_max")))
+
+
 def _q_zmap_roundtrip(spark, sf_dir):
     """ZMap Plus sink+source with the column-major fixed-width ASCII
     codec IN the loop (sources/gridpack2.py after
@@ -5463,6 +5480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,  # fastText-style gate
         "geoloc_forward": _q_geoloc_forward,       # GEOLOC array transformer
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
+        "hll_docs": _q_hll_docs,                   # md5 HLL registers
         "rraster_roundtrip": _q_rraster_roundtrip,  # R raster .grd/.gri
         "zmap_roundtrip": _q_zmap_roundtrip,       # ZMap column-major ASCII
         "hf2_roundtrip": _q_hf2_roundtrip,         # HF2 tiled delta (gz)
@@ -5651,7 +5669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "rraster_roundtrip", "saga_roundtrip", "rst_roundtrip",
+    "hll_docs", "rraster_roundtrip", "saga_roundtrip", "rst_roundtrip",
     "sigdem_roundtrip", "zmap_roundtrip", "hf2_roundtrip",
     "gmt_roundtrip",
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
@@ -6030,6 +6048,38 @@ def _o_saga_roundtrip() -> str:
 
 def _o_sigdem_roundtrip() -> str:
     return _o_grid8_roundtrip(33, 7, 241, 120, 6)
+
+
+_HEX = "0123456789abcdef"
+
+
+def _o_hll_docs() -> str:
+    dig = lambda i: f"(strpos('{_HEX}', substr(hx,{i},1))-1)"  # noqa: E731
+    lz = ("CASE substr(s16, length(regexp_extract(s16, '^(0*)', 1))+1, 1) "
+          "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+          "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 "
+          "WHEN '7' THEN 1 ELSE 0 END")
+    return f"""
+WITH h AS (
+  SELECT md5(CAST(text AS VARCHAR)) AS hx FROM documents
+  WHERE text IS NOT NULL),
+rr AS (
+  SELECT {dig(1)}*256 + {dig(2)}*16 + {dig(3)} AS bucket,
+         substr(hx, 4, 16) AS s16
+  FROM h),
+r AS (
+  SELECT bucket,
+         CASE WHEN s16 = '0000000000000000' THEN 65
+              ELSE 4*length(regexp_extract(s16, '^(0*)', 1)) + {lz} + 1
+         END AS rho
+  FROM rr),
+regs AS (SELECT bucket, MAX(rho) AS rho FROM r GROUP BY bucket)
+SELECT bucket % 64 AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(rho) AS BIGINT) AS rho_sum,
+       CAST(MAX(rho) AS BIGINT) AS rho_max
+FROM regs GROUP BY 1
+"""
 
 
 def _o_zmap_roundtrip() -> str:
@@ -9058,6 +9108,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect_join": _o_pip_rect_join(),
         "pip_triangle_join": _o_pip_triangle(),
         "knn_ring": _o_knn_ring(),
+        "hll_docs": _o_hll_docs(),
         "rraster_roundtrip": _o_rraster_roundtrip(),
         "zmap_roundtrip": _o_zmap_roundtrip(),
         "hf2_roundtrip": _o_hf2_roundtrip(),
