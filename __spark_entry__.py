@@ -447,6 +447,30 @@ def _q_hll_docs(spark, sf_dir):
                  F.max("rho").cast("long").alias("rho_max")))
 
 
+def _q_zarr_roundtrip(spark, sf_dir):
+    """Zarr v2 sink+source with the chunked store codec IN the loop
+    (sources/zarrstore.py — .zarray JSON, zlib chunks, fill_value
+    holes): eighth-step grid out through write_zarr_array (4 chunks),
+    read back through the one-task-per-CHUNK read_zarr_cells face."""
+    import tempfile
+
+    from lib_gdal_spark.sources import zarrstore as zs
+
+    W, H = 25, 17
+    vals = _grid_roundtrip_cells(spark, sf_dir, W, H, 227, 113)
+    path = tempfile.mkdtemp(prefix="zarr_rt_") + "/rt.zarr"
+    zs.write_zarr_array(path, np.where(np.isnan(vals), -9999.0, vals),
+                        chunks=(9, 13),
+                        compressor={"id": "zlib", "level": 6},
+                        fill_value=-9999.0)
+    back, _meta = zs.read_zarr_cells(spark, path)
+    return (back.groupBy((F.col("bx") % 7).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bx").alias("bx_sum"),
+                 F.sum("by").alias("by_sum"),
+                 F.sum((F.col("value") * 8.0).cast("long")).alias("v8_sum")))
+
+
 def _q_zmap_roundtrip(spark, sf_dir):
     """ZMap Plus sink+source with the column-major fixed-width ASCII
     codec IN the loop (sources/gridpack2.py after
@@ -5482,6 +5506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
         "hll_docs": _q_hll_docs,                   # md5 HLL registers
         "rraster_roundtrip": _q_rraster_roundtrip,  # R raster .grd/.gri
+        "zarr_roundtrip": _q_zarr_roundtrip,       # Zarr v2 chunk store
         "zmap_roundtrip": _q_zmap_roundtrip,       # ZMap column-major ASCII
         "hf2_roundtrip": _q_hf2_roundtrip,         # HF2 tiled delta (gz)
         "saga_roundtrip": _q_saga_roundtrip,       # SAGA .sgrd/.sdat
@@ -5671,6 +5696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SWEEP_FIRST = [
     "hll_docs", "rraster_roundtrip", "saga_roundtrip", "rst_roundtrip",
     "sigdem_roundtrip", "zmap_roundtrip", "hf2_roundtrip",
+    "zarr_roundtrip",
     "gmt_roundtrip",
     "s2_cell_assign", "s2_knn_sphere", "s2_cap_join", "ntv2_shift",
     "gtx_roundtrip", "byn_roundtrip", "leveller_roundtrip",
@@ -6084,6 +6110,10 @@ FROM regs GROUP BY 1
 
 def _o_zmap_roundtrip() -> str:
     return _o_grid8_roundtrip(21, 13, 211, 105, 4)
+
+
+def _o_zarr_roundtrip() -> str:
+    return _o_grid8_roundtrip(25, 17, 227, 113, 7)
 
 
 def _o_hf2_roundtrip() -> str:
@@ -9110,6 +9140,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ring": _o_knn_ring(),
         "hll_docs": _o_hll_docs(),
         "rraster_roundtrip": _o_rraster_roundtrip(),
+        "zarr_roundtrip": _o_zarr_roundtrip(),
         "zmap_roundtrip": _o_zmap_roundtrip(),
         "hf2_roundtrip": _o_hf2_roundtrip(),
         "saga_roundtrip": _o_saga_roundtrip(),
