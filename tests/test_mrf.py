@@ -44,3 +44,27 @@ def test_unavailable_codec_refused(tmp_path):
 def test_spark_face(spark):
     df, meta = mrf.read_mrf(spark, f"{MD}/none/byte.mrf")
     assert df.count() == 400
+
+
+class TestPnmFixtures:
+    """The PNM autotest fixtures through the engine's existing PPM/PGM
+    codec (operators/multimodal.py): byte.pgm cs 4672 and
+    rgbsmall.ppm band 2 cs 21053 (autotest pnm.py:27,49)."""
+
+    def test_byte_pgm(self):
+        from lib_gdal_spark.operators.multimodal import _decode_ppm
+
+        img, meta = _decode_ppm(open(
+            "/root/reference/autotest/gdrivers/data/pnm/byte.pgm",
+            "rb").read())
+        assert (meta["width"], meta["height"]) == (20, 20)
+        assert _cs(img.astype(np.float64)) == 4672
+
+    def test_rgbsmall_ppm(self):
+        from lib_gdal_spark.operators.multimodal import _decode_ppm
+
+        img, meta = _decode_ppm(open(
+            "/root/reference/autotest/gdrivers/data/pnm/rgbsmall.ppm",
+            "rb").read())
+        assert meta["channels"] == 3
+        assert _cs(img[:, :, 1].astype(np.float64)) == 21053
