@@ -49,6 +49,31 @@ from .surfer import decode_surfer, read_surfer
 from .topojson import read_topojson
 from .usgsdem import decode_usgsdem, read_usgsdem
 from .xyz import read_xyz, write_xyz
+# continuation-session codecs (each with its own autotest replays)
+from .adrg import read_adrg
+from .avce00 import read_e00
+from .dgnv7 import read_dgn
+from .dimap import read_dimap_window
+from .esric import read_esric
+from .gmt import read_gmt, write_gmt
+from .gridpack import (read_csf, read_nsidcbin, read_rraster,
+                       read_rst, read_saga, read_sigdem,
+                       write_rraster, write_rst, write_saga,
+                       write_sigdem)
+from .gridpack2 import read_ace2, read_kro, read_zmap, write_zmap
+from .hf2 import read_hf2
+from .iris import read_iris
+from .mrf import read_mrf
+from .nwt import read_grd
+from .pds4 import read_pds4
+from .s57 import read_s57
+from .srp import read_srp
+from .stacta import read_stacta
+from .tga import decode_tga, read_tga
+from .til import read_til
+from .vdv import read_idf, write_vdv
+from .wasp import read_wasp, write_wasp
+from .zarrstore import read_zarr_cells, write_zarr_array
 
 __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_tiff", "write_tiff", "read_bmp", "decode_tiff",
@@ -59,4 +84,14 @@ __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "decode_gif", "encode_gif", "read_gif", "decode_surfer",
            "read_surfer", "decode_usgsdem", "read_usgsdem", "read_gml",
            "write_gml", "read_mif", "write_mif", "read_topojson",
-           "decode_jpeg", "decode_jpeg_mask", "read_jpeg"]
+           "decode_jpeg", "decode_jpeg_mask", "read_jpeg",
+           "read_adrg", "read_e00", "read_dgn", "read_dimap_window",
+           "read_esric", "read_gmt", "write_gmt", "read_csf",
+           "read_nsidcbin", "read_rraster", "read_rst", "read_saga",
+           "read_sigdem", "write_rraster", "write_rst", "write_saga",
+           "write_sigdem", "read_ace2", "read_kro", "read_zmap",
+           "write_zmap", "read_hf2", "read_iris", "read_mrf",
+           "read_grd", "read_pds4", "read_s57", "read_srp",
+           "read_stacta", "decode_tga", "read_tga", "read_til",
+           "read_idf", "write_vdv", "read_wasp", "write_wasp",
+           "read_zarr_cells", "write_zarr_array"]
