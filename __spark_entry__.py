@@ -430,6 +430,18 @@ def _q_rst_roundtrip(spark, sf_dir):
                  F.sum(F.col("value").cast("long")).alias("v_sum")))
 
 
+def _q_kmv_docs(spark, sf_dir):
+    """K-minimum-values distinct sketch over the documents corpus
+    (operators/sketch.py kmv_sketch): the 128 smallest md5 hashes of
+    the text column. The duckdb twin is literally ORDER BY md5 LIMIT
+    128 — the whole sketch hash-matches or the op is wrong."""
+    from lib_gdal_spark.operators import sketch
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return (sketch.kmv_sketch(docs, "text", k=128)
+            .select(F.col("h").alias("hash")))
+
+
 def _q_hll_docs(spark, sf_dir):
     """Deterministic md5 HyperLogLog registers over the documents
     corpus (operators/sketch.py): bucket = first 12 hash bits, rho =
@@ -5505,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoloc_forward": _q_geoloc_forward,       # GEOLOC array transformer
         "geoloc_roundtrip": _q_geoloc_roundtrip,   # exact inverse bilinear
         "hll_docs": _q_hll_docs,                   # md5 HLL registers
+        "kmv_docs": _q_kmv_docs,                   # k-minimum-values sketch
         "rraster_roundtrip": _q_rraster_roundtrip,  # R raster .grd/.gri
         "zarr_roundtrip": _q_zarr_roundtrip,       # Zarr v2 chunk store
         "zmap_roundtrip": _q_zmap_roundtrip,       # ZMap column-major ASCII
@@ -5694,7 +5707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: green row is round 1), then the 15 oldest r2-cohort keys — computed
 #: from CORRECTNESS_r01-r04 staleness, VERDICT r4 next-round item 8.
 _SWEEP_FIRST = [
-    "hll_docs", "rraster_roundtrip", "saga_roundtrip", "rst_roundtrip",
+    "hll_docs", "kmv_docs", "rraster_roundtrip", "saga_roundtrip", "rst_roundtrip",
     "sigdem_roundtrip", "zmap_roundtrip", "hf2_roundtrip",
     "zarr_roundtrip",
     "gmt_roundtrip",
@@ -6077,6 +6090,15 @@ def _o_sigdem_roundtrip() -> str:
 
 
 _HEX = "0123456789abcdef"
+
+
+def _o_kmv_docs() -> str:
+    return """
+SELECT h AS hash FROM (
+  SELECT DISTINCT md5(CAST(text AS VARCHAR)) AS h
+  FROM documents WHERE text IS NOT NULL)
+ORDER BY h LIMIT 128
+"""
 
 
 def _o_hll_docs() -> str:
@@ -9139,6 +9161,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_triangle_join": _o_pip_triangle(),
         "knn_ring": _o_knn_ring(),
         "hll_docs": _o_hll_docs(),
+        "kmv_docs": _o_kmv_docs(),
         "rraster_roundtrip": _o_rraster_roundtrip(),
         "zarr_roundtrip": _o_zarr_roundtrip(),
         "zmap_roundtrip": _o_zmap_roundtrip(),

@@ -96,3 +96,29 @@ def distinct_count_approx(df: DataFrame, col: str,
                           p: int = 12) -> float:
     """Convenience: one-shot estimate."""
     return hll_estimate(hll_registers(df, col, p), p)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values sketch: the k smallest md5 hashes of the
+    column (Bar-Yossef et al. 2002). Mergeable (union = k smallest of
+    the concatenation) and EXACTLY reproducible in SQL
+    (ORDER BY md5 LIMIT k), so the driver twin hash-matches the whole
+    sketch. One orderBy-limit: Spark plans TakeOrdered (per-partition
+    top-k + a k-row merge), never a full sort spill."""
+    return (df.filter(F.col(col).isNotNull())
+            .select(F.md5(F.col(col).cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k))
+
+
+def kmv_estimate(sketch_df, k: int = 256) -> float:
+    """(k-1) / max_fraction over the 128-bit hash space; fewer than k
+    distinct values collected = the exact count."""
+    rows = [r["h"] for r in sketch_df.collect()] \
+        if isinstance(sketch_df, DataFrame) else list(sketch_df)
+    if len(rows) < k:
+        return float(len(rows))
+    top = max(rows)
+    frac = int(top, 16) / float(1 << 128)
+    return (k - 1) / frac

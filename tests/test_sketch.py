@@ -62,3 +62,29 @@ def test_bad_p_refused(spark):
     df = spark.createDataFrame([("x",)], "t string")
     with pytest.raises(ValueError, match="multiple of 4"):
         sketch.hll_registers(df, "t", p=10)
+
+
+def test_kmv_matches_sorted_hashes(spark):
+    import hashlib
+
+    vals = [f"v{i % 700}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r["h"] for r in sketch.kmv_sketch(df, "t", k=64).collect()]
+    exp = sorted({hashlib.md5(v.encode()).hexdigest()
+                  for v in set(vals)})[:64]
+    assert got == exp
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 8000
+    df = spark.createDataFrame([(f"u{i % 2000}",) for i in range(n)],
+                               "t string")
+    est = sketch.kmv_estimate(sketch.kmv_sketch(df, "t", k=256), k=256)
+    assert abs(est - 2000) / 2000 < 0.15
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(40)],
+                               "t string")
+    assert sketch.kmv_estimate(
+        sketch.kmv_sketch(df, "t", k=256), k=256) == 40.0
