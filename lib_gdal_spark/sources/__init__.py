@@ -74,6 +74,8 @@ from .til import read_til
 from .vdv import read_idf, write_vdv
 from .wasp import read_wasp, write_wasp
 from .zarrstore import read_zarr_cells, write_zarr_array
+from .ceos import read_ceos
+from .pcidsk import read_pcidsk
 
 __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_tiff", "write_tiff", "read_bmp", "decode_tiff",
@@ -94,4 +96,5 @@ __all__ = ["read_aaigrid", "write_aaigrid", "read_xyz", "write_xyz",
            "read_grd", "read_pds4", "read_s57", "read_srp",
            "read_stacta", "decode_tga", "read_tga", "read_til",
            "read_idf", "write_vdv", "read_wasp", "write_wasp",
-           "read_zarr_cells", "write_zarr_array"]
+           "read_zarr_cells", "write_zarr_array", "read_ceos",
+           "read_pcidsk"]
